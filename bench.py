@@ -1,0 +1,59 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across headline queries (each timed to full
+materialization via a count-collect of the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_data_engineering_pipeline_spark.queries import all_queries
+from end_to_end_data_engineering_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the heavy relational queries; extended as coverage grows.
+HEADLINE: list[str] = []
+
+
+def main() -> None:
+    qs = all_queries()
+    names = HEADLINE or sorted(qs)
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers once so timings measure the engine,
+    # not classloading
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

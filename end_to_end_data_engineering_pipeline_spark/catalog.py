@@ -1,0 +1,57 @@
+"""Testdata catalog: the driver-generated TPC-H-ish tables.
+
+Tables documented in TESTDATA.md / FIXTURES.md §B. ``load`` returns the
+raw DataFrame; ``register_views`` exposes every table as a temp view so
+SQL-authored queries and DataFrame-authored queries share one catalog.
+
+Scan-path notes for scale: Parquet scans go through Spark's vectorized
+reader; filters and projections applied on these DataFrames push down
+into the scan (verify via ``df.explain`` → ``PushedFilters`` /
+``ReadSchema``). At 100 TB these tables would be directories partitioned
+on their natural keys (e.g. orders by month of o_orderdate) so partition
+pruning applies; single-file layout here is the driver's fixture choice.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always broadcast-joinable at any scale factor
+# (region/nation are fixed-cardinality; part/supplier/customer grow with
+# SF but stay orders of magnitude under the fact tables — at 100 TB they
+# may exceed the broadcast threshold, at which point AQE falls back to
+# sort-merge automatically; the hint is advisory).
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view named after itself."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Settings mirror the reference's execution assumptions (everything UTC,
+columnar Arrow interchange — reference forces UTC at
+ingestion/fetch_data.py:174 and runs Polars/Arrow per
+airflow/requirements.txt:2-3) and enable the Catalyst/AQE features we
+rely on at scale: adaptive query execution (runtime partition
+coalescing, broadcast-join conversion, skew-join splitting).
+
+On a real cluster the same builder is used with ``master`` unset (taken
+from spark-submit) and ``shuffle_partitions`` sized to ~2-3x total
+cores; on 100 TB inputs AQE's coalescing makes the static number a
+ceiling, not a target.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "end_to_end_data_engineering_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with engine-standard configuration."""
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

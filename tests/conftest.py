@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from end_to_end_data_engineering_pipeline_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMOKE)
