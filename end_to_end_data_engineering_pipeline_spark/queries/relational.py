@@ -141,3 +141,409 @@ def q3_null_and_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
         ).alias("bad_status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.4: equi/semi/anti + broadcast star joins J4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_star_join_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {oracle_dsum_expr(_O_DISC_PRICE)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def q4_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: fact(lineitem) ⋈ orders ⋈ broadcast dims.
+
+    lineitem⋈orders is the one genuine shuffle (both big, equi-key);
+    customer/nation/region ride broadcast-hash joins — no fact shuffle.
+    At 100 TB: co-partition lineitem/orders on orderkey (bucketing) to
+    elide the big shuffle too.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum_expr(disc_price, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q5_semi_join_exists",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q5_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS (engine-note surface, SURVEY §2.4)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q6_anti_join_not_exists",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q6_anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS — also the referential-integrity test
+    shape (J2/J3: dbt relationships test as anti-join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+
+
+@query(
+    "q7_left_outer_join_null_handling",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(ROUND(COALESCE(SUM(CAST(s_acctbal AS DECIMAL(27,4))), 0), 4) AS DOUBLE) AS total_acctbal
+    FROM nation
+    LEFT JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def q7_left_outer_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-aware aggregates (COUNT(col) skips
+    nulls; SUM over empty group coalesced to 0)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(
+                F.coalesce(F.sum(F.col("s_acctbal").cast("decimal(27,4)")), F.lit(0)),
+                4,
+            )
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (engine surface per SURVEY §2.6 note)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8_window_rank_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rk <= 5
+    """,
+)
+def q8_window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number window (deterministic tiebreak on
+    the unique key — required for oracle parity AND reproducibility)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "q9_window_lag_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q9_window_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + running sum frames. The running sum accumulates DECIMAL so
+    the per-row prefix values are engine- and partitioning-independent."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.sum(dec2("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube (free from Spark, SURVEY §2.5 note)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 4) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q11_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 4) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q12_set_ops",
+    oracle="""
+    SELECT c_nationkey, kind FROM (
+      SELECT c_nationkey, 'both' AS kind FROM
+        (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      UNION ALL
+      SELECT c_nationkey, 'building_only' AS kind FROM
+        (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    ) t
+    """,
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL composition (U1 + built-ins)."""
+    c = load(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    m = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    both = b.intersect(m).withColumn("kind", F.lit("both"))
+    only = b.exceptAll(m).withColumn("kind", F.lit("building_only"))
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q13_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q13_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject:
+    per-partition top-k then a k-row merge on the driver; no total sort
+    at any scale. Deterministic via unique-key tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / date / hash (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_type, 1, 5) AS type_prefix,
+           CONCAT_WS('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           MD5(CONCAT_WS('|', p_brand, p_type)) AS brand_type_key
+    FROM part
+    WHERE p_name LIKE '%gre%'
+    """,
+)
+def q14_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 surrogate-key scalars + LIKE filter + string projection."""
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%gre%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.md5(F.concat_ws("|", F.col("p_brand"), F.col("p_type"))).alias(
+            "brand_type_key"
+        ),
+    )
+
+
+@query(
+    "q15_date_functions",
+    oracle="""
+    SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(isodow FROM o_orderdate) AS iso_dow,
+           EXTRACT(week FROM o_orderdate) AS iso_week,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q15_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-X6 date-part parity incl. the isodow re-anchor (dim_date
+    semantics, dbt/models/analytics/dim_date.sql:1-13)."""
+    from ..functions import iso_dow
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            # emit the date as a 'yyyy-MM-dd' string: DATE-typed results
+            # surface as midnight timestamps from some clients, which
+            # breaks cross-engine value comparison (SURVEY §7 risk 3)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            iso_dow("o_orderdate").cast("long").alias("iso_dow"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        )
+        .groupBy("order_date", "yr", "mo", "iso_dow", "iso_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q16_conditional_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q16_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (one pass, map-side
+    combinable — scales better than .pivot() metadata inference)."""
+    o = load(spark, sf_dir, "orders")
+
+    def cnt(status: str, alias: str):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
+        ).alias(alias)
+
+    return o.groupBy("o_orderpriority").agg(
+        cnt("O", "n_open"), cnt("F", "n_finished"), cnt("P", "n_partial")
+    )
+
+
+@query(
+    "q17_distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q17_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: DISTINCT projection (the dim_location/dim_date build shape)."""
+    return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q18_having_group_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 4) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 20
+    """,
+)
+def q18_having_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (A1 duplicate-finder shape:
+    group-count then filter on the count, quality/checks.py:93-97)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .where(F.col("n_orders") > 20)
+    )
