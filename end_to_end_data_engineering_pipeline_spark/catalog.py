@@ -48,7 +48,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
+        # session.py nanosAsLong) — convert to a microsecond timestamp
+        # (integer DIV, lossless for µs-grained data; UTC session TZ).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,1 +1,253 @@
-"""Placeholder; filled in as operators land."""
+"""Event-stream queries in batch form (SURVEY §2.9).
+
+The reference is strictly batch (daily Airflow schedule); its late-data
+story is keyed upsert over an overlapping refetch window. The engine
+exposes the time-windowed surface in BATCH here (Spark's ``window()``
+works identically in batch), and the same operators run under
+Structured Streaming in ``streaming/`` with watermarks.
+
+Parity notes:
+- Window starts are emitted as 'yyyy-MM-dd HH:mm:ss' strings — both
+  engines render epoch-aligned bucket boundaries identically, avoiding
+  DATE/TIMESTAMP client-type mismatches.
+- Spark ``window()`` buckets are epoch-aligned, exactly DuckDB's
+  ``time_bucket``.
+- value sums go through decimal (functions/scalar.py rules).
+- Every window/order is made deterministic with event_id tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_O_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "e1_tumbling_window_agg",
+    oracle=f"""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '{_O_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch form of the
+    streaming rollup (pure groupBy on a derived bucket: one shuffle,
+    map-side combined; identical plan shape at any scale)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "e2_sliding_window_agg",
+    oracle=f"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '30 minutes' AS w_start,
+             value
+      FROM events, (VALUES (0), (1)) offsets(k)
+    )
+    SELECT STRFTIME(w_start, '{_O_TS_FMT}') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE) AS total_value
+    FROM shifted
+    GROUP BY 1
+    """,
+)
+def e2_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h size, 30 min slide): each event lands in 2
+    buckets. Spark's window() explodes the assignment internally; the
+    oracle replicates it with an offsets cross join."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e3_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           STRFTIME(MIN(CAST(ts AS TIMESTAMP)), '{_O_TS_FMT}') AS session_start,
+           STRFTIME(MAX(CAST(ts AS TIMESTAMP)), '{_O_TS_FMT}') AS session_end,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def e3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap -> new session.
+
+    Classic batch formulation (guide 'Common OLAP patterns'): lag() gap
+    flag + running sum as session id, then per-session agg. One shuffle
+    on user_id serves both windows AND the final groupBy (same key —
+    Catalyst reuses the partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+@query(
+    "e4_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e4_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/X11 JSON scalar surface: get_json_object path access on the
+    props JSON column + downstream aggregation."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+@query(
+    "e5_keyed_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def e5_keyed_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 deterministic keep-first dedup on (user_id, event_type) — the
+    operators/dedup.py operator applied to the events fixture."""
+    from ..operators import dedup_keep_first
+
+    ev = load(spark, sf_dir, "events")
+    return dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", _TS_FMT).alias("first_ts"),
+    )
+
+
+@query(
+    "e6_value_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e6_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 value-counts (reference fetch_data.py:235-238 status
+    distribution, as groupBy-count)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "e7_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def e7_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins per key — the batch-log status resolution operator
+    (operators/merge.py latest_wins, replacing the reference's in-place
+    UPDATE at ingestion/fetch_data.py:242-263)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
