@@ -1,0 +1,144 @@
+"""Text-analysis operators for the documents table (charter §2.12).
+
+Language-ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Catalyst expressions (no Python
+UDFs: these run inside whole-stage codegen and scale embarrassingly —
+per-row work, zero shuffles).
+
+Cross-engine determinism: everything here is also expressible in ANSI
+SQL so the DuckDB oracle can verify it; the shared 32-bit hash is the
+first 8 hex digits of md5 (``hash32``), identical in any engine with
+md5 + hex parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, or single punctuation
+# (the public GPT-2-style pre-tokenizer shape, simplified to ASCII so
+# Java and RE2 regex engines agree).
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny per-language marker lexicons (public stopword lists, truncated).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash32(col: Column) -> Column:
+    """Shared 32-bit hash: first 8 hex digits of md5, as a long.
+
+    Engine-portable (DuckDB: ``CAST('0x' || substr(md5(x),1,8) AS
+    BIGINT)``), deterministic, uniform — the primitive under minhash /
+    simhash / LSH banding.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for exact
+    fingerprinting."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), "\\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(_c(col)), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via the TOKEN_RE pattern."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), 0))
+
+
+def stopword_count(col: Column | str, words: list[str]) -> Column:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pat), 0))
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit("[.,!?;:]"), 0))
+
+
+def digit_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit("[0-9]"), 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: lengths, token counts, character-class
+    ratios, and a deterministic quality score.
+
+    Quality heuristic (public C4/Gopher-style filters, simplified):
+    reward 50-1000 token docs and high stopword density, penalize
+    punctuation/digit-heavy text. All ratios are exact rationals
+    computed in decimal-free integer space then one final double
+    division — engine-stable.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    en_stops = stopword_count(t, LANG_MARKERS["en"])
+    n_punct = punct_count(t)
+    n_digit = digit_count(t)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digits"),
+        en_stops.alias("n_stopwords"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(en_stops.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        (
+            F.when((n_tok >= 50) & (n_tok <= 1000), F.lit(1)).otherwise(F.lit(0))
+            + F.when(en_stops * 20 >= n_tok, F.lit(1)).otherwise(F.lit(0))
+            + F.when(n_punct * 10 <= n_chars, F.lit(1)).otherwise(F.lit(0))
+            + F.when(n_digit * 5 <= n_chars, F.lit(1)).otherwise(F.lit(0))
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic -> predicted language code.
+
+    Counts per-language marker hits and takes the argmax (ties broken
+    by fixed language order; 'und' when nothing matches). N-gram
+    charset checks (e.g. CJK ranges) belong here too — omitted from
+    the oracled surface to keep Java/RE2 regex semantics aligned.
+    """
+    t = F.col(text_col)
+    scores = [
+        stopword_count(t, words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select("doc_id", "lang", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:  # first language hitting the max wins (fixed order)
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )

@@ -1,1 +1,199 @@
-"""Placeholder; filled in as operators land."""
+"""Text-analysis + dedup queries over the documents table (charter
+§2.12): stats/quality, language-ID, exact dedup, minhash, simhash,
+n-gram Jaccard near-dup, MinHash-LSH near-dup.
+
+Every oracled query mirrors the operator expression in DuckDB SQL
+exactly — including the shared hash32 primitive (first 8 md5 hex
+digits) — so signatures match bit-for-bit, not just statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.dedup_fuzzy import (
+    add_minhash,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.text import LANG_MARKERS, TOKEN_RE, fingerprint, lang_id, text_stats
+from .registry import query
+
+# ---- DuckDB SQL fragments mirroring operators/text.py ----------------------
+
+_O_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_O_TOKS = f"regexp_split_to_array(trim({_O_NORM}), '\\s+')"
+_O_RAW_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _o_shingles(k: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({_O_TOKS})-{k - 1}, 1)+1), "
+        f"i -> array_to_string(({_O_TOKS})[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _o_hash32(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def _o_stop(words: list[str]) -> str:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@query(
+    "t1_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_O_RAW_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+           {_o_stop(LANG_MARKERS["en"])} AS n_stopwords,
+           ROUND(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST({_o_stop(LANG_MARKERS["en"])} AS DOUBLE)
+                 / len({_O_RAW_TOKS}), 6) AS stopword_ratio,
+           (CASE WHEN len({_O_RAW_TOKS}) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN {_o_stop(LANG_MARKERS["en"])} * 20 >= len({_O_RAW_TOKS})
+                   THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(text, '[.,!?;:]')) * 10
+                        <= length(text) THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 5
+                        <= length(text) THEN 1 ELSE 0 END) AS quality_score
+    FROM documents
+    """,
+)
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/token/ratio stats + quality score (operators/
+    text.py:text_stats). Pure per-row expressions: no shuffle."""
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "t2_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_o_stop(LANG_MARKERS["en"])} AS score_en,
+             {_o_stop(LANG_MARKERS["fr"])} AS score_fr,
+             {_o_stop(LANG_MARKERS["es"])} AS score_es,
+             {_o_stop(LANG_MARKERS["de"])} AS score_de
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+           CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0
+                THEN 'und'
+                WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+)
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (operators/text.py:lang_id)."""
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "t3_exact_dedup",
+    oracle=f"""
+    SELECT doc_id, md5({_O_NORM}) AS fp
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_O_NORM}) ORDER BY doc_id) = 1
+    """,
+)
+def t3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint, keep lowest doc_id
+    (hash-groupBy dedup; one shuffle on the fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query(
+    "t4_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS shingles FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> {_o_hash32("'0:' || s")})) AS mh0,
+           list_min(list_transform(shingles, s -> {_o_hash32("'1:' || s")})) AS mh1,
+           list_min(list_transform(shingles, s -> {_o_hash32("'2:' || s")})) AS mh2,
+           list_min(list_transform(shingles, s -> {_o_hash32("'3:' || s")})) AS mh3
+    FROM sh
+    """,
+)
+def t4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeds shown; the LSH operator uses 16).
+    Bit-exact across engines via the shared hash32 primitive."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_minhash(docs, n_hashes=4).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+def _o_simhash_bits(bits: int = 32) -> str:
+    token_hash = _o_hash32("t")
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({_O_TOKS}, "
+            f"t -> CASE WHEN ({token_hash} & {1 << b}) > 0 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "t5_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_o_simhash_bits(32)} AS BIGINT) AS simhash32
+    FROM documents
+    """,
+)
+def t5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit Charikar simhash per document (operators/dedup_fuzzy.py:
+    simhash) — near-dup docs differ in few bits (Hamming)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash32"))
+
+
+@query(
+    "t6_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {_o_shingles(3)} AS s FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                       AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.05
+    """,
+)
+def t6_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard (blocking on lang+source keeps the
+    self-join quadratic only within buckets)."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, ["lang", "source"], k=3, threshold=0.05
+    )
+
+
+@query("t7_minhash_lsh_neardup")  # rows-only: banding composition (16 hashes,
+# 4 bands) is exercised exactly in tests/test_textops.py against the
+# brute-force Jaccard oracle; the full SQL mirror would be a 16-column
+# signature + 4 self-joins.
+def t7_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (candidate generation by band
+    collision + exact Jaccard verify)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.3)

@@ -1,0 +1,67 @@
+"""ANN operator tests: LSH recall on clustered data (its design target)
+and score agreement between the approximate and exact paths."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+DIM = 16
+N_CLUSTERS = 8
+PER_CLUSTER = 12
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Deterministic clustered corpus: cluster centers + small noise, so
+    true nearest neighbors share a cluster (what near-dup ANN targets)."""
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        center = [rng.uniform(-1, 1) for _ in range(DIM)]
+        for _ in range(PER_CLUSTER):
+            vec = [x + rng.uniform(-0.05, 0.05) for x in center]
+            rows.append((vid, [float(x) for x in vec], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_topk_ranks_own_cluster_first(clustered):
+    out = cosine_topk_bruteforce(clustered, [0], k=5).collect()
+    assert len(out) == 5
+    # all top-5 neighbors of vec 0 are from cluster 0 (ids 1..11)
+    assert all(1 <= r.cand_id < PER_CLUSTER for r in out)
+    assert all(out[i].cosine >= out[i + 1].cosine for i in range(4))
+
+
+def test_lsh_recall_on_clusters(clustered):
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    approx = cosine_topk_lsh(clustered, qids, k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+        approx_scores[(r.query_id, r.cand_id)] = r.cosine
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6  # tight clusters land in the same bucket
+
+    # scores of common pairs agree exactly with the brute-force path
+    for r in exact:
+        key = (r.query_id, r.cand_id)
+        if key in approx_scores:
+            assert approx_scores[key] == r.cosine

@@ -1,0 +1,82 @@
+"""Behavioral tests for the fuzzy-dedup / text operators (the parts the
+SQL oracle can't grade: LSH candidate generation quality, simhash
+locality, exact-dedup keep-first semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit
+OTHER = (
+    "completely different text about spark query engines and columnar "
+    "storage formats with vectorized execution and shuffle services"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0"),
+        (1, NEAR, "en", "s0"),
+        (2, OTHER, "en", "s0"),
+        (3, BASE, "en", "s0"),          # exact duplicate of 0
+        (4, BASE.upper(), "en", "s0"),  # case-variant duplicate of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    # 3 and 4 normalize to the same fingerprint as 0
+    assert kept == [0, 1, 2]
+
+
+def test_lsh_finds_near_duplicate_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs  # the one-word edit
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert not any({a, b} == {0, 2} for a, b in pairs)  # unrelated text
+
+
+def test_lsh_agrees_with_exact_jaccard(docs):
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.3).collect()
+    }
+    # every LSH-confirmed pair carries the exact jaccard value
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_simhash_locality(spark, docs):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    ham_near = bin(out[0] ^ out[1]).count("1")
+    ham_far = bin(out[0] ^ out[2]).count("1")
+    assert out[0] == out[3]  # identical text -> identical simhash
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_shingles_shorter_than_k(spark):
+    df = spark.createDataFrame([(0, "only two")], ["doc_id", "text"])
+    sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert sh == ["only two"]
