@@ -1,0 +1,149 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (charter §2.12).
+
+Design: media rows are ``(media_id, kind, content: binary, meta:
+struct)``; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` operators so bytes never round-trip
+through Python row objects. The actual codec step is STUBBED — the
+image/audio libraries are not in this container — behind
+``_decode_stub``: a clearly-marked deterministic fake that derives
+pseudo-pixels from the content hash. The Spark-side plumbing (schema,
+batch iteration, partitioning, output contract) is real and tested.
+
+Scale notes: binary payloads dominate row size — operators here are
+per-row and shuffle-free; the parallelism knob is input split size
+(``spark.sql.files.maxPartitionBytes``), and metadata-only predicates
+(kind, meta.width) prune before any decode work runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, content_md5 string, "
+    "mean_byte double, fake_width int, fake_height int"
+)
+
+
+def _decode_stub(content: bytes) -> tuple[int, int]:
+    """STUB decode: real codecs (PIL/ffmpeg/torchaudio) are not in this
+    image. Derives deterministic fake dimensions from the content hash
+    so downstream plumbing is exercised with stable values."""
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    Per batch: byte length, md5 checksum, mean byte value, and the
+    stub-decoded dimensions. Null content yields null features (decode
+    skip path)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": content.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "mean_byte": content.map(
+                        lambda b: round(sum(b) / len(b), 6)
+                        if b
+                        else None
+                    ),
+                }
+            )
+            dims = content.map(
+                lambda b: _decode_stub(b) if b is not None else (None, None)
+            )
+            out["fake_width"] = [d[0] for d in dims]
+            out["fake_height"] = [d[1] for d in dims]
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """'Frame sampling' plumbing: emit one row per sampled offset of
+    each video's content (the explode-shaped output contract of a real
+    frame sampler; the frame decode itself is the stub)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["content"] is None:
+                    continue
+                content = bytes(r["content"])
+                for off in range(0, len(content), every_n_bytes):
+                    chunk = content[off : off + every_n_bytes]
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_offset": off,
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_offset", "frame_md5"]
+            )
+
+    return media.mapInPandas(op, schema="media_id long, frame_offset long, frame_md5 string")
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixture: document text re-encoded as binary
+    content (utf-8), kind round-robin by doc_id. Lets the multimodal
+    plumbing run against driver-provided data."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("txt").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

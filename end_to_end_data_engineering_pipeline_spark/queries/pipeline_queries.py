@@ -1,1 +1,182 @@
-"""Placeholder; filled in as operators land."""
+"""Pipeline-operator queries: the reference's signature transforms
+exposed over the driver's tables so the DuckDB oracle can grade them.
+
+The weather pipeline itself runs on synthetic payloads (tests/
+test_weather_pipeline.py); here each CORE operator of that pipeline is
+re-expressed over events/orders:
+
+- p1: the F1 flatten (from_json -> explode(arrays_zip)) as a lossless
+  round-trip — build a struct-of-parallel-arrays JSON payload per
+  user (exactly the Open-Meteo shape), then flatten it back; the
+  oracle is the identity projection of the source table. Proves the
+  flatten is positionally exact.
+- p2: the dim_date gold model (A7 + X3-X6) built from orders dates.
+- p3: the S10/S11 SQL surface: a model authored as SQL text over
+  registered views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load, register_views
+from ..functions import iso_dow
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# The payload schema for p1 — same parallel-array shape as
+# schemas.PAYLOAD (reference transformation/clean_data.py:59-74), with
+# events fields standing in for the weather measures.
+_P1_PAYLOAD = T.StructType(
+    [
+        T.StructField(
+            "hourly",
+            T.StructType(
+                [
+                    T.StructField("time", T.ArrayType(T.StringType())),
+                    T.StructField("value", T.ArrayType(T.DoubleType())),
+                    T.StructField("event_id", T.ArrayType(T.LongType())),
+                ]
+            ),
+        )
+    ]
+)
+
+
+@query(
+    "p1_flatten_roundtrip",
+    oracle="""
+    SELECT user_id,
+           STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+           value, event_id
+    FROM events
+    """,
+)
+def p1_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each user's events into a struct-of-parallel-arrays JSON
+    document, then flatten with from_json + explode(arrays_zip) — the
+    reference's F1 operator (clean_data.py:59-89). The result must
+    reproduce the source rows exactly (oracle = identity), proving
+    positional alignment survives the round trip.
+
+    Scale note: the pack stage is one groupBy(user_id) shuffle; the
+    flatten stage is shuffle-free row explosion — the same profile as
+    the real bronze->silver transform.
+    """
+    ev = load(spark, sf_dir, "events")
+    packed = (
+        ev.select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_str"),
+            "value",
+            "event_id",
+            F.struct("ts", "event_id").alias("ord"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("ord", "ts_str", "value", "event_id")
+                                )
+                            ),
+                            lambda s: s["ts_str"],
+                        ).alias("time"),
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("ord", "ts_str", "value", "event_id")
+                                )
+                            ),
+                            lambda s: s["value"],
+                        ).alias("value"),
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("ord", "ts_str", "value", "event_id")
+                                )
+                            ),
+                            lambda s: s["event_id"],
+                        ).alias("event_id"),
+                    ).alias("hourly")
+                )
+            ).alias("payload")
+        )
+    )
+    parsed = packed.withColumn("p", F.from_json("payload", _P1_PAYLOAD))
+    return parsed.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("p.hourly.time").alias("time"),
+                F.col("p.hourly.value").alias("value"),
+                F.col("p.hourly.event_id").alias("event_id"),
+            )
+        ).alias("h"),
+    ).select(
+        "user_id",
+        F.col("h.time").alias("ts_str"),
+        F.col("h.value").alias("value"),
+        F.col("h.event_id").alias("event_id"),
+    )
+
+
+@query(
+    "p2_dim_date_build",
+    oracle="""
+    SELECT DISTINCT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_id,
+           EXTRACT(isodow FROM o_orderdate) AS iso_day_of_week,
+           EXTRACT(week FROM o_orderdate) AS iso_week,
+           EXTRACT(month FROM o_orderdate) AS month,
+           EXTRACT(year FROM o_orderdate) AS year
+    FROM orders
+    """,
+)
+def p2_dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim_date gold model (plans/star.py:build_dim_date; reference
+    dbt/models/analytics/dim_date.sql:1-13) applied to orders dates —
+    DISTINCT projection + ISO calendar attributes."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("date_id"),
+            iso_dow("d").cast("long").alias("iso_day_of_week"),
+            F.weekofyear("d").cast("long").alias("iso_week"),
+            F.month("d").cast("long").alias("month"),
+            F.year("d").cast("long").alias("year"),
+        )
+    )
+
+
+@query(
+    "p3_sql_model_over_views",
+    oracle="""
+    SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def p3_sql_model_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model authored as SQL text over registered temp views — the
+    dbt-source surface (S10/S11: views are plan subtrees; Catalyst
+    optimizes through them identically to the DataFrame form)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+        """
+    )

@@ -197,3 +197,31 @@ def t7_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision + exact Jaccard verify)."""
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@query(
+    "m1_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over driver data: documents re-encoded as
+    binary media, features extracted via Arrow-batched mapInPandas
+    (operators/multimodal.py). The oracle checks the engine-portable
+    features (byte length, md5 of content) — proving binary columns
+    survive the Arrow batch boundary byte-exactly; decode-derived
+    columns are stub outputs and excluded here (covered by
+    tests/test_multimodal.py)."""
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_md5"
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference is batch-only — its late-data handling is an overlapping
+refetch window + keyed upsert (fetch_data.py:108-115,
+clean_data.py:228). This module provides the streaming formulation of
+the same operators so the engine covers both arrival models:
+
+- tumbling/sliding window aggregates with watermarks (late rows beyond
+  the watermark are dropped instead of upserted),
+- streaming keyed dedup (``dropDuplicates`` with watermark state),
+- a ``foreachBatch`` upsert sink that reuses operators/merge.py —
+  exactly-once-per-batch MERGE onto Parquet, the streaming twin of the
+  reference's ON CONFLICT upsert.
+
+Tests drive these with file sources + ``processAllAvailable`` (the
+public local-smoke pattern); on a cluster the same code takes Kafka
+sources and real triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events parquet carries TIMESTAMP(NANOS) -> long under nanosAsLong
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events with the nanos->timestamp fix
+    (mirrors catalog.load)."""
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+
+
+def streaming_tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (the streaming twin of
+    queries/events.py:e1). State is bounded by the watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming keyed dedup: state keeps one entry per key within the
+    watermark horizon (the streaming form of O3; first arrival wins,
+    which is deterministic under event replay)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def streaming_upsert_sink(
+    agg: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """foreachBatch MERGE sink: each micro-batch upserts into the
+    Parquet target via operators/merge.py (idempotent per batch —
+    re-delivery overwrites the same keys)."""
+    from ..operators.merge import merge_upsert
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(spark, target_path, batch_df, keys)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: binary columns through Arrow batches,
+stub decode determinism, frame-sample explode contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+
+
+def _media(spark):
+    rows = [
+        (0, "image", b"\x89PNG-ish bytes " * 20, ("png", 4, 4, None, None)),
+        (1, "audio", b"RIFFfake-wav" * 50, ("wav", None, None, 16000, 1200)),
+        (2, "video", b"\x00\x00ftypmp4-fake" * 100, ("mp4", 320, 240, None, 5000)),
+        (3, "image", None, ("png", None, None, None, None)),  # failed fetch
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_binary_exact(spark):
+    media = _media(spark)
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    raw = {r.media_id: r.content for r in media.collect()}
+    for mid in (0, 1, 2):
+        assert got[mid].n_bytes == len(raw[mid])
+        assert got[mid].content_md5 == hashlib.md5(bytes(raw[mid])).hexdigest()
+        assert 16 <= got[mid].fake_width < 80
+    # null content -> null features, row preserved
+    assert got[3].n_bytes is None and got[3].content_md5 is None
+
+
+def test_extract_features_deterministic(spark):
+    media = _media(spark)
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media.repartition(5)).collect()))
+    assert a == b  # partitioning-independent
+
+
+def test_frame_sample_offsets(spark):
+    media = _media(spark)
+    frames = frame_sample(media, every_n_bytes=100).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_offset)
+    raw = {r.media_id: r.content for r in media.collect()}
+    for mid, offs in by_media.items():
+        expect = list(range(0, len(raw[mid]), 100))
+        assert sorted(offs) == expect
+    assert 3 not in by_media  # null content skipped
+
+
+def test_documents_as_media_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = documents_as_media(docs)
+    back = media.select(
+        "media_id", F.decode("content", "utf-8").alias("text2")
+    ).join(docs, F.col("media_id") == F.col("doc_id"))
+    assert back.where(F.col("text2") != F.col("text")).count() == 0

@@ -1,0 +1,127 @@
+"""Structured Streaming tests: streaming results must equal their batch
+twins, watermarks must drop late data, the foreachBatch upsert sink
+must merge idempotently."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.streaming import (
+    stream_events,
+    streaming_dedup,
+    streaming_tumbling_agg,
+    streaming_upsert_sink,
+)
+
+
+def _run_to_memory(df, name: str, mode: str = "append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_streaming_agg_equals_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    (tmp_path / "events_src").mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+
+    stream = stream_events(spark, src)
+    agg = streaming_tumbling_agg(stream, watermark="0 seconds")
+    _run_to_memory(agg, "stream_agg", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_agg").collect()
+    }
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    want = {
+        (r.w.start, r.event_type): (r.n, r.v) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 10, "click", 2.0, "{}"),  # dup key
+        (3, base + dt.timedelta(minutes=2), 11, "view", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(src)
+    )
+    out = streaming_dedup(stream, ["user_id", "event_type"])
+    _run_to_memory(out, "stream_dedup")
+    got = spark.sql("SELECT user_id, event_type, count(*) c FROM stream_dedup GROUP BY 1,2").collect()
+    assert all(r.c == 1 for r in got)
+    assert len(got) == 2
+
+
+def test_streaming_upsert_sink_merges(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 0, 30, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(
+        [(1, base, 1, "click", 1.0, "{}"), (2, base, 2, "view", 2.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = streaming_upsert_sink(agg, spark, target, ["ws", "event_type"], ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    first = {
+        (r.ws, r.event_type): r.n for r in spark.read.parquet(target).collect()
+    }
+    assert all(n == 1 for n in first.values()) and len(first) == 2
+
+    # second file with more clicks in the same window -> count grows via upsert
+    spark.createDataFrame(
+        [(3, base + dt.timedelta(minutes=5), 3, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_upsert_sink(agg, spark, target, ["ws", "event_type"], ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        (r.ws, r.event_type): r.n for r in spark.read.parquet(target).collect()
+    }
+    clicks = [v for (ws, et), v in got.items() if et == "click"]
+    assert clicks == [2]
+    assert len(got) == 2
