@@ -61,6 +61,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition for compute-bound stages.
+
+    Small-by-bytes inputs (single parquet file -> 1 split; AQE
+    coalesces shuffles under the advisory byte size) serialize
+    CPU-heavy per-row work like shingling, hashing, and pair scoring.
+    Bytes are the wrong currency for those stages — spread them across
+    cores explicitly. At 100 TB the scan splits make this a no-op-ish
+    guard; on small fixtures it is the difference between 1 and N
+    cores."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view named after itself."""
     for name in TABLES:

@@ -2,36 +2,60 @@
 
 Charter §2.12 operators over the documents table, grounded in the
 public MinHash/LSH literature (Broder '97 shingling; Indyk-Motwani
-LSH; Charikar '02 simhash — see PAPERS.md). All are compositions of
-built-in DataFrame ops around the engine-portable ``hash32`` so the
-DuckDB oracle can verify signatures exactly.
+LSH; Charikar '02 simhash — see PAPERS.md). Everything is built on the
+engine-portable ``hash32`` (first 8 md5 hex digits) so the DuckDB
+oracle can verify signatures exactly.
 
-Scale design (100 TB of documents):
-- Shingling/minhash/simhash are per-row expressions — embarrassingly
-  parallel, no shuffle, whole-stage codegen.
-- LSH banding turns O(n²) pair search into groupBy(band_key): one
-  shuffle whose fan-in is bucket size, not corpus size. Hot buckets
-  (boilerplate docs) are the skew risk -> cap bucket size / salt; AQE
-  skew-join handles the join stage.
-- The verify stage (exact Jaccard on candidates) touches only
-  candidate pairs — the design keeps candidates per doc O(bands).
+Execution design — RELATIONAL, not array-valued: shingles are rows
+(``posexplode`` + window ``lead``), minhash is a groupBy with k MIN
+aggregates over affine rehashes of one base hash, simhash is a groupBy
+with bit-vote SUM aggregates. Rationale: Spark's higher-order array
+functions (transform/aggregate) are interpreted per element and
+Catalyst's CollapseProject re-inlines staged expressions into lambdas
+(re-tokenizing once per shingle); the relational forms stay inside
+whole-stage codegen and scale as ordinary shuffles:
+
+- shingling: 1 shuffle (window on doc id);
+- minhash/simhash: groupBy on the same id — partitioning reused;
+- LSH banding: unpivot + 1 self-equi-join on the band key;
+- Jaccard verify: shingle-level equi-join counted per pair (work
+  proportional to matching shingles, not pairs x array length).
+
+Skew note at 100 TB: hot shingles/bands (boilerplate text) fan the
+self-joins quadratically — cap or salt ubiquitous keys; AQE skew
+handling covers the join stage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import hash32, normalize_text, whitespace_tokens
 
+# Affine-rehash family over a single base hash (the standard
+# "one strong hash + k universal rehashes" minhash construction):
+# mh_i = min over shingles of (A_i * hash32(s) + B_i) mod P.
+# One md5 per shingle total; P is the smallest prime > 2^32; A_i odd
+# and small keeps A*h inside int64.
+MINHASH_P = 4294967311
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>).
 
-    ``transform(sequence(...))`` over the token array — pure Catalyst,
-    no UDF (SURVEY §2.12 mapping).
-    """
-    toks = whitespace_tokens(normalize_text(col))
+def minhash_seed(i: int) -> tuple[int, int]:
+    return 2 * i + 1, i * i + 12345
+
+
+def _affine_sql(i: int, h: Column) -> Column:
+    a, b = minhash_seed(i)
+    return (h * a + b) % MINHASH_P
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def _shingles_of(toks: Column, k: int) -> Column:
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -39,28 +63,80 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def _seeded_hash(i: int):
-    # closure factory: a default-arg lambda would gain a second
-    # parameter, which PySpark's transform() binds to the array INDEX
-    return lambda s: hash32(F.concat(F.lit(f"{i}:"), s))
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    One-shot COLUMN form for small inputs/tests — interpreted HOF that
+    re-tokenizes per shingle. Hot paths use :func:`shingle_rows`."""
+    toks = whitespace_tokens(normalize_text(col))
+    return _shingles_of(toks, k)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
-    """MinHash signature: for seed i, min over shingles of
-    hash32(i || ':' || shingle). Returns one column per seed."""
-    return [
-        F.array_min(F.transform(shingles, _seeded_hash(i))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """DISTINCT (id, shingle) rows — the relational shingle set.
+
+    posexplode the token array, then window-lead to form k-grams:
+    whole-stage codegen throughout, one hash shuffle on id. Documents
+    with fewer than k tokens contribute their whole normalized text as
+    the single shingle (reference-consistent with the array form).
+    """
+    from ..catalog import fan_out
+
+    base = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    toked = base.select(
+        "id",
+        F.size(whitespace_tokens(normalize_text(F.col("t")))).alias("n_tok"),
+        normalize_text(F.col("t")).alias("norm"),
+        F.posexplode(whitespace_tokens(normalize_text(F.col("t")))).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", j).over(w) for j in range(1, k)]
+    long_docs = (
+        toked.where(F.col("n_tok") >= k)
+        .select("id", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .select("id", "shingle")
+    )
+    short_docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(whitespace_tokens(normalize_text(F.col(text_col)))).alias("n_tok"),
+            normalize_text(F.col(text_col)).alias("shingle"),
+        )
+        .where(F.col("n_tok") < k)
+        .select("id", "shingle")
+    )
+    return long_docs.unionByName(short_docs).distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) from DISTINCT (id, shingle) rows: one hash32
+    per shingle row (codegen'd scalar md5), then n MIN aggregates of
+    the affine rehashes — a single groupBy(id) job."""
+    hashed = shingles.select("id", hash32(F.col("shingle")).alias("h"))
+    return hashed.groupBy("id").agg(
+        *[F.min(_affine_sql(i, F.col("h"))).alias(f"mh{i}") for i in range(n_hashes)]
+    )
 
 
 def add_minhash(
     df: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), k)
-    return df.withColumn("__sh", sh).select(
-        "*", *minhash_signature(F.col("__sh"), n_hashes)
-    ).drop("__sh")
+    """df + mh0..mh{n-1} columns (joined back on the id)."""
+    id_col = df.columns[0]
+    sig = minhash_signatures(shingle_rows(df, id_col, text_col, k), n_hashes)
+    return df.join(sig.withColumnRenamed("id", id_col), id_col)
 
 
 def lsh_band_keys(n_hashes: int = 16, bands: int = 4) -> list[Column]:
@@ -86,38 +162,56 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Signatures -> unpivot bands -> ONE self-equi-join on the band key
+    -> distinct candidates -> relational Jaccard verify on candidates.
     """
-    sig = add_minhash(df.select(id_col, text_col), text_col, n_hashes, k)
-    sig = sig.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-        *lsh_band_keys(n_hashes, bands),
-    ).cache()
+    sh = shingle_rows(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(sh, n_hashes)
+    stacked = sig.select("id", *lsh_band_keys(n_hashes, bands)).unpivot(
+        "id", [f"band{b}" for b in range(bands)], "band_idx", "band_key"
+    )
+    lhs = stacked.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    rhs = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cands = (
+        lhs.join(rhs, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
-    pairs = None
-    for b in range(bands):
-        left = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col(f"band{b}"))
-        right = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col(f"band{b}"))
-        cand = left.join(right, f"band{b}").where(F.col("id_a") < F.col("id_b")).drop(f"band{b}")
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = (
+        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    jaccard = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
     return (
-        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        joined.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """Charikar simhash over whitespace tokens (multiset-weighted).
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
 
-    For each bit b: sum over tokens of +1/-1 by token-hash bit b; the
-    simhash bit is 1 iff the sum > 0. Folded as a single aggregate
-    expression over the token array — per-row, shuffle-free.
-    """
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """32-bit Charikar simhash, one-shot column form (interpreted HOF —
+    use :func:`simhash_table` on hot paths).
+
+    For each bit b: sum over tokens (multiset) of +1/-1 by token-hash
+    bit b; simhash bit is 1 iff the sum > 0."""
     toks = whitespace_tokens(normalize_text(col))
     hashes = F.transform(toks, lambda t: hash32(t))
 
@@ -133,6 +227,45 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) relationally: explode tokens (MULTISET — duplicates
+    weight the votes), hash once per token row, then one groupBy with
+    `bits` conditional-SUM aggregates. All codegen; one shuffle."""
+    from ..catalog import fan_out
+
+    tok = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))).select(
+        "id",
+        F.explode(whitespace_tokens(normalize_text(F.col("t")))).alias("word"),
+    )
+    hashed = tok.select("id", hash32(F.col("word")).alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = votes.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0).cast("long")
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard + exact dedup
+# ---------------------------------------------------------------------------
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     bucket_cols: list[str],
@@ -143,27 +276,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocking buckets (e.g. lang+source).
 
-    The blocked self-join is the classic scalable formulation: pair
-    count is sum of bucket² not corpus² — bucket keys must be chosen
-    so buckets stay small (cardinality analysis is the operator's
-    contract at 100 TB).
+    |intersection| is a shingle-level equi-join aggregated per pair;
+    |union| = |A| + |B| - |inter|. Blocking keeps the join quadratic
+    only within buckets.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in bucket_cols],
-        word_shingles(F.col(text_col), k).alias("sh"),
+    sh = shingle_rows(df, id_col, text_col, k)
+    tok = sh.join(
+        df.select(F.col(id_col).alias("id"), *bucket_cols), "id"
+    ).cache()
+    sizes = tok.groupBy("id", *bucket_cols).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = tok.select(F.col("id").alias("id_a"), *bucket_cols, "shingle")
+    b = tok.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in bucket_cols],
+        F.col("shingle").alias("__b_shingle"),
     )
-    left = base.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), *bucket_cols
+    cond = (F.col("shingle") == F.col("__b_shingle")) & (
+        F.col("id_a") < F.col("id_b")
     )
-    right = base.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), *bucket_cols
+    for c in bucket_cols:
+        cond &= F.col(c) == F.col(f"__b_{c}")
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b", *bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    pairs = left.join(right, bucket_cols).where(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    jaccard = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
     return (
-        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        joined.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", *bucket_cols, "jaccard")
     )
@@ -175,7 +322,6 @@ def exact_dedup(
     """Exact dedup by normalized-text fingerprint, keep lowest id
     (deterministic keep-first — SURVEY §2.6 O3)."""
     from .dedup import dedup_keep_first
-
     from .text import fingerprint
 
     with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))

@@ -66,6 +66,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     Per batch: byte length, md5 checksum, mean byte value, and the
     stub-decoded dimensions. Null content yields null features (decode
     skip path)."""
+    from ..catalog import fan_out
+
+    media = fan_out(media)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -67,7 +67,10 @@ def p1_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real bronze->silver transform.
     """
     ev = load(spark, sf_dir, "events")
-    packed = (
+    # stage the sorted event list as a bound column FIRST — referencing
+    # the collect_list expression inside each transform would rebuild
+    # and re-sort the array once per projected field
+    sorted_events = (
         ev.select(
             "user_id",
             F.date_format("ts", _TS_FMT).alias("ts_str"),
@@ -77,37 +80,24 @@ def p1_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.to_json(
-                F.struct(
-                    F.struct(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("ord", "ts_str", "value", "event_id")
-                                )
-                            ),
-                            lambda s: s["ts_str"],
-                        ).alias("time"),
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("ord", "ts_str", "value", "event_id")
-                                )
-                            ),
-                            lambda s: s["value"],
-                        ).alias("value"),
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("ord", "ts_str", "value", "event_id")
-                                )
-                            ),
-                            lambda s: s["event_id"],
-                        ).alias("event_id"),
-                    ).alias("hourly")
-                )
-            ).alias("payload")
+            F.array_sort(
+                F.collect_list(F.struct("ord", "ts_str", "value", "event_id"))
+            ).alias("evs")
         )
+    )
+    packed = sorted_events.select(
+        "user_id",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.transform(F.col("evs"), lambda s: s["ts_str"]).alias("time"),
+                    F.transform(F.col("evs"), lambda s: s["value"]).alias("value"),
+                    F.transform(F.col("evs"), lambda s: s["event_id"]).alias(
+                        "event_id"
+                    ),
+                ).alias("hourly")
+            )
+        ).alias("payload"),
     )
     parsed = packed.withColumn("p", F.from_json("payload", _P1_PAYLOAD))
     return parsed.select(

@@ -1,53 +1,62 @@
 """Similarity-search queries over the embeddings table (charter §2.12).
 
-sim1 is the exact brute-force baseline with a full DuckDB oracle (the
-decimal-accumulated dot product makes scores bit-identical across
-engines). sim2 (LSH ANN) and sim3 (embedding near-dup) compose the
-same scoring; sim2's recall is asserted against sim1 in
-tests/test_similarity.py.
+sim1 is the exact brute-force baseline with a full DuckDB oracle; the
+1e-8 fixed-point dot product (operators/similarity.py) makes scores
+bit-identical across engines. sim2 (LSH ANN) and sim3 (embedding
+near-dup) compose the same scoring; sim2's recall is asserted against
+sim1 in tests/test_similarity.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..operators.similarity import (
-    _dot,
-    cosine,
+    SCALE,
+    cosine_scaled,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
-    norm2,
+    dot_scaled,
+    with_scaled,
 )
 from .registry import query
 
 QUERY_IDS = [0, 1, 2, 3, 4]
 
-_O_DOT = (
-    "(SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
-    " AS DECIMAL(20,9))) AS DOUBLE)"
-    " FROM (SELECT UNNEST(q.embedding) x, UNNEST(c.embedding) y))"
-)
-_O_N2 = (
-    "(SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
-    " AS DECIMAL(20,9))) AS DOUBLE)"
-    " FROM (SELECT UNNEST({v}.embedding) x))"
+# scaled-vector CTE fragment: (vec_id, sv BIGINT[], n2 BIGINT)
+_O_SCALED = f"""
+    scaled AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS sv
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, sv,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(sv) x)) AS BIGINT) AS n2
+      FROM scaled
+    )
+"""
+
+_O_DOT = "CAST((SELECT SUM(x * y) FROM (SELECT UNNEST(q.sv) x, UNNEST(c.sv) y)) AS BIGINT)"
+_O_COS = (
+    f"ROUND(CAST({_O_DOT} AS DOUBLE)"
+    " / (SQRT(CAST(q.n2 AS DOUBLE)) * SQRT(CAST(c.n2 AS DOUBLE))), 6)"
 )
 
 
 @query(
     "sim1_cosine_topk_bruteforce",
     oracle=f"""
-    WITH scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             ROUND({_O_DOT} / (SQRT({_O_N2.format(v="q")})
-                               * SQRT({_O_N2.format(v="c")})), 6) AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WITH {_O_SCALED},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
       WHERE q.vec_id IN (0, 1, 2, 3, 4)
     )
-    SELECT query_id, cand_id, cosine,
-           CAST(rk AS BIGINT) AS rk
+    SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, cand_id) AS rk
           FROM scored) t
@@ -73,42 +82,51 @@ def sim2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim3_embedding_neardup_pairs",
     oracle=f"""
-    SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.label,
-           ROUND({_O_DOT} / (SQRT({_O_N2.format(v="q")})
-                             * SQRT({_O_N2.format(v="c")})), 6) AS cosine
-    FROM embeddings q JOIN embeddings c
-      ON q.label = c.label AND q.vec_id < c.vec_id
-    WHERE ROUND({_O_DOT} / (SQRT({_O_N2.format(v="q")})
-                            * SQRT({_O_N2.format(v="c")})), 6) >= 0.8
+    WITH {_O_SCALED}
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, ql.label, {_O_COS} AS cosine
+    FROM normed q
+    JOIN embeddings ql ON ql.vec_id = q.vec_id
+    JOIN embeddings cl ON cl.label = ql.label
+    JOIN normed c ON c.vec_id = cl.vec_id AND q.vec_id < c.vec_id
+    WHERE {_O_COS} >= 0.8
     """,
 )
 def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    embedding-space analog of t6's blocked Jaccard dedup)."""
+    embedding-space analog of t6's blocked Jaccard dedup).
+
+    Plan shape for scale: (1) narrow id-pair generation via the label
+    self-join, (2) explicit fan-out of the byte-small CPU-heavy pair
+    set, (3) vectors attached by broadcast — wide rows never shuffle.
+    """
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("label"),
-        F.col("embedding").alias("vec"),
-        norm2(F.col("embedding")).alias("n2"),
+    ids = emb.select("vec_id", "label")
+    a = ids.select(F.col("vec_id").alias("id_a"), "label")
+    b = ids.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "label")
+    pairs = fan_out(pairs)
+
+    vecs = with_scaled(emb, "vec_id", "embedding").cache()
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("sv").alias("sv_a"), F.col("n2").alias("n2_a")
     )
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("label"),
-        F.col("vec").alias("vec_a"), F.col("n2").alias("n2_a"),
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("sv").alias("sv_b"), F.col("n2").alias("n2_b")
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("label").alias("label_b"),
-        F.col("vec").alias("vec_b"), F.col("n2").alias("n2_b"),
-    )
-    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-    return (
-        pairs.select(
+    scored = (
+        pairs.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .select(
             "id_a",
             "id_b",
             "label",
-            cosine(
-                _dot(F.col("vec_a"), F.col("vec_b")), F.col("n2_a"), F.col("n2_b")
+            cosine_scaled(
+                dot_scaled(F.col("sv_a"), F.col("sv_b")),
+                F.col("n2_a"),
+                F.col("n2_b"),
             ).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.8)
     )
+    return scored.where(F.col("cosine") >= 0.8)

@@ -119,21 +119,31 @@ def t3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_minhash(i: int) -> str:
+    from ..operators.dedup_fuzzy import MINHASH_P, minhash_seed
+
+    a, b = minhash_seed(i)
+    return (
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        f" AS mh{i}"
+    )
+
+
 @query(
     "t4_minhash_signatures",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS shingles FROM documents)
-    SELECT doc_id,
-           list_min(list_transform(shingles, s -> {_o_hash32("'0:' || s")})) AS mh0,
-           list_min(list_transform(shingles, s -> {_o_hash32("'1:' || s")})) AS mh1,
-           list_min(list_transform(shingles, s -> {_o_hash32("'2:' || s")})) AS mh2,
-           list_min(list_transform(shingles, s -> {_o_hash32("'3:' || s")})) AS mh3
-    FROM sh
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS shingles FROM documents),
+         hashed AS (SELECT doc_id,
+                           list_transform(shingles, s -> {_o_hash32("s")}) AS hs
+                    FROM sh)
+    SELECT doc_id, {_o_minhash(0)}, {_o_minhash(1)}, {_o_minhash(2)}, {_o_minhash(3)}
+    FROM hashed
     """,
 )
 def t4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 seeds shown; the LSH operator uses 16).
-    Bit-exact across engines via the shared hash32 primitive."""
+    """MinHash signatures (4 seeds shown; the LSH operator uses 16):
+    one md5 per shingle + affine universal rehashes per seed —
+    bit-exact across engines via the shared hash32 primitive."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return add_minhash(docs, n_hashes=4).select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
@@ -159,9 +169,14 @@ def _o_simhash_bits(bits: int = 32) -> str:
 )
 def t5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit Charikar simhash per document (operators/dedup_fuzzy.py:
-    simhash) — near-dup docs differ in few bits (Hamming)."""
+    simhash_table, the relational codegen form) — near-dup docs differ
+    in few Hamming bits."""
+    from ..operators.dedup_fuzzy import simhash_table
+
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash32"))
+    return simhash_table(docs).select(
+        F.col("id").alias("doc_id"), F.col("simhash").alias("simhash32")
+    )
 
 
 @query(

@@ -45,7 +45,7 @@ def test_bruteforce_topk_ranks_own_cluster_first(clustered):
 def test_lsh_recall_on_clusters(clustered):
     qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
     exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
-    approx = cosine_topk_lsh(clustered, qids, k=5, n_planes=4).collect()
+    approx = cosine_topk_lsh(clustered, qids, k=5, n_planes=4, dim=DIM).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
