@@ -547,3 +547,57 @@ def q18_having_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
         .where(F.col("n_orders") > 20)
     )
+
+
+@query(
+    "q19_duplicate_audit",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n - 1 AS BIGINT) AS surplus
+    FROM (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type) t
+    WHERE n > 1
+    """,
+)
+def q19_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the duplicate-finder aggregate (reference quality/
+    checks.py:93-98 — group-count on the key, filter count>1, surplus
+    = count-1 per key)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n_rows",
+            (F.col("n_rows") - 1).alias("surplus"),
+        )
+    )
+
+
+@query(
+    "q20_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the
+    standard (1-g)*lo + g*hi continuous quantile over the sorted
+    group; interpolation on exact 2-decimal inputs is deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )

@@ -240,3 +240,26 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_md5"
     )
+
+
+@query(
+    "m2_frame_sample_offsets",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(range(0, octet_length(encode(text)), 256)) AS BIGINT)
+             AS frame_offset
+    FROM documents
+    """,
+)
+def m2_frame_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.py:frame_sample):
+    one row per 256-byte offset of each media blob, produced by the
+    Arrow-batched sampler; the oracle checks the emitted offset grid
+    (frame content hashes are stub outputs, tested in pytest)."""
+    from ..operators.multimodal import documents_as_media, frame_sample
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return frame_sample(media, every_n_bytes=256).select(
+        "media_id", "frame_offset"
+    )
