@@ -1,0 +1,85 @@
+"""Partitioning strategies for 100 TB scale: bucketed co-located joins
+and salted skew joins.
+
+These are the two techniques the flat testdata can't show by default
+(single files, uniform keys) but that dominate performance at cluster
+scale (SURVEY §4.2, guide 'Partitioning & shuffle'):
+
+- ``write_bucketed`` / ``bucketed_join``: persist both join sides
+  bucketed+sorted on the key -> Catalyst plans a SortMergeJoin with
+  NO Exchange on either side (verified by tests/test_partitioning.py
+  via the physical plan). At 100 TB this removes the dominant shuffle
+  of every fact-fact join (e.g. lineitem x orders on orderkey).
+
+- ``salted_join``: explode a hot build-side key into S replicas and
+  scatter the probe side with a random-free deterministic salt
+  (hash of a disambiguating column), so one giant key no longer lands
+  on one reducer. AQE's skew-join split handles moderate skew
+  automatically; salting is for the pathological key that exceeds a
+  single executor's memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    n_buckets: int = 16,
+) -> None:
+    """Persist as a bucketed+sorted managed table (hash(key) -> bucket
+    file). Both sides of a later equi-join on ``keys`` with the same
+    bucket count satisfy the join's required distribution from disk."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys — plans with
+    zero Exchange operators (scan feeds sort-merge directly)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, list(keys), how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    scatter_col: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the small side per salt,
+    scatter the big side deterministically.
+
+    ``scatter_col`` (default: the first non-key column of ``big``)
+    drives the salt via a hash — deterministic, so results are
+    reproducible (no rand()). Output columns = big ⋈ small on key.
+    """
+    scatter = scatter_col or [c for c in big.columns if c != key][0]
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(scatter)), F.lit(salt_buckets))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    small_replicated = small.select("*", salts)
+    joined = big_salted.join(small_replicated, [key, "__salt"])
+    return joined.drop("__salt")

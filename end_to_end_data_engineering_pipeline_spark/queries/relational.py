@@ -601,3 +601,172 @@ def q20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("min_price"),
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
     )
+
+
+@query(
+    "q21_shipping_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dsum_expr(_O_DISC_PRICE)} AS revenue,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q21_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + global top-k.
+
+    Both date filters push into the scans; TakeOrderedAndProject caps
+    the sort at k rows per partition."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_expr(disc_price, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_above_customer_average",
+    oracle="""
+    WITH cust_avg AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(avg_price, 4) AS cust_avg_price
+    FROM orders JOIN cust_avg ON o_custkey = ck
+    WHERE o_totalprice > 1.5 * avg_price
+    """,
+)
+def q22_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape, decorrelated as aggregate + self-join
+    (what Catalyst does to correlated scalar subqueries)."""
+    o = load(spark, sf_dir, "orders")
+    cust_avg = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        o.join(cust_avg, o.o_custkey == cust_avg.ck)
+        .where(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("avg_price", 4).alias("cust_avg_price"),
+        )
+    )
+
+
+@query(
+    "q23_regexp_extract",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           CASE WHEN regexp_matches(p_name, '(red|green|blue)')
+                THEN regexp_extract(p_name, '(red|green|blue)', 1)
+                ELSE '' END AS color,
+           CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+    """,
+)
+def q23_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract/replace/match (Java and RE2 agree
+    on this ASCII subset). Range predicate pushes to the scan."""
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_size").between(10, 20)).select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_extract("p_name", "(red|green|blue)", 1).alias("color"),
+        F.regexp_replace("p_brand", "[^0-9]", "").cast("long").alias("brand_num"),
+    )
+
+
+@query(
+    "q24_monthly_rollup",
+    oracle="""
+    SELECT STRFTIME(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS order_month,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS monthly_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q24_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup — the calendar-bucketed aggregate every
+    warehouse runs; at scale the natural partition key for orders."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "monthly_total"),
+        )
+    )
+
+
+@query(
+    "q25_nation_supplier_balance",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(CASE WHEN s_acctbal > 0 THEN 1 END) AS BIGINT) AS n_positive,
+           CAST(COUNT(CASE WHEN s_acctbal <= 0 THEN 1 END) AS BIGINT) AS n_nonpositive,
+           CAST(ROUND(MAX(CAST(s_acctbal AS DECIMAL(15,2))), 4) AS DOUBLE) AS max_bal,
+           CAST(ROUND(MIN(CAST(s_acctbal AS DECIMAL(15,2))), 4) AS DOUBLE) AS min_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) >= 1
+    """,
+)
+def q25_nation_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional COUNT + decimal-exact MIN/MAX over a broadcast join."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.when(F.col("s_acctbal") > 0, 1)).alias("n_positive"),
+            F.count(F.when(F.col("s_acctbal") <= 0, 1)).alias("n_nonpositive"),
+            F.round(F.max(dec2("s_acctbal")), 4).cast("double").alias("max_bal"),
+            F.round(F.min(dec2("s_acctbal")), 4).cast("double").alias("min_bal"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") >= 1)
+        .drop("__n")
+    )

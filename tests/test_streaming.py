@@ -125,3 +125,40 @@ def test_streaming_upsert_sink_merges(spark, tmp_path):
     clicks = [v for (ws, et), v in got.items() if et == "click"]
     assert clicks == [2]
     assert len(got) == 2
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from end_to_end_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    base = dt.datetime(2026, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, base, 1, "a", 10.50, "{}"), (2, base, 2, "a", 1.25, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, base, 1, "b", 2.25, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # the LAST emission per user carries the final running totals
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (2, 12.75)
+    assert final[2] == (1, 1.25)
