@@ -174,3 +174,126 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col("cand_id")
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _centroid_literal(c: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)).cast("long") for x in c])
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic IVF coarse quantizer: k-means over scaled vectors.
+
+    Init: centroid j = mean of vectors with id % n_centroids == j (no
+    RNG -> reproducible). Each Lloyd iteration is one Spark job
+    (assign + groupBy mean); centroids (k x dim ints) come back to the
+    driver and ship as literals — tiny, like broadcast dims. At 100 TB
+    train on a sample; assignment stays a full-corpus map-only pass.
+    """
+    base = with_scaled(emb, id_col, vec_col).select(
+        "id", "sv", "n2"
+    ).cache()
+    dim = len(base.select("sv").first().sv)
+
+    assigned = base.withColumn("c", F.col("id") % n_centroids)
+    centroids: list[list[int]] = []
+    for _ in range(iters):
+        rows = (
+            assigned.select("c", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("c", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.round("m").cast("long").alias("m")))
+                ).alias("ms")
+            )
+            .collect()
+        )
+        by_cell = {r.c: [s.m for s in r.ms] for r in rows}
+        # a cell can empty out mid-iteration — keep its previous
+        # centroid (or a zero vector on the first pass) so k stays fixed
+        centroids = [
+            by_cell.get(
+                j, centroids[j] if j < len(centroids) else [0] * dim
+            )
+            for j in range(n_centroids)
+        ]
+        dists = F.array(
+            *[
+                F.struct(
+                    (
+                        F.col("n2")
+                        - 2 * dot_scaled(F.col("sv"), _centroid_literal(c))
+                        + F.lit(sum(x * x for x in c)).cast("long")
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+        assigned = base.withColumn("c", F.array_min(dists)["j"])
+    base.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[int]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's nprobe nearest
+    cells. Cell assignment is a map-only pass (centroid literals in
+    the plan); candidate selection is an equi-join on the cell id —
+    candidates shrink ~n_centroids/nprobe-fold vs brute force."""
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col).cache()
+    dists = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        F.col("n2")
+                        - 2 * dot_scaled(F.col("sv"), _centroid_literal(c))
+                        + F.lit(sum(x * x for x in c)).cast("long")
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    corpus = base.withColumn("cell", dists[0]["j"])
+    queries = base.where(F.col("id").isin(query_ids)).withColumn(
+        "cells", F.slice(dists, 1, nprobe)
+    )
+    q = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("sv").alias("qsv"),
+        F.col("n2").alias("qn2"),
+        F.explode(F.transform("cells", lambda s: s["j"])).alias("cell"),
+    )
+    cand = corpus.join(F.broadcast(q), ["cell"]).where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        cosine_scaled(
+            dot_scaled(F.col("qsv"), F.col("sv")), F.col("qn2"), F.col("n2")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -251,3 +251,91 @@ def e7_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
         )
     )
+
+
+@query(
+    "e8_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           STRFTIME(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS asof_event_id,
+           c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def e8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the
+    user's most recent click at-or-before it — the time-series join
+    Spark lacks natively, re-expressed as union + keyed window (one
+    shuffle; DuckDB's built-in ASOF JOIN is the oracle)."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_event_id", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("asof_click_event_id").alias("asof_event_id"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+@query(
+    "e9_range_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS purchases_before,
+           CAST(ROUND(COALESCE(SUM(CAST(p.value AS DECIMAL(27,4))), 0), 4) AS DOUBLE)
+             AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL '1 hour'
+     AND CAST(p.ts AS TIMESTAMP) <  CAST(e.ts AS TIMESTAMP)
+    GROUP BY e.event_id
+    """,
+)
+def e9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per error event, the user's purchases in the
+    preceding hour. The user_id equi-key carries the shuffle; the time
+    band is a post-join filter — at scale, add a coarse time-bucket
+    equi-key to cap the per-user fan-out."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = errors.join(
+        purchases,
+        (errors.user_id == purchases.user_id)
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") < F.col("e_ts")),
+        "left",
+    )
+    return joined.groupBy("error_id").agg(
+        F.count("p_id").alias("purchases_before"),
+        F.round(
+            F.coalesce(F.sum(F.col("p_value").cast("decimal(27,4)")), F.lit(0)), 4
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )

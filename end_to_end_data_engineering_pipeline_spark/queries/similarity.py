@@ -130,3 +130,15 @@ def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("cosine") >= 0.8)
+
+
+@query("sim4_cosine_topk_ivf")  # rows-only: approximate by design; recall
+# vs brute force asserted in tests/test_similarity.py::test_ivf_recall
+def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer + nprobe cell
+    search (operators/similarity.py:ivf_train/ivf_topk)."""
+    from ..operators.similarity import ivf_topk, ivf_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, n_centroids=16, iters=2)
+    return ivf_topk(emb, QUERY_IDS, centroids, k=10, nprobe=3)

@@ -65,3 +65,24 @@ def test_lsh_recall_on_clusters(clustered):
         key = (r.query_id, r.cand_id)
         if key in approx_scores:
             assert approx_scores[key] == r.cosine
+
+
+def test_ivf_recall_on_clusters(clustered):
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train,
+    )
+
+    centroids = ivf_train(clustered, n_centroids=N_CLUSTERS, iters=3)
+    assert len(centroids) == N_CLUSTERS and len(centroids[0]) == DIM
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    approx = ivf_topk(clustered, qids, centroids, k=5, nprobe=2).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.8  # tight clusters -> IVF cells align
