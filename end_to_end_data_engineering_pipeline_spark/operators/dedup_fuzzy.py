@@ -189,10 +189,16 @@ def minhash_lsh_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     joined = inter.join(sa, "id_a").join(sb, "id_b")
-    jaccard = F.round(
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        6,
+    # integer-scaled rounding: n_inter*1e6/union is an exact-int double
+    # division, and a true half-way quotient is exactly representable —
+    # so ROUND agrees across engines (rounding the raw double ratio
+    # diverges exactly when the rational IS a decimal tie)
+    jaccard = (
+        F.round(
+            F.col("n_inter") * F.lit(1000000.0)
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        / F.lit(1000000.0)
     )
     return (
         joined.withColumn("jaccard", jaccard)
@@ -304,10 +310,16 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     joined = inter.join(sa, "id_a").join(sb, "id_b")
-    jaccard = F.round(
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        6,
+    # integer-scaled rounding: n_inter*1e6/union is an exact-int double
+    # division, and a true half-way quotient is exactly representable —
+    # so ROUND agrees across engines (rounding the raw double ratio
+    # diverges exactly when the rational IS a decimal tie)
+    jaccard = (
+        F.round(
+            F.col("n_inter") * F.lit(1000000.0)
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        / F.lit(1000000.0)
     )
     return (
         joined.withColumn("jaccard", jaccard)

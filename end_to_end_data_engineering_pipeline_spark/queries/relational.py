@@ -657,7 +657,7 @@ def q21_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT o_orderkey, o_custkey, o_totalprice,
-           ROUND(avg_price, 4) AS cust_avg_price
+           avg_price AS cust_avg_price
     FROM orders JOIN cust_avg ON o_custkey = ck
     WHERE o_totalprice > 1.5 * avg_price
     """,
@@ -679,7 +679,10 @@ def q22_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round("avg_price", 4).alias("cust_avg_price"),
+            # no ROUND here: the quotient is an exact-decimal sum over a
+            # count — already bit-identical across engines, and rounding
+            # doubles diverges exactly when the value IS a decimal tie
+            F.col("avg_price").alias("cust_avg_price"),
         )
     )
 

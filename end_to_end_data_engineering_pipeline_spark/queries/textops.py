@@ -186,8 +186,8 @@ def t5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source, {_o_shingles(3)} AS s FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
-           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           ROUND(len(list_intersect(a.s, b.s)) * 1000000.0
+                 / len(list_distinct(list_concat(a.s, b.s)))) / 1000000.0 AS jaccard
     FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
                        AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
