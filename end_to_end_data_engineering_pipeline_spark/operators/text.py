@@ -106,8 +106,14 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct.alias("n_punct"),
         n_digit.alias("n_digits"),
         en_stops.alias("n_stopwords"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(en_stops.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        # integer-scaled rounding (ties of small-denominator rationals
+        # round identically across engines; see dedup_fuzzy jaccard note)
+        (F.round(n_punct * F.lit(1000000.0) / n_chars) / 1000000.0).alias(
+            "punct_ratio"
+        ),
+        (F.round(en_stops * F.lit(1000000.0) / n_tok) / 1000000.0).alias(
+            "stopword_ratio"
+        ),
         (
             F.when((n_tok >= 50) & (n_tok <= 1000), F.lit(1)).otherwise(F.lit(0))
             + F.when(en_stops * 20 >= n_tok, F.lit(1)).otherwise(F.lit(0))

@@ -58,8 +58,8 @@ def _o_stop(words: list[str]) -> str:
            {_o_stop(LANG_MARKERS["en"])} AS n_stopwords,
            ROUND(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
                  / length(text), 6) AS punct_ratio,
-           ROUND(CAST({_o_stop(LANG_MARKERS["en"])} AS DOUBLE)
-                 / len({_O_RAW_TOKS}), 6) AS stopword_ratio,
+           ROUND({_o_stop(LANG_MARKERS["en"])} * 1000000.0
+                 / len({_O_RAW_TOKS})) / 1000000.0 AS stopword_ratio,
            (CASE WHEN len({_O_RAW_TOKS}) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END
             + CASE WHEN {_o_stop(LANG_MARKERS["en"])} * 20 >= len({_O_RAW_TOKS})
                    THEN 1 ELSE 0 END
