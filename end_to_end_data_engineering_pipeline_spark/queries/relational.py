@@ -773,3 +773,117 @@ def q25_nation_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__n") >= 1)
         .drop("__n")
     )
+
+
+@query(
+    "q26_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 4) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL-authored; rollup/cube's general
+    form). NULL group markers coalesced to '<all>' so the driver's
+    value hash can't confuse a grouping null with a data null."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 4) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q27_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                               THEN CAST(l_quantity AS DECIMAL(27,4)) END), 4)
+                AS DOUBLE) AS O,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                               THEN CAST(l_quantity AS DECIMAL(27,4)) END), 4)
+                AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .pivot() API with explicit values (no metadata-discovery
+    pass — listing the pivot values keeps it one job at any scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(27,4)")), 4).cast(
+                "double"
+            )
+        )
+    )
+
+
+@query(
+    "q28_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey <= 100
+    ) t
+    """,
+)
+def q28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measures -> (measure, value) rows
+    (DataFrame.unpivot = the stack() path; row explosion is
+    partition-local, no shuffle)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "q29_sorted_array_agg",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey <= 50
+    GROUP BY o_custkey
+    """,
+)
+def q29_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: array_agg sorted deterministically then joined
+    to a string (collect_list order is partition-dependent — the sort
+    is what makes the result reproducible)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+            "order_keys"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
