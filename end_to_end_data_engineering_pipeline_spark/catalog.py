@@ -48,6 +48,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # defensive for driver-created sessions: timestamp rendering and
+    # parsing must be UTC for oracle parity (SURVEY §7 risk 3);
+    # runtime-settable, no-op under session.get_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # defensive: the caller's session may not have been built by
+        # session.get_spark — the nanos fixture is unreadable without
+        # this (runtime-settable) conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
