@@ -40,6 +40,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # operators cache shared sub-plans; drop them so queries are
+        # timed independently and memory doesn't creep across the run
+        spark.catalog.clearCache()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -176,8 +176,57 @@ def cosine_topk_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def _centroid_literal(c: list[int]) -> Column:
-    return F.array(*[F.lit(int(x)).cast("long") for x in c])
+def _centroid_df(spark, centroids: list[list[int]]):
+    """Centroids as a tiny (cid, pos, cv) DataFrame + (cid, cn2) norms.
+
+    Literal-array centroids blow up the expression tree (k x dim
+    literals + interpreted dot lambdas -> seconds of ANALYSIS time per
+    plan); the relational form keeps the plan constant-size and the
+    dot products inside codegen: explode corpus positions once, join
+    the broadcast centroid rows on pos, groupBy-sum."""
+    rows = [
+        (j, pos, int(v))
+        for j, c in enumerate(centroids)
+        for pos, v in enumerate(c)
+    ]
+    comp = spark.createDataFrame(rows, "cid int, pos int, cv long")
+    norms = spark.createDataFrame(
+        [(j, int(sum(x * x for x in c))) for j, c in enumerate(centroids)],
+        "cid int, cn2 long",
+    )
+    return comp, norms
+
+
+def _cell_distances(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(id, cid, dist) squared-L2 distance of every vector to every
+    centroid — relational dot: posexplode + broadcast join + groupBy."""
+    spark = base.sparkSession
+    comp, norms = _centroid_df(spark, centroids)
+    pos = base.select("id", "n2", F.posexplode("sv").alias("pos", "v"))
+    dots = (
+        pos.join(F.broadcast(comp), "pos")
+        .groupBy("id", "cid")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return dots.join(F.broadcast(norms), "cid").select(
+        "id",
+        "cid",
+        (F.col("n2") - 2 * F.col("dot") + F.col("cn2")).alias("dist"),
+    )
+
+
+def _assign_cells(base: DataFrame, centroids: list[list[int]], nprobe: int = 1) -> DataFrame:
+    """(id, cid, rk) the nprobe nearest centroids per vector."""
+    d = _cell_distances(base, centroids)
+    w = Window.partitionBy("id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= nprobe)
+        .select("id", "cid", "rk")
+    )
 
 
 def ivf_train(
@@ -186,21 +235,27 @@ def ivf_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int = 1,
 ) -> list[list[int]]:
     """Deterministic IVF coarse quantizer: k-means over scaled vectors.
 
     Init: centroid j = mean of vectors with id % n_centroids == j (no
-    RNG -> reproducible). Each Lloyd iteration is one Spark job
-    (assign + groupBy mean); centroids (k x dim ints) come back to the
-    driver and ship as literals — tiny, like broadcast dims. At 100 TB
-    train on a sample; assignment stays a full-corpus map-only pass.
+    RNG -> reproducible). Each Lloyd iteration: relational cell
+    assignment (one shuffle) + per-cell component means (posexplode
+    groupBy); centroids (k x dim ints) return to the driver.
+
+    ``sample_mod`` > 1 trains on the deterministic 1/sample_mod id
+    sample — quantizer quality needs a representative sample, not the
+    corpus; assignment stays a full-corpus pass in ivf_topk.
     """
-    base = with_scaled(emb, id_col, vec_col).select(
-        "id", "sv", "n2"
-    ).cache()
+    from ..catalog import fan_out
+
+    if sample_mod > 1:
+        emb = emb.where(F.col(id_col) % sample_mod == 0)
+    base = with_scaled(fan_out(emb), id_col, vec_col).cache()
     dim = len(base.select("sv").first().sv)
 
-    assigned = base.withColumn("c", F.col("id") % n_centroids)
+    assigned = base.withColumn("c", (F.col("id") % n_centroids).cast("int"))
     centroids: list[list[int]] = []
     for _ in range(iters):
         rows = (
@@ -224,20 +279,8 @@ def ivf_train(
             )
             for j in range(n_centroids)
         ]
-        dists = F.array(
-            *[
-                F.struct(
-                    (
-                        F.col("n2")
-                        - 2 * dot_scaled(F.col("sv"), _centroid_literal(c))
-                        + F.lit(sum(x * x for x in c)).cast("long")
-                    ).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
-        assigned = base.withColumn("c", F.array_min(dists)["j"])
+        cells = _assign_cells(base, centroids, nprobe=1)
+        assigned = base.join(cells, "id").withColumn("c", F.col("cid"))
     base.unpersist()
     return centroids
 
@@ -252,37 +295,25 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN: score only vectors in the query's nprobe nearest
-    cells. Cell assignment is a map-only pass (centroid literals in
-    the plan); candidate selection is an equi-join on the cell id —
-    candidates shrink ~n_centroids/nprobe-fold vs brute force."""
+    cells. Cell assignment is relational (see _cell_distances);
+    candidate selection is an equi-join on the cell id — candidates
+    shrink ~n_centroids/nprobe-fold vs brute force."""
     from ..catalog import fan_out
 
     base = with_scaled(fan_out(emb), id_col, vec_col).cache()
-    dists = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        F.col("n2")
-                        - 2 * dot_scaled(F.col("sv"), _centroid_literal(c))
-                        + F.lit(sum(x * x for x in c)).cast("long")
-                    ).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
+    corpus_cells = _assign_cells(base, centroids, nprobe=1).select(
+        "id", F.col("cid").alias("cell")
     )
-    corpus = base.withColumn("cell", dists[0]["j"])
-    queries = base.where(F.col("id").isin(query_ids)).withColumn(
-        "cells", F.slice(dists, 1, nprobe)
+    corpus = base.join(corpus_cells, "id")
+    qbase = base.where(F.col("id").isin(query_ids))
+    q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("cid").alias("cell")
     )
-    q = queries.select(
+    q = qbase.select(
         F.col("id").alias("query_id"),
         F.col("sv").alias("qsv"),
         F.col("n2").alias("qn2"),
-        F.explode(F.transform("cells", lambda s: s["j"])).alias("cell"),
-    )
+    ).join(q_cells, "query_id")
     cand = corpus.join(F.broadcast(q), ["cell"]).where(
         F.col("id") != F.col("query_id")
     )
