@@ -184,16 +184,18 @@ def _centroid_df(spark, centroids: list[list[int]]):
     plan); the relational form keeps the plan constant-size and the
     dot products inside codegen: explode corpus positions once, join
     the broadcast centroid rows on pos, groupBy-sum."""
-    rows = [
-        (j, pos, int(v))
+    comp_vals = ",".join(
+        f"({j},{pos},{int(v)}L)"
         for j, c in enumerate(centroids)
         for pos, v in enumerate(c)
-    ]
-    comp = spark.createDataFrame(rows, "cid int, pos int, cv long")
-    norms = spark.createDataFrame(
-        [(j, int(sum(x * x for x in c))) for j, c in enumerate(centroids)],
-        "cid int, cn2 long",
     )
+    # SQL VALUES instead of createDataFrame: avoids spinning up the
+    # Python->JVM serialization path for a k x dim literal table
+    comp = spark.sql(f"SELECT * FROM VALUES {comp_vals} AS t(cid, pos, cv)")
+    norm_vals = ",".join(
+        f"({j},{int(sum(x * x for x in c))}L)" for j, c in enumerate(centroids)
+    )
+    norms = spark.sql(f"SELECT * FROM VALUES {norm_vals} AS t(cid, cn2)")
     return comp, norms
 
 

