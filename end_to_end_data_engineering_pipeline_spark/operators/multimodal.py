@@ -150,3 +150,38 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """'Resize' plumbing: emits (media_id, kind, resized binary, meta
+    with target dims). The pixel resample itself is the STUB (no codec
+    libs in this image): the fake 'resized' payload is a deterministic
+    digest-chain of the source bytes with the target geometry — the
+    schema/batching contract of a real resampler."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = width * height
+        for pdf in batches:
+            def fake_resize(b):
+                if b is None:
+                    return None
+                out = bytearray()
+                seed = bytes(b)[:64] or b"\x00"
+                while len(out) < n_bytes:
+                    seed = hashlib.md5(seed).digest()
+                    out.extend(seed)
+                return bytes(out[:n_bytes])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        op, schema="media_id long, kind string, content binary, width int, height int"
+    )

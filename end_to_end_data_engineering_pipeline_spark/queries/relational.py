@@ -887,3 +887,49 @@ def q29_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q30_salted_join_agg",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS nation_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q30_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join under the correctness gate: the
+    salted formulation (operators/partitioning.salted_join — hot keys
+    scattered over 8 deterministic salt buckets, small side replicated)
+    must produce EXACTLY the plain join's aggregate."""
+    from ..operators.partitioning import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice", "o_orderkey"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    joined = salted_join(o, c, "k", salt_buckets=8, scatter_col="o_orderkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "nation_spend"),
+    )
+
+
+@query("q31_approx_sketches")  # rows-only: HLL/KLL sketch outputs are
+# engine-specific by design; the exact twins are q2 (countDistinct)
+# and q20 (percentile)
+def q31_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch surface: approx_count_distinct (HLL++) and
+    percentile_approx (KLL-ish) — the constant-memory counterparts of
+    q2/q20 for 100 TB interactive profiling."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -64,3 +64,19 @@ def test_documents_as_media_roundtrip(spark, sf_dir):
         "media_id", F.decode("content", "utf-8").alias("text2")
     ).join(docs, F.col("media_id") == F.col("doc_id"))
     assert back.where(F.col("text2") != F.col("text")).count() == 0
+
+
+def test_resize_contract(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    media = _media(spark)
+    out = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    for mid in (0, 1, 2):
+        assert len(out[mid].content) == 64
+        assert (out[mid].width, out[mid].height) == (8, 8)
+    assert out[3].content is None
+    # deterministic across partitionings
+    again = {r.media_id: r for r in resize_media(media.repartition(3), 8, 8).collect()}
+    assert all(bytes(out[m].content) == bytes(again[m].content) for m in (0, 1, 2))
