@@ -78,6 +78,17 @@ class Expectations:
     rules: list[Rule] = field(default_factory=list)
     unique_keys: tuple[str, ...] | None = None
 
+    def counters_df(self, df: DataFrame) -> DataFrame:
+        """All rule counters as a one-row DataFrame (the distributable
+        form of run(): no collect, usable inside a larger plan or the
+        driver's oracle harness)."""
+        if self.required_columns:
+            require_columns(df, self.required_columns)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            r.counter.cast("long").alias(r.name) for r in self.rules
+        ]
+        return df.agg(*aggs)
+
     def run(self, df: DataFrame, batch_id: str = "") -> dict:
         """Compute all counters; return the audit dict.
 

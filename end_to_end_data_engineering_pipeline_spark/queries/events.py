@@ -339,3 +339,58 @@ def e9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+@query(
+    "e10_session_window_native",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           STRFTIME(MIN(CAST(ts AS TIMESTAMP)), '{_O_TS_FMT}') AS session_start,
+           STRFTIME(MAX(CAST(ts AS TIMESTAMP)) + INTERVAL '30 minutes',
+                    '{_O_TS_FMT}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def e10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged sessions, works in
+    batch) cross-checked against the relational lag+cumsum
+    sessionization in the oracle — the two formulations must agree
+    exactly (window.start = first event, window.end = last + gap)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -170,3 +170,40 @@ def p3_sql_model_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, o_orderpriority
         """
     )
+
+
+@query(
+    "p4_quality_gate_counters",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS "null:l_quantity",
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS "null:l_shipdate",
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS "range:l_quantity",
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS "range:l_discount",
+           CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                    THEN 1 ELSE 0 END) AS BIGINT) AS "range:l_tax"
+    FROM lineitem
+    """,
+)
+def p4_quality_gate_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality/expectations module itself (SURVEY §2.11 — the
+    reference's distinctive capability, quality/checks.py:59-157) run
+    through the driver's correctness gate: every rule compiles to a
+    sum(when(...)) counter, ONE aggregate pass computes all of them."""
+    from ..quality import Expectations, not_null_rule, range_rule
+
+    exp = Expectations(
+        rules=[
+            not_null_rule("l_quantity"),
+            not_null_rule("l_shipdate"),
+            range_rule("l_quantity", 1, 50),
+            range_rule("l_discount", 0.0, 0.1),
+            range_rule("l_tax", 0.0, 0.08),
+        ],
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return exp.counters_df(li)

@@ -933,3 +933,50 @@ def q31_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_Q32_SQL = """
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+             AS n_customers
+    FROM nation
+    WHERE EXISTS (
+      SELECT 1 FROM customer
+      WHERE c_nationkey = n_nationkey
+        AND c_custkey IN (SELECT o_custkey FROM orders
+                          GROUP BY o_custkey HAVING COUNT(*) > 25)
+    )
+"""
+
+
+@query("q32_nested_exists_in", oracle=_Q32_SQL)
+def q32_nested_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EXISTS containing an IN over an aggregated
+    subquery, plus a correlated scalar subquery in the projection.
+    Catalyst decorrelates all three into joins (no per-row re-execution
+    — verify: the plan is joins + aggregates, SURVEY §4.2). Same SQL
+    text runs on both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q32_SQL)
+
+
+_Q33_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+@query("q33_exists_and_not_exists", oracle=_Q33_SQL)
+def q33_exists_and_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: conjunction of EXISTS and NOT EXISTS on the
+    same table -> semi-join + anti-join stack over one orders scan."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q33_SQL)

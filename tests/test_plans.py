@@ -1,0 +1,71 @@
+"""Plan-regression tests: the physical-plan properties the engine's
+scale story depends on, asserted so refactors can't silently lose them
+(SURVEY §4.2 — pushdown/pruning/broadcast are free ONLY while the plan
+stays declarative)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from end_to_end_data_engineering_pipeline_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "LessThan" in pushed
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # projection pruning: only the 7 referenced columns reach the scan
+    assert "l_orderkey" not in schema and "l_suppkey" not in schema
+
+
+def test_q4_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_star_join_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_topk_avoids_total_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_global_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # two HashAggregates (partial + final) around one Exchange:
+    # map-side combine before the shuffle
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"HashAggregate", tree)) == 2
+    assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+def test_e5_single_shuffle_for_window_dedup(spark, sf_dir):
+    tree = _plan(spark, sf_dir, "e5_keyed_dedup_keep_first").split("\n\n")[0]
+    # keep-first dedup = exactly one hash Exchange (the window's)
+    assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    # every registered query must avoid nested-loop cross joins --
+    # the one O(n^2)-shuffle shape that cannot survive scale
+    bad = []
+    for name in sorted(QUERIES):
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        if "CartesianProduct" in tree:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
