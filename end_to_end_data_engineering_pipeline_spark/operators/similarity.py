@@ -144,10 +144,14 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket (single-probe). Recall is tested against the brute-force
-    oracle in tests/test_similarity.py."""
+    bucket. ``multi_probe`` additionally probes every bucket at Hamming
+    distance 1 from the query signature (n_planes extra probes per
+    query — the standard recall/cost dial: candidate volume grows
+    ~(1+n_planes)/2^planes of the corpus). Recall is tested against
+    the brute-force oracle in tests/test_similarity.py."""
     from ..catalog import fan_out
 
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
@@ -159,10 +163,18 @@ def cosine_topk_lsh(
         F.col("n2").alias("qn2"),
         F.col("sig").alias("qsig"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("qsig"),
+            *[F.col("qsig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qsv", "qn2", F.explode(probes).alias("qsig")
+        )
     cand = base.join(
         F.broadcast(q),
         (F.col("sig") == F.col("qsig")) & (F.col("id") != F.col("query_id")),
-    )
+    ).dropDuplicates(["query_id", "id"])
     scored = cand.select(
         "query_id",
         F.col("id").alias("cand_id"),

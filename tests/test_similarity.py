@@ -86,3 +86,24 @@ def test_ivf_recall_on_clusters(clustered):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.8  # tight clusters -> IVF cells align
+
+
+def test_multiprobe_lsh_recall_dominates_single(clustered):
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    single = cosine_topk_lsh(clustered, qids, k=5, n_planes=4, dim=DIM).collect()
+    multi = cosine_topk_lsh(
+        clustered, qids, k=5, n_planes=4, dim=DIM, multi_probe=True
+    ).collect()
+
+    def recall(rows):
+        es, rs = {}, {}
+        for r in exact:
+            es.setdefault(r.query_id, set()).add(r.cand_id)
+        for r in rows:
+            rs.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = sum(len(es[q] & rs.get(q, set())) for q in es)
+        return hits / sum(len(s) for s in es.values())
+
+    assert recall(multi) >= recall(single)
+    assert recall(multi) >= 0.8

@@ -162,3 +162,40 @@ def test_stateful_running_totals(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.total_value)
     assert final[1] == (2, 12.75)
     assert final[2] == (1, 1.25)
+
+
+def test_weather_streaming_matches_batch(spark, tmp_path):
+    """The reference pipeline's streaming twin: bronze file stream ->
+    flatten -> dedup -> MERGE silver must equal the batch transform."""
+    from end_to_end_data_engineering_pipeline_spark.sources import (
+        Location,
+        ingest_batch,
+        synthetic_fetcher,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.weather import (
+        weather_stream_to_silver,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    log = str(tmp_path / "log")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    locs = [Location("Paris", 48.8566, 2.3522), Location("Lyon", 45.764, 4.8357)]
+    # two overlapping batches arriving as separate files
+    ingest_batch(
+        spark, locs, dt.date(2026, 8, 1), dt.date(2026, 8, 2),
+        synthetic_fetcher(), bronze, log,
+    )
+    ingest_batch(
+        spark, locs, dt.date(2026, 8, 2), dt.date(2026, 8, 3),
+        synthetic_fetcher(), bronze, log,
+    )
+
+    q = weather_stream_to_silver(spark, bronze, silver, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(silver)
+    assert out.count() == 2 * 3 * 24  # 2 cities x 3 distinct days x 24h
+    dups = out.groupBy("city", "ts_utc").count().where("count > 1").count()
+    assert dups == 0
