@@ -194,3 +194,34 @@ def ingest_batch(
     if ok == 0:
         raise RuntimeError(f"batch {batch_id}: zero successful responses")
     return batch_id
+
+
+def retrying_fetcher(
+    inner: Fetcher,
+    max_retries: int = 5,
+    backoff_factor: float = 0.5,
+    retry_statuses: Sequence[int] = (429, 500, 502, 503, 504),
+    sleeper: Callable[[float], None] | None = None,
+) -> Fetcher:
+    """S2 retry policy around any fetcher: up to ``max_retries``
+    re-attempts on retryable HTTP statuses with exponential backoff
+    (reference ingestion/fetch_data.py:71-84 — urllib3 Retry with
+    backoff_factor 0.5 on 429/5xx, GET only).
+
+    ``sleeper`` is injectable so tests assert the backoff schedule
+    without waiting; production passes time.sleep (the default)."""
+    import time as _time
+
+    sleep = sleeper if sleeper is not None else _time.sleep
+
+    def fetch(loc: Location, start: dt.date, end: dt.date) -> FetchResult:
+        attempt = 0
+        while True:
+            res = inner(loc, start, end)
+            if res.http_status not in retry_statuses or attempt >= max_retries:
+                return res
+            # urllib3 schedule: {backoff} * 2^(attempt) seconds
+            sleep(backoff_factor * (2**attempt))
+            attempt += 1
+
+    return fetch

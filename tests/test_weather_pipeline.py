@@ -221,3 +221,41 @@ def test_null_elements_survive_flatten(spark, tmp_path):
     flat = flatten_payloads(spark.read.parquet(wh.bronze))
     assert flat.count() == 24
     assert flat.where(F.col("temperature_c").isNull()).count() == 4
+
+
+def test_retrying_fetcher_backoff_schedule(spark):
+    from end_to_end_data_engineering_pipeline_spark.sources.rest import (
+        FetchResult,
+        retrying_fetcher,
+    )
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(loc, start, end):
+        calls["n"] += 1
+        if calls["n"] < 4:
+            return FetchResult(http_status=503, payload=None)
+        return FetchResult(http_status=200, payload="{}")
+
+    fetch = retrying_fetcher(flaky, max_retries=5, sleeper=sleeps.append)
+    res = fetch(LOCS[0], START, END)
+    assert res.http_status == 200
+    assert calls["n"] == 4
+    assert sleeps == [0.5, 1.0, 2.0]  # the urllib3 exponential schedule
+
+    # non-retryable status returns immediately
+    calls["n"] = 0
+    sleeps.clear()
+    fetch2 = retrying_fetcher(
+        lambda l, s, e: FetchResult(404, None), sleeper=sleeps.append
+    )
+    assert fetch2(LOCS[0], START, END).http_status == 404
+    assert sleeps == []
+
+    # budget exhaustion returns the last failure
+    always = retrying_fetcher(
+        lambda l, s, e: FetchResult(500, None), max_retries=2, sleeper=sleeps.append
+    )
+    assert always(LOCS[0], START, END).http_status == 500
+    assert len(sleeps) == 2
