@@ -225,3 +225,110 @@ def retrying_fetcher(
             attempt += 1
 
     return fetch
+
+
+def ingest_batch_distributed(
+    spark: SparkSession,
+    locations: Sequence[Location],
+    start: dt.date,
+    end: dt.date,
+    fetcher_factory: Callable[[], Fetcher],
+    bronze_path: str,
+    batch_log_path: str,
+    now: dt.datetime | None = None,
+    fetch_partitions: int = 8,
+) -> str:
+    """The 100 TB-shape ingestion: the location list becomes a DataFrame
+    and the fetch runs partition-parallel inside ``mapInPandas`` — each
+    executor builds its own fetcher (``fetcher_factory`` runs ON the
+    executor, so HTTP sessions/retry state are per-worker, never
+    pickled). The driver-side loop variant (ingest_batch) remains the
+    reference-parity form for handfuls of cities.
+
+    Returns batch_id; writes the same bronze rows + batch-log open/close
+    rows as ingest_batch.
+    """
+    import pandas as pd
+
+    batch_id = str(uuid.uuid4())
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    loc_rows = [
+        {"city": l.city, "latitude": l.latitude, "longitude": l.longitude}
+        for l in locations
+    ]
+
+    def log_df(status: str, ok: int, fail: int, nbytes: int, ts: dt.datetime):
+        return spark.createDataFrame(
+            [
+                {
+                    "batch_id": batch_id,
+                    "source": SOURCE_NAME,
+                    "event_time": ts,
+                    "requested_start": start,
+                    "requested_end": end,
+                    "locations": json.dumps(loc_rows),
+                    "status": status,
+                    "http_success_count": ok,
+                    "http_failure_count": fail,
+                    "total_payload_bytes": nbytes,
+                }
+            ],
+            BATCH_LOG,
+        )
+
+    log_df("RUNNING", 0, 0, 0, now).write.mode("append").parquet(batch_log_path)
+
+    loc_df = spark.createDataFrame(
+        loc_rows, "city string, latitude double, longitude double"
+    ).repartition(min(fetch_partitions, max(1, len(loc_rows))))
+
+    def fetch_partition(batches):
+        fetcher = fetcher_factory()  # one per task: executor-local state
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                res = fetcher(Location(r.city, r.latitude, r.longitude), start, end)
+                out.append(
+                    {
+                        "ingestion_id": str(uuid.uuid4()),
+                        "batch_id": batch_id,
+                        "ingested_at": now,
+                        "source": SOURCE_NAME,
+                        "city": r.city,
+                        "latitude": r.latitude,
+                        "longitude": r.longitude,
+                        "requested_start": start,
+                        "requested_end": end,
+                        "http_status": res.http_status,
+                        "payload": res.payload,
+                        "payload_bytes": len(res.payload or ""),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BRONZE_RESPONSES.fields]
+            )
+
+    bronze = loc_df.mapInPandas(fetch_partition, schema=BRONZE_RESPONSES)
+    bronze.write.mode("append").parquet(bronze_path)
+
+    written = spark.read.parquet(bronze_path).where(
+        f"batch_id = '{batch_id}'"
+    )
+    from pyspark.sql import functions as F
+
+    counters = written.agg(
+        F.sum((F.col("http_status") == 200).cast("int")).alias("ok"),
+        F.sum((F.col("http_status") != 200).cast("int")).alias("fail"),
+        F.sum("payload_bytes").alias("nbytes"),
+    ).collect()[0]
+    status = "SUCCESS" if (counters.fail or 0) == 0 else "PARTIAL_FAILURE"
+    log_df(
+        status,
+        int(counters.ok or 0),
+        int(counters.fail or 0),
+        int(counters.nbytes or 0),
+        now + dt.timedelta(seconds=1),
+    ).write.mode("append").parquet(batch_log_path)
+    if (counters.ok or 0) == 0:
+        raise RuntimeError(f"batch {batch_id}: zero successful responses")
+    return batch_id

@@ -259,3 +259,32 @@ def test_retrying_fetcher_backoff_schedule(spark):
     )
     assert always(LOCS[0], START, END).http_status == 500
     assert len(sleeps) == 2
+
+
+def test_distributed_ingest_matches_driver_loop(spark, tmp_path):
+    from end_to_end_data_engineering_pipeline_spark.sources.rest import (
+        ingest_batch_distributed,
+    )
+
+    wh_a = Warehouse(str(tmp_path / "a"))
+    wh_b = Warehouse(str(tmp_path / "b"))
+    now = dt.datetime(2026, 8, 10, 12, 0, 0)
+    ingest_batch(
+        spark, LOCS, START, END, synthetic_fetcher(), wh_a.bronze, wh_a.batch_log,
+        now=now,
+    )
+    ingest_batch_distributed(
+        spark, LOCS, START, END, synthetic_fetcher,
+        wh_b.bronze, wh_b.batch_log, now=now,
+    )
+    a = spark.read.parquet(wh_a.bronze).select(
+        "city", "latitude", "longitude", "http_status", "payload", "payload_bytes"
+    )
+    b = spark.read.parquet(wh_b.bronze).select(
+        "city", "latitude", "longitude", "http_status", "payload", "payload_bytes"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # the flatten downstream agrees too
+    fa = flatten_payloads(spark.read.parquet(wh_a.bronze))
+    fb = flatten_payloads(spark.read.parquet(wh_b.bronze))
+    assert fa.count() == fb.count() == 3 * 3 * 24
