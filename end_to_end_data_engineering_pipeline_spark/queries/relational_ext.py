@@ -1,0 +1,380 @@
+"""Extended relational coverage: the join/window/date shapes q1-q33
+leave out.
+
+Completes the engine-note surface of SURVEY §2.4/§2.5/§2.6: full outer
+join, min-per-group join-back (TPC-H Q2 shape), null-aware NOT IN
+(TPC-H Q16 shape), positional explode (lateral view), date/interval
+arithmetic, RANGE-frame windows, dense-report cross-join spines,
+first/last/nth window navigation, and numeric bucketing.
+
+Scale notes (these run at 100 TB):
+- q35's join-back touches lineitem twice but the second pass joins a
+  pre-aggregated (partkey, min) table — shuffle on l_partkey both
+  times, so with AQE the Exchange is reused, not recomputed.
+- q36's NOT IN compiles to a null-aware anti join; the subquery side
+  (suppliers in debt) is tiny → broadcast, no fact shuffle.
+- q39's RANGE frame is value-based: ties are peers, so results are
+  partitioning-independent — the safe default for money-window
+  features at scale (ROWS frames need a unique-key tiebreak).
+- q40 cross-joins two DISTINCT spines that are small by construction
+  (months × flags) — both broadcast; the fact side aggregates before
+  any join, so the NL join sees thousands of rows, not billions.
+- q37's posexplode is partition-local (no shuffle); row explosion is
+  bounded by tokens-per-doc, and the downstream agg combines
+  map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q34_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q34_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with key coalescing — the
+    missing member of the q5/q6/q7 join family. Both inputs aggregate
+    BEFORE the join (partial agg map-side), so the outer join runs on
+    |nations|-sized inputs regardless of fact size."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "q35_min_per_group_joinback",
+    oracle="""
+    WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+               FROM lineitem GROUP BY l_partkey)
+    SELECT l.l_partkey,
+           CAST(m.min_price AS DOUBLE) AS min_price,
+           MIN(l.l_suppkey) AS best_suppkey
+    FROM lineitem l
+    JOIN m ON l.l_partkey = m.l_partkey
+          AND l.l_extendedprice = m.min_price
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY l.l_partkey, m.min_price
+    """,
+)
+def q35_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest row per group found by aggregating then
+    joining back on (group, min) — with MIN(suppkey) breaking price
+    ties deterministically. The join-back equality on the double is
+    exact: MIN returns a stored value, not an arithmetic result.
+    Both lineitem passes shuffle on l_partkey → AQE reuses the
+    exchange; part is a broadcast dim filter."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    m = (
+        li.groupBy(F.col("l_partkey").alias("m_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        li.join(
+            m,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select(
+            "l_partkey",
+            F.col("min_price").cast("double").alias("min_price"),
+            "best_suppkey",
+        )
+    )
+
+
+@query(
+    "q36_notin_count_distinct",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7, 10, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q36_notin_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a subquery + COUNT DISTINCT per
+    attribute pair. The subquery key is non-null so NOT IN ≡ left
+    anti join (Catalyst would otherwise plan the null-aware variant);
+    the in-debt supplier list is tiny → broadcast anti join, and part
+    is a broadcast dim — the only shuffle is the distinct agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    in_debt = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(in_debt), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Lateral / positional explode
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q37_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents WHERE doc_id <= 50) t
+    """,
+)
+def q37_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: tokenize each document and keep token
+    position — the row-generating operator (UDTF shape) the reference's
+    array flatten (F1) generalizes to. Explosion is partition-local:
+    no shuffle, rows fan out inside the scan stage."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), "\\s+")).alias("pos", "tok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date / interval arithmetic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q38_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey, l_linenumber,
+           datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS ship_delay_days,
+           STRFTIME(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE),
+                    '%Y-%m-%d') AS plus3m,
+           STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           STRFTIME(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                         AS DATE), '%Y-%m-%d') AS qtr_start
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey <= 200
+    """,
+)
+def q38_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic parity: day diffs, month addition (both
+    engines clamp Jan-31 + 1m → Feb-28/29), month-end, quarter trunc.
+    Complements q15's date-part extraction (X3-X6)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    li = load(spark, sf_dir, "lineitem")
+    od = F.to_date("o_orderdate")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            o.o_orderkey,
+            li.l_linenumber,
+            F.datediff(F.to_date("l_shipdate"), od).alias("ship_delay_days"),
+            # dates emitted as 'yyyy-MM-dd' strings (repo determinism
+            # rule: DATE results surface as midnight timestamps from
+            # some clients, breaking cross-engine value comparison)
+            F.date_format(F.add_months(od, 3), "yyyy-MM-dd").alias("plus3m"),
+            F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.date_trunc("quarter", od), "yyyy-MM-dd").alias(
+                "qtr_start"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames / navigation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q39_range_frame_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER w AS n_orders_30d,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w, 4)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q39_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day trailing count/spend per customer via a RANGE frame over
+    a day index. RANGE is value-based — same-day orders are peers and
+    always aggregate together, so the result is independent of row
+    order / partition layout (a ROWS frame here would need a unique
+    tiebreak; q9 shows that variant). Decimal accumulator keeps the
+    windowed SUM order-independent too."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    day_idx = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_idx)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w), 4)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@query(
+    "q41_window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q41_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame (the default frame stops at CURRENT ROW, which makes
+    last_value a footgun in both engines). Order carries an o_orderkey
+    tiebreak so navigation is deterministic."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dense reports / bucketing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q40_dense_report_spine",
+    oracle="""
+    WITH months AS (SELECT DISTINCT
+                      STRFTIME(CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+                                    AS DATE), '%Y-%m-%d') AS m
+                    FROM lineitem),
+         flags AS (SELECT DISTINCT l_returnflag AS f FROM lineitem),
+         actual AS (SELECT
+                      STRFTIME(CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+                                    AS DATE), '%Y-%m-%d') AS m,
+                      l_returnflag AS f, COUNT(*) AS n
+                    FROM lineitem GROUP BY 1, 2)
+    SELECT months.m AS ship_month, flags.f AS returnflag,
+           COALESCE(actual.n, 0) AS n_items
+    FROM months CROSS JOIN flags
+    LEFT JOIN actual ON months.m = actual.m AND flags.f = actual.f
+    """,
+)
+def q40_dense_report_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense report: cross-join a (month × flag) spine, left-join the
+    actual aggregate, zero-fill gaps — the standard fix for BI charts
+    dropping empty buckets. The fact table aggregates FIRST; the cross
+    join only ever sees the two tiny DISTINCT spines (broadcast NL
+    join on |months|·|flags| rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", F.to_date("l_shipdate")), "yyyy-MM-dd")
+    months = li.select(month.alias("m")).distinct()
+    flags = li.select(F.col("l_returnflag").alias("f")).distinct()
+    actual = (
+        li.groupBy(month.alias("m"), F.col("l_returnflag").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        months.crossJoin(F.broadcast(flags))
+        .join(actual, ["m", "f"], "left")
+        .select(
+            F.col("m").alias("ship_month"),
+            F.col("f").alias("returnflag"),
+            F.coalesce("n", F.lit(0)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q42_histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q42_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing — the constant-
+    memory profiling aggregate (vs q20's exact percentiles, which
+    sort). One map-side-combinable pass at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
