@@ -394,3 +394,98 @@ def e10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "e11_funnel",
+    oracle=f"""
+    SELECT user_id,
+           STRFTIME(first_view, '{_O_TS_FMT}') AS first_view,
+           STRFTIME(first_click, '{_O_TS_FMT}') AS first_click,
+           STRFTIME(first_purchase, '{_O_TS_FMT}') AS first_purchase
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    ) t
+    WHERE first_view < first_click AND first_click < first_purchase
+    """,
+)
+def e11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): conditional MIN per
+    step in ONE pass over events, then stage-order predicates. The
+    standard product-analytics shape — scales as a single map-side-
+    combinable aggregate on user_id, no self-joins, no per-user
+    sorting. Sequence semantics: first occurrence of each stage must
+    be strictly ordered."""
+    ev = load(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    agg = ev.groupBy("user_id").agg(
+        first_of("view").alias("fv"),
+        first_of("click").alias("fc"),
+        first_of("purchase").alias("fp"),
+    )
+    return agg.where(
+        (F.col("fv") < F.col("fc")) & (F.col("fc") < F.col("fp"))
+    ).select(
+        "user_id",
+        F.date_format("fv", _TS_FMT).alias("first_view"),
+        F.date_format("fc", _TS_FMT).alias("first_click"),
+        F.date_format("fp", _TS_FMT).alias("first_purchase"),
+    )
+
+
+@query(
+    "e12_weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS active_week
+      FROM events
+    )
+    SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def e12_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted per (cohort, week-offset) — the standard retention
+    triangle. Two aggregates on user_id (first-seen + distinct active
+    weeks) share one shuffle key; the final count groups a
+    users × weeks -sized input, never raw events. Week bucketing uses
+    Monday-anchored date_trunc in both engines."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -378,3 +378,147 @@ def q42_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+_Q43_SQL = """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,4))), 4)
+                AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_orders
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                        WHERE l_partkey = l.l_partkey)
+"""
+
+
+@query("q43_correlated_avg_subquery", oracle=_Q43_SQL)
+def q43_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery in the WHERE.
+    Catalyst decorrelates into a per-partkey aggregate joined back to
+    lineitem — one shuffle on l_partkey feeding both the aggregate and
+    the probe side (AQE exchange reuse); the brand filter broadcasts.
+    Same SQL text runs on both engines (the q32/q33 pattern)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q43_SQL)
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surfaces (SURVEY §2.8 breadth)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q44_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           ABS(o_totalprice - 100000.0) AS abs_dev,
+           CAST(CEIL(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
+           CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS floor_k,
+           ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+           ROUND(LN(o_totalprice), 6) AS ln_price,
+           ROUND(LOG10(o_totalprice), 6) AS log10_price,
+           ROUND(POWER(o_totalprice, 0.5), 6) AS pow_half,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           CAST(SIGN(o_totalprice - 150000.0) AS BIGINT) AS sign_dev
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def q44_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/sqrt/ln/log10/power/mod/
+    sign. All whole-stage-codegen JVM intrinsics on IEEE doubles —
+    ROUND(6) guards the one place engines could differ (libm last-ulp
+    on transcendentals)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(tp - 100000.0).alias("abs_dev"),
+        F.ceil(tp / 1000.0).cast("long").alias("ceil_k"),
+        F.floor(tp / 1000.0).cast("long").alias("floor_k"),
+        F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+        F.round(F.log(tp), 6).alias("ln_price"),
+        F.round(F.log10(tp), 6).alias("log10_price"),
+        F.round(F.pow(tp, 0.5), 6).alias("pow_half"),
+        (F.col("o_orderkey") % 7).cast("long").alias("mod7"),
+        F.signum(tp - 150000.0).cast("long").alias("sign_dev"),
+    )
+
+
+@query(
+    "q45_null_semantics",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS pos_bal,
+           COALESCE(CASE WHEN s_acctbal < 0 THEN NULL
+                         ELSE s_acctbal END, 0.0) AS bal_zero_filled,
+           GREATEST(s_acctbal, 0.0) AS bal_clamped,
+           LEAST(CAST(s_nationkey AS BIGINT), 10) AS nation_capped,
+           (s_acctbal IS NULL) AS bal_is_null,
+           (CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END
+              IS DISTINCT FROM s_acctbal) AS was_nulled
+    FROM supplier
+    """,
+)
+def q45_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: coalesce/nullif/greatest/least/
+    IS DISTINCT FROM (null-safe compare = Spark's eqNullSafe). These
+    are the expressions every silver-layer cleaning rule builds on
+    (reference clean_data.py drop_nulls + lenient casts)."""
+    s = load(spark, sf_dir, "supplier")
+    pos_bal = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("s_acctbal")
+    )
+    return s.select(
+        "s_suppkey",
+        F.coalesce(
+            F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")
+        ).alias("name_or_default"),
+        pos_bal.alias("pos_bal"),
+        F.coalesce(pos_bal, F.lit(0.0)).alias("bal_zero_filled"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("s_nationkey").cast("long"), F.lit(10)).alias(
+            "nation_capped"
+        ),
+        F.col("s_acctbal").isNull().alias("bal_is_null"),
+        (~pos_bal.eqNullSafe(F.col("s_acctbal"))).alias("was_nulled"),
+    )
+
+
+@query(
+    "q46_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           TRANSLATE(p_brand, '#', '-') AS brand_dashed,
+           REVERSE(p_brand) AS brand_rev,
+           REPEAT('*', p_size % 5) AS stars,
+           SPLIT_PART(p_type, ' ', 1) AS type_head,
+           INSTR(p_name, 'a') AS first_a,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           LENGTH(REPLACE(p_name, ' ', '')) AS n_nonspace
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def q46_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface beyond q14: lpad/translate/reverse/
+    repeat/split_part/instr/substr — the ID-formatting and
+    token-surgery helpers ETL key-building leans on (X1/X2 family)."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length(F.regexp_replace("p_name", " ", "")).cast("long").alias(
+            "n_nonspace"
+        ),
+    )

@@ -9,10 +9,10 @@ digits) — so signatures match bit-for-bit, not just statistically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..operators.dedup_fuzzy import (
     add_minhash,
     exact_dedup,
@@ -262,4 +262,46 @@ def m2_frame_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(docs)
     return frame_sample(media, every_n_bytes=256).select(
         "media_id", "frame_offset"
+    )
+
+
+@query(
+    "t8_top_terms_per_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_O_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT lang, tok, COUNT(*) AS n
+      FROM toks WHERE tok <> ''
+      GROUP BY lang, tok
+    )
+    SELECT lang, tok, n FROM counts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, tok) <= 5
+    """,
+)
+def t8_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus wordcount + per-group top-k: explode normalized tokens
+    (partition-local), count per (lang, token) with map-side combine,
+    then a row_number window on the tiny per-lang aggregate. The
+    explode never shuffles raw text — only (lang, token) pairs move,
+    and the window input is |distinct tokens| not |corpus|.
+    Deterministic tiebreak: count desc, token asc."""
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = fan_out(d.select("lang", "text")).select(
+        "lang",
+        F.explode(whitespace_tokens(normalize_text(F.col("text")))).alias("tok"),
+    )
+    counts = (
+        toks.where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("lang", "tok", "n")
     )
