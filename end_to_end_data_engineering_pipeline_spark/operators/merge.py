@@ -85,3 +85,58 @@ def latest_wins(log: DataFrame, key: str, order_col: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    broadcast_updates: bool = True,
+) -> int:
+    """Partition-scoped MERGE (the 100 TB variant of merge_upsert).
+
+    Requires a hive-partitioned target (``partitionBy(partition_col)``)
+    and keys that DETERMINE the partition (e.g. partition=day(ts) with
+    ts in the key): an update then can only ever collide with rows in
+    its own partition, so the merge reads and rewrites ONLY the
+    partitions present in ``updates`` — cost is bound by the update
+    batch's partition spread, not the table size.
+
+    Mechanics: prune target to affected partitions (partition filter,
+    no full scan) -> anti-join + union within them -> stage the merged
+    slice to a temp dir (the self-read hazard applies to the slice
+    too) -> dynamic partition overwrite of just those partitions
+    (partitionOverwriteMode=dynamic, set in the session factory).
+    Returns the row count of the rewritten partitions.
+    """
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates must carry partition column {partition_col!r}")
+    if not os.path.isdir(target_path):
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return updates.count()
+
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path)
+    affected = target.where(F.col(partition_col).isin(parts))
+    upd = F.broadcast(updates) if broadcast_updates else updates
+    kept = affected.join(upd.select(*keys), list(keys), "left_anti")
+    merged = kept.unionByName(updates.select(*affected.columns))
+
+    tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        # dynamic mode: only partitions present in `staged` are replaced
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

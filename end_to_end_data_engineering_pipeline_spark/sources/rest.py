@@ -180,9 +180,12 @@ def ingest_batch(
                 "payload_bytes": blen,
             }
         )
-    spark.createDataFrame(rows, BRONZE_RESPONSES).write.mode("append").parquet(
-        bronze_path
-    )
+    # hive-partition by batch_id: partition pruning replaces the
+    # reference's raw.batch_id index (sql/raw_schema.sql:40-41) — the
+    # per-batch transform scan reads one partition, not the table
+    spark.createDataFrame(rows, BRONZE_RESPONSES).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(bronze_path)
 
     status = "SUCCESS" if fail == 0 else "PARTIAL_FAILURE"
     final = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -309,7 +312,7 @@ def ingest_batch_distributed(
             )
 
     bronze = loc_df.mapInPandas(fetch_partition, schema=BRONZE_RESPONSES)
-    bronze.write.mode("append").parquet(bronze_path)
+    bronze.write.mode("append").partitionBy("batch_id").parquet(bronze_path)
 
     written = spark.read.parquet(bronze_path).where(
         f"batch_id = '{batch_id}'"

@@ -67,3 +67,59 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    """A filter on the hive-partition column must become a partition
+    filter (pruning), not a data filter over the whole table — the
+    Spark replacement for the reference's raw.batch_id index
+    (sql/raw_schema.sql:40-41)."""
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(b, i, float(i)) for b in ("b1", "b2", "b3") for i in range(10)],
+        ["batch_id", "seq", "v"],
+    )
+    df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    scan = spark.read.parquet(path).where(F.col("batch_id") == "b2")
+    plan = _physical_plan(scan)
+    assert "PartitionFilters" in plan
+    # the partition predicate must sit in PartitionFilters, and no
+    # row-level Filter node on batch_id may remain
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "batch_id" in pf_line
+    assert scan.count() == 10
+
+
+def test_merge_upsert_partitioned_matches_plain(spark, tmp_path):
+    """Partition-scoped merge must produce exactly the same table as
+    the whole-table merge, while only rewriting touched partitions."""
+    import os
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    rows = [(d, k, 1, "old") for d in ("d1", "d2", "d3") for k in range(4)]
+    cols = ["day", "k", "ts", "val"]
+    plain, part = str(tmp_path / "plain"), str(tmp_path / "part")
+    base = spark.createDataFrame(rows, cols)
+    merge_upsert(spark, plain, base, ["day", "k"])
+    merge_upsert_partitioned(spark, part, base, ["day", "k"], "day")
+
+    upd = spark.createDataFrame(
+        [("d2", 0, 2, "new"), ("d2", 99, 2, "new")], cols
+    )
+    merge_upsert(spark, plain, upd, ["day", "k"])
+    n = merge_upsert_partitioned(spark, part, upd, ["day", "k"], "day")
+    assert n == 5  # d2 partition after merge: k in {0,1,2,3,99}
+
+    canon = lambda p: sorted(  # noqa: E731
+        (r.day, r.k, r.ts, r.val)
+        for r in spark.read.parquet(p).collect()
+    )
+    assert canon(plain) == canon(part)
+    # untouched partitions must not have been rewritten
+    assert sorted(
+        d for d in os.listdir(part) if d.startswith("day=")
+    ) == ["day=d1", "day=d2", "day=d3"]
