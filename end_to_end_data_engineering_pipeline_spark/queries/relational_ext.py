@@ -522,3 +522,68 @@ def q46_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nonspace"
         ),
     )
+
+
+@query(
+    "q47_nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                          * (1 - CAST(l_discount AS DECIMAL(9,4)))), 4)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l_shipdate AS DATE)
+          BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q47_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-national trade volume by year. Five-way join
+    where every dim (customer/supplier/nation x2) broadcasts and the
+    only shuffles are lineitem->orders on orderkey and the final
+    3-key aggregate; the nation-pair predicate prunes suppliers and
+    customers BEFORE their joins (filter pushdown through the
+    broadcast)."""
+    from ..functions import dec2, dec4, dsum_expr
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = load(spark, sf_dir, "orders")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum_expr(disc_price, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

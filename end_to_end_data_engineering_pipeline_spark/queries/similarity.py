@@ -145,3 +145,49 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with heavier settings
     centroids = ivf_train(emb, n_centroids=16, iters=1, sample_mod=5)
     return ivf_topk(emb, QUERY_IDS, centroids, k=10, nprobe=3)
+
+
+@query(
+    "sim5_vector_stats",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS sv
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           CAST((SELECT SUM(x) FROM (SELECT UNNEST(sv) x)) AS BIGINT)
+             AS sum_scaled,
+           list_max(sv) AS max_scaled,
+           list_min(sv) AS min_scaled,
+           len(list_filter(sv, x -> x > 0)) AS n_positive,
+           CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(sv) x)) AS BIGINT)
+             AS norm2_scaled
+    FROM scaled
+    """,
+)
+def sim5_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size /
+    element-wise transform / filter / min / max / fold — all JVM
+    higher-order functions, partition-local (zero shuffles, the whole
+    query is one codegen'd scan stage). The 1e-8 fixed-point scaling
+    makes every reduction exact-integer, so results are bit-identical
+    across engines and cluster layouts."""
+    from ..operators.similarity import norm2_scaled, scale_vec
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    sv = scale_vec(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(
+            sv, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("sum_scaled"),
+        F.array_max(sv).alias("max_scaled"),
+        F.array_min(sv).alias("min_scaled"),
+        F.size(F.filter(sv, lambda x: x > 0)).cast("long").alias("n_positive"),
+        norm2_scaled(sv).alias("norm2_scaled"),
+    )
