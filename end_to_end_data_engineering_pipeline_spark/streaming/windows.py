@@ -103,3 +103,16 @@ def streaming_upsert_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension.
+
+    Spark plans the static side as a broadcast (re-resolved per
+    micro-batch, so a refreshed dim table is picked up without
+    restarting the query) — the streaming counterpart of the gold
+    star join (J4). No watermark needed: stream-static inner joins
+    are stateless."""
+    return events.join(F.broadcast(dim), on)

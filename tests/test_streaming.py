@@ -199,3 +199,40 @@ def test_weather_streaming_matches_batch(spark, tmp_path):
     assert out.count() == 2 * 3 * 24  # 2 cities x 3 distinct days x 24h
     dups = out.groupBy("city", "ts_utc").count().where("count > 1").count()
     assert dups == 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment must equal the batch join, and the
+    stream side must stay streaming (stateless join)."""
+    import shutil
+
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        stream_events,
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+    ev = stream_events(spark, src)
+    # static side: per-user tier derived from customer keys
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(200)],
+        ["user_id", "tier"],
+    )
+    joined = stream_static_enrich(ev, dim)
+    assert joined.isStreaming
+    agg = joined.groupBy("tier").count()
+    _run_to_memory(agg, "ss_join", mode="complete")
+    got = {
+        r.tier: r["count"]
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+
+    batch = load(spark, sf_dir, "events").join(dim, "user_id").groupBy(
+        "tier"
+    ).count()
+    want = {r.tier: r["count"] for r in batch.collect()}
+    assert got == want
