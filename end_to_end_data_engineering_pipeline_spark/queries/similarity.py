@@ -70,13 +70,50 @@ def sim1_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("long"))
 
 
-@query("sim2_cosine_topk_lsh")  # rows-only: approximate by design; recall
-# vs the sim1 exact oracle is asserted in tests/test_similarity.py
+def _o_lsh_sig(n_planes: int = 6, dim: int = 64) -> str:
+    """SQL mirror of operators.similarity.lsh_signature: the plane
+    components are deterministic ints (md5 recipe), embedded as list
+    literals — identical to the literal arrays Spark ships in-plan."""
+    from ..operators.similarity import hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(str(c) for c in hyperplane(p, dim)) + "]"
+        dot = f"(SELECT SUM(x * y) FROM (SELECT UNNEST(sv) x, UNNEST({lit}) y))"
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "sim2_cosine_topk_lsh",
+    oracle=f"""
+    WITH {_O_SCALED},
+    sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
+             FROM normed),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
+      FROM sigd q JOIN sigd c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    )
+    SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 10
+    """,
+)
 def sim2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe LSH-bucketed ANN top-10 (the scale path: candidate
-    set shrinks ~2^planes-fold per probe)."""
+    set shrinks ~2^planes-fold per probe). The whole approximate
+    pipeline — fixed-point scaling, hyperplane signatures, bucket
+    equi-join, exact rescoring — is deterministic, so it sits under
+    the full value-hash oracle, not a rows-only check; recall vs the
+    sim1 exact oracle is additionally asserted in
+    tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6)
+    out = cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6)
+    return out.withColumn("rk", F.col("rk").cast("long"))
 
 
 @query(

@@ -203,10 +203,52 @@ def t6_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t7_minhash_lsh_neardup")  # rows-only: banding composition (16 hashes,
-# 4 bands) is exercised exactly in tests/test_textops.py against the
-# brute-force Jaccard oracle; the full SQL mirror would be a 16-column
-# signature + 4 self-joins.
+def _o_t7(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    """Full SQL mirror of minhash_lsh_pairs: 16-hash signature, 4-band
+    keys, band-collision candidates, exact-Jaccard verify — every stage
+    deterministic via the shared md5 hash32, so the whole LSH pipeline
+    sits under the strict value-hash gate."""
+    rows = n_hashes // bands
+    mh = ", ".join(_o_minhash(i) for i in range(n_hashes))
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + f")) AS b{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    hashed AS (SELECT doc_id,
+                      list_transform(s, x -> {_o_hash32("x")}) AS hs
+               FROM sh),
+    sig AS (SELECT doc_id, {mh} FROM hashed),
+    bands AS (SELECT doc_id, {band_cols} FROM sig),
+    stacked AS ({stacked}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM stacked a JOIN stacked b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    scored AS (SELECT id_a, id_b,
+                      len(list_intersect(x.s, y.s)) AS inter,
+                      len(x.s) + len(y.s)
+                        - len(list_intersect(x.s, y.s)) AS uni
+               FROM cand
+               JOIN sh x ON x.doc_id = id_a
+               JOIN sh y ON y.doc_id = id_b)
+    SELECT id_a, id_b,
+           ROUND(inter * 1000000.0 / uni) / 1000000.0 AS jaccard
+    FROM scored
+    WHERE ROUND(inter * 1000000.0 / uni) / 1000000.0 >= {threshold}
+    """
+
+
+@query("t7_minhash_lsh_neardup", oracle=_o_t7())
 def t7_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (candidate generation by band
     collision + exact Jaccard verify)."""
