@@ -587,3 +587,103 @@ def q47_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q48_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+             n_name AS supp_nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                 * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT o_year, supp_nation,
+           CAST(ROUND(volume, 4) AS DOUBLE) AS nation_volume,
+           ROUND(CAST(ROUND(volume, 4) AS DOUBLE) * 1000000
+                 / CAST(ROUND(SUM(volume) OVER (PARTITION BY o_year), 4)
+                        AS DOUBLE), 4) AS share_ppm
+    FROM rev
+    """,
+)
+def q48_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-nation revenue share of the yearly total —
+    a ratio of two decimal sums (aggregate + windowed re-aggregate
+    over the tiny (year, nation) grid; the window runs on ~|years| x
+    |nations| rows, never on lineitem). The division is exact-decimal
+    scaled to ppm THEN rounded — one correctly-rounded double cast in
+    both engines."""
+    from ..functions import dec2, dec4
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .agg(F.sum(disc_price).alias("volume"))
+    )
+    w = Window.partitionBy("o_year")
+    return rev.select(
+        "o_year",
+        "supp_nation",
+        F.round("volume", 4).cast("double").alias("nation_volume"),
+        # divide DOUBLES, not decimals: decimal-division scale rules
+        # differ across engines in the last digit; rounding each sum to
+        # an exact decimal first makes both engines perform the same
+        # single IEEE division
+        F.round(
+            F.round("volume", 4).cast("double") * 1000000
+            / F.round(F.sum("volume").over(w), 4).cast("double"),
+            4,
+        ).alias("share_ppm"),
+    )
+
+
+@query(
+    "q49_rank_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey)
+                AS BIGINT) AS quartile
+    FROM customer
+    WHERE c_custkey <= 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+)
+def q49_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: rank/dense_rank/percent_rank/cume_dist
+    (tie-stable: they depend only on the ORDER BY values) and ntile
+    (row-order dependent -> unique c_custkey tiebreak). The
+    quality-percentile scoring shape for corpus curation at scale."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    )
