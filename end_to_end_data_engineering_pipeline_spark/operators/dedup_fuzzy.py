@@ -6,17 +6,16 @@ LSH; Charikar '02 simhash — see PAPERS.md). Everything is built on the
 engine-portable ``hash32`` (first 8 md5 hex digits) so the DuckDB
 oracle can verify signatures exactly.
 
-Execution design — RELATIONAL, not array-valued: shingles are rows
-(``posexplode`` + window ``lead``), minhash is a groupBy with k MIN
-aggregates over affine rehashes of one base hash, simhash is a groupBy
-with bit-vote SUM aggregates. Rationale: Spark's higher-order array
-functions (transform/aggregate) are interpreted per element and
-Catalyst's CollapseProject re-inlines staged expressions into lambdas
-(re-tokenizing once per shingle); the relational forms stay inside
-whole-stage codegen and scale as ordinary shuffles:
+Execution design: shingling is PARTITION-LOCAL (tokenize once, array
+k-grams + per-doc distinct, explode — zero shuffles; measured faster
+than the earlier posexplode + window-lead form it replaced); the
+aggregation stages are RELATIONAL — minhash is a groupBy with k MIN
+aggregates over affine rehashes of one base hash, simhash a groupBy
+with bit-vote SUM aggregates — staying inside whole-stage codegen and
+scaling as ordinary shuffles:
 
-- shingling: 1 shuffle (window on doc id);
-- minhash/simhash: groupBy on the same id — partitioning reused;
+- shingling: 0 shuffles (array HOFs, per-doc distinct = global distinct);
+- minhash/simhash: one groupBy on doc id;
 - LSH banding: unpivot + 1 self-equi-join on the band key;
 - Jaccard verify: shingle-level equi-join counted per pair (work
   proportional to matching shingles, not pairs x array length).
@@ -244,6 +243,59 @@ def simhash_table(
         ).alias("simhash"),
     )
     return sim
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by banded simhash: pigeonhole guarantees that two
+    signatures within Hamming distance `bands - 1` share at least one
+    identical band, so candidates = any-band collision and the exact
+    bit_count(xor) <= max_hamming check runs only on collisions.
+    Signature rows are ~12 bytes/doc — at 100 TB the self-join input is
+    a ~thousandth of the corpus, and only (band_key, id, simhash)
+    narrow rows shuffle. Requires max_hamming < bands for completeness.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banding is complete only for max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash_table(df, id_col, text_col, bits)
+    stacked = sim.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    lhs = stacked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_idx", "band_key",
+    )
+    rhs = stacked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_idx", "band_key",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        lhs.join(rhs, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -347,3 +347,39 @@ def t8_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") <= 5)
         .select("lang", "tok", "n")
     )
+
+
+@query(
+    "t9_simhash_neardup",
+    oracle=f"""
+    WITH sim AS (
+      SELECT doc_id, CAST({_o_simhash_bits(32)} AS BIGINT) AS simhash
+      FROM documents
+    ),
+    stacked AS (
+      SELECT doc_id, simhash, 0 AS band_idx,
+             (simhash >> 0) & 255 AS band_key FROM sim
+      UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sim
+      UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sim
+      UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sim
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM stacked a JOIN stacked b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def t9_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming search: 4 byte-bands
+    over the 32-bit signature (pigeonhole: hamming <= 3 => >= 1 equal
+    band), exact bit_count(xor) verify on collisions only. The
+    signature table is ~12 bytes/doc, so the self-join input at 100 TB
+    is ~0.01% of the corpus (operators/dedup_fuzzy.py:
+    simhash_neardup_pairs)."""
+    from ..operators.dedup_fuzzy import simhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = simhash_neardup_pairs(docs, bits=32, bands=4, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
