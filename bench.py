@@ -29,9 +29,16 @@ def main() -> None:
     qs = all_queries()
     names = HEADLINE or sorted(qs)
     spark = get_spark(app_name="bench")
-    # warm the JVM + parquet footers once so timings measure the engine,
-    # not classloading
-    qs[names[0]](spark, SF_DIR).count()
+    # warm the JVM once so timings measure the engine, not classloading
+    # or first-use whole-stage-codegen JIT: run every query at the
+    # smallest sf first (compiles each query's generated code against
+    # ~1% of the data), then time at SF_DIR
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in names:
+        qs[name](spark, warm_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
