@@ -687,3 +687,98 @@ def q49_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(wt).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "q50_disjunctive_join_predicates",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                          * (1 - CAST(l_discount AS DECIMAL(9,4)))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q50_disjunctive_join_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions mixing both join sides.
+    Catalyst extracts the common single-side conjuncts (brand IN /
+    size, quantity ranges) below the join, so the broadcast hash join
+    probes a pre-filtered part table and only the residual disjunction
+    evaluates post-join — the standard test that disjunctive
+    predicates don't force a cartesian residual."""
+    from ..functions import dec2, dec4, dsum_expr
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_expr(disc_price, "revenue"),
+        )
+    )
+
+
+@query(
+    "q51_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(15,2))
+                               * (1 - CAST(l_discount AS DECIMAL(9,4)))
+                          ELSE 0 END), 4) AS DOUBLE) AS promo_revenue,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                     * (1 - CAST(l_discount AS DECIMAL(9,4)))), 4)
+           AS DOUBLE) AS total_revenue,
+      ROUND(CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(15,2))
+                                     * (1 - CAST(l_discount AS DECIMAL(9,4)))
+                                ELSE 0 END), 4) AS DOUBLE) * 100
+            / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                             * (1 - CAST(l_discount AS DECIMAL(9,4)))), 4)
+                   AS DOUBLE), 4) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-09-01'
+                                       AND DATE '1995-09-30'
+    """,
+)
+def q51_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (promo %) in one
+    pass — CASE inside the aggregate, no second scan; the ratio
+    divides two exact-decimal-rounded doubles (one IEEE division,
+    engine-independent)."""
+    from ..functions import dec2, dec4
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate").between("1995-09-01", "1995-09-30")
+    )
+    p = load(spark, sf_dir, "part")
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(24,6)")
+    )
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo_d = F.round(F.sum(promo), 4).cast("double")
+    total_d = F.round(F.sum(disc_price), 4).cast("double")
+    return joined.agg(
+        promo_d.alias("promo_revenue"),
+        total_d.alias("total_revenue"),
+        F.round(promo_d * 100 / total_d, 4).alias("promo_pct"),
+    )
