@@ -116,3 +116,36 @@ def stream_static_enrich(
     star join (J4). No watermark needed: stream-static inner joins
     are stateless."""
     return events.join(F.broadcast(dim), on)
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase
+    to the views by the same user in the preceding ``gap``.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew, so Spark can size the join state and evict rows
+    older than watermark + gap — the requirement for an unbounded
+    stream-stream join to hold bounded state. Returns
+    (user_id, purchase_id, purchase_ts, view_id, view_ts).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {gap}")),
+    ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")

@@ -236,3 +236,56 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
     ).count()
     want = {r.tier: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream attribution join must equal the batch
+    join over the same bounded input."""
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        stream_events,
+        stream_stream_attribution,
+    )
+
+    src = str(tmp_path / "ev2")
+    (tmp_path / "ev2").mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+
+    ev = stream_events(spark, src)
+    views = ev.where("event_type = 'view'")
+    purchases = ev.where("event_type = 'purchase'")
+    joined = stream_stream_attribution(views, purchases, gap="1 hour")
+    assert joined.isStreaming
+    _run_to_memory(joined, "ss_attr", mode="append")
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_attr").collect()
+    }
+
+    from pyspark.sql import functions as SF
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+
+    bev = load(spark, sf_dir, "events")
+    bv = bev.where("event_type = 'view'").select(
+        SF.col("user_id").alias("v_user"),
+        SF.col("event_id").alias("view_id"),
+        SF.col("ts").alias("view_ts"),
+    )
+    bp = bev.where("event_type = 'purchase'").select(
+        "user_id",
+        SF.col("event_id").alias("purchase_id"),
+        SF.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in bp.join(
+            bv,
+            (SF.col("user_id") == SF.col("v_user"))
+            & (SF.col("view_ts") <= SF.col("purchase_ts"))
+            & (
+                SF.col("view_ts")
+                >= SF.col("purchase_ts") - SF.expr("INTERVAL 1 hour")
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
