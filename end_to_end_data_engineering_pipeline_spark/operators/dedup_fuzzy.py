@@ -73,6 +73,14 @@ def shingle_rows(
 ) -> DataFrame:
     """DISTINCT (id, shingle) rows — the relational shingle set.
 
+    PRECONDITION: ``id_col`` must be unique in ``df`` (one row per
+    document). Distinctness of the output relies on per-document
+    ``array_distinct`` alone — there is no global DISTINCT — so
+    duplicate id rows would emit duplicate (id, shingle) pairs and
+    inflate intersection counts downstream (e.g. the Jaccard verify
+    join). Callers with possibly-duplicated ids must
+    ``dropDuplicates([id_col])`` first.
+
     Tokenize once, form k-grams by array slice (JVM higher-order fns),
     ``array_distinct`` per document, explode. Because shingles are
     already distinct within each doc, the global (id, shingle) set is

@@ -113,6 +113,14 @@ def merge_upsert_partitioned(
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates must carry partition column {partition_col!r}")
+    # NULL partition values would land in __HIVE_DEFAULT_PARTITION__, which
+    # isin(parts) can never match: existing rows there would be dropped from
+    # `kept` while dynamic overwrite still rewrites that partition. Refuse.
+    if updates.where(F.col(partition_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"updates contain NULL {partition_col!r} values; partition-scoped "
+            "merge cannot address the default partition safely"
+        )
     if not os.path.isdir(target_path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(
             target_path

@@ -172,9 +172,22 @@ def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF index-build artifact, memoized per dataset: training the coarse
 # quantizer is index CONSTRUCTION (train once, serve many queries) —
 # the deterministic k-means makes the memo value identical to a fresh
-# train, so caching changes cost, never results. At 100 TB the
-# centroid table would persist alongside the embedding table.
-_IVF_CENTROIDS: dict[str, list[list[int]]] = {}
+# train, so caching changes cost, never results. Keyed on
+# (path, mtime) so regenerating the embeddings file at the same path
+# invalidates the memo instead of serving stale centroids. At 100 TB
+# the centroid table would persist alongside the embedding table.
+_IVF_CENTROIDS: dict[tuple[str, int], list[list[int]]] = {}
+
+
+def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (path, mtime)
 
 
 @query("sim4_cosine_topk_ivf")  # rows-only: approximate by design; recall
@@ -188,11 +201,12 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Lloyd refinement on a 1/5 sample: the registry entry
     # demonstrates the operator; tests/test_similarity.py grades recall
     # with heavier settings
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = ivf_train(
+    memo_key = _ivf_memo_key(sf_dir)
+    if memo_key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[memo_key] = ivf_train(
             emb, n_centroids=16, iters=1, sample_mod=5
         )
-    return ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[sf_dir], k=10, nprobe=3)
+    return ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[memo_key], k=10, nprobe=3)
 
 
 @query(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import math
+import os
 import uuid
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
@@ -114,6 +115,20 @@ def synthetic_fetcher(
     return fetch
 
 
+def _require_hive_layout(bronze_path: str) -> None:
+    """Appending partitioned files into a directory that already holds
+    flat (non-partitioned) part files yields a mixed layout that
+    ``spark.read.parquet`` misreads — root files mask partition
+    discovery — so refuse rather than corrupt the bronze table."""
+    if os.path.isdir(bronze_path) and any(
+        f.endswith(".parquet") for f in os.listdir(bronze_path)
+    ):
+        raise RuntimeError(
+            f"bronze path {bronze_path!r} holds non-partitioned parquet "
+            "files; migrate it to batch_id= hive layout before appending"
+        )
+
+
 def ingest_batch(
     spark: SparkSession,
     locations: Sequence[Location],
@@ -183,6 +198,7 @@ def ingest_batch(
     # hive-partition by batch_id: partition pruning replaces the
     # reference's raw.batch_id index (sql/raw_schema.sql:40-41) — the
     # per-batch transform scan reads one partition, not the table
+    _require_hive_layout(bronze_path)
     spark.createDataFrame(rows, BRONZE_RESPONSES).write.mode("append").partitionBy(
         "batch_id"
     ).parquet(bronze_path)
@@ -312,6 +328,7 @@ def ingest_batch_distributed(
             )
 
     bronze = loc_df.mapInPandas(fetch_partition, schema=BRONZE_RESPONSES)
+    _require_hive_layout(bronze_path)
     bronze.write.mode("append").partitionBy("batch_id").parquet(bronze_path)
 
     written = spark.read.parquet(bronze_path).where(

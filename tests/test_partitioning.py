@@ -123,3 +123,28 @@ def test_merge_upsert_partitioned_matches_plain(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(part) if d.startswith("day=")
     ) == ["day=d1", "day=d2", "day=d3"]
+
+
+def test_merge_upsert_partitioned_rejects_null_partition(spark, tmp_path):
+    """NULL partition values can't be addressed by the isin() partition
+    filter (they land in __HIVE_DEFAULT_PARTITION__), so the merge must
+    refuse them instead of silently dropping existing default-partition
+    rows."""
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        merge_upsert_partitioned,
+    )
+
+    cols = ["day", "k", "ts", "val"]
+    part = str(tmp_path / "part")
+    base = spark.createDataFrame([("d1", 0, 1, "old")], cols)
+    merge_upsert_partitioned(spark, part, base, ["day", "k"], "day")
+
+    upd = spark.createDataFrame(
+        [(None, 1, 2, "new")], "day string, k long, ts long, val string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert_partitioned(spark, part, upd, ["day", "k"], "day")
+    # target untouched
+    assert spark.read.parquet(part).count() == 1

@@ -288,3 +288,19 @@ def test_distributed_ingest_matches_driver_loop(spark, tmp_path):
     fa = flatten_payloads(spark.read.parquet(wh_a.bronze))
     fb = flatten_payloads(spark.read.parquet(wh_b.bronze))
     assert fa.count() == fb.count() == 3 * 3 * 24
+
+
+def test_ingest_refuses_flat_bronze_layout(spark, tmp_path):
+    """Appending batch_id-partitioned files into a directory of flat
+    part files produces a mixed layout Spark misreads; ingest must
+    refuse rather than corrupt the bronze table."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    # simulate a legacy non-partitioned bronze dir
+    spark.range(3).write.mode("overwrite").parquet(wh.bronze)
+    with pytest.raises(RuntimeError, match="non-partitioned"):
+        ingest_batch(
+            spark, LOCS, START, END, synthetic_fetcher(), wh.bronze,
+            wh.batch_log,
+        )
