@@ -1,0 +1,77 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+    bernoulli_sample,
+    sample_key,
+    stratified_exact_k,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bernoulli_nested_and_layout_independent(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    s10 = bernoulli_sample(o, 0.10, "o_orderkey")
+    s05 = bernoulli_sample(o, 0.05, "o_orderkey")
+    keys10 = {r[0] for r in s10.select("o_orderkey").collect()}
+    keys05 = {r[0] for r in s05.select("o_orderkey").collect()}
+    # nested: the 5% sample is a subset of the 10% sample
+    assert keys05 <= keys10
+    # rate lands near nominal (hash uniformity)
+    n = o.count()
+    assert 0.06 <= len(keys10) / n <= 0.14
+    # layout-independent: same sample after an arbitrary repartition
+    keys10b = {
+        r[0]
+        for r in bernoulli_sample(o.repartition(7), 0.10, "o_orderkey")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert keys10b == keys10
+
+
+def test_stratified_exact_k_counts_and_two_phase(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    k = 7
+    samp = stratified_exact_k(c, ["c_mktsegment"], k, "c_custkey")
+    counts = {
+        r["c_mktsegment"]: r["n"]
+        for r in samp.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    per_seg = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {seg: min(k, n) for seg, n in per_seg.items()}
+
+    # deterministic across layouts
+    again = stratified_exact_k(c.repartition(5), ["c_mktsegment"], k, "c_custkey")
+    assert {tuple(r) for r in samp.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_two_phase_requires_low_buckets(spark):
+    """The two-phase shortcut is only exact when the pre-filter keeps
+    the k lowest-hash rows of every stratum — i.e. the direct sample
+    must itself survive the pre-filter. Verify the exactness on the
+    fixture where it holds."""
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    k = 7
+    direct = stratified_exact_k(c, ["c_mktsegment"], k, "c_custkey")
+    max_bucket = (
+        direct.select((sample_key("c_custkey") % SAMPLE_BUCKETS).alias("b"))
+        .agg(F.max("b"))
+        .first()[0]
+    )
+    rate = 0.5
+    if max_bucket < rate * SAMPLE_BUCKETS:
+        pre = bernoulli_sample(c, rate, "c_custkey")
+        twophase = stratified_exact_k(pre, ["c_mktsegment"], k, "c_custkey")
+        assert {tuple(r) for r in direct.collect()} == {
+            tuple(r) for r in twophase.collect()
+        }
