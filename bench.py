@@ -21,8 +21,45 @@ from end_to_end_data_engineering_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the heavy relational queries; extended as coverage grows.
-HEADLINE: list[str] = []
+# Headline set: the heavy/representative queries across every charter
+# area (relational joins/aggs, windows, events, text dedup, similarity,
+# sampling). Deliberately a SUBSET of the registry: the driver records
+# only the last 2000 bytes of output, so the one-line JSON (with its
+# per-query timing dict) must stay comfortably under that — full-registry
+# timing made the line 3+ KB and unparseable in round 1. Full-registry
+# correctness is still exercised by the driver's own t2 gate and
+# tests/test_oracle_parity.py.
+HEADLINE: list[str] = [
+    "q1_pricing_summary",
+    "q4_star_join_revenue",
+    "q8_window_rank_topk_per_group",
+    "q13_global_topk",
+    "q21_shipping_priority_topk",
+    "q30_salted_join_agg",
+    "q35_min_per_group_joinback",
+    "q43_correlated_avg_subquery",
+    "q47_nation_trade_volume",
+    "q48_market_share",
+    "q52_top_supplier_view",
+    "q54_returned_items_topk",
+    "q57_large_volume_customers",
+    "q59_forecast_revenue",
+    "q60_product_profit",
+    "q61_local_supplier_volume",
+    "q62_deterministic_sample",
+    "e3_sessionization",
+    "e8_asof_join",
+    "e11_funnel",
+    "t1_text_stats",
+    "t3_exact_dedup",
+    "t6_ngram_jaccard_pairs",
+    "t7_minhash_lsh_neardup",
+    "t9_simhash_neardup",
+    "sim1_cosine_topk_bruteforce",
+    "sim2_cosine_topk_lsh",
+    "sim4_cosine_topk_ivf",
+    "m1_multimodal_features",
+]
 
 
 def main() -> None:
