@@ -377,3 +377,73 @@ def exact_dedup(
 
     with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
     return dedup_keep_first(with_fp, ["__fp"], [id_col]).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): DISTINCT (id, fp) rows, fp = selected k-gram hashes.
+
+    The POSITIONAL k-gram hash sequence (no distinct — unlike
+    shingles, positions matter) slides a window of ``w`` consecutive
+    hashes; each window contributes its MINIMUM. The guarantee: any
+    shared substring of length >= k + w - 1 tokens yields at least one
+    shared fingerprint, while only ~2/(w+1) of the hashes survive —
+    a tunable density/recall dial that plain minhash lacks.
+
+    Entirely JVM higher-order array functions, partition-local (zero
+    shuffles before the final distinct-free explode — per-window mins
+    are deduped per-doc by array_distinct, and (id, fp) needs no
+    global distinct for unique ids, same precondition as
+    shingle_rows). Documents shorter than k tokens contribute one
+    whole-text gram; hash sequences shorter than ``w`` form a single
+    window.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    hs = F.transform(grams, hash32)
+    m = F.size(hs)
+    win_idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b and n_shared >=
+    ``min_shared``. One self-equi-join on fp (same shape as the LSH
+    band join — co-partitioned by fingerprint, skew bounded by hash
+    uniformity) + a pair-count aggregate."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fp.select(F.col("id").alias("id_a"), "fp")
+    b = fp.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

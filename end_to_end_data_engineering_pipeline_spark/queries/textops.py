@@ -383,3 +383,62 @@ def t9_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = simhash_neardup_pairs(docs, bits=32, bands=4, max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _o_winnow(k: int = 3, w: int = 4) -> str:
+    """Fingerprint-array CTE chain mirroring winnow_fingerprints."""
+    return f"""
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len({_O_TOKS})-{k - 1}, 1)+1),
+                                i -> array_to_string(({_O_TOKS})[i:i+{k - 1}], ' '))
+                   AS grams
+          FROM documents),
+    h AS (SELECT doc_id, list_transform(grams, s -> {_o_hash32("s")}) AS hs
+          FROM g),
+    f AS (SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(1, greatest(len(hs)-{w - 1}, 1)+1),
+                                  j -> list_min(hs[j:j+{w - 1}]))) AS fps
+          FROM h)"""
+
+
+@query(
+    "t10_winnow_fingerprints",
+    oracle=f"""
+    WITH {_o_winnow(3, 4)}
+    SELECT doc_id AS id, UNNEST(fps) AS fp FROM f
+    """,
+)
+def t10_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints, k=3 w=4
+    (operators/dedup_fuzzy.py:winnow_fingerprints — Schleimer/
+    Wilkerson/Aiken SIGMOD'03). Partition-local array pipeline;
+    bit-exact cross-engine via the shared hash32."""
+    from ..operators.dedup_fuzzy import winnow_fingerprints
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+@query(
+    "t11_winnow_overlap_pairs",
+    oracle=f"""
+    WITH {_o_winnow(3, 4)},
+    fp AS (SELECT doc_id AS id, UNNEST(fps) AS fp FROM f)
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def t11_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity near-dup pairs by shared winnowing
+    fingerprints (>= 2 shared) — detects shared PASSAGES (any common
+    run of k+w-1 = 6 tokens leaves a shared fingerprint), which
+    set-similarity minhash (t7) and bit-similarity simhash (t9)
+    can miss. Self-equi-join on fp, same scale shape as the LSH
+    band join."""
+    from ..operators.dedup_fuzzy import winnow_overlap_pairs
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return winnow_overlap_pairs(docs, k=3, w=4, min_shared=2)

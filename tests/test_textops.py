@@ -80,3 +80,40 @@ def test_shingles_shorter_than_k(spark):
     df = spark.createDataFrame([(0, "only two")], ["doc_id", "text"])
     sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
     assert sh == ["only two"]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing invariants (SIGMOD'03): (1) two docs sharing a token
+    run of length >= k+w-1 share at least one fingerprint; (2) the
+    selection is sparser than the full gram-hash sequence; (3) the
+    result is layout-independent."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = k+w-1
+    rows = [
+        (1, f"unrelated prefix one {shared} trailing words here"),
+        (2, f"{shared} completely different ending tokens now"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    by_doc: dict[int, set[int]] = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # guarantee: the shared 6-token run leaves a common fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: fewer fingerprints than grams (n_tokens - k + 1)
+    for doc_id, text in rows:
+        n_grams = len(text.split()) - 2
+        assert 1 <= len(by_doc[doc_id]) < n_grams
+    # layout independence
+    fp2 = winnow_fingerprints(docs.repartition(5), k=3, w=4)
+    assert set(map(tuple, fp.collect())) == set(map(tuple, fp2.collect()))
+
+    pairs = winnow_overlap_pairs(docs, k=3, w=4, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
