@@ -27,7 +27,7 @@ handling covers the join stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import hash32, normalize_text, whitespace_tokens
@@ -144,22 +144,56 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     k: int = 3,
+    max_band_size: int | None = None,
+    band_salt: int = 1,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     Signatures -> unpivot bands -> ONE self-equi-join on the band key
     -> distinct candidates -> relational Jaccard verify on candidates.
+
+    Skew controls for 100 TB corpora (both default OFF, preserving
+    exact semantics):
+    - ``max_band_size``: drop band buckets larger than this before the
+      self-join. A bucket of b docs costs b^2 candidate pairs;
+      boilerplate text (license headers, templates) routinely forms
+      million-doc buckets that are degenerate near-dup CLUSTERS, not
+      pairs — the standard practice (and what the candidate count
+      bound needs) is to cap them and handle mega-clusters by exact
+      fingerprint instead (t3). CHANGES RESULTS for pairs only
+      discoverable via the dropped buckets.
+    - ``band_salt`` s > 1: split each bucket's left side s ways by id
+      hash and replicate the right side to every split, so one hot
+      bucket's b^2 work spreads over s tasks instead of one straggler.
+      Total work unchanged, results IDENTICAL for any s; use when AQE
+      skew-split alone can't break up a single giant key.
     """
     sh = shingle_rows(df, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, n_hashes)
     stacked = sig.select("id", *lsh_band_keys(n_hashes, bands)).unpivot(
         "id", [f"band{b}" for b in range(bands)], "band_idx", "band_key"
     )
+    if max_band_size is not None:
+        w_band = Window.partitionBy("band_idx", "band_key")
+        stacked = (
+            stacked.withColumn("__bs", F.count(F.lit(1)).over(w_band))
+            .where(F.col("__bs") <= max_band_size)
+            .drop("__bs")
+        )
     lhs = stacked.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     rhs = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    join_keys = ["band_idx", "band_key"]
+    if band_salt > 1:
+        lhs = lhs.withColumn(
+            "__salt", F.pmod(F.col("id_a").cast("long"), F.lit(band_salt)).cast("int")
+        )
+        rhs = rhs.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(band_salt - 1)))
+        )
+        join_keys = join_keys + ["__salt"]
     cands = (
-        lhs.join(rhs, ["band_idx", "band_key"])
+        lhs.join(rhs, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

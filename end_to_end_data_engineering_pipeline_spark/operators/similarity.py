@@ -342,3 +342,53 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("cand_id")
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence (train once, serve many)
+# ---------------------------------------------------------------------------
+
+
+def ivf_save_index(
+    spark, centroids: list[list[int]], path: str, meta: dict | None = None
+) -> None:
+    """Persist a trained coarse quantizer as a parquet index table
+    (cell_id int, centroid array<long>) + optional string metadata.
+
+    At 100 TB the quantizer is an ARTIFACT: trained on one
+    representative sample, stored next to the embedding table, loaded
+    by every serving query. Storing it relationally (rather than
+    driver-side pickle) keeps it readable by any engine and lets the
+    assignment join run without re-training."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cell_id", IntegerType(), False),
+            StructField("centroid", ArrayType(LongType(), False), False),
+            StructField("meta", StringType(), True),
+        ]
+    )
+    import json as _json
+
+    meta_s = _json.dumps(meta or {}, sort_keys=True)
+    rows = [(i, c, meta_s if i == 0 else None) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_load_index(spark, path: str) -> list[list[int]]:
+    """Load a persisted quantizer back into the driver-side centroid
+    list ivf_topk consumes. k x dim longs — a few KB; the table scan
+    is one file."""
+    rows = spark.read.parquet(path).orderBy("cell_id").collect()
+    return [list(r.centroid) for r in rows]

@@ -107,3 +107,26 @@ def test_multiprobe_lsh_recall_dominates_single(clustered):
 
     assert recall(multi) >= recall(single)
     assert recall(multi) >= 0.8
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """A persisted quantizer must serve identical results to the
+    freshly trained one (index-as-artifact contract)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_load_index,
+        ivf_save_index,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, n_centroids=8, iters=1, sample_mod=3)
+    path = str(tmp_path / "ivf_index")
+    ivf_save_index(spark, cents, path, meta={"n_centroids": 8, "iters": 1})
+    loaded = ivf_load_index(spark, path)
+    assert loaded == cents
+
+    qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    fresh = ivf_topk(emb, qids, cents, k=5, nprobe=2).collect()
+    served = ivf_topk(emb, qids, loaded, k=5, nprobe=2).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))

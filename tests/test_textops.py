@@ -117,3 +117,40 @@ def test_winnowing_guarantee_and_density(spark):
 
     pairs = winnow_overlap_pairs(docs, k=3, w=4, min_shared=1).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_lsh_band_salt_identical_and_cap_drops_boilerplate(spark):
+    """band_salt must not change results; max_band_size must drop a
+    constructed boilerplate mega-bucket while keeping ordinary pairs."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = "standard license header text identical across many files"
+    rows = [(i, boiler) for i in range(1, 9)]  # 8-doc boilerplate cluster
+    rows += [
+        (100, BASE),
+        (101, NEAR),
+        (102, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3, band_salt=4).collect()
+    }
+    assert salted == plain
+    assert (100, 101) in plain
+    # the 8-doc cluster contributes C(8,2)=28 pairs without the cap
+    assert sum(1 for a, b in plain if a < 100 and b < 100) == 28
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3, max_band_size=4).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
