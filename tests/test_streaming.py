@@ -289,3 +289,45 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rate_source_event_stream(spark, tmp_path):
+    """Rate-source load generator: rows arrive in the events schema,
+    deterministically derived from the offset, and feed the windowed
+    aggregate unchanged."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    ev = rate_event_stream(spark, rows_per_second=200, num_partitions=2)
+    assert set(ev.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("rate_events")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM rate_events").first()[0] >= 50:
+                break
+            time.sleep(0.5)
+        got = spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM rate_events "
+            "ORDER BY event_id LIMIT 50"
+        ).collect()
+        assert len(got) == 50
+        for r in got:
+            # deterministic arithmetic mapping from the offset
+            assert r.user_id == r.event_id % 50
+            assert r.value == float(r.event_id % 1000)
+            assert r.event_type == ("view", "click", "purchase")[r.event_id % 3]
+    finally:
+        q.stop()
