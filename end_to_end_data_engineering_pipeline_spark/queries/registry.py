@@ -55,6 +55,7 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import relational_ext2  # noqa: F401
+    from . import relational_ext3  # noqa: F401
     from . import events  # noqa: F401
     from . import textops  # noqa: F401
     from . import similarity  # noqa: F401

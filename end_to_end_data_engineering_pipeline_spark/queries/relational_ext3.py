@@ -1,0 +1,280 @@
+"""Advanced aggregate / entity-resolution surface (q64-q68):
+arg-extrema, exact distribution moments, blocked fuzzy matching,
+MapType aggregation round-trip, conditional DISTINCT.
+
+Scale notes (these run at 100 TB):
+- q64's arg-extrema is ONE hash aggregate (max/min over a struct
+  ordering key) — no window, no second pass, deterministic under ties
+  because the struct embeds the tiebreak key.
+- q65 computes variance/stddev from exact decimal power sums
+  (sum x, sum x^2), so the distributed result is independent of
+  partition count and reduction order — the naive float sum-of-squares
+  is not, and built-in stddev_samp differs across engines in final
+  ulps for exactly that reason.
+- q66 is the classic entity-resolution shape: BLOCK first (equi-join
+  on a cheap key — here the product noun), THEN run the expensive
+  pairwise metric only within blocks. Pair count falls from |D|^2 to
+  sum of block^2; the residual skew dial is the block key's
+  cardinality. Levenshtein runs JVM-side (built-in), no UDF.
+- q67 builds a per-group MAP column from an aggregate and explodes it
+  back to rows — proving MapType construction/inspection compiles to
+  ordinary aggregates either side of the map boundary.
+- q68's COUNT(DISTINCT CASE ...) shapes compile to one expand +
+  aggregate; distinct-on-condition is the standard funnel metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+# --------------------------------------------------------------------------
+# q64 — arg-extrema (max_by/min_by with deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q64_arg_extrema",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+      FROM customer)
+    SELECT c_nationkey AS nationkey,
+           MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_custkey,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_custkey,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def q64_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by arg-extrema in one hash aggregate. The ordering
+    key is a struct (c_acctbal, c_custkey) so ties on the balance
+    resolve by key — deterministic where bare max_by(x, bal) is not
+    (the oracle mirrors the tiebreak with a window formulation)."""
+    c = load(spark, sf_dir, "customer")
+    ord_key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.max_by("c_custkey", ord_key).alias("richest_custkey"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.min_by("c_custkey", ord_key).alias("poorest_custkey"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — exact distribution moments from decimal power sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q65_exact_moments",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                      AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                      * CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                      AS DECIMAL(38,0))) AS s2
+      FROM orders GROUP BY o_orderpriority),
+    v AS (
+      SELECT o_orderpriority, n, s1,
+             CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,0))
+                            - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                          AS HUGEINT)
+                       // CAST(CAST(n AS DECIMAL(10,0)) * (n - 1) AS HUGEINT)
+                     AS BIGINT) AS DOUBLE) AS var_cents2
+      FROM s)
+    SELECT o_orderpriority, n,
+           CAST(s1 AS DOUBLE) / (100.0 * n) AS mean_price,
+           var_cents2 / 10000.0 AS var_price,
+           sqrt(var_cents2 / 10000.0) AS stddev_price
+    FROM v
+    """,
+)
+def q65_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from EXACT integer power sums — the
+    reduction-order-independent formulation of the stats built-ins.
+
+    Built-in stddev_samp accumulates in float: order-dependent, so a
+    1000-executor run and a local run disagree in final ulps. Here
+    prices become exact integer cents; sum x and sum x^2 accumulate
+    in DECIMAL(38,0) (exact, any reduction order); the variance
+    numerator n*s2 - s1^2 and the FLOOR division by n*(n-1) stay in
+    exact decimal; only then does the value become a double (an
+    integer < 2^53 — exact), scaled by 1e4 and sqrt'd (both single
+    correctly-rounded IEEE ops, so bit-identical cross-engine). No
+    ROUND of an inexact double anywhere — the first q65 draft rounded
+    the double variance at scale 4 and hit a decimal midpoint where
+    Spark and DuckDB disagree (see functions/scalar.py docstring).
+
+    Precision budget at 100 TB (~1.5e9 orders, price <= ~6e5):
+    cents <= 6e7; s1 <= 9e18 (19 digits); s2 <= 5.4e24 (25 digits);
+    s1^2 <= 8.1e37 and n*s2 <= 8.1e33 — both inside DECIMAL(38,0),
+    and the DuckDB multiply width rule (w1+w2 <= 38) is satisfied by
+    the (19,0)x(19,0) and (10,0)x(27,0) casts. Variance in cents^2
+    <= ~2e14 < 2^53, so the final double is exact."""
+    from ..functions import dec2
+
+    o = load(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n")
+    num = (
+        n.cast("decimal(10,0)") * F.col("s2").cast("decimal(27,0)")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    den = (n.cast("decimal(10,0)") * (n - 1)).cast("decimal(20,0)")
+    var_cents2 = F.expr(
+        "CAST(__num DIV __den AS DOUBLE)"
+    )
+    with_nd = s.withColumn("__num", num).withColumn("__den", den)
+    var = F.col("__var_cents2") / 10000.0
+    return (
+        with_nd.withColumn("__var_cents2", var_cents2)
+        .select(
+            "o_orderpriority",
+            "n",
+            (F.col("s1").cast("double") / (100.0 * n)).alias("mean_price"),
+            var.alias("var_price"),
+            F.sqrt(var).alias("stddev_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — blocked fuzzy name matching (entity resolution)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q66_fuzzy_name_blocking",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name,
+                          split_part(p_name, ' ', 2) AS block
+                   FROM part)
+    SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q66_fuzzy_name_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit distance: candidate pairs
+    only within a block (the product noun), then JVM-side levenshtein
+    <= 4. DISTINCT names first — the pairwise metric runs on the
+    |distinct| set, not the row count; at 100 TB the distinct-name
+    table is the thing that must fit the block-squared budget, and
+    the block key is the dial (word -> word+length -> prefix)."""
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .where(F.col("edit_dist") <= 4)
+        .select("block", "name_a", "name_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — MapType aggregation round-trip
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q67_map_roundtrip",
+    oracle="""
+    SELECT event_type, user_id % 5 AS user_bucket, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, user_bucket
+    """,
+)
+def q67_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and inspection: per event_type build a
+    map<user_bucket, count> with map_from_entries over an aggregated
+    struct list, then explode it back to rows. The map boundary adds
+    no shuffle beyond the underlying aggregates; the oracle checks
+    the round-trip is lossless by comparing against the plain
+    group-by."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 5
+    )
+    per_bucket = ev.groupBy("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_bucket.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("user_bucket", "n")))
+        ).alias("bucket_counts")
+    )
+    exploded = as_map.select(
+        "event_type",
+        F.explode(F.col("bucket_counts")).alias("user_bucket", "n_events"),
+    )
+    return exploded.select("event_type", "user_bucket", "n_events")
+
+
+# --------------------------------------------------------------------------
+# q68 — conditional DISTINCT aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q68_conditional_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000
+                               THEN o_custkey END) AS big_spenders,
+           COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN o_custkey END) AS urgent_customers,
+           COUNT(DISTINCT o_custkey) AS all_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q68_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT CASE ...) funnel metrics: three distinct counts
+    under different predicates in one aggregate (Catalyst expands to
+    a single multi-distinct plan; the customer dim broadcasts)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("big_spenders"),
+            F.count_distinct(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+            ).alias("urgent_customers"),
+            F.count_distinct("o_custkey").alias("all_customers"),
+        )
+    )
