@@ -1,0 +1,100 @@
+"""Iterative graph operators: connected components for dedup-cluster
+resolution.
+
+Near-dup detection (minhash LSH t7, simhash t9, winnowing t11) emits
+PAIRS; corpus curation needs CLUSTERS — every document mapped to one
+canonical representative, so the keep/drop decision is transitive
+(a~b, b~c => one survivor among {a,b,c}, not two). That closure is
+connected components over the pair graph.
+
+Algorithm: min-label propagation (the relational formulation of
+breadth-first component labeling; cf. the "large-star/small-star"
+map-reduce CC literature). labels start as each node's own id; each
+round every node takes the min of its label and its neighbors'
+labels; converged when no label changes. Rounds needed = graph
+diameter — near-dup graphs are overwhelmingly tiny cliques plus
+short chains, so 3-5 rounds typically suffice; ``max_iter`` bounds
+pathological chains.
+
+Scale design:
+- each round is ONE join (edges x labels, shuffled on the node key)
+  + ONE min-aggregate — both co-partitioned on the same key, so AQE
+  reuses the exchange layout round to round;
+- lineage is truncated every round with ``localCheckpoint`` —
+  without it the plan doubles per iteration and the driver chokes on
+  optimization long before the data is big;
+- convergence needs one count per round (the changed-label count);
+  at 100 TB amortize it by checking every k rounds instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``; cluster_id =
+    the minimum node id of the component (deterministic canonical
+    representative)."""
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def resolve_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Canonical corpus after near-dup clustering: every document maps
+    to its cluster representative (the min id of its component;
+    unpaired documents represent themselves), and only representatives
+    survive. Returns docs filtered to survivors — the end-to-end
+    "pairs in, clean corpus out" dedup contract."""
+    cc = connected_components(pairs, src_col, dst_col)
+    mapped = docs.join(
+        cc.withColumnRenamed("node", id_col), id_col, "left_outer"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return mapped.where(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")

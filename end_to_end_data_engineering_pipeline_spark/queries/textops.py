@@ -203,11 +203,12 @@ def t6_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_t7(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
-    """Full SQL mirror of minhash_lsh_pairs: 16-hash signature, 4-band
+def _o_t7_ctes(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    """CTE chain mirroring minhash_lsh_pairs: 16-hash signature, 4-band
     keys, band-collision candidates, exact-Jaccard verify — every stage
     deterministic via the shared md5 hash32, so the whole LSH pipeline
-    sits under the strict value-hash gate."""
+    sits under the strict value-hash gate. Ends with a ``pairs`` CTE so
+    downstream oracles (t12 clustering) can build on it."""
     rows = n_hashes // bands
     mh = ", ".join(_o_minhash(i) for i in range(n_hashes))
     band_cols = ", ".join(
@@ -222,8 +223,7 @@ def _o_t7(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
         for b in range(bands)
     )
-    return f"""
-    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    ctes = f"""sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
     hashed AS (SELECT doc_id,
                       list_transform(s, x -> {_o_hash32("x")}) AS hs
                FROM sh),
@@ -240,11 +240,19 @@ def _o_t7(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
                         - len(list_intersect(x.s, y.s)) AS uni
                FROM cand
                JOIN sh x ON x.doc_id = id_a
-               JOIN sh y ON y.doc_id = id_b)
-    SELECT id_a, id_b,
-           ROUND(inter * 1000000.0 / uni) / 1000000.0 AS jaccard
-    FROM scored
-    WHERE ROUND(inter * 1000000.0 / uni) / 1000000.0 >= {threshold}
+               JOIN sh y ON y.doc_id = id_b),
+    pairs AS (SELECT id_a, id_b,
+                     ROUND(inter * 1000000.0 / uni) / 1000000.0 AS jaccard
+              FROM scored
+              WHERE ROUND(inter * 1000000.0 / uni) / 1000000.0 >= {threshold})"""
+    return ctes
+
+
+def _o_t7(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    """Full SQL mirror of minhash_lsh_pairs (see _o_t7_ctes)."""
+    return f"""
+    WITH {_o_t7_ctes(n_hashes, bands, threshold)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -442,3 +450,60 @@ def t11_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     return winnow_overlap_pairs(docs, k=3, w=4, min_shared=2)
+
+
+@query(
+    "t12_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_o_t7_ctes(16, 4, 0.3)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def t12_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the t7 near-dup pair graph
+    (operators/graph.py): every paired document labeled with its
+    component's min doc_id. The iterative min-label propagation is
+    verified against DuckDB's recursive-CTE transitive closure —
+    an iterative Spark algorithm under the full value-hash oracle."""
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    return connected_components(pairs)
+
+
+@query(
+    "t13_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_o_t7_ctes(16, 4, 0.3)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT OUTER JOIN cc ON d.doc_id = cc.node
+    WHERE COALESCE(cc.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def t13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: near-dup pairs -> components ->
+    keep only each cluster's canonical representative (min doc_id;
+    singletons survive as themselves). The transitive contract the
+    pairwise operators alone can't give (operators/graph.py:
+    resolve_canonical)."""
+    from ..operators.graph import resolve_canonical
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    return resolve_canonical(docs, pairs).select("doc_id", "lang", "source")

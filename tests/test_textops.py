@@ -154,3 +154,36 @@ def test_lsh_band_salt_identical_and_cap_drops_boilerplate(spark):
     }
     assert (100, 101) in capped
     assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and two-node components must each collapse to
+    their min id; propagation must cross the whole chain diameter."""
+    from end_to_end_data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+        resolve_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-5
+            (10, 11), (10, 12), (11, 12),     # triangle
+            (20, 21),                         # pair
+        ],
+        ["id_a", "id_b"],
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id for r in resolve_canonical(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one survivor per cluster + singleton
