@@ -278,3 +278,76 @@ def q68_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").alias("all_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — winsorized robust aggregates (discrete percentiles + clamp)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q69_winsorized_stats",
+    oracle="""
+    WITH cd AS (
+      SELECT o_orderpriority, o_totalprice,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders),
+    b AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN cd >= 0.05 THEN o_totalprice END) AS p05,
+             MIN(CASE WHEN cd >= 0.95 THEN o_totalprice END) AS p95
+      FROM cd GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.p05), b.p95)
+                               AS DECIMAL(15,2))), 4) AS DOUBLE)
+             AS winsorized_sum,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.p05
+                           OR o.o_totalprice > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(b.p05 AS DOUBLE) AS p05, CAST(b.p95 AS DOUBLE) AS p95
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority, b.p05, b.p95
+    """,
+)
+def q69_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (tail-clamped) aggregates — the robust-statistics
+    feature-engineering op. Boundaries are DISCRETE percentiles
+    (smallest value with cume_dist >= p), so they are actual stored
+    2-decimal data values and every downstream sum stays exact
+    decimal — interpolated percentiles would inject engine-dependent
+    ulps into the clamp. One window pass for cume_dist, a tiny
+    per-group boundary table broadcast back onto the fact."""
+    from pyspark.sql import Window
+
+    from ..functions import dec2
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = o.withColumn("cd", F.cume_dist().over(w))
+    b = cd.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cd") >= 0.05, F.col("o_totalprice"))).alias("p05"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("o_totalprice"))).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    out_of_band = (F.col("o_totalprice") < F.col("p05")) | (
+        F.col("o_totalprice") > F.col("p95")
+    )
+    return (
+        o.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec2(clamped)), 4).cast("double").alias("winsorized_sum"),
+            F.sum(out_of_band.cast("long")).alias("n_clamped"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "winsorized_sum",
+            "n_clamped",
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+        )
+    )

@@ -507,3 +507,40 @@ def t13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.3)
     return resolve_canonical(docs, pairs).select("doc_id", "lang", "source")
+
+
+@query(
+    "t14_curation_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len({_O_RAW_TOKS}) AS n_tokens,
+             (CASE WHEN len({_O_RAW_TOKS}) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN {_o_stop(LANG_MARKERS["en"])} * 20 >= len({_O_RAW_TOKS})
+                     THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_extract_all(text, '[.,!?;:]')) * 10
+                          <= length(text) THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 5
+                          <= length(text) THEN 1 ELSE 0 END) AS quality_score
+      FROM documents)
+    SELECT doc_id, lang, source, n_tokens, quality_score
+    FROM scored
+    WHERE quality_score >= 3 AND n_tokens BETWEEN 10 AND 2000
+    """,
+)
+def t14_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation gate: keep documents passing the heuristic
+    quality bar and token-length band — the filter stage every
+    training-data pipeline runs between dedup and tokenization.
+    Pure per-row expressions over text_stats; predicate-only, no
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    return (
+        stats.where(
+            (F.col("quality_score") >= 3)
+            & F.col("n_tokens").between(10, 2000)
+        )
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
