@@ -233,8 +233,20 @@ def _cell_distances(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
 
 
 def _assign_cells(base: DataFrame, centroids: list[list[int]], nprobe: int = 1) -> DataFrame:
-    """(id, cid, rk) the nprobe nearest centroids per vector."""
+    """(id, cid, rk) the nprobe nearest centroids per vector.
+
+    nprobe=1 (every full-corpus assignment: train loop + serving-side
+    corpus pass) is a plain min-struct aggregate — one hash aggregate,
+    no sort; the (dist, cid) struct ordering gives the same
+    deterministic tiebreak as the window formulation, which only the
+    small query-side nprobe>1 path still needs."""
     d = _cell_distances(base, centroids)
+    if nprobe == 1:
+        return (
+            d.groupBy("id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("id", F.col("m.cid").alias("cid"), F.lit(1).alias("rk"))
+        )
     w = Window.partitionBy("id").orderBy("dist", "cid")
     return (
         d.withColumn("rk", F.row_number().over(w))
