@@ -148,3 +148,48 @@ def merge_upsert_partitioned(
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def apply_changes(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> int:
+    """CDC changelog apply: MERGE with deletes (the full
+    INSERT/UPDATE/DELETE contract the reference's ON CONFLICT upsert
+    lacks — clean_data.py:222-243 can only insert/update).
+
+    ``changes`` carries ``op_col`` in {'I','U','D'} and a monotonically
+    increasing ``seq_col``; per key, the LATEST change wins (latest_wins
+    keeps the reference's batch-log resolution semantics): I/U upserts
+    the row, D removes the key. Returns the new table row count.
+
+    Scale: same anti-join + union shape as merge_upsert — the delete
+    set rides the same broadcast as the upsert keys, so deletes are
+    free; for partitioned targets compose with
+    merge_upsert_partitioned's pruning instead of the full rewrite.
+    """
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    latest = latest_wins(changes, list(keys), seq_col)
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    touched = latest.select(*keys)
+
+    if not os.path.isdir(target_path):
+        merged = upserts
+    else:
+        old = spark.read.parquet(target_path)
+        kept = old.join(F.broadcast(touched), list(keys), "left_anti")
+        merged = kept.unionByName(upserts)
+
+    tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        staged.write.mode("overwrite").parquet(target_path)
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -351,3 +351,33 @@ def q69_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p95").cast("double").alias("p95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — multiset (bag) set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q70_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+               WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1996),
+         b AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+               WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1997)
+    SELECT qty, COUNT(*) AS n_surplus
+    FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM b)
+    GROUP BY qty
+    """,
+)
+def q70_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset semantics: per quantity value, how many
+    MORE 1996 lineitems than 1997 lineitems carry it (duplicates
+    preserved, unlike q12's distinct set ops). exceptAll compiles to
+    a count-difference aggregate + generate — one shuffle on the
+    value, no join."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long").alias("qty")
+    a = li.where(F.year(F.to_date("l_shipdate")) == 1996).select(qty)
+    b = li.where(F.year(F.to_date("l_shipdate")) == 1997).select(qty)
+    return a.exceptAll(b).groupBy("qty").agg(F.count(F.lit(1)).alias("n_surplus"))

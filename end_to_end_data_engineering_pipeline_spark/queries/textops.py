@@ -544,3 +544,65 @@ def t14_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
     )
+
+
+@query(
+    "t15_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * 1000000.0 / df.df) / 1000000.0 AS score
+    FROM tf JOIN df ON tf.term = df.term
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY tf.tf * 1000000.0 / df.df DESC, tf.term) <= 3
+    """,
+)
+def t15_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms: the doc-term matrix (tf) joined
+    with corpus document frequencies (df), top-3 terms per doc by
+    tf/df. The tf/df rational replaces log-idf — single exact-int
+    division, so ordering AND the reported score are bit-stable
+    cross-engine (libm log is not).
+
+    Scale shape: explode is partition-local; tf shuffles once on
+    (doc, term); df aggregates the ALREADY-AGGREGATED tf table on
+    term (map-side combinable); the score join broadcasts df (vocab
+    << corpus); the final window partitions by doc over <= |doc
+    vocab| rows."""
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(whitespace_tokens(normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = (
+        toks.where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "__ord", F.col("tf") * 1000000.0 / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__ord").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.round(F.col("__ord")) / 1000000.0).alias("score"),
+        )
+    )

@@ -148,3 +148,34 @@ def test_merge_upsert_partitioned_rejects_null_partition(spark, tmp_path):
         merge_upsert_partitioned(spark, part, upd, ["day", "k"], "day")
     # target untouched
     assert spark.read.parquet(part).count() == 1
+
+
+def test_apply_changes_cdc_semantics(spark, tmp_path):
+    """I/U/D changelog apply: latest change per key wins; D removes
+    the key; out-of-order arrival resolved by seq."""
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+
+    path = str(tmp_path / "t")
+    cols = ["k", "val", "seq", "op"]
+    batch1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")], cols
+    )
+    n = apply_changes(spark, path, batch1, ["k"], "seq")
+    assert n == 3
+
+    batch2 = spark.createDataFrame(
+        [
+            (1, "a2", 3, "U"),   # update k=1
+            (2, None, 2, "D"),   # delete k=2
+            (3, "zz", 2, "U"),   # stale update superseded in-batch...
+            (3, None, 3, "D"),   # ...by this delete (latest seq wins)
+            (4, "d", 2, "I"),    # new key
+        ],
+        "k long, val string, seq long, op string",
+    )
+    n = apply_changes(spark, path, batch2, ["k"], "seq")
+    assert n == 2
+    got = {(r.k, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2"), (4, "d")}
