@@ -123,15 +123,23 @@ def stream_stream_attribution(
     purchases: DataFrame,
     gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: attribute each purchase
-    to the views by the same user in the preceding ``gap``.
+    """Watermarked stream-stream join: attribute each purchase to the
+    views by the same user in the preceding ``gap``.
 
     Both sides carry watermarks and the join condition bounds the
     event-time skew, so Spark can size the join state and evict rows
     older than watermark + gap — the requirement for an unbounded
     stream-stream join to hold bounded state. Returns
     (user_id, purchase_id, purchase_ts, view_id, view_ts).
+
+    ``how='left_outer'``: purchases with NO qualifying view also
+    emit (null view columns) — but only once the watermark passes
+    purchase_ts + gap, when Spark can PROVE no match can still
+    arrive. Until the watermark advances past an unmatched row it
+    sits in state, so a stalled source delays outer results — the
+    inherent outer-join latency/completeness trade, not a bug.
     """
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
@@ -148,4 +156,5 @@ def stream_stream_attribution(
         (F.col("user_id") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {gap}")),
+        how,
     ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")

@@ -331,3 +331,101 @@ def test_rate_source_event_stream(spark, tmp_path):
             assert r.event_type == ("view", "click", "purchase")[r.event_id % 3]
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: purchases with no qualifying view
+    emit null view columns once the watermark proves no match can
+    arrive. A far-future sentinel file advances the watermark past all
+    real data so every unmatched purchase flushes from state."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        stream_events,
+        stream_stream_attribution,
+    )
+
+    src = str(tmp_path / "ev3")
+    (tmp_path / "ev3").mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+    # sentinel: one view + one purchase far past max ts, pushing the
+    # watermark beyond every real purchase_ts + gap on BOTH sides
+    bev = load(spark, sf_dir, "events")
+    max_ts = bev.agg(F.max("ts")).first()[0]
+    # two sentinel files: the watermark computed after sentinel batch N
+    # only evicts/emits during batch N+1, so a second even-later file
+    # guarantees a data-carrying batch AFTER the watermark has passed
+    # every real purchase_ts + gap
+    for i, extra_h in enumerate((100, 200)):
+        far_i = max_ts + dt.timedelta(hours=extra_h)
+        sentinel = spark.createDataFrame(
+            [
+                (-1 - 10 * i, far_i, -1, "view", 0.0, "{}"),
+                (-2 - 10 * i, far_i, -1, "purchase", 0.0, "{}"),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+        sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sent"))
+        shutil.copy(
+            next((tmp_path / "sent").glob("part-*.parquet")),
+            src + f"/part-{i + 1}.parquet",
+        )
+
+    ev = stream_events(spark, src)
+    joined = stream_stream_attribution(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        gap="1 hour",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_louter")
+        .start()
+    )
+    q.processAllAvailable()
+    # outer-row eviction happens in a NO-DATA cleanup micro-batch that
+    # processAllAvailable does not wait for — poll until the sink is
+    # stable across a short quiet period
+    import time as _time
+
+    last, stable_since = -1, _time.time()
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        n = spark.sql("SELECT COUNT(*) FROM ss_louter").first()[0]
+        if n != last:
+            last, stable_since = n, _time.time()
+        elif _time.time() - stable_since > 3:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql(
+            "SELECT * FROM ss_louter WHERE user_id >= 0"
+        ).collect()
+    }
+
+    bv = bev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    bp = bev.where("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in bp.join(
+            bv,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+            "left_outer",
+        ).collect()
+    }
+    assert got == want
+    # outer rows actually present (some purchase had no view)
+    assert any(v is None for _, _, v in got)
