@@ -69,3 +69,34 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in tree:
             bad.append(name)
     assert not bad, f"cartesian products in: {bad}"
+
+
+def test_q59_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q59_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 4-column projection out of 11
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q61_all_dims_broadcast(spark, sf_dir):
+    tree = _plan(spark, sf_dir, "q61_local_supplier_volume").split("\n\n")[0]
+    # region/nation/supplier/customer all broadcast; no shuffle-join
+    # for any dimension
+    assert len(re.findall(r"BroadcastHashJoin", tree)) >= 4
+    assert "CartesianProduct" not in tree
+
+
+def test_q62_sample_filter_no_extra_shuffle(spark, sf_dir):
+    tree = _plan(spark, sf_dir, "q62_deterministic_sample").split("\n\n")[0]
+    # hash-bucket Bernoulli sampling is a scan predicate: the only
+    # Exchange is the aggregate's
+    assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+def test_t15_df_join_broadcasts(spark, sf_dir):
+    tree = _plan(spark, sf_dir, "t15_distinctive_terms").split("\n\n")[0]
+    # corpus df table joins the doc-term matrix as a broadcast
+    assert "BroadcastHashJoin" in tree
