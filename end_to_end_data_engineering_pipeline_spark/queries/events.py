@@ -489,3 +489,46 @@ def e12_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "e13_inter_event_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           CAST(SUM(CAST(gap_us AS DECIMAL(27,0))) AS BIGINT) AS total_gap_us,
+           CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_session_breaks
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def e13_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analytics: per-user lag over event time, gap
+    stats in exact integer microseconds (epoch subtraction — no float
+    duration math), plus the >1h session-break count that e3's
+    sessionization thresholds on. One window shuffle on user_id, the
+    aggregate reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum(F.col("gap_us").cast("decimal(27,0)")).cast("long").alias("total_gap_us"),
+        F.sum((F.col("gap_us") > 3600000000).cast("long")).alias("n_session_breaks"),
+    )

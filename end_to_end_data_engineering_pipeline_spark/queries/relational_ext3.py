@@ -381,3 +381,75 @@ def q70_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.year(F.to_date("l_shipdate")) == 1996).select(qty)
     b = li.where(F.year(F.to_date("l_shipdate")) == 1997).select(qty)
     return a.exceptAll(b).groupBy("qty").agg(F.count(F.lit(1)).alias("n_surplus"))
+
+
+# --------------------------------------------------------------------------
+# q71 — forward-fill (LOCF) over a dense month spine
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q71_forward_fill",
+    oracle="""
+    WITH months AS (SELECT DISTINCT
+                      STRFTIME(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                                    AS DATE), '%Y-%m-%d') AS m
+                    FROM orders),
+         nations AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         actual AS (SELECT c_nationkey AS nk,
+                           STRFTIME(CAST(date_trunc('month',
+                                         CAST(o_orderdate AS DATE)) AS DATE),
+                                    '%Y-%m-%d') AS m,
+                           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4)
+                                AS DOUBLE) AS rev
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    WHERE o_orderpriority = '1-URGENT'
+                    GROUP BY 1, 2)
+    SELECT nations.nk AS nationkey, months.m AS month,
+           actual.rev AS rev_raw,
+           LAST_VALUE(actual.rev IGNORE NULLS) OVER (
+             PARTITION BY nations.nk ORDER BY months.m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+    FROM nations CROSS JOIN months
+    LEFT OUTER JOIN actual ON actual.nk = nations.nk AND actual.m = months.m
+    """,
+)
+def q71_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense (nation x month) spine left-joined
+    with sparse monthly revenue, missing months forward-filled with
+    last-observation-carried-forward — ``last(..., ignorenulls=True)``
+    over an unbounded-preceding ROWS frame. The fill copies stored
+    values (no arithmetic), so determinism reduces to the underlying
+    decimal revenue sums. Spine sides are DISTINCT aggregates of dim
+    cardinality — both broadcast; the window shuffles |spine| rows,
+    not |orders|."""
+    from pyspark.sql import Window
+
+    from ..functions import dec2, dsum_expr
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    month = F.date_format(F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd")
+    months = o.select(month.alias("m")).distinct()
+    nations = c.select(F.col("c_nationkey").alias("nk")).distinct()
+    actual = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), month.alias("m"))
+        .agg(dsum_expr(dec2("o_totalprice"), "rev"))
+    )
+    spine = nations.crossJoin(F.broadcast(months))
+    w = (
+        Window.partitionBy("nk")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["nk", "m"], "left_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("m").alias("month"),
+            F.col("rev").alias("rev_raw"),
+            F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+        )
+    )
