@@ -453,3 +453,159 @@ def q71_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — per-group OLS regression from exact power sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q72_group_ols_slope",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+      FROM customer JOIN orders ON o_custkey = c_custkey),
+    s AS (
+      SELECT c_nationkey, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM c GROUP BY c_nationkey)
+    SELECT c_nationkey AS nationkey, n,
+           CAST(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,0))
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                   AS HUGEINT)
+                // CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,0))
+                        - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                      AS HUGEINT)
+              AS BIGINT) AS slope_ppm_num
+    FROM s
+    """,
+)
+def q72_group_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS slope (order value vs customer balance) computed
+    RELATIONALLY from exact integer-cent power sums — the q65 pattern
+    extended to bivariate regression: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), numerator and denominator exact DECIMAL(38,0),
+    result reported as the exact integer quotient (cents/cents are
+    unitless, so the integer part IS the slope to 1 ulp). No MLlib,
+    no UDF, no float reduction — one hash aggregate per group and a
+    deterministic epilogue, scaling like any groupBy at 100 TB."""
+    from ..functions import dec2
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        (dec2("c_acctbal") * 100).cast("long").alias("x"),
+        (dec2("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    s = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n")
+    num = (
+        n.cast("decimal(10,0)") * F.col("sxy").cast("decimal(27,0)")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    )
+    den = (
+        n.cast("decimal(10,0)") * F.col("sxx").cast("decimal(27,0)")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
+    return (
+        s.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n",
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("slope_ppm_num"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — LATERAL correlated subquery (SQL surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q73_lateral_topn",
+    oracle="""
+    SELECT n_nationkey AS nationkey, n_name, t.c_custkey, t.bal
+    FROM nation,
+         LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+                  FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) t
+    """,
+)
+def q73_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through Spark SQL: top-2 customers
+    per nation. Catalyst decorrelates the lateral into the same
+    window/top-k plan the DataFrame formulation produces — proving
+    the SQL surface (views + LATERAL + correlated LIMIT) matches the
+    API surface. Deterministic tiebreak on custkey."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n_nationkey AS nationkey, n_name, t.c_custkey, t.bal
+        FROM v_nation,
+             LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+                      FROM v_customer
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) t
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — explicit NULLS FIRST/LAST ordering
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q74_null_ordering",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+      FROM events WHERE event_id <= 300)
+    SELECT event_id, user_id, CAST(pval AS DOUBLE) AS pval,
+           ROW_NUMBER() OVER (ORDER BY pval DESC NULLS LAST, event_id)
+             AS rk_nulls_last,
+           ROW_NUMBER() OVER (ORDER BY pval ASC NULLS FIRST, event_id)
+             AS rk_nulls_first
+    FROM e
+    """,
+)
+def q74_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST sort directions. Engines DISAGREE on
+    the default (Spark: nulls smallest; DuckDB: nulls last on ASC) —
+    any cross-engine ordering over nullable keys must pin null
+    placement explicitly, exactly as any cross-cluster-version
+    pipeline should. Both ranks carry an event_id tiebreak."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 300)
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    e = ev.select("event_id", "user_id", pval.alias("pval"))
+    from pyspark.sql import Window
+
+    w_last = Window.orderBy(F.col("pval").desc_nulls_last(), "event_id")
+    w_first = Window.orderBy(F.col("pval").asc_nulls_first(), "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("pval").cast("double").alias("pval"),
+        F.row_number().over(w_last).alias("rk_nulls_last"),
+        F.row_number().over(w_first).alias("rk_nulls_first"),
+    )
