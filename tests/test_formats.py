@@ -32,3 +32,26 @@ def test_csv_requires_schema(spark, tmp_path):
 def test_delta_not_in_image(spark):
     # documents the fallback path: merge.py's anti-join MERGE is used
     assert delta_available(spark) is False
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Additive schema evolution on a parquet table: old files lack the
+    new column; mergeSchema unions file schemas and back-fills nulls —
+    the no-rewrite column-add every long-lived 100 TB table needs."""
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], ["id", "v", "score"]
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+
+    # default read (no mergeSchema) may pick either file's schema —
+    # pinning the read schema explicitly is the stable contract
+    pinned = spark.read.schema("id long, v string, score double").parquet(path)
+    assert {r.id: r.score for r in pinned.collect()}[3] == 30.0
