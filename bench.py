@@ -55,6 +55,8 @@ HEADLINE: list[str] = [
     "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
+    "t12_neardup_clusters",
+    "q65_exact_moments",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim4_cosine_topk_ivf",

@@ -482,7 +482,7 @@ def q71_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,0))
                         - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
                       AS HUGEINT)
-              AS BIGINT) AS slope_ppm_num
+              AS BIGINT) AS slope_floor
     FROM s
     """,
 )
@@ -491,8 +491,8 @@ def q72_group_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     RELATIONALLY from exact integer-cent power sums — the q65 pattern
     extended to bivariate regression: slope = (n*Sxy - Sx*Sy) /
     (n*Sxx - Sx^2), numerator and denominator exact DECIMAL(38,0),
-    result reported as the exact integer quotient (cents/cents are
-    unitless, so the integer part IS the slope to 1 ulp). No MLlib,
+    result reported as the exact floor of the quotient (cents/cents is
+    unitless, so the integer part IS the slope, floor-truncated). No MLlib,
     no UDF, no float reduction — one hash aggregate per group and a
     deterministic epilogue, scaling like any groupBy at 100 TB."""
     from ..functions import dec2
@@ -526,7 +526,7 @@ def q72_group_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_nationkey").alias("nationkey"),
             "n",
-            F.expr("CAST(__num DIV __den AS BIGINT)").alias("slope_ppm_num"),
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("slope_floor"),
         )
     )
 
