@@ -609,3 +609,73 @@ def q74_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).alias("rk_nulls_last"),
         F.row_number().over(w_first).alias("rk_nulls_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — explode vs explode_outer null preservation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q75_explode_outer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t LIKE 'z%') AS zs
+      FROM documents WHERE doc_id <= 200)
+    SELECT toks.doc_id, u.z
+    FROM toks LEFT OUTER JOIN (
+      SELECT doc_id, UNNEST(zs) AS z FROM toks) u
+      ON toks.doc_id = u.doc_id
+    """,
+)
+def q75_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: documents whose filtered token array
+    is EMPTY still emit one null row (plain explode drops them) —
+    the difference between an inner and outer lateral view. The
+    oracle formulates it as LEFT JOIN UNNEST. Partition-local."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    zs = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t.startswith("z"),
+    )
+    return d.select("doc_id", F.explode_outer(zs).alias("z"))
+
+
+# --------------------------------------------------------------------------
+# q76 — array set algebra
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q76_array_set_algebra",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS toks
+      FROM documents WHERE doc_id <= 300)
+    SELECT doc_id,
+           len(list_intersect(toks, ['the','and','of','to','in'])) AS n_common,
+           len(list_filter(toks,
+                           t -> NOT list_contains(['the','and','of','to','in'], t)))
+             AS n_rest,
+           len(toks) AS n_distinct_tokens
+    FROM t
+    """,
+)
+def q76_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / size) against a constant
+    vocabulary — all JVM higher-order functions, one codegen stage, no
+    shuffle. The except-side uses an explicit filter so the count is
+    duplicate-free on both engines."""
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in")])
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).alias("n_common"),
+        F.size(F.array_except(toks, stop)).alias("n_rest"),
+        F.size(toks).alias("n_distinct_tokens"),
+    )
