@@ -187,3 +187,30 @@ def test_connected_components_shapes(spark):
         r.doc_id for r in resolve_canonical(docs, pairs).collect()
     )
     assert kept == [1, 10, 20, 99]  # one survivor per cluster + singleton
+
+
+def test_pandas_udf_parity_with_jvm(spark):
+    """The Arrow-vectorized pandas UDFs must match their JVM
+    (whole-stage-codegen) twins byte-for-byte — the no-semantic-drift
+    contract that allows moving operators across the Python boundary."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        normalize_text,
+        whitespace_tokens,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.udfs import (
+        normalize_text_pandas,
+        token_count_pandas,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cmp = docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("jvm_norm"),
+        normalize_text_pandas(F.col("text")).alias("py_norm"),
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("jvm_n"),
+        token_count_pandas(F.col("text")).alias("py_n"),
+    )
+    bad = cmp.where(
+        (F.col("jvm_norm") != F.col("py_norm")) | (F.col("jvm_n") != F.col("py_n"))
+    ).count()
+    assert bad == 0
