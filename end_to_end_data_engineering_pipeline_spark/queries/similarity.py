@@ -194,8 +194,21 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
 # vs brute force asserted in tests/test_similarity.py::test_ivf_recall
 def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer + nprobe cell
-    search (operators/similarity.py:ivf_train/ivf_topk)."""
-    from ..operators.similarity import ivf_topk, ivf_train
+    search (operators/similarity.py:ivf_train/ivf_topk), serving from
+    the PERSISTED index when one exists for this exact dataset
+    (path+mtime-keyed parquet centroid table under .ivf_index/) —
+    train once, serve many, across processes. Deterministic k-means
+    makes a stored index value-identical to a fresh train, so the
+    cache changes cost, never results."""
+    import hashlib
+    import os
+
+    from ..operators.similarity import (
+        ivf_load_index,
+        ivf_save_index,
+        ivf_topk,
+        ivf_train,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     # one Lloyd refinement on a 1/5 sample: the registry entry
@@ -203,9 +216,27 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with heavier settings
     memo_key = _ivf_memo_key(sf_dir)
     if memo_key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[memo_key] = ivf_train(
-            emb, n_centroids=16, iters=1, sample_mod=5
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+        idx_dir = os.path.join(
+            repo_root,
+            ".ivf_index",
+            hashlib.md5(repr(memo_key).encode()).hexdigest(),
+        )
+        try:
+            if os.path.isdir(idx_dir):
+                _IVF_CENTROIDS[memo_key] = ivf_load_index(spark, idx_dir)
+            else:
+                cents = ivf_train(emb, n_centroids=16, iters=1, sample_mod=5)
+                ivf_save_index(
+                    spark, cents, idx_dir, meta={"key": repr(memo_key)}
+                )
+                _IVF_CENTROIDS[memo_key] = cents
+        except OSError:  # read-only checkout: fall back to in-process memo
+            _IVF_CENTROIDS[memo_key] = ivf_train(
+                emb, n_centroids=16, iters=1, sample_mod=5
+            )
     return ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[memo_key], k=10, nprobe=3)
 
 
