@@ -679,3 +679,51 @@ def q76_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(toks, stop)).alias("n_rest"),
         F.size(toks).alias("n_distinct_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — trailing time-interval window features
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q77_trailing_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(15,2))) OVER w, 4) AS DOUBLE)
+             AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q77_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing 1-hour window features (count + exact decimal
+    sum of the last hour's events at every event) — the sliding
+    look-back every behavioral feature store computes. Spark's
+    rangeBetween is numeric, so the ORDER BY key is exact epoch
+    MICROseconds with a 3.6e9 offset — identical integer semantics in
+    both engines, and ties (same ts) are RANGE-frame peers, so the
+    result is independent of any secondary ordering. One shuffle on
+    user_id."""
+    from pyspark.sql import Window
+
+    from ..functions import dec2
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum(dec2("value")).over(w), 4)
+        .cast("double")
+        .alias("sum_value_1h"),
+    )
