@@ -727,3 +727,123 @@ def q77_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — string rewrite surface (regex backrefs / translate / overlay)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q78_string_rewrite",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '(\w+) (\w+)', '\2-\1') AS swapped,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           CASE WHEN length(p_name) >= 3
+                THEN substr(p_name, 1, 1) || 'XX' || substr(p_name, 4)
+                ELSE p_name END AS overlaid,
+           repeat('-', 3) || upper(p_name) AS banner
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def q78_string_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String WRITE surface: regex group-swap, character translate,
+    overlay, repeat/concat. Engines use different backreference
+    syntax (Spark `$2-$1`, DuckDB `\\2-\\1`) — the oracle carries its
+    own dialect, results must still match byte-for-byte. overlay is
+    mirrored as substr splicing (DuckDB lacks OVERLAY's Spark form
+    for same-length replace). Pure per-row codegen, no shuffle."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(name, r"(\w+) (\w+)", r"$2-$1").alias("swapped"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.when(F.length(name) >= 3, F.overlay(name, F.lit("XX"), 2, 2))
+        .otherwise(name)
+        .alias("overlaid"),
+        F.concat(F.repeat(F.lit("-"), 3), F.upper(name)).alias("banner"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — null-handling conditional surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q79_null_conditionals",
+    oracle="""
+    SELECT event_id,
+           NULLIF(event_type, 'view') AS non_view,
+           IFNULL(NULLIF(event_type, 'view'), 'suppressed') AS labeled,
+           CASE WHEN NULLIF(value, 0.0) IS NOT NULL THEN 'nonzero'
+                ELSE 'zeroish' END AS nvl2_kind,
+           COALESCE(NULLIF(event_type, 'view'), NULLIF(event_type, 'click'),
+                    'fallback') AS first_non_null,
+           CAST(COALESCE(NULLIF(value, 0.0), -1.0) AS DOUBLE) AS value_or_flag
+    FROM events WHERE event_id <= 300
+    """,
+)
+def q79_null_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling conditionals: nullif/ifnull/nvl2/coalesce chains
+    — the X-family completion for three-valued logic. nvl2 is
+    expressed as its CASE expansion in the oracle (DuckDB has no
+    nvl2). Per-row codegen only."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 300)
+    et, val = F.col("event_type"), F.col("value")
+    return ev.select(
+        "event_id",
+        F.nullif(et, F.lit("view")).alias("non_view"),
+        F.ifnull(F.nullif(et, F.lit("view")), F.lit("suppressed")).alias("labeled"),
+        F.nvl2(
+            F.nullif(val, F.lit(0.0)), F.lit("nonzero"), F.lit("zeroish")
+        ).alias("nvl2_kind"),
+        F.coalesce(
+            F.nullif(et, F.lit("view")),
+            F.nullif(et, F.lit("click")),
+            F.lit("fallback"),
+        ).alias("first_non_null"),
+        F.coalesce(F.nullif(val, F.lit(0.0)), F.lit(-1.0))
+        .cast("double")
+        .alias("value_or_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — union by name with missing columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q80_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey AS entity_id, n_name AS name,
+             'nation' AS kind, NULL AS balance
+      FROM nation
+      UNION ALL BY NAME
+      SELECT s_suppkey AS entity_id, s_name AS name,
+             CAST(s_acctbal AS DOUBLE) AS balance, 'supplier' AS kind
+      FROM supplier WHERE s_suppkey <= 60)
+    """,
+)
+def q80_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible vertical union: sources with different column
+    ORDERS and a missing column unify by NAME with null fill
+    (unionByName(allowMissingColumns=True) / DuckDB UNION ALL BY
+    NAME) — the ingestion-time schema-drift absorber, complementing
+    the mergeSchema read path."""
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("kind"),
+    )
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 60).select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("balance"),
+        F.lit("supplier").alias("kind"),
+    )
+    return n.unionByName(s, allowMissingColumns=True)
