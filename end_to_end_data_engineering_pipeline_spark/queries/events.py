@@ -532,3 +532,49 @@ def e13_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("gap_us").cast("decimal(27,0)")).cast("long").alias("total_gap_us"),
         F.sum((F.col("gap_us") > 3600000000).cast("long")).alias("n_session_breaks"),
     )
+
+
+@query(
+    "e14_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1000000.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type)) / 1000000.0
+             AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def e14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user event-type bigrams (lag
+    over event time) aggregated into global transition counts and
+    row-normalized probabilities — the Markov-chain feature behind
+    next-action models. The probability is an exact-int ratio
+    (count*1e6/rowsum) so rounding agrees cross-engine. One window
+    shuffle on user_id, one aggregate, one tiny window over the
+    |types|^2 matrix."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.round(F.col("n") * 1000000.0 / F.sum("n").over(w_row)) / 1000000.0)
+        .alias("p_next"),
+    )
