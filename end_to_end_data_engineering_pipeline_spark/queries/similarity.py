@@ -284,3 +284,74 @@ def sim5_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(sv, lambda x: x > 0)).cast("long").alias("n_positive"),
         norm2_scaled(sv).alias("norm2_scaled"),
     )
+
+
+@query(
+    "sim6_label_separation",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS sv
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    normed AS (
+      SELECT vec_id, label, sv,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(sv) x)) AS BIGINT) AS n2
+      FROM scaled
+    ),
+    pairs AS (
+      SELECT CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS same_label,
+             {_O_COS} AS cosine
+      FROM normed q JOIN normed c ON q.vec_id < c.vec_id
+    )
+    SELECT same_label, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(cosine AS DECIMAL(9,6))) AS DOUBLE) / COUNT(*)
+             AS avg_cosine,
+           MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+    FROM pairs GROUP BY same_label
+    """,
+)
+def sim6_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label separation: average intra-label vs
+    inter-label cosine over all pairs of a deterministic 1/20 id
+    sample — the contrastive-quality diagnostic run before trusting
+    embeddings for clustering/dedup (well-separated labels => intra
+    >> inter). All-pairs is intentional but SAMPLED: n^2/400 work on
+    n vectors; the sample is hash-free (id mod) so the oracle is
+    exact. Cosines are 6dp-rounded; the mean goes through an exact
+    decimal sum (davg convention) so the distributed reduction is
+    order-independent."""
+    from ..operators.similarity import cosine_scaled, dot_scaled, with_scaled
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    base = with_scaled(fan_out(emb), "vec_id", "embedding").join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("sv").alias("sv_a"),
+        F.col("n2").alias("n2_a"), F.col("label").alias("label_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("sv").alias("sv_b"),
+        F.col("n2").alias("n2_b"), F.col("label").alias("label_b"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        F.when(F.col("label_a") == F.col("label_b"), 1)
+        .otherwise(0)
+        .alias("same_label"),
+        cosine_scaled(
+            dot_scaled(F.col("sv_a"), F.col("sv_b")),
+            F.col("n2_a"),
+            F.col("n2_b"),
+        ).alias("cosine"),
+    )
+    return pairs.groupBy("same_label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.col("cosine").cast("decimal(9,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cosine"),
+        F.min("cosine").alias("min_cosine"),
+        F.max("cosine").alias("max_cosine"),
+    )
