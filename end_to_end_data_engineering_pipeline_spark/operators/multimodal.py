@@ -185,3 +185,48 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
     return media.mapInPandas(
         op, schema="media_id long, kind string, content binary, width int, height int"
     )
+
+
+def chunk_media(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Split binary content into fixed-size ordered chunks:
+    (media_id, chunk_idx, chunk binary). The storage shape for large
+    media at 100 TB — a 1 GB video becomes n narrow rows that
+    partition, shuffle, and replicate independently, instead of one
+    row that breaks Arrow batch and shuffle-block limits. Pure JVM
+    ``substring`` on binary — no Python, no explode of materialized
+    arrays (the index sequence is tiny; each slice is lazy)."""
+    n_chunks = F.ceil(F.length("content") / F.lit(chunk_bytes)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
+    return media.select(
+        "media_id", idx.alias("chunk_idx"), "content"
+    ).select(
+        "media_id",
+        "chunk_idx",
+        F.expr(
+            f"substring(content, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})"
+        ).alias("chunk"),
+    )
+
+
+def reassemble_media(chunks: DataFrame) -> DataFrame:
+    """Inverse of chunk_media: order-safe binary reassembly via
+    sorted struct collect + concat of the chunk column. The sort key
+    is the chunk index inside the collected struct, so reassembly is
+    deterministic under any partitioning (collect_list order is not).
+    Returns (media_id, content)."""
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "chunk"))
+            ).alias("parts")
+        )
+        .select(
+            "media_id",
+            F.aggregate(
+                F.col("parts"),
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p.chunk),
+            ).alias("content"),
+        )
+    )

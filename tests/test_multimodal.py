@@ -80,3 +80,31 @@ def test_resize_contract(spark):
     # deterministic across partitionings
     again = {r.media_id: r for r in resize_media(media.repartition(3), 8, 8).collect()}
     assert all(bytes(out[m].content) == bytes(again[m].content) for m in (0, 1, 2))
+
+
+def test_chunk_reassemble_roundtrip(spark):
+    """chunk_media -> reassemble_media must reproduce the original
+    binary byte-for-byte under any partitioning (md5-verified), with
+    the expected chunk counts."""
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        chunk_media,
+        documents_as_media,
+        reassemble_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = documents_as_media(docs)
+    orig = {r.media_id: r.h for r in media.select(
+        "media_id", F.md5("content").alias("h")).collect()}
+
+    chunks = chunk_media(media, chunk_bytes=100).repartition(7)
+    per = {r.media_id: r.n for r in chunks.groupBy("media_id").agg(
+        F.count("*").alias("n")).collect()}
+    lens = {r.media_id: r.l for r in media.select(
+        "media_id", F.length("content").alias("l")).collect()}
+    assert all(per[m] == max(1, -(-lens[m] // 100)) for m in lens)
+
+    back = reassemble_media(chunks)
+    got = {r.media_id: r.h for r in back.select(
+        "media_id", F.md5("content").alias("h")).collect()}
+    assert got == orig
