@@ -336,7 +336,11 @@ def sim6_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), F.col("sv").alias("sv_b"),
         F.col("n2").alias("n2_b"), F.col("label").alias("label_b"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+    # pure-inequality pair join: broadcast the sampled side so the
+    # plan is a BroadcastNestedLoopJoin over the 1/20 sample, never a
+    # partitioned CartesianProduct (the sample is small BY DESIGN;
+    # n^2 growth is the sample-rate dial, not a shuffle explosion)
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         F.when(F.col("label_a") == F.col("label_b"), 1)
         .otherwise(0)
         .alias("same_label"),
