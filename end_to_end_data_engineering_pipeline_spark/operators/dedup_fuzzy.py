@@ -185,8 +185,12 @@ def minhash_lsh_pairs(
     rhs = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     join_keys = ["band_idx", "band_key"]
     if band_salt > 1:
+        # type-agnostic salt: xxhash64 over any id type. A long cast
+        # would NULL out non-numeric ids, and NULL salt keys never
+        # match the exploded right side — silently dropping every pair
+        # involving such ids
         lhs = lhs.withColumn(
-            "__salt", F.pmod(F.col("id_a").cast("long"), F.lit(band_salt)).cast("int")
+            "__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(band_salt)).cast("int")
         )
         rhs = rhs.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(band_salt - 1)))

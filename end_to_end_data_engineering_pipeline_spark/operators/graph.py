@@ -82,6 +82,15 @@ def connected_components(
             if changed == 0:
                 labels = new_labels
                 break
+            if it == max_iter:
+                # partially-propagated labels would silently break the
+                # transitive dedup contract (multiple "canonical" docs
+                # per cluster on chains longer than max_iter) — refuse
+                raise RuntimeError(
+                    f"connected_components did not converge after "
+                    f"{max_iter} rounds; {changed} labels still changing "
+                    f"(graph diameter exceeds max_iter — raise max_iter)"
+                )
         labels = new_labels
     return labels.select("node", F.col("label").alias("cluster_id"))
 

@@ -393,9 +393,23 @@ def ivf_save_index(
 
     meta_s = _json.dumps(meta or {}, sort_keys=True)
     rows = [(i, c, meta_s if i == 0 else None) for i, c in enumerate(centroids)]
-    spark.createDataFrame(rows, schema).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # stage + atomic rename: a crash mid-write must never leave a
+    # partial directory that a later isdir() check mistakes for a
+    # complete index
+    import os
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{path}.__stage_{_uuid.uuid4().hex}"
+    try:
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ivf_load_index(spark, path: str) -> list[list[int]]:

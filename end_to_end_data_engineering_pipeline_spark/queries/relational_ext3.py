@@ -94,7 +94,8 @@ def q64_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,0))
                             - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
                           AS HUGEINT)
-                       // CAST(CAST(n AS DECIMAL(10,0)) * (n - 1) AS HUGEINT)
+                       // nullif(CAST(CAST(n AS DECIMAL(10,0)) * (n - 1)
+                                     AS HUGEINT), 0)
                      AS BIGINT) AS DOUBLE) AS var_cents2
       FROM s)
     SELECT o_orderpriority, n,
@@ -141,8 +142,11 @@ def q65_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
     ).cast("decimal(38,0)")
     den = (n.cast("decimal(10,0)") * (n - 1)).cast("decimal(20,0)")
+    # nullif guard: a single-row group makes den = n*(n-1) = 0; Spark
+    # DIV would yield NULL silently while DuckDB // raises — guard BOTH
+    # engines identically so they agree (NULL variance for n = 1)
     var_cents2 = F.expr(
-        "CAST(__num DIV __den AS DOUBLE)"
+        "CAST(__num DIV nullif(__den, 0) AS DOUBLE)"
     )
     with_nd = s.withColumn("__num", num).withColumn("__den", den)
     var = F.col("__var_cents2") / 10000.0
@@ -187,7 +191,14 @@ def q66_fuzzy_name_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "part")
         .select("p_name")
         .distinct()
-        .withColumn("block", F.split(F.col("p_name"), " ").getItem(1))
+        # coalesce to '' for single-token names: Spark getItem(1) is
+        # NULL there (rows silently dropped by the inner equi-join)
+        # while DuckDB split_part returns '' — align on '' so both
+        # engines block single-token names together
+        .withColumn(
+            "block",
+            F.coalesce(F.split(F.col("p_name"), " ").getItem(1), F.lit("")),
+        )
     )
     a = names.select(F.col("p_name").alias("name_a"), "block")
     b = names.select(F.col("p_name").alias("name_b"), "block")
@@ -479,9 +490,9 @@ def q71_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,0))
                      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
                    AS HUGEINT)
-                // CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,0))
-                        - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
-                      AS HUGEINT)
+                // nullif(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(27,0))
+                               - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                             AS HUGEINT), 0)
               AS BIGINT) AS slope_floor
     FROM s
     """,
@@ -526,7 +537,12 @@ def q72_group_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_nationkey").alias("nationkey"),
             "n",
-            F.expr("CAST(__num DIV __den AS BIGINT)").alias("slope_floor"),
+            # nullif: den = n*Sxx - Sx^2 = 0 for single-row or
+            # constant-x groups; NULL slope in both engines, never a
+            # DuckDB division-by-zero crash diverging from Spark
+            F.expr("CAST(__num DIV nullif(__den, 0) AS BIGINT)").alias(
+                "slope_floor"
+            ),
         )
     )
 

@@ -134,7 +134,12 @@ def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for scale: (1) narrow id-pair generation via the label
     self-join, (2) explicit fan-out of the byte-small CPU-heavy pair
-    set, (3) vectors attached by broadcast — wide rows never shuffle.
+    set, (3) vectors attached by PLAIN equi-joins — the pair set (two
+    longs + a label) is the side that shuffles; AQE promotes the
+    vector side to a broadcast only while it actually fits the
+    threshold. A forced ``F.broadcast`` here would OOM the driver at
+    corpus scale (the vector relation grows with the corpus), so the
+    hint is deliberately absent — tests/test_plans.py pins this.
     """
     emb = load(spark, sf_dir, "embeddings")
     ids = emb.select("vec_id", "label")
@@ -145,7 +150,7 @@ def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "label")
     pairs = fan_out(pairs)
 
-    vecs = with_scaled(emb, "vec_id", "embedding").cache()
+    vecs = with_scaled(emb, "vec_id", "embedding")
     va = vecs.select(
         F.col("id").alias("id_a"), F.col("sv").alias("sv_a"), F.col("n2").alias("n2_a")
     )
@@ -153,8 +158,8 @@ def sim3_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), F.col("sv").alias("sv_b"), F.col("n2").alias("n2_b")
     )
     scored = (
-        pairs.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -233,7 +238,11 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, cents, idx_dir, meta={"key": repr(memo_key)}
                 )
                 _IVF_CENTROIDS[memo_key] = cents
-        except OSError:  # read-only checkout: fall back to in-process memo
+        # a Spark write to an unwritable path surfaces as Py4JJavaError /
+        # AnalysisException, not OSError — catch broadly so the
+        # read-only-checkout fallback actually engages (save is an
+        # optimization; a failed save must never fail the query)
+        except Exception:  # noqa: BLE001 — fall back to in-process memo
             _IVF_CENTROIDS[memo_key] = ivf_train(
                 emb, n_centroids=16, iters=1, sample_mod=5
             )
@@ -286,14 +295,30 @@ def sim5_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed-size sample budget for sim6: pair work is C(budget, 2) and the
+# broadcast is `budget` rows REGARDLESS of corpus size — a fixed-RATE
+# sample (the first draft's vec_id % 20) grows linearly with the corpus
+# and its all-pairs broadcast is a deferred OOM at 100 TB
+SIM6_BUDGET = 128
+
+# hash-order selection key, engine-portable (operators/sampling.sample_key)
+_O_SIM6_KEY = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
 @query(
     "sim6_label_separation",
     oracle=f"""
-    WITH scaled AS (
+    WITH sampled AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings
+      ORDER BY {_O_SIM6_KEY}, vec_id
+      LIMIT {SIM6_BUDGET}
+    ),
+    scaled AS (
       SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS sv
-      FROM embeddings WHERE vec_id % 20 = 0
+      FROM sampled
     ),
     normed AS (
       SELECT vec_id, label, sv,
@@ -314,17 +339,26 @@ def sim5_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim6_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space label separation: average intra-label vs
-    inter-label cosine over all pairs of a deterministic 1/20 id
+    inter-label cosine over all pairs of a FIXED-SIZE deterministic
     sample — the contrastive-quality diagnostic run before trusting
     embeddings for clustering/dedup (well-separated labels => intra
-    >> inter). All-pairs is intentional but SAMPLED: n^2/400 work on
-    n vectors; the sample is hash-free (id mod) so the oracle is
-    exact. Cosines are 6dp-rounded; the mean goes through an exact
-    decimal sum (davg convention) so the distributed reduction is
-    order-independent."""
+    >> inter). All-pairs is intentional but BOUNDED: the sample is
+    the first SIM6_BUDGET vectors in hash order of vec_id (selected
+    by TakeOrderedAndProject — per-partition top-k then merge, no
+    global sort), so pair work is C(budget, 2) and the broadcast side
+    is a constant row count at ANY corpus size. The hash-order
+    selection is a pure function of vec_id, so the oracle reproduces
+    it exactly. Cosines are 6dp-rounded; the mean goes through an
+    exact decimal sum (davg convention) so the distributed reduction
+    is order-independent."""
+    from ..operators.sampling import sample_key
     from ..operators.similarity import cosine_scaled, dot_scaled, with_scaled
 
-    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .orderBy(sample_key("vec_id").asc(), F.col("vec_id"))
+        .limit(SIM6_BUDGET)
+    )
     base = with_scaled(fan_out(emb), "vec_id", "embedding").join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
@@ -336,10 +370,11 @@ def sim6_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), F.col("sv").alias("sv_b"),
         F.col("n2").alias("n2_b"), F.col("label").alias("label_b"),
     )
-    # pure-inequality pair join: broadcast the sampled side so the
-    # plan is a BroadcastNestedLoopJoin over the 1/20 sample, never a
-    # partitioned CartesianProduct (the sample is small BY DESIGN;
-    # n^2 growth is the sample-rate dial, not a shuffle explosion)
+    # pure-inequality pair join: broadcasting the sampled side keeps
+    # the plan a BroadcastNestedLoopJoin, never a partitioned
+    # CartesianProduct — and the broadcast is SAFE because the side is
+    # capped at SIM6_BUDGET rows by construction, independent of
+    # corpus size (the budget, not a rate, is the diagnostic's dial)
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         F.when(F.col("label_a") == F.col("label_b"), 1)
         .otherwise(0)

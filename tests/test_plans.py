@@ -100,3 +100,19 @@ def test_t15_df_join_broadcasts(spark, sf_dir):
     tree = _plan(spark, sf_dir, "t15_distinctive_terms").split("\n\n")[0]
     # corpus df table joins the doc-term matrix as a broadcast
     assert "BroadcastHashJoin" in tree
+
+
+def test_sim3_no_forced_corpus_broadcast(spark, sf_dir):
+    # sim3 attaches the (corpus-sized) vector relation with PLAIN
+    # equi-joins: any broadcast must come from AQE's size estimate,
+    # never a hint — a forced broadcast OOMs at 100 TB. With the
+    # size-based threshold disabled, a hint is the only thing that
+    # could still produce a BroadcastExchange; assert there is none.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tree = _plan(spark, sf_dir, "sim3_embedding_neardup_pairs").split("\n\n")[0]
+        assert "BroadcastExchange" not in tree
+        assert "CartesianProduct" not in tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

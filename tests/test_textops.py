@@ -189,6 +189,47 @@ def test_connected_components_shapes(spark):
     assert kept == [1, 10, 20, 99]  # one survivor per cluster + singleton
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter allows must RAISE, never return
+    partially-propagated labels (which would silently keep multiple
+    'canonical' docs per cluster)."""
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, check_every=2)
+    # and with enough rounds the same graph converges to one label
+    cc = connected_components(chain, max_iter=25).collect()
+    assert {r.cluster_id for r in cc} == {1}
+
+
+def test_lsh_band_salt_string_ids(spark):
+    """Salting must be type-agnostic: string doc ids used to NULL out
+    under the long-cast salt, silently dropping every pair."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [("doc-a", BASE), ("doc-b", NEAR), ("doc-c", OTHER)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3, band_salt=4).collect()
+    }
+    assert salted == plain
+    assert ("doc-a", "doc-b") in plain
+
+
 def test_pandas_udf_parity_with_jvm(spark):
     """The Arrow-vectorized pandas UDFs must match their JVM
     (whole-stage-codegen) twins byte-for-byte — the no-semantic-drift
