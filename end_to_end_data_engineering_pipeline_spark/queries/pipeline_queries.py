@@ -207,3 +207,62 @@ def p4_quality_gate_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     return exp.counters_df(li)
+
+
+@query(
+    "p5_incremental_gold",
+    oracle="""
+    SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY month
+    """,
+)
+def p5_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold materialization (ModelRunner + partition-scoped
+    MERGE): a monthly-revenue model built in TWO runs — a historical
+    backfill (months < 1997-04) then an incremental run recomputing all
+    complete months >= 1997-01. The overlap (1997-01..03) exercises the
+    REPLACE path (anti-join drops the stale aggregate rows, the fresh
+    batch wins); months before the watermark are untouched on disk.
+    The merged table must equal the one-shot full aggregate (the
+    oracle) — dbt's incremental-vs-full-refresh equivalence contract
+    (dbt_project.yml:19-21 vs clean_data.py:222-243). At 100 TB the
+    second run reads and rewrites only the watermarked partitions."""
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..plans import ModelRunner
+
+    o = load(spark, sf_dir, "orders")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum_expr(dec2("o_totalprice"), "sum_price"),
+            )
+        )
+
+    runner = ModelRunner(warehouse_dir=tempfile.mkdtemp(prefix="p5_incr_"))
+    phase = {"n": 1}
+
+    @runner.model(
+        "gold_monthly_revenue",
+        materialization="incremental",
+        unique_key=("month",),
+        partition_col="month",
+    )
+    def gold(s: SparkSession) -> DataFrame:
+        if phase["n"] == 1:  # historical backfill
+            return monthly(o.where(F.col("o_orderdate") < F.lit("1997-04-01")))
+        # incremental: recompute complete months from the watermark on
+        return monthly(o.where(F.col("o_orderdate") >= F.lit("1997-01-01")))
+
+    runner.run(spark)
+    phase["n"] = 2
+    out = runner.run(spark)
+    return out["gold_monthly_revenue"].select("month", "n_orders", "sum_price")

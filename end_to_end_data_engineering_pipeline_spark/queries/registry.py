@@ -64,7 +64,6 @@ _PRIORITY: list[str] = [
     "q52_top_supplier_view",
     "q53_late_shipment_priority",
     "q54_returned_items_topk",
-    "q55_priority_shipping_classes",
     "q56_customer_order_distribution",
     "q57_large_volume_customers",
     "q58_dormant_account_cohorts",
@@ -94,6 +93,7 @@ _PRIORITY: list[str] = [
     "sim5_vector_stats",
     "m1_multimodal_features",
     "p3_sql_model_over_views",
+    "p5_incremental_gold",
 ]
 
 

@@ -71,3 +71,136 @@ def test_model_runner_views_tables_and_star_join(spark, tmp_path):
     # full rebuild: running again replaces tables (same counts, no dup)
     built2 = runner.run(spark)
     assert built2["m_fact"].count() == out["n_silver"]
+
+
+def test_incremental_model_rewrites_only_touched_partitions(spark, tmp_path):
+    """Second run of an incremental model must (1) upsert by key and
+    (2) leave data files of un-touched partitions byte-identical on
+    disk — the partition-scoped MERGE contract."""
+    import os
+
+    from end_to_end_data_engineering_pipeline_spark.plans import ModelRunner
+
+    runner = ModelRunner(warehouse_dir=str(tmp_path))
+    batches = {
+        1: [("2026-01", "a", 10.0), ("2026-01", "b", 20.0), ("2026-02", "c", 5.0)],
+        # touches ONLY 2026-02: update c, insert d
+        2: [("2026-02", "c", 7.0), ("2026-02", "d", 1.0)],
+    }
+    phase = {"n": 1}
+
+    @runner.model(
+        "inc", materialization="incremental",
+        unique_key=("month", "k"), partition_col="month",
+    )
+    def inc(s):
+        return s.createDataFrame(batches[phase["n"]], ["month", "k", "v"])
+
+    runner.run(spark)
+
+    def part_files(month):
+        d = tmp_path / "inc" / f"month={month}"
+        return {
+            f: os.path.getmtime(d / f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    jan_before = part_files("2026-01")
+    phase["n"] = 2
+    built = runner.run(spark)
+
+    assert part_files("2026-01") == jan_before  # untouched partition intact
+    rows = {
+        (r.month, r.k): r.v for r in built["inc"].collect()
+    }
+    assert rows == {
+        ("2026-01", "a"): 10.0,
+        ("2026-01", "b"): 20.0,
+        ("2026-02", "c"): 7.0,   # updated
+        ("2026-02", "d"): 1.0,   # inserted
+    }
+
+
+def test_manifest_passes_and_appends_audit(spark, tmp_path):
+    """Declarative schema.yml-analog manifest: a clean run passes every
+    test and appends one audit row per test."""
+    from end_to_end_data_engineering_pipeline_spark.plans import (
+        ModelRunner,
+        not_null,
+        relationships,
+        unique,
+    )
+
+    runner = ModelRunner(warehouse_dir=str(tmp_path))
+
+    @runner.model(
+        "t_dim", materialization="table",
+        tests=[not_null("id"), unique("id")],
+    )
+    def dim(s):
+        return s.createDataFrame([(1, "x"), (2, "y")], ["id", "name"])
+
+    @runner.model(
+        "t_fact", materialization="table",
+        tests=[
+            not_null("dim_id"),
+            relationships("dim_id", to="t_dim", field="id"),
+        ],
+    )
+    def fact(s):
+        return s.createDataFrame([(1, 5.0), (2, 6.0), (2, 7.0)], ["dim_id", "v"])
+
+    runner.run(spark)
+    audit = spark.read.parquet(str(tmp_path / "_model_test_results"))
+    assert audit.count() == 4
+    assert audit.where(F.col("status") != "PASS").count() == 0
+    assert {r.test for r in audit.collect()} == {
+        "not_null", "unique", "relationships"
+    }
+
+
+def test_manifest_violation_fails_build(spark, tmp_path):
+    """A violated rule must halt the build (QualityGateError) and still
+    record the FAIL audit rows — dbt test semantics."""
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.plans import (
+        ModelRunner,
+        not_null,
+        relationships,
+        unique,
+    )
+    from end_to_end_data_engineering_pipeline_spark.quality import QualityGateError
+
+    runner = ModelRunner(warehouse_dir=str(tmp_path))
+
+    @runner.model(
+        "b_dim", materialization="table",
+        tests=[not_null("id"), unique("id")],
+    )
+    def dim(s):
+        # duplicate id AND a null id: 2 of 3 tests must fail
+        return s.createDataFrame(
+            [(1, "x"), (1, "y"), (None, "z")], "id int, name string"
+        )
+
+    @runner.model(
+        "b_fact", materialization="table",
+        tests=[relationships("dim_id", to="b_dim", field="id")],
+    )
+    def fact(s):
+        return s.createDataFrame([(1, 5.0), (9, 6.0)], "dim_id int, v double")
+
+    with pytest.raises(QualityGateError):
+        runner.run(spark)
+    audit = spark.read.parquet(str(tmp_path / "_model_test_results"))
+    failed = {
+        (r.model, r.column, r.test)
+        for r in audit.where(F.col("status") == "FAIL").collect()
+    }
+    assert failed == {
+        ("b_dim", "id", "not_null"),
+        ("b_dim", "id", "unique"),
+        ("b_fact", "dim_id", "relationships"),
+    }
