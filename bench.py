@@ -4,13 +4,17 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = total wall seconds across headline queries (each timed to full
-materialization via a count-collect of the result).
+materialization via a count-collect of the result). Each query runs
+$SPARK_GRAFT_BENCH_REPS times (default 5) and reports the MEDIAN —
+round-2's n=2 runs could not distinguish sub-second JIT/GC noise from
+real regressions (q30/sim1/t1 flagged then; medians settle it).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,16 +83,20 @@ def main() -> None:
         qs[name](spark, warm_dir).count()
     spark.catalog.clearCache()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-        # operators cache shared sub-plans; drop them so queries are
-        # timed independently and memory doesn't creep across the run
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+            assert n >= 0
+            # operators cache shared sub-plans; drop them so queries are
+            # timed independently and memory doesn't creep across the run
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -86,10 +86,12 @@ def cosine_topk_bruteforce(
     """
     from ..catalog import fan_out
 
-    # cache: both the query side and the corpus side of the join read
-    # this projection — without it the scaled vectors are recomputed
-    # once per branch
-    base = with_scaled(fan_out(emb), id_col, vec_col).cache()
+    # deliberately NOT cached: both join sides read this projection, but
+    # it is a narrow map over the scan — the query branch's isin() pushes
+    # to the source and reads ~|Q| rows, so recomputation costs one extra
+    # narrow pass. Caching the full scaled corpus pins O(corpus) executor
+    # memory and (returned lazily) could never be unpersisted safely.
+    base = with_scaled(fan_out(emb), id_col, vec_col)
     q = base.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("sv").alias("qsv"),
@@ -154,9 +156,13 @@ def cosine_topk_lsh(
     the brute-force oracle in tests/test_similarity.py."""
     from ..catalog import fan_out
 
+    # uncached for the same reason as cosine_topk_bruteforce: the plan is
+    # returned lazily and the corpus-wide signature table must not be
+    # pinned in memory; the query branch recomputes signatures for only
+    # the isin-pushed rows.
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
         "id", "sv", "n2", lsh_signature(F.col("sv"), n_planes, dim).alias("sig")
-    ).cache()
+    )
     q = base.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("sv").alias("qsv"),
@@ -326,7 +332,10 @@ def ivf_topk(
     shrink ~n_centroids/nprobe-fold vs brute force."""
     from ..catalog import fan_out
 
-    base = with_scaled(fan_out(emb), id_col, vec_col).cache()
+    # uncached: base feeds three branches, but each is a narrow map over
+    # the scan (query branches isin-pushed); a lazily-returned cache of
+    # the scaled corpus would leak and OOM at corpus scale.
+    base = with_scaled(fan_out(emb), id_col, vec_col)
     corpus_cells = _assign_cells(base, centroids, nprobe=1).select(
         "id", F.col("cid").alias("cell")
     )

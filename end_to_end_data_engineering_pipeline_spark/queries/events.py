@@ -578,3 +578,77 @@ def e14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("n") * 1000000.0 / F.sum("n").over(w_row)) / 1000000.0)
         .alias("p_next"),
     )
+
+
+@query(
+    "e15_cdc_latest_state",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2
+                            AS DECIMAL(15,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(price), 4) AS DOUBLE) AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def e15_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> latest state (streaming family's batch twin,
+    SURVEY §2.9): apply_changes (operators/merge.py) composes
+    latest-wins sequencing with MERGE+DELETE — the full
+    INSERT/UPDATE/DELETE contract the reference's ON CONFLICT upsert
+    lacks (clean_data.py:222-243 can only insert/update).
+
+    A deterministic changelog is derived from orders: batch 1 inserts
+    every key (seq 1); batch 2 doubles the price of keys % 7 == 0
+    (U, seq 2) and removes keys % 13 == 0 (D, seq 3 — D outranks a
+    same-batch U on keys divisible by both). The oracle checks the
+    CLOSED FORM of the final state, so the whole changelog machinery
+    (per-key latest-wins, delete anti-join, two-batch application) must
+    land exactly. The same operator runs under foreachBatch in
+    streaming (tests/test_streaming.py CDC equivalence test)."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.merge import apply_changes
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec2("o_totalprice").alias("price")
+    )
+    inserts = o.select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 13 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    tmp = tempfile.mkdtemp(prefix="e15_cdc_")
+    target = tmp + "/state"
+    try:
+        apply_changes(spark, target, inserts, ["o_orderkey"], "seq")
+        apply_changes(
+            spark, target, updates.unionByName(deletes), ["o_orderkey"], "seq"
+        )
+        state = spark.read.parquet(target)
+        out = state.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_expr(F.col("price"), "sum_price"),
+        )
+        # materialize before the staged table is deleted
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

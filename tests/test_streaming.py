@@ -429,3 +429,76 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     assert got == want
     # outer rows actually present (some purchase had no view)
     assert any(v is None for _, _, v in got)
+
+
+def test_streaming_cdc_apply_changes_matches_batch(spark, tmp_path):
+    """CDC composition over the rate source (e15's streaming side): a
+    changelog shaped from rate rows is applied per-microbatch with
+    apply_changes under foreachBatch; the resulting state table must
+    equal a ONE-SHOT batch apply_changes over the full logged
+    changelog — sequential per-batch latest-wins composes to global
+    latest-wins because seq (the rate offset) is monotone per key
+    across microbatches.
+
+    The handler processes exactly 3 non-empty microbatches and ignores
+    the rest, so q.stop() can never interrupt a half-applied batch
+    (interruption mid-apply would make log and state diverge for
+    reasons that are test-harness artifacts, not operator bugs)."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    log_dir = str(tmp_path / "changelog")
+    state_dir = str(tmp_path / "state")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+    changes = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 10 >= 5, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(log_dir)
+        apply_changes(
+            batch_df.sparkSession, state_dir, batch_df, ["k"], "seq"
+        )
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+
+    full_log = spark.read.parquet(log_dir)
+    assert full_log.count() > 0
+    twin_dir = str(tmp_path / "state_twin")
+    apply_changes(spark, twin_dir, full_log, ["k"], "seq")
+
+    got = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    want = sorted(map(tuple, spark.read.parquet(twin_dir).collect()))
+    assert got == want and len(want) > 0

@@ -261,6 +261,57 @@ def test_retrying_fetcher_backoff_schedule(spark):
     assert len(sleeps) == 2
 
 
+def test_retrying_fetcher_batch_log_accounting(spark, tmp_path):
+    """Retry wrapper composed with ingest_batch: a city that recovers
+    within the retry budget counts as a SUCCESS row; one that never
+    recovers is a failure row and flips the batch to PARTIAL_FAILURE —
+    the reference's http_success/http_failure counters
+    (ingestion/fetch_data.py:242-263) fed through the retry session
+    (:71-84)."""
+    from end_to_end_data_engineering_pipeline_spark.sources.rest import (
+        FetchResult,
+        retrying_fetcher,
+    )
+
+    wh = Warehouse(str(tmp_path))
+    good = synthetic_fetcher()
+    attempts: dict[str, int] = {}
+
+    def flaky(loc, start, end):
+        n = attempts.get(loc.city, 0) + 1
+        attempts[loc.city] = n
+        if loc.city == "Lyon" and n < 3:  # recovers on 3rd attempt
+            return FetchResult(http_status=429, payload=None)
+        if loc.city == "Marseille":  # never recovers
+            return FetchResult(http_status=503, payload=None)
+        return good(loc, start, end)
+
+    sleeps: list[float] = []
+    batch_id = ingest_batch(
+        spark,
+        LOCS,
+        START,
+        END,
+        retrying_fetcher(flaky, max_retries=3, sleeper=sleeps.append),
+        wh.bronze,
+        wh.batch_log,
+    )
+    assert attempts == {"Paris": 1, "Lyon": 3, "Marseille": 4}
+    # Lyon: 2 backoffs (0.5, 1.0); Marseille: full budget (0.5, 1.0, 2.0)
+    assert sorted(sleeps) == [0.5, 0.5, 1.0, 1.0, 2.0]
+    bronze = spark.read.parquet(wh.bronze).where(
+        F.col("batch_id") == batch_id
+    )
+    assert bronze.where("http_status = 200").count() == 2  # Paris + Lyon
+    assert bronze.where("http_status = 503").count() == 1  # Marseille
+    log = latest_wins(
+        spark.read.parquet(wh.batch_log), "batch_id", "event_time"
+    ).collect()[0]
+    assert log.status == "PARTIAL_FAILURE"
+    assert log.http_success_count == 2
+    assert log.http_failure_count == 1
+
+
 def test_distributed_ingest_matches_driver_loop(spark, tmp_path):
     from end_to_end_data_engineering_pipeline_spark.sources.rest import (
         ingest_batch_distributed,
