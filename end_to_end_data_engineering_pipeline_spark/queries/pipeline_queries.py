@@ -266,3 +266,59 @@ def p5_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase["n"] = 2
     out = runner.run(spark)
     return out["gold_monthly_revenue"].select("month", "n_orders", "sum_price")
+
+
+@query(
+    "p6_compaction_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS sum_price
+    FROM lineitem WHERE l_shipdate >= '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def p6_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction preserves data exactly (operators/
+    maintenance.py): a lineitem slice is written as a deliberately
+    fragmented partitioned table (4 appends x 4 tasks per returnflag
+    partition), compacted down to the byte-justified file count, and
+    re-aggregated — the result must equal the oracle's aggregate over
+    the ORIGINAL rows, proving the rewrite is content-neutral. The
+    lake-maintenance analog of Delta OPTIMIZE: at 100 TB, per-batch
+    ingestion appends accrete thousands of files per partition and
+    scan cost tracks file count, so compaction is a first-class
+    operator, not an offline chore."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.maintenance import compact_partitions
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01")
+    ).select("l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey")
+
+    tmp = tempfile.mkdtemp(prefix="p6_compact_")
+    path = tmp + "/t"
+    try:
+        for i in range(4):  # fragment: 4 appends x 4 tasks per partition
+            li.where((F.col("l_orderkey") % 4) == i).repartition(4).write.mode(
+                "append"
+            ).partitionBy("l_returnflag").parquet(path)
+        compact_partitions(spark, path, target_file_bytes=1 << 30)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                dsum_expr(dec2("l_extendedprice"), "sum_price"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

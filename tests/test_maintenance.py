@@ -1,0 +1,131 @@
+"""Table-maintenance operators: small-file compaction + clustered
+writes (operators/maintenance.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+    clustered_write,
+    compact_partitions,
+    plan_compaction,
+)
+
+
+def _files(d):
+    return sorted(
+        f
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def test_compaction_shrinks_fragmented_partitions_only(spark, tmp_path):
+    """A partition fragmented by many tiny appends is rewritten to the
+    byte-justified file count; an already-compact partition keeps its
+    exact files (identity pinned by mtime+name)."""
+    path = str(tmp_path / "t")
+    # partition a: 12 tiny files (3 appends x 4 tasks); partition b: 1 file
+    df = spark.range(0, 3000).select(
+        F.lit("a").alias("p"), F.col("id").alias("v")
+    )
+    for i in range(3):
+        df.where((F.col("v") % 3) == i).repartition(4).write.mode(
+            "append"
+        ).partitionBy("p").parquet(path)
+    spark.range(0, 1000).select(
+        F.lit("b").alias("p"), F.col("id").alias("v")
+    ).coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+
+    a_dir, b_dir = str(tmp_path / "t" / "p=a"), str(tmp_path / "t" / "p=b")
+    assert len(_files(a_dir)) == 12
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    sum_before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .groupBy("p")
+            .agg(F.sum("v").alias("s"))
+            .collect(),
+        )
+    )
+    b_files_before = {
+        f: os.path.getmtime(os.path.join(b_dir, f)) for f in _files(b_dir)
+    }
+
+    plan = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert set(plan) == {a_dir} and plan[a_dir][0] == 12
+    assert len(_files(a_dir)) == plan[a_dir][1] == 1
+    # untouched partition: same files, same mtimes
+    assert {
+        f: os.path.getmtime(os.path.join(b_dir, f)) for f in _files(b_dir)
+    } == b_files_before
+    # contents identical
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.collect())) == rows_before
+    assert (
+        sorted(
+            map(
+                tuple,
+                after.groupBy("p").agg(F.sum("v").alias("s")).collect(),
+            )
+        )
+        == sum_before
+    )
+    # second run is a no-op
+    assert compact_partitions(spark, path, target_file_bytes=1 << 30) == {}
+
+
+def test_compaction_unpartitioned_table(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.range(0, 2000).repartition(10).write.parquet(path)
+    assert len(_files(path)) == 10
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+    plan = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert plan and len(_files(path)) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_plan_compaction_respects_target_bytes(spark, tmp_path):
+    """With a tiny byte target the partition is already 'compact
+    enough' at its current count -> empty plan (no rewrite storms)."""
+    path = str(tmp_path / "t2")
+    spark.range(0, 1000).repartition(4).write.parquet(path)
+    # each file is ~KBs; a 1-byte target wants >= current count files
+    assert plan_compaction(path, target_file_bytes=1) == {}
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned sorted write: per-file footer min/max on the
+    sort key must be (near-)disjoint so a point predicate prunes to
+    ~1 file; a hash-shuffled write scatters every range across every
+    file. Footer stats read via pyarrow."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # adversarial input order: round-robin shuffle first
+    clustered_write(df.repartition(8), path, sort_cols=["k"], n_files=8)
+
+    ranges = []
+    for f in _files(path):
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 8
+    # consecutive file ranges must not overlap (sorted, range-cut)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # and the data round-trips
+    got = spark.read.parquet(path)
+    assert got.count() == 100_000
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100_000))
