@@ -84,19 +84,26 @@ def main() -> None:
     spark.catalog.clearCache()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    timings: dict[str, float] = {}
-    for name in names:
-        samples: list[float] = []
-        for _ in range(reps):
+    # round-robin passes, not consecutive per-query reps: a transient
+    # stall (GC pause, page-cache eviction) spans wall-clock time, so
+    # consecutive reps would let it inflate MOST samples of one query
+    # (observed: t7 3x off in one run, normal in isolation); spread
+    # across passes it costs one sample of several queries and the
+    # median rejects it
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
-            samples.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             assert n >= 0
             # operators cache shared sub-plans; drop them so queries are
             # timed independently and memory doesn't creep across the run
             spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 4)
+    timings = {
+        name: round(statistics.median(s), 4) for name, s in samples.items()
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

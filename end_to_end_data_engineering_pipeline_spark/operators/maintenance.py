@@ -44,14 +44,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _partition_dirs(path: str) -> list[str]:
-    """Immediate hive partition dirs (key=value) under path, or [path]
-    itself for an unpartitioned table."""
+    """Leaf hive partition dirs (key=value, recursing through
+    multi-level partitioning) under path, or [path] itself for an
+    unpartitioned table."""
     subs = [
-        d
+        os.path.join(path, d)
         for d in sorted(os.listdir(path))
         if "=" in d and os.path.isdir(os.path.join(path, d))
     ]
-    return [os.path.join(path, d) for d in subs] if subs else [path]
+    if not subs:
+        return [path]
+    out: list[str] = []
+    for s in subs:
+        out.extend(_partition_dirs(s))
+    return out
 
 
 def _data_files(d: str) -> list[str]:

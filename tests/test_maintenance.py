@@ -129,3 +129,23 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 100_000
     assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100_000))
+
+
+def test_compaction_recurses_multilevel_partitions(spark, tmp_path):
+    path = str(tmp_path / "ml")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        F.col("id").alias("v"),
+    )
+    for _ in range(3):
+        df.repartition(2).write.mode("append").partitionBy("a", "b").parquet(
+            path
+        )
+    leaf = str(tmp_path / "ml" / "a=0" / "b=0")
+    assert len(_files(leaf)) == 6
+    rows_before = sorted(r.v for r in spark.read.parquet(path).collect())
+    plan = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert leaf in plan and len(plan) == 6  # every leaf was fragmented
+    assert len(_files(leaf)) == 1
+    assert sorted(r.v for r in spark.read.parquet(path).collect()) == rows_before
