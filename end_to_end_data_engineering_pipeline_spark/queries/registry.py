@@ -62,7 +62,6 @@ _PRIORITY: list[str] = [
     "q50_disjunctive_join_predicates",
     "q51_promo_revenue_share",
     "q52_top_supplier_view",
-    "q53_late_shipment_priority",
     "q54_returned_items_topk",
     "q56_customer_order_distribution",
     "q57_large_volume_customers",
@@ -80,6 +79,7 @@ _PRIORITY: list[str] = [
     "e8_asof_join",
     "e11_funnel",
     "e12_weekly_cohort_retention",
+    "e15_cdc_latest_state",
     "t1_text_stats",
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
