@@ -427,3 +427,61 @@ def ivf_load_index(spark, path: str) -> list[list[int]]:
     is one file."""
     rows = spark.read.parquet(path).orderBy("cell_id").collect()
     return [list(r.centroid) for r in rows]
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS via hyperplane-LSH banding — the
+    unblocked scale path for corpus-wide near-dup (label-blocked sim3
+    needs a label column; real corpora have none).
+
+    Self-join restricted to equal LSH buckets: candidate volume drops
+    from N^2/2 to sum_b(|b|^2)/2 ~ N^2/2^(n_planes+1) for balanced
+    buckets — the exact banding argument of minhash LSH (dedup_fuzzy),
+    applied to cosine space: vectors with cosine >= t agree on a
+    random hyperplane with prob 1 - acos(t)/pi (~0.80 + at t=0.8), so
+    a 6-plane single-band bucket keeps ~26% of true pairs per band;
+    recall is asserted against the exact pair set in tests, and the
+    whole pipeline (fixed-point scaling, signature, bucket join, exact
+    rescoring) is deterministic, so it sits under a full value-hash
+    DuckDB oracle.
+
+    Scale knobs mirror minhash_lsh_pairs: more bands (signature
+    rotations) raise recall; bucket-size caps and salts apply
+    unchanged since this is the same banded self-join shape.
+    """
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col).select(
+        "id", "sv", "n2", lsh_signature(F.col("sv"), n_planes, dim).alias("sig")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("n2").alias("n2_a"),
+        "sig",
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("n2").alias("n2_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine_scaled(
+            dot_scaled(F.col("sv_a"), F.col("sv_b")),
+            F.col("n2_a"),
+            F.col("n2_b"),
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

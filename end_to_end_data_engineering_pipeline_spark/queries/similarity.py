@@ -394,3 +394,28 @@ def sim6_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cosine").alias("min_cosine"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+@query(
+    "sim7_neardup_pairs_lsh",
+    oracle=f"""
+    WITH {_O_SCALED},
+    sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
+             FROM normed)
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_O_COS} AS cosine
+    FROM sigd q JOIN sigd c ON c.sig = q.sig AND q.vec_id < c.vec_id
+    WHERE {_O_COS} >= 0.8
+    """,
+)
+def sim7_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs, LSH-bucketed (no label
+    blocking — operators/similarity.py embedding_neardup_lsh). The
+    banded self-join makes candidate volume ~N^2/2^(planes+1) instead
+    of N^2/2; exact fixed-point rescoring inside the bucket keeps the
+    result deterministic and fully value-hash oracled. Recall vs the
+    exact threshold-pair set is asserted in tests/test_similarity.py."""
+    from ..operators.similarity import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, threshold=0.8, n_planes=6)

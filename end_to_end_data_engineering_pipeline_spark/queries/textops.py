@@ -606,3 +606,45 @@ def t15_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("__ord")) / 1000000.0).alias("score"),
         )
     )
+
+
+@query(
+    "t16_sequence_packing",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_chars, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(n_chars AS BIGINT) AS bin_fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.doc_id, d.n_chars, d.rn,
+             CASE WHEN p.bin_fill + d.n_chars > 2000
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_fill + d.n_chars > 2000
+                  THEN CAST(d.n_chars AS BIGINT)
+                  ELSE p.bin_fill + d.n_chars END
+      FROM docs d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, bin_id, bin_fill
+    FROM packed
+    """,
+)
+def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2000-char context bins per lang
+    (operators/packing.py pack_sequences — Arrow applyInPandas, the
+    per-group stateful fold Spark windows can't express). The DuckDB
+    oracle replays the identical fold as a recursive CTE over the
+    row_number chain, so every bin assignment and running fill is
+    value-hash checked — not just bin counts."""
+    from ..operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=2000, group_cols=("lang",), id_col="doc_id",
+        size_col="n_chars",
+    )

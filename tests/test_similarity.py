@@ -130,3 +130,57 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     fresh = ivf_topk(emb, qids, cents, k=5, nprobe=2).collect()
     served = ivf_topk(emb, qids, loaded, k=5, nprobe=2).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
+
+
+def test_neardup_lsh_pairs_recall_and_precision(clustered):
+    """Banded near-dup pairs: every returned pair truly clears the
+    threshold (precision 1.0 — exact in-bucket rescoring), and recall
+    vs the exact threshold-pair set is high on clustered data (near-
+    dups agree on hyperplane signs with high probability)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        dot_scaled,
+        cosine_scaled,
+        embedding_neardup_lsh,
+        with_scaled,
+    )
+
+    thresh = 0.95
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_lsh(
+            clustered, threshold=thresh, n_planes=4, dim=DIM
+        ).collect()
+    }
+
+    # exact pair set via brute force
+    base = with_scaled(clustered, "vec_id", "embedding")
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("sv").alias("sv_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("sv").alias("sv_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_scaled(
+                dot_scaled(F.col("sv_a"), F.col("sv_b")),
+                F.col("n2_a"), F.col("n2_b"),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= thresh)
+        .collect()
+    }
+
+    # precision 1.0: every banded pair is a true pair with the exact score
+    assert set(got) <= set(exact)
+    assert all(exact[p] == got[p] for p in got)
+    # recall: clustered near-dups mostly share the 4-bit signature
+    assert len(exact) > 50
+    assert len(got) / len(exact) >= 0.5

@@ -255,3 +255,56 @@ def test_pandas_udf_parity_with_jvm(spark):
         (F.col("jvm_norm") != F.col("py_norm")) | (F.col("jvm_n") != F.col("py_n"))
     ).count()
     assert bad == 0
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """First-fit fold: exact-budget fits stay, overflow opens a new
+    bin, an oversized doc owns a bin alone, and assignment is
+    invariant to input partitioning (the fold orders by id)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        ("en", 1, 900),
+        ("en", 2, 1100),  # 900+1100 = 2000 == budget: fits
+        ("en", 3, 1),     # overflow -> bin 1
+        ("en", 4, 5000),  # oversized: bin 2 alone
+        ("en", 5, 10),    # bin 3 (oversized bin is over budget)
+        ("fr", 6, 1500),  # independent group: bin 0
+        ("fr", 7, 600),   # 1500+600 > 2000 -> bin 1
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_chars long"
+    ).repartition(5)
+    got = {
+        r.doc_id: (r.bin_id, r.bin_fill)
+        for r in pack_sequences(df, budget=2000).collect()
+    }
+    assert got == {
+        1: (0, 900),
+        2: (0, 2000),
+        3: (1, 1),
+        4: (2, 5000),
+        5: (3, 10),
+        6: (0, 1500),
+        7: (1, 600),
+    }
+    # partitioning-invariant
+    got2 = {
+        r.doc_id: (r.bin_id, r.bin_fill)
+        for r in pack_sequences(df.repartition(1), budget=2000).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([("en", 1, 5)], "lang string, doc_id long, n_chars long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
