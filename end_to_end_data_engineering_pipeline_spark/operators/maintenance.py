@@ -147,3 +147,75 @@ def clustered_write(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)
+
+
+def _zvalue(a, b, bits: int):
+    """Interleave the low ``bits`` bits of two non-negative long
+    columns into a Morton (Z-curve) value — pure JVM bitwise
+    expressions, no UDF: z = sum_i (a_i << 2i | b_i << (2i+1))."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(abit, 2 * i))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional clustered write: rows ordered along a Morton
+    (Z-order) curve over ``cols``, so EACH file covers a compact
+    rectangle in (col1, col2) space and a predicate on EITHER column
+    (or both) prunes most files by footer min-max — ``clustered_write``
+    clusters one dimension perfectly and leaves the other scattered;
+    Z-order trades a little of each for pruning on both (the Delta
+    OPTIMIZE ... ZORDER BY analog, over plain parquet).
+
+    Columns are first affinely quantized to ``bits``-bit grid cells
+    using their observed min/max (one tiny agg action — the same
+    two-pass shape as any statistics-driven rewrite); the z-value is
+    built from pure bitwise expressions (no UDF), range-partitioned
+    into ``n_files`` and sorted within partitions. The z-value is a
+    write-time ordering artifact only — it is not persisted.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("zorder_write clusters exactly two columns")
+    c1, c2 = (F.col(c).cast("double") for c in cols)
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).collect()[0]
+    if lo1 is None or lo2 is None:
+        raise ValueError("zorder_write: empty input or all-null cols")
+    cells = (1 << bits) - 1
+
+    def quant(c, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(cells).cast("long"),
+            F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(cells + 1)).cast(
+                "long"
+            ),
+        )
+
+    z = _zvalue(quant(c1, lo1, hi1), quant(c2, lo2, hi2), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -149,3 +149,61 @@ def test_compaction_recurses_multilevel_partitions(spark, tmp_path):
     assert leaf in plan and len(plan) == 6  # every leaf was fragmented
     assert len(_files(leaf)) == 1
     assert sorted(r.v for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    """Z-order: every file's bounding box in (x, y) space is compact,
+    so predicates on EITHER column prune by footer min-max. Contrast:
+    a 1-D clustered write bounds x tightly but leaves y spanning the
+    whole domain in every file."""
+    import pyarrow.parquet as pq
+
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        zorder_write,
+    )
+
+    n, dom, files = 160_000, 400, 16
+    df = spark.range(0, n).select(
+        (F.col("id") % dom).alias("x"),
+        ((F.col("id") * 7919 + 13) % dom).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    zorder_write(df, zpath, cols=["x", "y"], n_files=files)
+
+    def bboxes(path):
+        out = []
+        for f in _files(path):
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            stats = {}
+            for ci in range(md.row_group(0).num_columns):
+                name = md.row_group(0).column(ci).path_in_schema
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                stats[name] = (min(mins), max(maxs))
+            out.append(stats)
+        return out
+
+    zb = bboxes(zpath)
+    assert len(zb) == files
+    # average normalized bbox area << 1 (ideal 1/16; allow 4x slack)
+    areas = [
+        ((s["x"][1] - s["x"][0] + 1) / dom) * ((s["y"][1] - s["y"][0] + 1) / dom)
+        for s in zb
+    ]
+    assert sum(areas) / len(areas) <= 4 / files, areas
+
+    # contrast: 1-D clustering on x leaves y unbounded per file
+    cpath = str(tmp_path / "c")
+    clustered_write(df, cpath, sort_cols=["x"], n_files=files)
+    cb = bboxes(cpath)
+    y_spans = [(s["y"][1] - s["y"][0] + 1) / dom for s in cb]
+    assert min(y_spans) > 0.8  # every file spans ~the whole y domain
+
+    # data preserved
+    got = spark.read.parquet(zpath)
+    assert got.count() == n
+    assert got.agg(F.sum("x")).collect()[0][0] == \
+        df.agg(F.sum("x")).collect()[0][0]
