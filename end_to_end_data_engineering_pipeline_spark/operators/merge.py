@@ -38,12 +38,20 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     broadcast_updates: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Upsert ``updates`` into the Parquet table at ``target_path``.
 
     Returns the resulting row count. Handles the read-modify-write
     hazard (Spark cannot overwrite a path it is reading — SURVEY §7
     risk 4) via write-to-temp + atomic directory swap.
+
+    ``allow_schema_evolution``: with it, a column present on only one
+    side is null-filled on the other (unionByName
+    allowMissingColumns — Delta MERGE's autoMerge analog), so adding a
+    column to the pipeline doesn't force a table rebuild; without it,
+    schema drift raises (the safe default — silent drift at 100 TB is
+    how a corrupted gold layer happens).
     """
     updates = updates.cache()
     try:
@@ -51,7 +59,9 @@ def merge_upsert(
             target = spark.read.parquet(target_path)
             upd = F.broadcast(updates) if broadcast_updates else updates
             kept = target.join(upd.select(*keys), list(keys), "left_anti")
-            merged = kept.unionByName(updates)
+            merged = kept.unionByName(
+                updates, allowMissingColumns=allow_schema_evolution
+            )
         else:
             merged = updates
 

@@ -72,6 +72,38 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked SESSION window aggregate (the streaming twin of
+    queries/events.py:e10's native session_window).
+
+    Session windows are the one windowed shape whose state can GROW
+    within a key until the watermark closes it: each new event within
+    ``gap`` of the session's end EXTENDS the window (sessions merge),
+    so output is only emittable once the watermark passes session_end
+    + gap — Spark enforces append-mode-only for exactly this reason.
+    State per key is bounded by the watermark horizon, the same
+    eviction contract as the tumbling twin."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

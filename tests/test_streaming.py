@@ -502,3 +502,65 @@ def test_streaming_cdc_apply_changes_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
     want = sorted(map(tuple, spark.read.parquet(twin_dir).collect()))
     assert got == want and len(want) > 0
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """Native session_window under a watermark (append mode — the only
+    mode Spark allows for merging windows) must equal the batch
+    session_window aggregate. A far-future sentinel event advances the
+    watermark so every real session is provably closed and emitted."""
+    import datetime as dt
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        stream_events,
+        streaming_session_agg,
+    )
+
+    src = str(tmp_path / "events_src")
+    (tmp_path / "events_src").mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+
+    batch_events = load(spark, sf_dir, "events")
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    sentinel_user = -1
+    # raw file schema carries ts as nanos; stream_events divides by 1000
+    sent_nanos = int(
+        (max_ts + dt.timedelta(days=10)).timestamp() * 1_000_000
+    ) * 1000
+    spark.createDataFrame(
+        [(10**9, sent_nanos, sentinel_user, "view", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got_df = streaming_session_agg(
+        stream_events(spark, src), gap="30 minutes", watermark="0 seconds"
+    )
+    _run_to_memory(got_df, "stream_sessions", mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events, r.session_value,
+        )
+        for r in spark.sql(
+            f"SELECT * FROM stream_sessions WHERE user_id <> {sentinel_user}"
+        ).collect()
+    }
+
+    want_df = (
+        batch_events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    want = {
+        (r.user_id, r.w.start, r.w.end): (r.n, r.v)
+        for r in want_df.collect()
+    }
+    assert len(got) > 0
+    assert got == want

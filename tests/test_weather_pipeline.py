@@ -355,3 +355,34 @@ def test_ingest_refuses_flat_bronze_layout(spark, tmp_path):
             spark, LOCS, START, END, synthetic_fetcher(), wh.bronze,
             wh.batch_log,
         )
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """allow_schema_evolution: a new column in the update batch is
+    null-filled on existing rows (Delta autoMerge analog); without the
+    flag the same drift raises instead of silently corrupting."""
+    import pytest
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(target)
+
+    evolved = spark.createDataFrame(
+        [(2, "b2", 9.0), (3, "c", 7.0)], "k int, v string, score double"
+    )
+    # strict default: drift raises
+    with pytest.raises(Exception):
+        merge_upsert(spark, target, evolved, ["k"])
+
+    n = merge_upsert(spark, target, evolved, ["k"], allow_schema_evolution=True)
+    assert n == 3
+    got = {r.k: (r.v, r.score) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.0), 3: ("c", 7.0)}
+
+    # the mirror direction: an update batch MISSING a column null-fills it
+    shrunk = spark.createDataFrame([(4, "d")], "k int, v string")
+    n2 = merge_upsert(spark, target, shrunk, ["k"], allow_schema_evolution=True)
+    assert n2 == 4
+    got2 = {r.k: (r.v, r.score) for r in spark.read.parquet(target).collect()}
+    assert got2[4] == ("d", None) and got2[2] == ("b2", 9.0)
