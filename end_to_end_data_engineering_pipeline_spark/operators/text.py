@@ -148,3 +148,84 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[F.col(f"score_{l}") for l in langs],
         pred.alias("pred_lang"),
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, passage): fixed-size sliding
+    token windows over each document — the retrieval/context chunking
+    every RAG or packing pipeline runs before embedding. Stride is
+    ``chunk_tokens - overlap``; the final chunk is allowed to be short
+    (no padding, no dropped tail).
+
+    Pure Catalyst: tokenize once, generate start offsets with
+    ``sequence`` (no UDF, no shuffle — posexplode is a narrow
+    generator), slice the token array per offset. Work per row is
+    O(tokens * chunks); output rows ~ n_tokens/stride per doc, which
+    is the inherent output size of chunking.
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = whitespace_tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = base.select(
+        id_col, F.posexplode(starts).alias("chunk_idx", "__start"), "__toks"
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("passage"),
+    )
+
+
+def ngram_dup_stats(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, total_k, distinct_k, max_k, dup_frac_k): word-k-gram
+    repetition statistics per document — the Gopher/RefinedWeb-style
+    repetition quality signal (a high duplicate-n-gram fraction marks
+    boilerplate/spam; see PAPERS.md text-curation references).
+
+    dup_frac = (total - distinct) / total, NULL when the doc has no
+    k-grams; computed as round(ratio * 1e6) / 1e6 (the repo's exact-
+    int-ratio determinism pattern — e14/t15). Relational shape:
+    generate k-grams per row (narrow), explode, count per (doc, gram),
+    aggregate per doc — one shuffle on the doc id, no UDFs; scales
+    with corpus token count.
+    """
+    toks = whitespace_tokens(text_col)
+    n = F.size(toks)
+    # guard: Spark's sequence(1, 0) steps DOWN to [1, 0] — a doc with
+    # fewer than k tokens must yield NO grams, not two bogus ones
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    tot, dis = F.sum("c"), F.count(F.lit(1))
+    return per_gram.groupBy(id_col).agg(
+        tot.cast("long").alias(f"total_{k}"),
+        dis.cast("long").alias(f"distinct_{k}"),
+        F.max("c").cast("long").alias(f"max_{k}"),
+        (F.round((tot - dis) * 1000000.0 / tot) / 1000000.0).alias(
+            f"dup_frac_{k}"
+        ),
+    )

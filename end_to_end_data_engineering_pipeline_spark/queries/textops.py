@@ -648,3 +648,95 @@ def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, budget=2000, group_cols=("lang",), id_col="doc_id",
         size_col="n_chars",
     )
+
+
+@query(
+    "t17_passage_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 40)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS BIGINT) AS chunk_idx,
+           CAST(len(t[s + 1 : s + 50]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + 50], ' ') AS passage
+    FROM st
+    """,
+)
+def t17_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (50-token chunks, 10-token
+    overlap -> stride 40) — the RAG/embedding pre-processing step
+    (operators/text.py chunk_passages, pure Catalyst sequence +
+    posexplode + slice). Every chunk's exact text is value-hash
+    checked against the DuckDB list-slicing replay."""
+    from ..operators.text import chunk_passages
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_passages(docs, chunk_tokens=50, overlap=10)
+
+
+@query(
+    "t18_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
+    c1 AS (
+      SELECT doc_id, gram, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(t) AS gram FROM toks)
+      GROUP BY doc_id, gram
+    ),
+    a1 AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_1,
+             CAST(COUNT(*) AS BIGINT) AS distinct_1,
+             CAST(MAX(n) AS BIGINT) AS max_1,
+             ROUND((SUM(n) - COUNT(*)) * 1000000.0 / SUM(n)) / 1000000.0
+               AS dup_frac_1
+      FROM c1 GROUP BY doc_id
+    ),
+    c3 AS (
+      SELECT doc_id, gram, COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   UNNEST(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i : i + 2], ' '))
+                     ELSE [] END) AS gram
+            FROM toks)
+      GROUP BY doc_id, gram
+    ),
+    a3 AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_3,
+             CAST(COUNT(*) AS BIGINT) AS distinct_3,
+             CAST(MAX(n) AS BIGINT) AS max_3,
+             ROUND((SUM(n) - COUNT(*)) * 1000000.0 / SUM(n)) / 1000000.0
+               AS dup_frac_3
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT a1.doc_id, a1.dup_frac_1, a3.total_3, a3.distinct_3, a3.max_3,
+           a3.dup_frac_3,
+           COALESCE(a3.dup_frac_3 > 0.2, FALSE) AS flagged
+    FROM a1 LEFT JOIN a3 ON a3.doc_id = a1.doc_id
+    """,
+)
+def t18_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signal: per-doc
+    duplicate-token and duplicate-3-gram fractions plus a boolean
+    curation flag (dup_frac_3 > 0.2 marks boilerplate/template text).
+    operators/text.py ngram_dup_stats; exact-int-ratio determinism."""
+    from ..operators.text import ngram_dup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = ngram_dup_stats(docs, 1).select("doc_id", "dup_frac_1")
+    s3 = ngram_dup_stats(docs, 3).select(
+        "doc_id", "total_3", "distinct_3", "max_3", "dup_frac_3"
+    )
+    return s1.join(s3, "doc_id", "left").select(
+        "doc_id",
+        "dup_frac_1",
+        "total_3",
+        "distinct_3",
+        "max_3",
+        "dup_frac_3",
+        F.coalesce(F.col("dup_frac_3") > 0.2, F.lit(False)).alias("flagged"),
+    )

@@ -308,3 +308,52 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([("en", 1, 5)], "lang string, doc_id long, n_chars long")
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_chunk_passages_windows_and_tail(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        chunk_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(7))),   # 7 toks
+            (2, "solo"),                                  # 1 tok
+            (3, " ".join(f"x{i}" for i in range(5))),    # exactly chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.passage)
+        for r in chunk_passages(docs, chunk_tokens=5, overlap=2).collect()
+    }
+    # doc1: stride 3 -> starts 0,3,6
+    assert got[(1, 0)] == (5, "w0 w1 w2 w3 w4")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")   # short tail kept
+    assert got[(1, 2)] == (1, "w6")
+    assert got[(2, 0)] == (1, "solo")
+    assert got[(3, 0)] == (5, "x0 x1 x2 x3 x4")
+    assert (3, 1) not in got                     # no empty past-end chunk
+    assert len(got) == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_passages(docs, chunk_tokens=5, overlap=5)
+
+
+def test_ngram_dup_stats_short_doc_guard(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        ngram_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a a a"), (3, "x")],
+        "doc_id long, text string",
+    )
+    s3 = {r.doc_id: r for r in ngram_dup_stats(docs, 3).collect()}
+    assert 1 not in s3 and 3 not in s3          # < 3 tokens -> no grams
+    assert s3[2].total_3 == 2 and s3[2].distinct_3 == 1
+    assert s3[2].dup_frac_3 == 0.5
+    s1 = {r.doc_id: r for r in ngram_dup_stats(docs, 1).collect()}
+    assert s1[2].dup_frac_1 == 0.75 and s1[1].dup_frac_1 == 0.0
