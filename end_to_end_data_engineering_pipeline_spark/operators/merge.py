@@ -9,9 +9,9 @@ over existing rows with the same key. Vanilla Parquet has no MERGE, so
     -> write temp dir -> atomic rename swap
 
 Scale path: when the target is partitioned (e.g. by date), switch to
-partition-scoped dynamic overwrite (partitionOverwriteMode=dynamic is
-set in the session factory) so only partitions present in `updates`
-are rewritten — the 100 TB variant of this operator touches GBs, not
+partition-scoped dynamic overwrite (partitionOverwriteMode=dynamic,
+pinned per-write so it holds under any session) so only partitions
+present in `updates` are rewritten — the 100 TB variant of this operator touches GBs, not
 the full table. Delta Lake ``MERGE INTO`` is the drop-in replacement
 when its jars are on the classpath (import-gated; not in this image).
 
@@ -118,7 +118,8 @@ def merge_upsert_partitioned(
     no full scan) -> anti-join + union within them -> stage the merged
     slice to a temp dir (the self-read hazard applies to the slice
     too) -> dynamic partition overwrite of just those partitions
-    (partitionOverwriteMode=dynamic, set in the session factory).
+    (partitionOverwriteMode=dynamic, pinned as a per-write option so
+    the semantics do not depend on session conf).
     Returns the row count of the rewritten partitions.
     """
     if partition_col not in updates.columns:
@@ -151,10 +152,14 @@ def merge_upsert_partitioned(
         merged.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         n = staged.count()
-        # dynamic mode: only partitions present in `staged` are replaced
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_path
-        )
+        # dynamic mode: only partitions present in `staged` are replaced.
+        # Pinned per-write (not via session conf): under Spark's default
+        # static mode this overwrite would truncate every partition NOT in
+        # the update batch — silent data loss for any caller whose session
+        # lacks the factory's conf.
+        staged.write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy(partition_col).parquet(target_path)
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
