@@ -161,7 +161,12 @@ def chunk_passages(
     token windows over each document — the retrieval/context chunking
     every RAG or packing pipeline runs before embedding. Stride is
     ``chunk_tokens - overlap``; the final chunk is allowed to be short
-    (no padding, no dropped tail).
+    (no padding, no dropped tail). A chunk never *starts* inside a
+    tail the previous chunk already fully covered: once a chunk
+    reaches the document end, no further starts are emitted (upper
+    bound ``n - overlap - 1``), so a doc of exactly ``chunk_tokens``
+    tokens yields exactly one chunk — not a redundant overlap-only
+    tail.
 
     Pure Catalyst: tokenize once, generate start offsets with
     ``sequence`` (no UDF, no shuffle — posexplode is a narrow
@@ -175,8 +180,11 @@ def chunk_passages(
     toks = whitespace_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
+    # a start at s is useful iff the previous chunk did NOT already
+    # reach the doc end, i.e. s + chunk_tokens - stride < n  <=>
+    # s <= n - overlap - 1 (clamped so empty docs still emit one chunk)
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
     )
     chunked = base.select(
         id_col, F.posexplode(starts).alias("chunk_idx", "__start"), "__toks"

@@ -656,7 +656,7 @@ def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
     st AS (
       SELECT doc_id, t,
-             UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 40)) AS s
+             UNNEST(range(0, greatest(len(t) - 10 - 1, 0) + 1, 40)) AS s
       FROM toks
     )
     SELECT doc_id,

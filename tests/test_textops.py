@@ -327,14 +327,14 @@ def test_chunk_passages_windows_and_tail(spark):
         (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.passage)
         for r in chunk_passages(docs, chunk_tokens=5, overlap=2).collect()
     }
-    # doc1: stride 3 -> starts 0,3,6
+    # doc1: stride 3, bound n-overlap-1 = 4 -> starts 0,3 only
     assert got[(1, 0)] == (5, "w0 w1 w2 w3 w4")
     assert got[(1, 1)] == (4, "w3 w4 w5 w6")   # short tail kept
-    assert got[(1, 2)] == (1, "w6")
+    assert (1, 2) not in got                     # chunk 1 reached doc end
     assert got[(2, 0)] == (1, "solo")
     assert got[(3, 0)] == (5, "x0 x1 x2 x3 x4")
-    assert (3, 1) not in got                     # no empty past-end chunk
-    assert len(got) == 5
+    assert (3, 1) not in got                     # no redundant overlap tail
+    assert len(got) == 4
 
     import pytest
 
