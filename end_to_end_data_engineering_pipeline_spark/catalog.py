@@ -54,19 +54,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # defensive: the caller's session may not have been built by
-        # session.get_spark — the nanos fixture is unreadable without
-        # this (runtime-settable) conf
+        # session.get_spark — a TIMESTAMP(NANOS) fixture is unreadable
+        # without this (runtime-settable) conf; a no-op for µs fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
-        # session.py nanosAsLong) — convert to a microsecond timestamp
-        # (integer DIV, lossless for µs-grained data; UTC session TZ).
+        # The fixture's ts encoding has varied across driver
+        # regenerations: TIMESTAMP(NANOS) reads as bigint (under
+        # nanosAsLong) and needs an explicit nanos→µs conversion;
+        # timestamp[us] reads as TIMESTAMP_NTZ directly. Branch on the
+        # dtype actually read so both encodings load identically
+        # (integer DIV is lossless for µs-grained data; UTC session TZ).
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

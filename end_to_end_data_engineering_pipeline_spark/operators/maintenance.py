@@ -46,11 +46,15 @@ from pyspark.sql import DataFrame, SparkSession
 def _partition_dirs(path: str) -> list[str]:
     """Leaf hive partition dirs (key=value, recursing through
     multi-level partitioning) under path, or [path] itself for an
-    unpartitioned table."""
+    unpartitioned table. Dot/underscore-prefixed dirs (compaction
+    staging, Spark markers) are invisible, matching Spark's own
+    path filter."""
     subs = [
         os.path.join(path, d)
         for d in sorted(os.listdir(path))
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not d.startswith((".", "_"))
+        and os.path.isdir(os.path.join(path, d))
     ]
     if not subs:
         return [path]
@@ -58,6 +62,31 @@ def _partition_dirs(path: str) -> list[str]:
     for s in subs:
         out.extend(_partition_dirs(s))
     return out
+
+
+_STAGE_PREFIX = ".__compact_"
+
+
+def _sweep_stage_dirs(path: str) -> list[str]:
+    """Remove orphaned compaction staging/old dirs left by a crashed
+    run. They are dot-prefixed (never visible to partition discovery
+    or to Spark's scan path filter) so removal can never lose
+    committed data — only uncommitted stage output or the pre-swap
+    copy of an already-swapped partition."""
+    swept = []
+    roots = [path]
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    if parent and os.path.isdir(parent):
+        roots.append(parent)
+    for root in roots:
+        marker = (
+            _STAGE_PREFIX if root == path else f".{base}{_STAGE_PREFIX}"
+        )
+        for d in os.listdir(root):
+            if d.startswith(marker):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                swept.append(os.path.join(root, d))
+    return swept
 
 
 def _data_files(d: str) -> list[str]:
@@ -73,8 +102,11 @@ def plan_compaction(
 ) -> dict[str, tuple[int, int]]:
     """Partition dir -> (current_file_count, target_file_count) for
     every partition whose file count exceeds what its bytes justify.
-    Pure file-listing; safe to run anytime."""
+    Also sweeps orphaned (dot-prefixed, never-readable) staging dirs
+    from a previously crashed compaction; otherwise pure file-listing,
+    safe to run anytime."""
     plan: dict[str, tuple[int, int]] = {}
+    _sweep_stage_dirs(path)
     for d in _partition_dirs(path):
         files = _data_files(d)
         if len(files) <= 1:
@@ -100,20 +132,36 @@ def compact_partitions(
     coalescing read->write of the partition slice with no row
     transformation. Each partition swap is atomic (stage dir + rename)
     so a crash mid-compaction loses no committed partition.
+
+    Staging safety: stage and pre-swap dirs are DOT-PREFIXED and carry
+    no ``=`` in their basename, so neither partition discovery nor
+    Spark's scan path filter can ever see them — a concurrent reader
+    observes either the old or the new file set, never both, and a
+    crash at any point leaves only invisible garbage (swept by the
+    next ``plan_compaction``), never resurrectable data.
     """
     plan = plan_compaction(path, target_file_bytes)
     for d, (_, want) in plan.items():
         df = spark.read.parquet(d)
-        tmp = f"{d}.__compact_{uuid.uuid4().hex}"
+        token = uuid.uuid4().hex
+        if os.path.abspath(d) == os.path.abspath(path):
+            # unpartitioned table: stage as a hidden SIBLING of the
+            # table root (staging inside the dir being swapped would
+            # move with the rename)
+            parent, base = os.path.dirname(d), os.path.basename(d)
+            stage = os.path.join(parent, f".{base}{_STAGE_PREFIX}stage_{token}")
+            old = os.path.join(parent, f".{base}{_STAGE_PREFIX}old_{token}")
+        else:
+            # partitioned table: stage under the table root, hidden
+            stage = os.path.join(path, f"{_STAGE_PREFIX}stage_{token}")
+            old = os.path.join(path, f"{_STAGE_PREFIX}old_{token}")
         try:
-            df.repartition(want).write.mode("overwrite").parquet(tmp)
-            # drop the non-data markers so the swapped dir is pure data
-            old = f"{d}.__old_{uuid.uuid4().hex}"
+            df.repartition(want).write.mode("overwrite").parquet(stage)
             os.rename(d, old)
-            os.rename(tmp, d)
+            os.rename(stage, d)
             shutil.rmtree(old, ignore_errors=True)
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
     return plan
 
 

@@ -172,6 +172,7 @@ def apply_changes(
     keys: Sequence[str],
     seq_col: str,
     op_col: str = "op",
+    partition_col: str | None = None,
 ) -> int:
     """CDC changelog apply: MERGE with deletes (the full
     INSERT/UPDATE/DELETE contract the reference's ON CONFLICT upsert
@@ -184,9 +185,17 @@ def apply_changes(
 
     Scale: same anti-join + union shape as merge_upsert — the delete
     set rides the same broadcast as the upsert keys, so deletes are
-    free; for partitioned targets compose with
-    merge_upsert_partitioned's pruning instead of the full rewrite.
+    free. With ``partition_col`` (hive-partitioned target; every
+    change row, deletes included, carries the partition value, and
+    keys determine the partition as in merge_upsert_partitioned) the
+    apply composes with partition pruning: only partitions present in
+    the change batch are read and rewritten — the 100 TB variant where
+    a CDC batch touches GBs, not the table.
     """
+    if partition_col is not None:
+        return _apply_changes_partitioned(
+            spark, target_path, changes, keys, seq_col, op_col, partition_col
+        )
     data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     latest = latest_wins(changes, list(keys), seq_col)
     upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
@@ -208,3 +217,80 @@ def apply_changes(
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _apply_changes_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    partition_col: str,
+) -> int:
+    """CDC apply scoped to the partitions present in the change batch
+    (apply_changes x merge_upsert_partitioned): untouched partitions
+    are neither read nor rewritten — their files keep identity.
+
+    One extra contract beyond merge_upsert_partitioned: a partition
+    whose rows are ALL deleted produces no staged rows, and dynamic
+    overwrite can only replace partitions it writes — such partitions
+    are removed explicitly (bounded by the batch's partition spread).
+    """
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    if partition_col not in data_cols:
+        raise ValueError(
+            f"changes must carry partition column {partition_col!r} "
+            "(deletes included)"
+        )
+    if changes.where(F.col(partition_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"changes contain NULL {partition_col!r} values; partition-"
+            "scoped apply cannot address the default partition safely"
+        )
+    latest = latest_wins(changes, list(keys), seq_col).cache()
+    try:
+        upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+        touched = latest.select(*keys)
+
+        if not os.path.isdir(target_path):
+            upserts.write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(target_path)
+            return upserts.count()
+
+        parts = [
+            r[0] for r in latest.select(partition_col).distinct().collect()
+        ]
+        target = spark.read.parquet(target_path)
+        affected = target.where(F.col(partition_col).isin(parts))
+        kept = affected.join(F.broadcast(touched), list(keys), "left_anti")
+        merged = kept.unionByName(upserts.select(*affected.columns))
+
+        tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            staged = spark.read.parquet(tmp)
+            n = staged.count()
+            staged.write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
+            # fully-deleted partitions never appear in `staged`; clear
+            # their dirs (str() covers the int/string/date partition
+            # values this engine writes — hive dir names are the
+            # value's canonical string form)
+            present = {
+                r[0] for r in staged.select(partition_col).distinct().collect()
+            }
+            for p in set(parts) - present:
+                shutil.rmtree(
+                    os.path.join(target_path, f"{partition_col}={p}"),
+                    ignore_errors=True,
+                )
+            return n
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        latest.unpersist()

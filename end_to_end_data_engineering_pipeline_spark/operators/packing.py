@@ -48,9 +48,19 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     gcols = list(group_cols)
-    out_schema = ", ".join(
-        [f"`{c}` string" for c in gcols]
-        + [f"`{id_col}` long", f"`{size_col}` long", "bin_id long", "bin_fill long"]
+    # group-col types come from the input schema (a hardcoded `string`
+    # breaks applyInPandas schema matching for e.g. integer shard keys);
+    # id/size/bin columns are declared long and coerced by Arrow.
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in gcols]
+        + [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(size_col, T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
     )
 
     def pack(pdf):

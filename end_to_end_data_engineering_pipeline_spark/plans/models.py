@@ -181,10 +181,11 @@ class ModelRunner:
                     )
                 elif t.test == "relationships":
                     parent = tables.get(t.to) or spark.table(t.to)
+                    # project+alias instead of withColumnRenamed: a
+                    # rename would collide if the child already carries
+                    # a column named t.field (ambiguity AnalysisException)
                     v = relationship_violations(
-                        df.withColumnRenamed(t.column, t.field)
-                        if t.column != t.field
-                        else df,
+                        df.select(F.col(t.column).alias(t.field)),
                         parent,
                         t.field,
                     )

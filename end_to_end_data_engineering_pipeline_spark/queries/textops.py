@@ -623,9 +623,9 @@ def t15_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs WHERE rn = 1
       UNION ALL
       SELECT d.lang, d.doc_id, d.n_chars, d.rn,
-             CASE WHEN p.bin_fill + d.n_chars > 2000
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + d.n_chars > 2000
                   THEN p.bin_id + 1 ELSE p.bin_id END,
-             CASE WHEN p.bin_fill + d.n_chars > 2000
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + d.n_chars > 2000
                   THEN CAST(d.n_chars AS BIGINT)
                   ELSE p.bin_fill + d.n_chars END
       FROM docs d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1
@@ -650,19 +650,27 @@ def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t17 chunking geometry — named once so the oracle SQL and the
+# chunk_passages call can never drift apart (round-4 advice).
+_T17_CHUNK = 50
+_T17_OVERLAP = 10
+_T17_STRIDE = _T17_CHUNK - _T17_OVERLAP
+
+
 @query(
     "t17_passage_chunking",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
     st AS (
       SELECT doc_id, t,
-             UNNEST(range(0, greatest(len(t) - 10 - 1, 0) + 1, 40)) AS s
+             UNNEST(range(0, greatest(len(t) - {_T17_OVERLAP} - 1, 0) + 1,
+                          {_T17_STRIDE})) AS s
       FROM toks
     )
     SELECT doc_id,
-           CAST(s // 40 AS BIGINT) AS chunk_idx,
-           CAST(len(t[s + 1 : s + 50]) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(t[s + 1 : s + 50], ' ') AS passage
+           CAST(s // {_T17_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(t[s + 1 : s + {_T17_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + {_T17_CHUNK}], ' ') AS passage
     FROM st
     """,
 )
@@ -675,7 +683,9 @@ def t17_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import chunk_passages
 
     docs = load(spark, sf_dir, "documents")
-    return chunk_passages(docs, chunk_tokens=50, overlap=10)
+    return chunk_passages(
+        docs, chunk_tokens=_T17_CHUNK, overlap=_T17_OVERLAP
+    )
 
 
 @query(

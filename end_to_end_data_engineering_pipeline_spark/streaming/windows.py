@@ -23,30 +23,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events parquet carries TIMESTAMP(NANOS) -> long under nanosAsLong
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Current fixture encoding: parquet timestamp[us] → TIMESTAMP_NTZ
+EVENTS_FILE_SCHEMA = _events_file_schema(T.TimestampNTZType())
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events with the nanos->timestamp fix
-    (mirrors catalog.load)."""
+    """File-source stream of events, normalized to TimestampType ts.
+
+    Mirrors catalog.load: the fixture's ts encoding has varied across
+    driver regenerations (TIMESTAMP(NANOS)→bigint under nanosAsLong vs
+    timestamp[us]→TIMESTAMP_NTZ). Streams need a declared schema up
+    front, so probe the path with a one-file batch read and branch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(path).dtypes)["ts"]
+    if batch_ts == "bigint":
+        raw = (
+            spark.readStream.schema(_events_file_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_agg(

@@ -207,3 +207,82 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     assert got.count() == n
     assert got.agg(F.sum("x")).collect()[0][0] == \
         df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_staging_dirs_invisible_to_concurrent_reader(spark, tmp_path):
+    """Mid-compaction state (stage dir fully written, swap not yet
+    done) must be invisible: a reader of the table sees the original
+    rows exactly once — no duplicates from the staged copy. Stage and
+    old dirs are dot-prefixed with no '=' in the basename, so neither
+    partition discovery nor the scan path filter picks them up."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+    )
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    before = spark.read.parquet(path).count()
+
+    # simulate a compaction frozen right before the swap: a fully
+    # written stage copy of partition p=0 under the table root
+    part = os.path.join(path, "p=0")
+    stage = os.path.join(path, ".__compact_stage_deadbeef")
+    spark.read.parquet(part).write.parquet(stage)
+    # ...and a pre-swap copy from an older, already-swapped partition
+    old = os.path.join(path, ".__compact_old_deadbeef")
+    spark.read.parquet(part).write.parquet(old)
+
+    assert spark.read.parquet(path).count() == before
+    got = {
+        str(r["p"]): r["count"]
+        for r in spark.read.parquet(path).groupBy("p").count().collect()
+    }
+    assert got == {"0": 1000, "1": 1000}
+
+
+def test_crashed_compaction_leaves_no_resurrectable_dirs(spark, tmp_path):
+    """Orphaned stage/old dirs from a crashed run are swept by the next
+    plan_compaction, and a compaction run over the crashed state
+    produces exactly the original rows (old data never resurrects)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        _sweep_stage_dirs,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.lit("a").alias("p"), F.col("id").alias("v")
+    )
+    for i in range(3):
+        df.where((F.col("v") % 3) == i).repartition(4).write.mode(
+            "append"
+        ).partitionBy("p").parquet(path)
+    rows_before = sorted(
+        r.v for r in spark.read.parquet(path).select("v").collect()
+    )
+
+    # crash leftovers: stage + old under the root, plus the
+    # unpartitioned-table sibling form next to the root
+    part = os.path.join(path, "p=a")
+    for leftover in (
+        os.path.join(path, ".__compact_stage_c0ffee"),
+        os.path.join(path, ".__compact_old_c0ffee"),
+        os.path.join(
+            os.path.dirname(path),
+            f".{os.path.basename(path)}.__compact_stage_c0ffee",
+        ),
+    ):
+        spark.read.parquet(part).limit(100).write.parquet(leftover)
+
+    executed = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert part in executed
+
+    # leftovers swept, nothing hidden remains anywhere
+    assert _sweep_stage_dirs(path) == []
+    for root in (path, str(tmp_path)):
+        assert not [
+            d for d in os.listdir(root) if ".__compact_" in d
+        ], os.listdir(root)
+
+    rows_after = sorted(
+        r.v for r in spark.read.parquet(path).select("v").collect()
+    )
+    assert rows_after == rows_before

@@ -204,3 +204,35 @@ def test_manifest_violation_fails_build(spark, tmp_path):
         ("b_dim", "id", "unique"),
         ("b_fact", "dim_id", "relationships"),
     }
+
+
+def test_relationships_child_with_colliding_field_name(spark, tmp_path):
+    """The child model may already carry a column named like the parent
+    key (here the fact has its own ``id`` plus the FK ``dim_id``); the
+    relationships test must project/alias, not rename — a rename would
+    produce a duplicate column and an ambiguity AnalysisException."""
+    from end_to_end_data_engineering_pipeline_spark.plans import (
+        ModelRunner,
+        relationships,
+    )
+
+    runner = ModelRunner(warehouse_dir=str(tmp_path))
+
+    @runner.model("c_dim", materialization="table")
+    def dim(s):
+        return s.createDataFrame([(1, "x"), (2, "y")], ["id", "name"])
+
+    @runner.model(
+        "c_fact", materialization="table",
+        tests=[relationships("dim_id", to="c_dim", field="id")],
+    )
+    def fact(s):
+        # 'id' here is the fact's own key, colliding with c_dim's key name
+        return s.createDataFrame(
+            [(100, 1, 5.0), (101, 2, 6.0)], ["id", "dim_id", "v"]
+        )
+
+    runner.run(spark)
+    audit = spark.read.parquet(str(tmp_path / "_model_test_results"))
+    rel = audit.where(F.col("test") == "relationships").collect()
+    assert len(rel) == 1 and rel[0].status == "PASS"

@@ -179,3 +179,68 @@ def test_apply_changes_cdc_semantics(spark, tmp_path):
     assert n == 2
     got = {(r.k, r.val) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a2"), (4, "d")}
+
+
+def test_apply_changes_partitioned_scopes_rewrite(spark, tmp_path):
+    """Partition-scoped CDC apply: untouched partitions keep their
+    exact files (name+mtime pinned), upserts/deletes land only in the
+    batch's partitions, and a fully-deleted partition's dir is
+    cleared (dynamic overwrite alone cannot remove it)."""
+    import os
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+
+    path = str(tmp_path / "cdc_part")
+    cols = ["day", "k", "val"]
+    base = spark.createDataFrame(
+        [(d, k, "old") for d in ("d1", "d2", "d3") for k in range(3)], cols
+    )
+    # seed via the same operator (empty-target branch)
+    seeded = apply_changes(
+        spark,
+        path,
+        base.withColumn("op", F.lit("I")).withColumn("seq", F.lit(0)),
+        ["day", "k"],
+        "seq",
+        partition_col="day",
+    )
+    assert seeded == 9
+
+    def fingerprint(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    d1_before = fingerprint("d1")
+
+    # batch: update one d2 row, insert one d2 row, delete ALL of d3
+    changes = spark.createDataFrame(
+        [
+            ("d2", 0, "new", "U", 1),
+            ("d2", 99, "new", "I", 2),
+            ("d3", 0, None, "D", 3),
+            ("d3", 1, None, "D", 4),
+            ("d3", 2, None, "D", 5),
+        ],
+        cols + ["op", "seq"],
+    )
+    n = apply_changes(
+        spark, path, changes, ["day", "k"], "seq", partition_col="day"
+    )
+    assert n == 4  # d2 after apply: k in {0,1,2,99}; d3 empty
+
+    assert fingerprint("d1") == d1_before  # untouched: same files, same mtimes
+    assert not os.path.isdir(os.path.join(path, "day=d3"))
+
+    got = sorted(
+        (r.day, r.k, r.val) for r in spark.read.parquet(path).collect()
+    )
+    assert got == sorted(
+        [("d1", 0, "old"), ("d1", 1, "old"), ("d1", 2, "old"),
+         ("d2", 0, "new"), ("d2", 1, "old"), ("d2", 2, "old"),
+         ("d2", 99, "new")]
+    )

@@ -363,7 +363,7 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
                 (-2 - 10 * i, far_i, -1, "purchase", 0.0, "{}"),
             ],
             ["event_id", "ts", "user_id", "event_type", "value", "props"],
-        ).withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sent"))
         shutil.copy(
             next((tmp_path / "sent").glob("part-*.parquet")),
@@ -524,14 +524,21 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
     batch_events = load(spark, sf_dir, "events")
     max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
     sentinel_user = -1
-    # raw file schema carries ts as nanos; stream_events divides by 1000
-    sent_nanos = int(
-        (max_ts + dt.timedelta(days=10)).timestamp() * 1_000_000
-    ) * 1000
+    # sentinel file must match the fixture's on-disk encoding
+    # (timestamp[us] / NTZ) so the stream's declared schema reads both
     spark.createDataFrame(
-        [(10**9, sent_nanos, sentinel_user, "view", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
+        [
+            (
+                10**9,
+                max_ts + dt.timedelta(days=10),
+                sentinel_user,
+                "view",
+                0.0,
+                "{}",
+            )
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
     ).coalesce(1).write.mode("append").parquet(src)
 
     got_df = streaming_session_agg(

@@ -357,3 +357,37 @@ def test_ngram_dup_stats_short_doc_guard(spark):
     assert s3[2].dup_frac_3 == 0.5
     s1 = {r.doc_id: r for r in ngram_dup_stats(docs, 1).collect()}
     assert s1[2].dup_frac_1 == 0.75 and s1[1].dup_frac_1 == 0.0
+
+
+def test_pack_sequences_nonstring_group_and_zero_size(spark):
+    """Group-col dtypes must come from the input schema (an integer
+    shard key used to break the hardcoded-string out_schema), and a
+    zero-size doc never opens a new bin (the fill>0 guard — mirrored
+    in the t16 oracle)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        (7, 1, 0),     # zero-size doc leads the group: bin 0, fill 0
+        (7, 2, 5000),  # oversized joins the fill-0 bin (guard: fill>0)
+        (7, 3, 10),    # overflow -> bin 1
+        (8, 4, 2000),  # other (integer) group: exact fit, bin 0
+        (8, 5, 0),     # zero-size never overflows: stays in bin 0
+    ]
+    df = spark.createDataFrame(
+        rows, "shard int, doc_id long, n_chars long"
+    ).repartition(3)
+    out = pack_sequences(
+        df, budget=2000, group_cols=("shard",), id_col="doc_id",
+        size_col="n_chars",
+    )
+    assert dict(out.dtypes)["shard"] == "int"
+    got = {r.doc_id: (r.shard, r.bin_id, r.bin_fill) for r in out.collect()}
+    assert got == {
+        1: (7, 0, 0),
+        2: (7, 0, 5000),
+        3: (7, 1, 10),
+        4: (8, 0, 2000),
+        5: (8, 0, 2000),
+    }
