@@ -7,18 +7,21 @@ engine-portable ``hash32`` (first 8 md5 hex digits) so the DuckDB
 oracle can verify signatures exactly.
 
 Execution design: shingling is PARTITION-LOCAL (tokenize once, array
-k-grams + per-doc distinct, explode — zero shuffles; measured faster
-than the earlier posexplode + window-lead form it replaced); the
-aggregation stages are RELATIONAL — minhash is a groupBy with k MIN
-aggregates over affine rehashes of one base hash, simhash a groupBy
-with bit-vote SUM aggregates — staying inside whole-stage codegen and
-scaling as ordinary shuffles:
+k-grams + per-doc distinct — zero shuffles), and so are the per-doc
+facts derived from it: minhash signatures are array_min over affine
+rehashes of the per-shingle hash array (``_rowwise_sig``), and
+|shingles| is ``F.size`` — both pure codegen'd array HOFs, no groupBy.
+The only shuffles left in the minhash path are the ones that are
+inherently relational:
 
-- shingling: 0 shuffles (array HOFs, per-doc distinct = global distinct);
-- minhash/simhash: one groupBy on doc id;
+- shingling + signatures + sizes: 0 shuffles (array HOFs per row);
 - LSH banding: unpivot + 1 self-equi-join on the band key;
-- Jaccard verify: shingle-level equi-join counted per pair (work
-  proportional to matching shingles, not pairs x array length).
+- Jaccard verify: per-row ``array_intersect`` over the two shingle
+  arrays joined onto each candidate pair — no shingle-level join, no
+  pair groupBy; work proportional to candidates x array length.
+
+simhash keeps the relational groupBy bit-vote form (its per-doc state
+is 32 counters, not one min — the exploded SUM is the codegen path).
 
 Skew note at 100 TB: hot shingles/bands (boilerplate text) fan the
 self-joins quadratically — cap or salt ubiquitous keys; AQE skew
@@ -68,35 +71,6 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return _shingles_of(toks, k)
 
 
-def shingle_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """DISTINCT (id, shingle) rows — the relational shingle set.
-
-    PRECONDITION: ``id_col`` must be unique in ``df`` (one row per
-    document). Distinctness of the output relies on per-document
-    ``array_distinct`` alone — there is no global DISTINCT — so
-    duplicate id rows would emit duplicate (id, shingle) pairs and
-    inflate intersection counts downstream (e.g. the Jaccard verify
-    join). Callers with possibly-duplicated ids must
-    ``dropDuplicates([id_col])`` first.
-
-    Tokenize once, form k-grams by array slice (JVM higher-order fns),
-    ``array_distinct`` per document, explode. Because shingles are
-    already distinct within each doc, the global (id, shingle) set is
-    distinct with ZERO shuffles — the whole operator is partition-local
-    (measured 2-3x faster than the posexplode + window-lead + global
-    DISTINCT formulation it replaces, which shuffled twice). Documents
-    with fewer than k tokens contribute their whole normalized text as
-    the single shingle (slice past the end returns the short tail).
-    """
-    from ..catalog import fan_out
-
-    base = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
-    toks = base.select(
-        "id", whitespace_tokens(normalize_text(F.col("t"))).alias("toks")
-    )
-    return toks.select("id", F.explode(_shingles_of(F.col("toks"), k)).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -104,16 +78,54 @@ def shingle_rows(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 16
+def shingled_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) from DISTINCT (id, shingle) rows: one hash32
-    per shingle row (codegen'd scalar md5), then n MIN aggregates of
-    the affine rehashes — a single groupBy(id) job."""
-    hashed = shingles.select("id", hash32(F.col("shingle")).alias("h"))
-    return hashed.groupBy("id").agg(
-        *[F.min(_affine_sql(i, F.col("h"))).alias(f"mh{i}") for i in range(n_hashes)]
+    """(id, keep_cols..., sh) with ``sh`` the per-document DISTINCT
+    shingle array (PRECONDITION: ``id_col`` unique — per-doc
+    ``array_distinct`` alone guarantees global (id, shingle)
+    distinctness). Entirely partition-local:
+    downstream per-doc facts (signatures via ``_rowwise_sig``,
+    |shingles| via ``F.size``) then need NO groupBy, removing the one
+    shuffle of every (doc, shingle) row that the exploded formulation
+    paid — at corpus scale that shuffle is the largest intermediate in
+    the near-dup pipeline. ``keep_cols`` (e.g. blocking keys) ride the
+    projection instead of being joined back later."""
+    from ..catalog import fan_out
+
+    extra = list(keep_cols or [])
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), *extra, F.col(text_col).alias("t"))
     )
+    return base.select(
+        "id", *extra, word_shingles(F.col("t"), k).alias("sh")
+    )
+
+
+def _rowwise_sig(shingled: DataFrame, n_hashes: int) -> DataFrame:
+    """+ mh0..mh{n-1} computed per-row: hash32 once per shingle
+    (transform), then each signature is an array_min over the affine
+    rehash — the standard exploded-groupBy formulation's values,
+    computed without its shuffle: same hash family over the same
+    distinct shingle set, zero shuffles, all
+    whole-stage codegen."""
+    hashed = shingled.withColumn(
+        "__hs", F.transform(F.col("sh"), lambda s: hash32(s))
+    )
+    sig = hashed.select(
+        "*",
+        *[
+            F.array_min(
+                F.transform(F.col("__hs"), lambda h: _affine_sql(i, h))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return sig.drop("__hs")
 
 
 def add_minhash(
@@ -121,8 +133,10 @@ def add_minhash(
 ) -> DataFrame:
     """df + mh0..mh{n-1} columns (joined back on the id)."""
     id_col = df.columns[0]
-    sig = minhash_signatures(shingle_rows(df, id_col, text_col, k), n_hashes)
-    return df.join(sig.withColumnRenamed("id", id_col), id_col)
+    sig = _rowwise_sig(shingled_docs(df, id_col, text_col, k), n_hashes).select(
+        F.col("id").alias(id_col), *[f"mh{i}" for i in range(n_hashes)]
+    )
+    return df.join(sig, id_col)
 
 
 def lsh_band_keys(n_hashes: int = 16, bands: int = 4) -> list[Column]:
@@ -150,8 +164,9 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Signatures -> unpivot bands -> ONE self-equi-join on the band key
-    -> distinct candidates -> relational Jaccard verify on candidates.
+    Per-row signatures (zero shuffle) -> unpivot bands -> ONE
+    self-equi-join on the band key -> distinct candidates -> per-row
+    array_intersect Jaccard verify on candidates.
 
     Skew controls for 100 TB corpora (both default OFF, preserving
     exact semantics):
@@ -169,8 +184,8 @@ def minhash_lsh_pairs(
       Total work unchanged, results IDENTICAL for any s; use when AQE
       skew-split alone can't break up a single giant key.
     """
-    sh = shingle_rows(df, id_col, text_col, k).cache()
-    sig = minhash_signatures(sh, n_hashes)
+    shs = shingled_docs(df, id_col, text_col, k).cache()
+    sig = _rowwise_sig(shs, n_hashes)
     stacked = sig.select("id", *lsh_band_keys(n_hashes, bands)).unpivot(
         "id", [f"band{b}" for b in range(bands)], "band_idx", "band_key"
     )
@@ -203,16 +218,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    inter = (
-        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Exact-Jaccard verify as PER-ROW set algebra: pull each side's
+    # (already distinct) shingle array onto the pair and intersect in
+    # the row — no shingle-level join, no pair groupBy, no size joins.
+    # Work is proportional to candidate pairs x array length, all
+    # whole-stage codegen; the two id-equi-joins are the only shuffles
+    # and at corpus scale candidates are a sliver of documents.
+    sh_a = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    sh_b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    joined = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_inter"),
+            F.size("__sh_a").alias("n_a"),
+            F.size("__sh_b").alias("n_b"),
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    joined = inter.join(sa, "id_a").join(sb, "id_b")
     # integer-scaled rounding: n_inter*1e6/union is an exact-int double
     # division, and a true half-way quotient is exactly representable —
     # so ROUND agrees across engines (rounding the raw double ratio
@@ -361,13 +385,19 @@ def ngram_jaccard_pairs(
 
     |intersection| is a shingle-level equi-join aggregated per pair;
     |union| = |A| + |B| - |inter|. Blocking keeps the join quadratic
-    only within buckets.
+    only within buckets. Doc shingle counts are array lengths
+    (per-row, no groupBy), and the bucket columns ride the shingled
+    projection — the only shuffles are the pair join + pair agg.
     """
-    sh = shingle_rows(df, id_col, text_col, k)
-    tok = sh.join(
-        df.select(F.col(id_col).alias("id"), *bucket_cols), "id"
+    # cached as ARRAYS: the pair join reads it twice (both sides) and
+    # sizes once — explode from the cache is partition-local CPU
+    shs = shingled_docs(
+        df, id_col, text_col, k, keep_cols=bucket_cols
     ).cache()
-    sizes = tok.groupBy("id", *bucket_cols).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shs.select("id", *bucket_cols, F.size("sh").alias("n_sh"))
+    tok = shs.select(
+        "id", *bucket_cols, F.explode("sh").alias("shingle")
+    )
     a = tok.select(F.col("id").alias("id_a"), *bucket_cols, "shingle")
     b = tok.select(
         F.col("id").alias("id_b"),
@@ -443,7 +473,7 @@ def winnow_fingerprints(
     shuffles before the final distinct-free explode — per-window mins
     are deduped per-doc by array_distinct, and (id, fp) needs no
     global distinct for unique ids, same precondition as
-    shingle_rows). Documents shorter than k tokens contribute one
+    shingled_docs). Documents shorter than k tokens contribute one
     whole-text gram; hash sequences shorter than ``w`` form a single
     window.
     """
