@@ -94,15 +94,28 @@ def shingled_docs(
     shuffle of every (doc, shingle) row that the exploded formulation
     paid — at corpus scale that shuffle is the largest intermediate in
     the near-dup pipeline. ``keep_cols`` (e.g. blocking keys) ride the
-    projection instead of being joined back later."""
+    projection instead of being joined back later.
+
+    Two projections, not one: the token array is MATERIALIZED before
+    the k-gram transform references it. Inlined, the lambda's ``toks``
+    reference re-evaluates the normalize+split chain PER ARRAY ELEMENT
+    (interpreted HOFs get no common-subexpression elimination) —
+    measured 6x slower at sf0.1. Same hazard fixed in
+    ``winnow_fingerprints`` (26x there; the re-evaluated chain
+    includes the md5s)."""
     from ..catalog import fan_out
 
     extra = list(keep_cols or [])
     base = fan_out(
         df.select(F.col(id_col).alias("id"), *extra, F.col(text_col).alias("t"))
     )
-    return base.select(
-        "id", *extra, word_shingles(F.col("t"), k).alias("sh")
+    toks = base.select(
+        "id",
+        *extra,
+        whitespace_tokens(normalize_text(F.col("t"))).alias("__toks"),
+    )
+    return toks.select(
+        "id", *extra, _shingles_of(F.col("__toks"), k).alias("sh")
     )
 
 
@@ -476,20 +489,28 @@ def winnow_fingerprints(
     shingled_docs). Documents shorter than k tokens contribute one
     whole-text gram; hash sequences shorter than ``w`` form a single
     window.
+
+    Staged as THREE projections (toks -> hs -> window mins): each
+    array is materialized before the next transform's lambda
+    references it. Inlined as one expression, the per-element lambda
+    reference re-evaluates the whole upstream chain (tokenize + n
+    md5s) PER WINDOW — interpreted HOFs get no common-subexpression
+    elimination; measured 26x slower at sf0.1.
     """
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    n = F.size(toks)
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    tk = F.col("__toks")
+    n = F.size(tk)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    hs = F.transform(grams, hash32)
+    grams = F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
+    hashed = staged.select("id", F.transform(grams, hash32).alias("__hs"))
+    hs = F.col("__hs")
     m = F.size(hs)
     win_idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
     fps = F.array_distinct(
         F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(fps).alias("fp")
-    )
+    return hashed.select("id", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(

@@ -218,7 +218,14 @@ def ngram_dup_stats(
     aggregate per doc — one shuffle on the doc id, no UDFs; scales
     with corpus token count.
     """
-    toks = whitespace_tokens(text_col)
+    # token array materialized in its own projection before the k-gram
+    # lambda references it — an inlined reference re-evaluates the
+    # tokenize chain per gram (interpreted HOFs get no CSE; same
+    # hazard as dedup_fuzzy.winnow_fingerprints, measured up to 26x)
+    base = df.select(
+        F.col(id_col), whitespace_tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # guard: Spark's sequence(1, 0) steps DOWN to [1, 0] — a doc with
     # fewer than k tokens must yield NO grams, not two bogus ones
@@ -226,7 +233,7 @@ def ngram_dup_stats(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    g = base.select(F.col(id_col), F.explode(grams).alias("gram"))
     per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     tot, dis = F.sum("c"), F.count(F.lit(1))
     return per_gram.groupBy(id_col).agg(

@@ -280,11 +280,20 @@ def sim5_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import norm2_scaled, scale_vec
 
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    sv = scale_vec(F.col("embedding"))
-    return emb.select(
+    # scaled vector materialized once: HOFs are interpreted (no CSE),
+    # so an inline `sv` would re-run the scale transform per output
+    # expression — five times per row
+    staged = emb.select(
         "vec_id",
         "label",
         F.size("embedding").cast("long").alias("dim"),
+        scale_vec(F.col("embedding")).alias("__sv"),
+    )
+    sv = F.col("__sv")
+    return staged.select(
+        "vec_id",
+        "label",
+        "dim",
         F.aggregate(
             sv, F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("sum_scaled"),
