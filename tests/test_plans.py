@@ -116,3 +116,44 @@ def test_sim3_no_forced_corpus_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    """The per-doc signature stage (shingle -> hash -> array_min per
+    affine rehash) must stay partition-local: no Exchange may appear
+    below the LSH band self-join's input. Regression guard for the
+    per-row reformulation (an explode + groupBy here shuffles every
+    (doc, shingle) row — the largest intermediate of the pipeline)."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        _rowwise_sig,
+        shingled_docs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = _rowwise_sig(shingled_docs(docs), n_hashes=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sig.explain("formatted")
+    plan = buf.getvalue()
+    # fan_out's explicit round-robin repartition is the ONLY exchange
+    # allowed (compute-spreading guard, not a keyed shuffle)
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_simhash_table_no_shuffle(spark, sf_dir):
+    """simhash_table computes per-row (staged token-hash array +
+    bit-vote folds); the corpus token rows must never shuffle."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        simhash_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        simhash_table(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
