@@ -55,3 +55,35 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # pinning the read schema explicitly is the stable contract
     pinned = spark.read.schema("id long, v string, score double").parquet(path)
     assert {r.id: r.score for r in pinned.collect()}[3] == 30.0
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """catalog.load('events') must read BOTH fixture encodings the
+    driver has shipped across rounds: parquet timestamp[us] (current)
+    and TIMESTAMP(NANOS) (read as bigint under nanosAsLong) — same
+    resulting values either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+
+    real = load(spark, "/root/testdata/sf0.001", "events")
+    assert dict(real.dtypes)["ts"] == "timestamp"
+    want = sorted(
+        (r.event_id, r.ts) for r in real.select("event_id", "ts").limit(50).collect()
+    )
+
+    # rewrite the same rows as TIMESTAMP(NANOS) into a twin sf dir
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
+    tbl_ns = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    twin = tmp_path / "sf_nanos"
+    twin.mkdir()
+    pq.write_table(tbl_ns, str(twin / "events.parquet"))
+
+    nanos = load(spark, str(twin), "events")
+    assert dict(nanos.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        (r.event_id, r.ts) for r in nanos.select("event_id", "ts").limit(50).collect()
+    )
+    assert got == want
