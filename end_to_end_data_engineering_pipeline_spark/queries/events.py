@@ -320,13 +320,19 @@ def e9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
     )
+    # distinct column name on the right side: a self-join equality on
+    # two same-named lineage-shared attributes relies on Spark's
+    # ambiguous-self-join rewrite (it warns "trivially true
+    # predicate") — aliasing makes the equi-key explicit
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
         F.col("event_id").alias("p_id"),
     )
     joined = errors.join(
         purchases,
-        (errors.user_id == purchases.user_id)
+        (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("p_ts") < F.col("e_ts")),
         "left",
