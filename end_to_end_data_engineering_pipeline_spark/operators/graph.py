@@ -38,15 +38,17 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
-    check_every: int = 2,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``; cluster_id =
     the minimum node id of the component (deterministic canonical
-    representative). Convergence is tested every ``check_every``
-    rounds — the changed-label count is a full action, and for the
-    typical 2-3 round near-dup graph checking every round spends as
-    many jobs verifying as converging. Extra rounds past the fixpoint
-    are no-ops on the labels, so correctness is unaffected."""
+    representative).
+
+    Convergence: each round's aggregate carries the node's PREVIOUS
+    label alongside the new min (the self row contributes it; max()
+    recovers it — one row per node), so the changed-label count is a
+    column filter over the freshly checkpointed round output — no
+    labels-to-labels self-join, no extra shuffle, cheap enough to run
+    every round and stop at the exact fixpoint."""
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -62,36 +64,39 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for it in range(1, max_iter + 1):
+        label_type = labels.schema["label"].dataType
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
+            .withColumn("__old", F.lit(None).cast(label_type))
+        )
+        mine = labels.select(
+            "node", "label", F.col("label").alias("__old")
         )
         new_labels = (
-            labels.unionByName(neigh)
+            mine.unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        if it % check_every == 0 or it == max_iter:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
+        changed = new_labels.where(
+            F.col("label") != F.col("__old")
+        ).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            break
+        if it == max_iter:
+            # partially-propagated labels would silently break the
+            # transitive dedup contract (multiple "canonical" docs
+            # per cluster on chains longer than max_iter) — refuse
+            raise RuntimeError(
+                f"connected_components did not converge after "
+                f"{max_iter} rounds; {changed} labels still changing "
+                f"(graph diameter exceeds max_iter — raise max_iter)"
             )
-            if changed == 0:
-                labels = new_labels
-                break
-            if it == max_iter:
-                # partially-propagated labels would silently break the
-                # transitive dedup contract (multiple "canonical" docs
-                # per cluster on chains longer than max_iter) — refuse
-                raise RuntimeError(
-                    f"connected_components did not converge after "
-                    f"{max_iter} rounds; {changed} labels still changing "
-                    f"(graph diameter exceeds max_iter — raise max_iter)"
-                )
-        labels = new_labels
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

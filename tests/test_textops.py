@@ -203,7 +203,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2, check_every=2)
+        connected_components(chain, max_iter=2)
     # and with enough rounds the same graph converges to one label
     cc = connected_components(chain, max_iter=25).collect()
     assert {r.cluster_id for r in cc} == {1}
