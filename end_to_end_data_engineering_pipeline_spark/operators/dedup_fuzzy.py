@@ -199,9 +199,13 @@ def minhash_lsh_pairs(
     """
     shs = shingled_docs(df, id_col, text_col, k).cache()
     sig = _rowwise_sig(shs, n_hashes)
+    # cached: the self-join reads the banded table on BOTH sides, and
+    # with the signature stage now shuffle-free there is no Exchange
+    # for Spark to reuse — uncached, the whole per-row signature
+    # pipeline would run twice
     stacked = sig.select("id", *lsh_band_keys(n_hashes, bands)).unpivot(
         "id", [f"band{b}" for b in range(bands)], "band_idx", "band_key"
-    )
+    ).cache()
     if max_band_size is not None:
         w_band = Window.partitionBy("band_idx", "band_key")
         stacked = (
@@ -355,7 +359,11 @@ def simhash_neardup_pairs(
         raise ValueError("banding is complete only for max_hamming < bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sim = simhash_table(df, id_col, text_col, bits)
+    # cached: the band self-join reads the signature table on both
+    # sides; the per-row signature stage has no Exchange to reuse, so
+    # uncached it would run twice (one md5 pass per token occurrence
+    # per side). ~12 bytes/doc — negligible memory at any corpus size.
+    sim = simhash_table(df, id_col, text_col, bits).cache()
     stacked = sim.select(
         "id",
         "simhash",
