@@ -180,7 +180,12 @@ def cosine_topk_lsh(
     cand = base.join(
         F.broadcast(q),
         (F.col("sig") == F.col("qsig")) & (F.col("id") != F.col("query_id")),
-    ).dropDuplicates(["query_id", "id"])
+    )
+    if multi_probe:
+        # only multi-probe can surface one candidate via several
+        # probe buckets; single-probe pairs are already unique, so
+        # the dedup shuffle is pure cost there
+        cand = cand.dropDuplicates(["query_id", "id"])
     scored = cand.select(
         "query_id",
         F.col("id").alias("cand_id"),
