@@ -169,8 +169,8 @@ def _o_simhash_bits(bits: int = 32) -> str:
 )
 def t5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit Charikar simhash per document (operators/dedup_fuzzy.py:
-    simhash_table, the relational codegen form) — near-dup docs differ
-    in few Hamming bits."""
+    simhash_table — per-row staged token-hash array + bit-vote folds,
+    zero shuffles) — near-dup docs differ in few Hamming bits."""
     from ..operators.dedup_fuzzy import simhash_table
 
     docs = load(spark, sf_dir, "documents")
