@@ -571,3 +571,43 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_events_handles_nanos_encoding(spark, sf_dir, tmp_path):
+    """stream_events must also read a TIMESTAMP(NANOS) fixture (the
+    encoding older driver rounds shipped): probe chooses the bigint
+    schema + explicit conversion, and the streamed rows equal the
+    batch loader's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        stream_events,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
+    tbl_ns = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    src = tmp_path / "ev_nanos"
+    src.mkdir()
+    pq.write_table(tbl_ns, str(src / "part-0.parquet"))
+
+    got_df = stream_events(spark, str(src)).select("event_id", "ts")
+    q = (
+        got_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nanos_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.ts)
+        for r in spark.sql("SELECT * FROM nanos_stream").collect()
+    }
+    want = {
+        (r.event_id, r.ts)
+        for r in load(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+    assert got == want and len(want) > 0
