@@ -78,16 +78,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition for compute-bound stages.
+    """Round-robin repartition for compute-bound stages — ONLY when
+    the input is under-split.
 
     Small-by-bytes inputs (single parquet file -> 1 split; AQE
     coalesces shuffles under the advisory byte size) serialize
     CPU-heavy per-row work like shingling, hashing, and pair scoring.
     Bytes are the wrong currency for those stages — spread them across
-    cores explicitly. At 100 TB the scan splits make this a no-op-ish
-    guard; on small fixtures it is the difference between 1 and N
-    cores."""
+    cores explicitly. But when the scan already has >= target splits
+    (any real-scale table), a repartition here would be a gratuitous
+    full shuffle of the input — so it is skipped: checking the
+    physical partition count costs one driver-side plan walk, no job.
+    On small fixtures this is the difference between 1 and N cores;
+    at 100 TB it is a true no-op."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
