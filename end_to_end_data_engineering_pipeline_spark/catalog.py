@@ -77,9 +77,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SCAN_FAMILY_NODES = frozenset(
+    {
+        "Relation",
+        "Project",
+        "Filter",
+        "Union",
+        "LocalRelation",
+        "OneRowRelation",
+        "GlobalLimit",
+        "LocalLimit",
+        "Sample",
+    }
+)
+
+
+def _scan_rooted(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains only scan-family
+    nodes (scan/filter/project/union/limit) — i.e. no exchanges.
+    Driver-side plan inspection only; optimization runs but no job.
+    For such plans ``df.rdd`` is a pure plan walk; for plans WITH
+    exchanges, touching ``.rdd`` under AQE finalizes query stages and
+    eagerly runs the upstream jobs — which is why fan_out only probes
+    scan-rooted inputs."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
+        if m and m.group(1) not in _SCAN_FAMILY_NODES:
+            return False
+    return True
+
+
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition for compute-bound stages — ONLY when
-    the input is under-split.
+    the input is a scan-rooted DataFrame that is under-split.
 
     Small-by-bytes inputs (single parquet file -> 1 split; AQE
     coalesces shuffles under the advisory byte size) serialize
@@ -87,11 +123,18 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     Bytes are the wrong currency for those stages — spread them across
     cores explicitly. But when the scan already has >= target splits
     (any real-scale table), a repartition here would be a gratuitous
-    full shuffle of the input — so it is skipped: checking the
-    physical partition count costs one driver-side plan walk, no job.
-    On small fixtures this is the difference between 1 and N cores;
-    at 100 TB it is a true no-op."""
+    full shuffle of the input — so it is skipped.
+
+    Inputs whose plan contains exchanges (joins, aggregates, …) are
+    returned UNCHANGED: their width is already the shuffle-partition
+    count, and probing ``.rdd`` on such a plan under AQE would
+    eagerly execute the upstream query stages at plan-construction
+    time (so the skip-check itself would cost the jobs it tries to
+    avoid). On small fixtures this is the difference between 1 and N
+    cores; at 100 TB it is a true no-op."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if not _scan_rooted(df):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -37,6 +37,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -66,14 +67,69 @@ def _partition_dirs(path: str) -> list[str]:
 
 _STAGE_PREFIX = ".__compact_"
 
+# A staging dir younger than this is presumed to belong to a LIVE
+# compaction and is never swept — running plan_compaction (or a second
+# compact_partitions) concurrently with an in-flight run must not
+# delete the live run's stage mid-write. One hour dwarfs any single
+# partition rewrite; pass 0 to force-sweep in tests / after a known
+# crash.
+DEFAULT_SWEEP_MIN_AGE_S = 3600.0
 
-def _sweep_stage_dirs(path: str) -> list[str]:
-    """Remove orphaned compaction staging/old dirs left by a crashed
-    run. They are dot-prefixed (never visible to partition discovery
-    or to Spark's scan path filter) so removal can never lose
-    committed data — only uncommitted stage output or the pre-swap
-    copy of an already-swapped partition."""
-    swept = []
+
+def _stage_dir_pair(path: str, d: str, token: str) -> tuple[str, str]:
+    """(stage, old) staging-dir paths for compacting partition dir
+    ``d`` of the table at ``path``. Basenames are dot-prefixed (never
+    visible to partition discovery or Spark's scan path filter) and
+    encode the target partition's relative path in hex — hex carries
+    no ``=`` or ``/`` — so crash recovery can map an orphaned pre-swap
+    dir back to the exact partition it came from."""
+    rel = os.path.relpath(d, path)
+    enc = "" if rel == "." else rel.encode("utf-8").hex()
+    if os.path.abspath(d) == os.path.abspath(path):
+        # unpartitioned table: stage as a hidden SIBLING of the table
+        # root (staging inside the dir being swapped would move with
+        # the rename)
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        root, marker = parent, f".{base}{_STAGE_PREFIX}"
+    else:
+        root, marker = path, _STAGE_PREFIX
+    return (
+        os.path.join(root, f"{marker}stage_{token}_{enc}"),
+        os.path.join(root, f"{marker}old_{token}_{enc}"),
+    )
+
+
+def _parse_stage_name(name: str, marker: str) -> tuple[str, str] | None:
+    """Decode a staging-dir basename -> (kind, target_relpath), or
+    None when the name is not an attributable compaction artifact
+    (the sweep never deletes what it cannot attribute)."""
+    parts = name[len(marker):].split("_")
+    if len(parts) != 3 or parts[0] not in ("stage", "old"):
+        return None
+    kind, _token, enc = parts
+    try:
+        rel = bytes.fromhex(enc).decode("utf-8") if enc else "."
+    except ValueError:
+        return None
+    return kind, rel
+
+
+def _sweep_stage_dirs(
+    path: str, min_age_seconds: float = DEFAULT_SWEEP_MIN_AGE_S
+) -> list[str]:
+    """Recover or remove compaction staging dirs left by a crashed run.
+
+    A crash between the two swap renames leaves the partition dir
+    MISSING and its only committed copy in the ``old`` staging dir —
+    such dirs are RESTORED (rename back into place, completing the
+    interrupted swap), never deleted, and regardless of age. Everything
+    else — uncommitted ``stage`` output, and ``old`` dirs whose
+    partition dir exists (swap completed) — is garbage, removed once
+    older than ``min_age_seconds`` (younger dirs may belong to a live
+    concurrent run and are left alone). Returns the paths acted on.
+    """
+    acted = []
+    now = time.time()
     roots = [path]
     parent, base = os.path.dirname(path), os.path.basename(path)
     if parent and os.path.isdir(parent):
@@ -82,11 +138,41 @@ def _sweep_stage_dirs(path: str) -> list[str]:
         marker = (
             _STAGE_PREFIX if root == path else f".{base}{_STAGE_PREFIX}"
         )
-        for d in os.listdir(root):
-            if d.startswith(marker):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                swept.append(os.path.join(root, d))
-    return swept
+        if not os.path.isdir(root):
+            # the table root itself may be missing: a crash inside an
+            # unpartitioned-table swap — its sibling `old` dir (scanned
+            # via the parent root) is the restore source
+            continue
+        for name in os.listdir(root):
+            if not name.startswith(marker):
+                continue
+            full = os.path.join(root, name)
+            parsed = _parse_stage_name(name, marker)
+            if parsed is None:
+                continue
+            kind, rel = parsed
+            target = path if rel == "." else os.path.join(path, rel)
+            if kind == "old" and not os.path.isdir(target):
+                # the pre-swap dir is the ONLY copy of this
+                # partition's committed data
+                try:
+                    tparent = os.path.dirname(target)
+                    if tparent:
+                        os.makedirs(tparent, exist_ok=True)
+                    os.rename(full, target)
+                    acted.append(full)
+                except OSError:
+                    pass  # target reappeared concurrently; next sweep decides
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_age_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            acted.append(full)
+    return acted
 
 
 def _data_files(d: str) -> list[str]:
@@ -98,15 +184,19 @@ def _data_files(d: str) -> list[str]:
 
 
 def plan_compaction(
-    path: str, target_file_bytes: int = 128 * 1024 * 1024
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sweep_min_age_seconds: float = DEFAULT_SWEEP_MIN_AGE_S,
 ) -> dict[str, tuple[int, int]]:
     """Partition dir -> (current_file_count, target_file_count) for
     every partition whose file count exceeds what its bytes justify.
-    Also sweeps orphaned (dot-prefixed, never-readable) staging dirs
-    from a previously crashed compaction; otherwise pure file-listing,
-    safe to run anytime."""
+    Also runs the staging-dir sweep: restores any partition whose swap
+    a crashed run left half-done, and removes attributable staging
+    garbage older than ``sweep_min_age_seconds`` (younger dirs may
+    belong to a live concurrent compaction and are left alone).
+    Otherwise pure file-listing, safe to run anytime."""
     plan: dict[str, tuple[int, int]] = {}
-    _sweep_stage_dirs(path)
+    _sweep_stage_dirs(path, sweep_min_age_seconds)
     for d in _partition_dirs(path):
         files = _data_files(d)
         if len(files) <= 1:
@@ -122,6 +212,7 @@ def compact_partitions(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sweep_min_age_seconds: float = DEFAULT_SWEEP_MIN_AGE_S,
 ) -> dict[str, tuple[int, int]]:
     """Rewrite every over-fragmented partition of the parquet table at
     ``path`` down to ceil(bytes/target) files; leave compact partitions
@@ -136,29 +227,26 @@ def compact_partitions(
     Staging safety: stage and pre-swap dirs are DOT-PREFIXED and carry
     no ``=`` in their basename, so neither partition discovery nor
     Spark's scan path filter can ever see them — a concurrent reader
-    observes either the old or the new file set, never both, and a
-    crash at any point leaves only invisible garbage (swept by the
-    next ``plan_compaction``), never resurrectable data.
+    observes either the old or the new file set, never both. Crash
+    recovery: the staging names encode the target partition, so if a
+    run dies inside the swap window (partition dir renamed away, new
+    dir not yet in place) the next ``plan_compaction`` RESTORES the
+    pre-swap dir rather than sweeping it; committed data survives a
+    crash at any instruction. If the second rename itself fails the
+    pre-swap dir is renamed straight back in-line.
     """
-    plan = plan_compaction(path, target_file_bytes)
+    plan = plan_compaction(path, target_file_bytes, sweep_min_age_seconds)
     for d, (_, want) in plan.items():
         df = spark.read.parquet(d)
-        token = uuid.uuid4().hex
-        if os.path.abspath(d) == os.path.abspath(path):
-            # unpartitioned table: stage as a hidden SIBLING of the
-            # table root (staging inside the dir being swapped would
-            # move with the rename)
-            parent, base = os.path.dirname(d), os.path.basename(d)
-            stage = os.path.join(parent, f".{base}{_STAGE_PREFIX}stage_{token}")
-            old = os.path.join(parent, f".{base}{_STAGE_PREFIX}old_{token}")
-        else:
-            # partitioned table: stage under the table root, hidden
-            stage = os.path.join(path, f"{_STAGE_PREFIX}stage_{token}")
-            old = os.path.join(path, f"{_STAGE_PREFIX}old_{token}")
+        stage, old = _stage_dir_pair(path, d, uuid.uuid4().hex)
         try:
             df.repartition(want).write.mode("overwrite").parquet(stage)
             os.rename(d, old)
-            os.rename(stage, d)
+            try:
+                os.rename(stage, d)
+            except OSError:
+                os.rename(old, d)  # roll the swap back; committed data wins
+                raise
             shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(stage, ignore_errors=True)

@@ -32,6 +32,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hive_unescape(name: str) -> str:
+    """Invert the hive path escaping Spark applies to partition dir
+    names (ExternalCatalogUtils.escapePathName renders each special
+    char as %XX): '%2F' -> '/', '%3A' -> ':', '%25' -> '%', ... .
+    Unescaping the ON-DISK name is unambiguous regardless of which
+    exact character set the writer escaped."""
+    out = []
+    i, n = 0, len(name)
+    while i < n:
+        c = name[i]
+        if c == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _partition_value_str(p) -> str:
+    """Canonical string form Spark uses for a partition VALUE inside a
+    hive dir name (before escaping): booleans lowercase, dates ISO,
+    everything else str()."""
+    if isinstance(p, bool):
+        return "true" if p else "false"
+    return str(p)
+
+
+def _remove_partition_dirs(target_path: str, partition_col: str, values) -> None:
+    """Delete the on-disk hive dirs for the given partition values by
+    LISTING the actual dirs and unescaping their value component —
+    constructing f"{col}={value}" directly misses any value Spark
+    escaped ('/', ':', '%', ...), leaving deleted rows visible."""
+    want = {_partition_value_str(p) for p in values}
+    if not want:
+        return
+    prefix = f"{partition_col}="
+    for d in os.listdir(target_path):
+        full = os.path.join(target_path, d)
+        if not d.startswith(prefix) or not os.path.isdir(full):
+            continue
+        if _hive_unescape(d[len(prefix):]) in want:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -278,17 +326,14 @@ def _apply_changes_partitioned(
                 target_path
             )
             # fully-deleted partitions never appear in `staged`; clear
-            # their dirs (str() covers the int/string/date partition
-            # values this engine writes — hive dir names are the
-            # value's canonical string form)
+            # their dirs by matching the actual on-disk (hive-escaped)
+            # names — see _remove_partition_dirs
             present = {
                 r[0] for r in staged.select(partition_col).distinct().collect()
             }
-            for p in set(parts) - present:
-                shutil.rmtree(
-                    os.path.join(target_path, f"{partition_col}={p}"),
-                    ignore_errors=True,
-                )
+            _remove_partition_dirs(
+                target_path, partition_col, set(parts) - present
+            )
             return n
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -47,9 +47,26 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     driver regenerations (TIMESTAMP(NANOS)→bigint under nanosAsLong vs
     timestamp[us]→TIMESTAMP_NTZ). Streams need a declared schema up
     front, so probe the path with a one-file batch read and branch.
+    An EMPTY / not-yet-populated source dir makes the probe raise
+    (no footer to infer from) — fall back to the current-encoding
+    declared schema so the stream starts cleanly and picks up files
+    as they arrive. The nanosAsLong conf the probe needs is restored
+    afterward (it must not leak session-wide: it retypes every other
+    nanos-encoded parquet read) — EXCEPT when the probe finds a nanos
+    fixture, where the conf must stay set for the stream's own micro-
+    batch reads to parse TIMESTAMP(NANOS) files at all.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = dict(spark.read.parquet(path).dtypes)["ts"]
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch_ts = dict(spark.read.parquet(path).dtypes)["ts"]
+    except Exception:
+        batch_ts = "timestamp_ntz"  # empty dir: current fixture encoding
+    if batch_ts != "bigint":
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     if batch_ts == "bigint":
         raw = (
             spark.readStream.schema(_events_file_schema(T.LongType()))

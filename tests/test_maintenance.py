@@ -240,10 +240,12 @@ def test_staging_dirs_invisible_to_concurrent_reader(spark, tmp_path):
 
 
 def test_crashed_compaction_leaves_no_resurrectable_dirs(spark, tmp_path):
-    """Orphaned stage/old dirs from a crashed run are swept by the next
+    """Orphaned stage/old dirs from a crashed run (swap COMPLETED or
+    never started — the partition dir exists) are swept by the next
     plan_compaction, and a compaction run over the crashed state
     produces exactly the original rows (old data never resurrects)."""
     from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        _stage_dir_pair,
         _sweep_stage_dirs,
     )
 
@@ -259,24 +261,22 @@ def test_crashed_compaction_leaves_no_resurrectable_dirs(spark, tmp_path):
         r.v for r in spark.read.parquet(path).select("v").collect()
     )
 
-    # crash leftovers: stage + old under the root, plus the
-    # unpartitioned-table sibling form next to the root
+    # crash leftovers with real (parseable) staging names: stage + old
+    # for partition p=a (which still exists -> swap completed, both are
+    # garbage), plus an unpartitioned-table sibling-form stage dir
     part = os.path.join(path, "p=a")
-    for leftover in (
-        os.path.join(path, ".__compact_stage_c0ffee"),
-        os.path.join(path, ".__compact_old_c0ffee"),
-        os.path.join(
-            os.path.dirname(path),
-            f".{os.path.basename(path)}.__compact_stage_c0ffee",
-        ),
-    ):
+    stage, old = _stage_dir_pair(path, part, "c0ffee")
+    sib_stage, _ = _stage_dir_pair(path, path, "c0ffee")
+    for leftover in (stage, old, sib_stage):
         spark.read.parquet(part).limit(100).write.parquet(leftover)
 
-    executed = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    executed = compact_partitions(
+        spark, path, target_file_bytes=1 << 30, sweep_min_age_seconds=0.0
+    )
     assert part in executed
 
     # leftovers swept, nothing hidden remains anywhere
-    assert _sweep_stage_dirs(path) == []
+    assert _sweep_stage_dirs(path, min_age_seconds=0.0) == []
     for root in (path, str(tmp_path)):
         assert not [
             d for d in os.listdir(root) if ".__compact_" in d
@@ -286,3 +286,92 @@ def test_crashed_compaction_leaves_no_resurrectable_dirs(spark, tmp_path):
         r.v for r in spark.read.parquet(path).select("v").collect()
     )
     assert rows_after == rows_before
+
+
+def test_crash_inside_swap_window_is_restored_not_swept(spark, tmp_path):
+    """The killer crash window: rename(partition -> old) done, rename
+    (stage -> partition) NOT done. The partition dir is missing and the
+    only committed copy lives in the old staging dir. The sweep must
+    RESTORE it (completing the interrupted swap backward), not delete
+    it — and the table then reads back every original row."""
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        _stage_dir_pair,
+        _sweep_stage_dirs,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+    )
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    rows_before = sorted(
+        r.v for r in spark.read.parquet(path).select("v").collect()
+    )
+
+    # simulate the crash: stage fully written, partition renamed away
+    part = os.path.join(path, "p=0")
+    stage, old = _stage_dir_pair(path, part, "deadbeef")
+    spark.read.parquet(part).coalesce(1).write.parquet(stage)
+    os.rename(part, old)
+    assert not os.path.isdir(part)
+
+    # restore happens regardless of age (committed data, zero grace)
+    acted = _sweep_stage_dirs(path)
+    assert old in acted and os.path.isdir(part)
+    # the uncommitted stage dir survives the aged sweep (could be a
+    # live run's) but falls to a forced one
+    assert os.path.isdir(stage)
+    _sweep_stage_dirs(path, min_age_seconds=0.0)
+    assert not os.path.isdir(stage)
+
+    rows_after = sorted(
+        r.v for r in spark.read.parquet(path).select("v").collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_crash_inside_swap_window_unpartitioned_table(spark, tmp_path):
+    """Same crash window for an unpartitioned table: the whole table
+    dir is renamed to the hidden sibling; plan_compaction must restore
+    it (and then plan normally) rather than sweeping the only copy."""
+    path = str(tmp_path / "flat")
+    spark.range(0, 1000).repartition(5).write.parquet(path)
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        _stage_dir_pair,
+    )
+
+    _, old = _stage_dir_pair(path, path, "deadbeef")
+    os.rename(path, old)
+    assert not os.path.isdir(path)
+
+    plan = plan_compaction(path, target_file_bytes=1 << 30)
+    assert os.path.isdir(path) and plan  # restored, then planned
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_sweep_leaves_young_and_unattributable_dirs(spark, tmp_path):
+    """Concurrency guard: a fresh stage dir (live run) is never swept
+    by an aged sweep; a dir whose name cannot be parsed back to a
+    partition is never deleted at any age."""
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        _stage_dir_pair,
+        _sweep_stage_dirs,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.lit("a").alias("p"), F.col("id").alias("v")
+    ).write.partitionBy("p").parquet(path)
+    part = os.path.join(path, "p=a")
+    stage, _ = _stage_dir_pair(path, part, "beef01")
+    unparseable = os.path.join(path, ".__compact_stage_legacyname")
+    os.makedirs(stage)
+    os.makedirs(unparseable)
+
+    assert _sweep_stage_dirs(path) == []  # young stage: left alone
+    assert os.path.isdir(stage)
+    _sweep_stage_dirs(path, min_age_seconds=0.0)
+    assert not os.path.isdir(stage)
+    assert os.path.isdir(unparseable)  # unattributable: never deleted

@@ -244,3 +244,58 @@ def test_apply_changes_partitioned_scopes_rewrite(spark, tmp_path):
          ("d2", 0, "new"), ("d2", 1, "old"), ("d2", 2, "old"),
          ("d2", 99, "new")]
     )
+
+
+def test_apply_changes_deletes_hive_escaped_partitions(spark, tmp_path):
+    """Partition values Spark hive-escapes in dir names ('/',' ',':',
+    '%') must still be removable when fully deleted: the cleanup has to
+    match the actual on-disk (escaped) dir name, not a raw
+    f-string. Before the fix the stale dir survived and the 'deleted'
+    rows stayed visible on the next read."""
+    import os
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+
+    path = str(tmp_path / "cdc_esc")
+    nasty = ["a/b", "x:y", "100%", "a b", "plain"]
+    cols = ["bucket", "k", "val"]
+    base = spark.createDataFrame(
+        [(b, k, "old") for b in nasty for k in range(2)], cols
+    )
+    assert (
+        apply_changes(
+            spark,
+            path,
+            base.withColumn("op", F.lit("I")).withColumn("seq", F.lit(0)),
+            ["bucket", "k"],
+            "seq",
+            partition_col="bucket",
+        )
+        == 10
+    )
+    # Spark escaped these values on write: no raw name exists ('a b'
+    # is written literally — spaces are not in hive's escape set)
+    for b in ("a/b", "x:y", "100%"):
+        assert not os.path.isdir(os.path.join(path, f"bucket={b}"))
+
+    # delete ALL rows of every escaped partition
+    changes = spark.createDataFrame(
+        [(b, k, None, "D", 1) for b in nasty[:4] for k in range(2)],
+        "bucket string, k bigint, val string, op string, seq bigint",
+    )
+    n = apply_changes(
+        spark, path, changes, ["bucket", "k"], "seq", partition_col="bucket"
+    )
+    assert n == 0  # every touched partition fully deleted: 0 rows staged
+    got = sorted(
+        (r.bucket, r.k) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("plain", 0), ("plain", 1)]
+    # and the escaped dirs are actually gone from disk
+    assert [d for d in os.listdir(path) if d.startswith("bucket=")] and all(
+        "plain" in d
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+    )

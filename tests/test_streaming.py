@@ -611,3 +611,96 @@ def test_stream_events_handles_nanos_encoding(spark, sf_dir, tmp_path):
         for r in load(spark, sf_dir, "events").select("event_id", "ts").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_events_starts_on_empty_source_dir(spark, sf_dir, tmp_path):
+    """An empty (not-yet-populated) source dir must not kill the
+    stream at construction: the schema probe falls back to the
+    declared current-encoding schema, the query starts cleanly, and
+    files dropped in later are picked up."""
+    import shutil as sh
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    ev = stream_events(spark, str(src))  # must not raise
+    agg = streaming_tumbling_agg(ev, watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("empty_start")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM empty_start").count() == 0
+    sh.copy(f"{sf_dir}/events.parquet", str(src / "part-0.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM empty_start").count() > 0
+
+
+def test_watermark_drops_late_straggler_keeps_fresh(spark, tmp_path):
+    """Late-data semantics at the watermark boundary, straggler on
+    each side: after the watermark has passed a window's end, a
+    too-late event (below the watermark) is DROPPED — the finalized
+    window's count never changes — while a straggler still above the
+    watermark is KEPT and lands in its (open) window."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "late_src")
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: two events in the 10:00 window
+    feed([(1, t(10, 0), 1, "click", 1.0, "{}"),
+          (2, t(10, 30), 1, "click", 1.0, "{}")])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = streaming_tumbling_agg(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_agg")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: 13:00 event -> watermark advances to 12:00; the 10:00
+    # window (end 11:00) finalizes and emits with n=2
+    feed([(3, t(13, 0), 2, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    emitted = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM late_agg").collect()
+    }
+    assert emitted.get(t(10, 0)) == 2
+
+    # batch 3, stragglers on both sides of the 12:00 watermark:
+    # 10:15 is below it -> dropped; 12:30 is above it -> kept
+    feed([(4, t(10, 15), 1, "click", 1.0, "{}"),
+          (5, t(12, 30), 2, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    # batch 4: 14:30 -> watermark 13:30 finalizes the 12:00 window
+    feed([(6, t(14, 30), 3, "view", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM late_agg").collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r.window_start, []).append(r.n_events)
+    # the finalized 10:00 window emitted exactly once, count still 2:
+    # the 10:15 straggler was dropped, not re-emitted or re-counted
+    assert by_window[t(10, 0)] == [2]
+    # the 12:30 straggler (above watermark at arrival) WAS counted
+    assert by_window[t(12, 0)] == [1]
+    # the 13:00 window (end 14:00) is still OPEN at watermark 13:30 —
+    # append mode must not have emitted it yet
+    assert t(13, 0) not in by_window
