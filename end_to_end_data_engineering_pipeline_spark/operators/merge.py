@@ -302,10 +302,17 @@ def _apply_changes_partitioned(
         touched = latest.select(*keys)
 
         if not os.path.isdir(target_path):
+            n = upserts.count()
+            if n == 0:
+                # an all-delete batch onto a nonexistent table: writing
+                # would leave a partition-less _SUCCESS shell that no
+                # later read can infer a schema from — leave no dir,
+                # the canonical "empty partitioned table" form here
+                return 0
             upserts.write.mode("overwrite").partitionBy(
                 partition_col
             ).parquet(target_path)
-            return upserts.count()
+            return n
 
         parts = [
             r[0] for r in latest.select(partition_col).distinct().collect()
@@ -327,13 +334,30 @@ def _apply_changes_partitioned(
             )
             # fully-deleted partitions never appear in `staged`; clear
             # their dirs by matching the actual on-disk (hive-escaped)
-            # names — see _remove_partition_dirs
+            # names — see _remove_partition_dirs. Compare CANONICAL
+            # value strings, not raw Python values: the union with the
+            # read-back target can coerce the partition column's type
+            # (e.g. string changes vs int-inferred partition dirs), and
+            # a raw set difference would then flag a just-written
+            # partition as deleted and remove it.
             present = {
-                r[0] for r in staged.select(partition_col).distinct().collect()
+                _partition_value_str(r[0])
+                for r in staged.select(partition_col).distinct().collect()
             }
             _remove_partition_dirs(
-                target_path, partition_col, set(parts) - present
+                target_path,
+                partition_col,
+                [p for p in parts if _partition_value_str(p) not in present],
             )
+            # a batch that deleted EVERY remaining partition leaves a
+            # partition-less shell no read can infer a schema from —
+            # drop the dir so the table reads as nonexistent, matching
+            # the empty-onto-missing case above
+            if not any(
+                "=" in d and not d.startswith((".", "_"))
+                for d in os.listdir(target_path)
+            ):
+                shutil.rmtree(target_path, ignore_errors=True)
             return n
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

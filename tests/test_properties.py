@@ -70,3 +70,140 @@ def test_dedup_keep_first_matches_min_model(spark, rows):
     for k, o in rows:
         model[k] = min(model.get(k, o), o)
     assert out == model
+
+
+# --- CDC apply_changes: random I/U/D logs vs a dict fold -------------
+#
+# The operator family where a silent edge case (seq ties resolved
+# differently per run, delete-then-insert in one batch, NULL non-key
+# columns) would corrupt a 100 TB table. Change rows arrive in LIST
+# order but carry a PERMUTED unique seq (out-of-order delivery); the
+# model folds them per key by max-seq. Unique seqs are part of the
+# operator's contract — latest_wins breaks ties arbitrarily.
+
+_change_rows = st.lists(
+    st.tuples(
+        KEYS,
+        st.sampled_from(["I", "U", "D"]),
+        st.one_of(st.none(), VALS),  # NULL non-key columns included
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _fold_batch(table: dict, rows, seqs) -> None:
+    latest = {}
+    for (k, op, v), s in zip(rows, seqs):
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op, v)
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = v
+
+
+def _changes_df(spark, rows, seqs, seq_base, with_part):
+    part = (lambda k: str(k % 2)) if with_part else (lambda k: "x")
+    data = [
+        (k, part(k), v, op, seq_base + s)
+        for (k, op, v), s in zip(rows, seqs)
+    ]
+    return spark.createDataFrame(
+        data, "k int, part string, v string, op string, seq int"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch1=_change_rows,
+    batch2=_change_rows,
+    data=st.data(),
+)
+def test_apply_changes_matches_fold_model(
+    spark, tmp_path_factory, batch1, batch2, data
+):
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+
+    seqs1 = data.draw(st.permutations(range(len(batch1)))) if batch1 else []
+    seqs2 = data.draw(st.permutations(range(len(batch2)))) if batch2 else []
+    path = str(tmp_path_factory.mktemp("cdc") / "t")
+
+    model: dict = {}
+    for rows, seqs, base in ((batch1, seqs1, 0), (batch2, seqs2, 1000)):
+        if not rows:
+            continue
+        apply_changes(
+            spark,
+            path,
+            _changes_df(spark, rows, seqs, base, with_part=False),
+            ["k"],
+            "seq",
+        )
+        _fold_batch(model, rows, seqs)
+
+    import os
+
+    if not os.path.isdir(path):
+        assert not model
+        return
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {k: v for k, v in model.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch1=_change_rows,
+    batch2=_change_rows,
+    data=st.data(),
+)
+def test_apply_changes_partitioned_equals_unpartitioned(
+    spark, tmp_path_factory, batch1, batch2, data
+):
+    """The partition-scoped apply (partition determined by the key,
+    k % 2) must land on exactly the same final table as the plain
+    apply over the same change stream — including fully-deleted
+    partitions disappearing."""
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_changes,
+    )
+
+    seqs1 = data.draw(st.permutations(range(len(batch1)))) if batch1 else []
+    seqs2 = data.draw(st.permutations(range(len(batch2)))) if batch2 else []
+    root = tmp_path_factory.mktemp("cdc_pv")
+    flat, part = str(root / "flat"), str(root / "part")
+
+    for rows, seqs, base in ((batch1, seqs1, 0), (batch2, seqs2, 1000)):
+        if not rows:
+            continue
+        df = _changes_df(spark, rows, seqs, base, with_part=True)
+        apply_changes(spark, flat, df, ["k"], "seq")
+        apply_changes(
+            spark, part, df, ["k"], "seq", partition_col="part"
+        )
+
+    import os
+
+    if not os.path.isdir(flat):
+        assert not os.path.isdir(part)
+        return
+    got_flat = {
+        (r.k, r.part, r.v) for r in spark.read.parquet(flat).collect()
+    }
+    got_part = (
+        {(r.k, str(r.part), r.v) for r in spark.read.parquet(part).collect()}
+        if os.path.isdir(part)
+        else set()
+    )
+    assert got_part == got_flat
