@@ -48,54 +48,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # operator shapes remain covered by other prefix members (q51/q48
 # share, q52 view-topk/p3, q57 groupBy-having/q35, q59 scalar/q51,
 # q61 star-join/q4+q47+q60).
+# Round-6 rotation (r5 verdict #1): t11/t15/sim6/m2/e13/e14/q70/q71/
+# q72/q76 — the ten pytest-only-evidence queries the judge named —
+# moved into the prefix, displacing the ten multiply-covered entries
+# it paired off (q10/q26 grouping sets, q27/q28 pivot, q20/q69
+# percentiles, q62/q63 sampling, q36/q58 anti-join): every displaced
+# entry is driver-green as of CORRECTNESS_r05 and stays pytest-
+# oracled each run.
 _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q4_star_join_revenue",
     "q8_window_rank_topk_per_group",
-    "q10_rollup",
-    "q20_percentiles",
     "q21_shipping_priority_topk",
-    "q26_grouping_sets",
-    "q27_pivot",
-    "q28_unpivot",
     "q30_salted_join_agg",
     "q35_min_per_group_joinback",
-    "q36_notin_count_distinct",
     "q43_correlated_avg_subquery",
     "q47_nation_trade_volume",
     "q48_market_share",
     "q50_disjunctive_join_predicates",
     "q54_returned_items_topk",
     "q56_customer_order_distribution",
-    "q58_dormant_account_cohorts",
     "q60_product_profit",
-    "q62_deterministic_sample",
-    "q63_stratified_sample",
     "q64_arg_extrema",
     "q65_exact_moments",
     "q66_fuzzy_name_blocking",
-    "q69_winsorized_stats",
+    "q70_multiset_ops",
+    "q71_forward_fill",
+    "q72_group_ols_slope",
+    "q76_array_set_algebra",
     "e3_sessionization",
     "e8_asof_join",
     "e10_session_window_native",
     "e11_funnel",
     "e12_weekly_cohort_retention",
+    "e13_inter_event_gaps",
+    "e14_transition_matrix",
     "e15_cdc_latest_state",
     "t1_text_stats",
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
     "t10_winnow_fingerprints",
+    "t11_winnow_overlap_pairs",
     "t12_neardup_clusters",
     "t13_canonical_corpus",
     "t14_curation_filter",
+    "t15_distinctive_terms",
     "t16_sequence_packing",
     "t17_passage_chunking",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim5_vector_stats",
+    "sim6_label_separation",
     "sim7_neardup_pairs_lsh",
     "m1_multimodal_features",
+    "m2_frame_sample_offsets",
     "p3_sql_model_over_views",
     "p5_incremental_gold",
     "p6_compaction_roundtrip",
