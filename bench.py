@@ -1,13 +1,22 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "regressions": {...}, "sf": ...}
 
 value = total wall seconds across headline queries (each timed to full
 materialization via a count-collect of the result). Each query runs
 $SPARK_GRAFT_BENCH_REPS times (default 5) and reports the MEDIAN —
 round-2's n=2 runs could not distinguish sub-second JIT/GC noise from
 real regressions (q30/sim1/t1 flagged then; medians settle it).
+
+Regression guard (r5 verdict #2): per-query medians are compared
+against the newest prior clean BENCH_r{N}.json at the same sf;
+queries slower than REGRESSION_RATIO x their prior median (by more
+than REGRESSION_FLOOR_S, the sub-second noise floor) land in the
+"regressions" field and a WARN block on stderr — the bench is a gate,
+not just a number. Exit code stays 0: a nonzero rc reads as a crashed
+bench to the round driver.
 """
 
 from __future__ import annotations
@@ -105,6 +114,8 @@ def main() -> None:
         name: round(statistics.median(s), 4) for name, s in samples.items()
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf else SF_DIR
+    regressions = _find_regressions(timings, sf_val)
     print(
         json.dumps(
             {
@@ -112,11 +123,67 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
+                "regressions": regressions,
+                "sf": sf_val,
             }
         )
     )
     spark.stop()
+
+
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_S = 0.3  # absolute growth below this is timing noise
+
+
+def _prior_bench(sf_val) -> dict[str, float]:
+    """Per-query medians from the newest prior clean-round
+    BENCH_r{N}.json at the same sf (rc==0 and a parsed queries dict),
+    or {} when none exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_q = -1, {}
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
+            continue
+        try:
+            d = json.load(open(f))
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed") or {}
+        if (
+            d.get("rc") == 0
+            and d.get("sf") == sf_val
+            and isinstance(parsed.get("queries"), dict)
+            and int(m.group(1)) > best_n
+        ):
+            best_n, best_q = int(m.group(1)), parsed["queries"]
+    return best_q
+
+
+def _find_regressions(timings: dict[str, float], sf_val) -> dict:
+    prior = _prior_bench(sf_val)
+    out = {}
+    for name, now in timings.items():
+        prev = prior.get(name)
+        if (
+            prev is not None
+            and now > prev * REGRESSION_RATIO
+            and now - prev > REGRESSION_FLOOR_S
+        ):
+            out[name] = {"prev": prev, "now": now}
+    if out:
+        print(
+            "WARN bench regressions (>"
+            f"{REGRESSION_RATIO}x prior median): "
+            + ", ".join(
+                f"{n} {v['prev']}->{v['now']}s" for n, v in out.items()
+            ),
+            file=sys.stderr,
+        )
+    return out
 
 
 if __name__ == "__main__":

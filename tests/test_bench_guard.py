@@ -1,0 +1,53 @@
+"""bench.py regression guard: per-query medians vs the newest prior
+clean BENCH_r{N}.json become a gate, not just a number (r5 verdict #2).
+No Spark session needed — the guard is pure JSON comparison."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "bench_mod", os.path.join(_here, "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_prior_bench_loads_newest_clean_round():
+    prior = bench._prior_bench(0.1)
+    # the repo carries at least one clean sf0.1 bench (r3/r5); the
+    # loader must find per-query medians in it
+    assert prior and all(isinstance(v, float) for v in prior.values())
+
+
+def test_prior_bench_ignores_other_sf():
+    assert bench._prior_bench(123.456) == {}
+
+
+def test_guard_flags_only_real_regressions():
+    prior = bench._prior_bench(0.1)
+    assert prior
+    name, prev = next(iter(prior.items()))
+
+    # identical timings: no regressions
+    assert bench._find_regressions(dict(prior), 0.1) == {}
+
+    # 2x a prior median (and > floor absolute growth): flagged
+    worse = dict(prior)
+    worse[name] = prev * 2 + bench.REGRESSION_FLOOR_S + 0.01
+    regs = bench._find_regressions(worse, 0.1)
+    assert list(regs) == [name]
+    assert regs[name]["prev"] == prev
+
+    # sub-floor absolute growth is noise even when the ratio trips
+    tiny = dict(prior)
+    tiny[name] = prev * 1.6
+    if tiny[name] - prev <= bench.REGRESSION_FLOOR_S:
+        assert name not in bench._find_regressions(tiny, 0.1)
+
+    # queries with no prior (new headline entries) are never flagged
+    fresh = dict(prior)
+    fresh["brand_new_query"] = 99.0
+    assert "brand_new_query" not in bench._find_regressions(fresh, 0.1)
