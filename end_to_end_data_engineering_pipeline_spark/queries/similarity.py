@@ -195,8 +195,64 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
     return (path, mtime)
 
 
-@query("sim4_cosine_topk_ivf")  # rows-only: approximate by design; recall
-# vs brute force asserted in tests/test_similarity.py::test_ivf_recall
+@query(
+    "sim4_cosine_topk_ivf",
+    oracle=f"""
+    WITH {_O_SCALED},
+    samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
+    comp AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cid, pos, sv[pos] AS v
+      FROM samp CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS pos)
+    ),
+    cent AS (
+      SELECT cid, LIST(m ORDER BY pos) AS cv
+      FROM (SELECT cid, pos, CAST(ROUND(AVG(v)) AS BIGINT) AS m
+            FROM comp GROUP BY cid, pos)
+      GROUP BY cid
+    ),
+    centn AS (
+      SELECT cid, cv,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(cv) x)) AS BIGINT)
+               AS cn2
+      FROM cent
+    ),
+    dists AS (
+      SELECT n.vec_id AS id, c.cid,
+             n.n2
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(n.sv) x, UNNEST(c.cv) y))
+                        AS BIGINT)
+             + c.cn2 AS dist
+      FROM normed n CROSS JOIN centn c
+    ),
+    corpus_cell AS (
+      SELECT id, cid AS cell
+      FROM (SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) rn
+            FROM dists) t
+      WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT id AS query_id, cid AS cell
+      FROM (SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) rn
+            FROM dists WHERE id IN (0, 1, 2, 3, 4)) t
+      WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT qc.query_id, cc.id AS cand_id, {_O_COS} AS cosine
+      FROM qcells qc
+      JOIN corpus_cell cc ON cc.cell = qc.cell AND cc.id <> qc.query_id
+      JOIN normed q ON q.vec_id = qc.query_id
+      JOIN normed c ON c.vec_id = cc.id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 10
+    """,
+)
 def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer + nprobe cell
     search (operators/similarity.py:ivf_train/ivf_topk), serving from
@@ -204,7 +260,14 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (path+mtime-keyed parquet centroid table under .ivf_index/) —
     train once, serve many, across processes. Deterministic k-means
     makes a stored index value-identical to a fresh train, so the
-    cache changes cost, never results."""
+    cache changes cost, never results.
+
+    FULL value-hash oracle (upgraded from rows-only, r5 verdict #4):
+    with iters=1 the quantizer is exactly the component-wise rounded
+    mean of the vec_id%5 sample grouped by vec_id%16, so the whole
+    pipeline — train, nprobe=3 probe order (squared-L2 with (dist,
+    cid) tiebreak), candidate join, exact fixed-point rescoring — is
+    a deterministic SQL expression DuckDB reproduces bit-for-bit."""
     import hashlib
     import os
 
@@ -246,7 +309,8 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _IVF_CENTROIDS[memo_key] = ivf_train(
                 emb, n_centroids=16, iters=1, sample_mod=5
             )
-    return ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[memo_key], k=10, nprobe=3)
+    out = ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[memo_key], k=10, nprobe=3)
+    return out.withColumn("rk", F.col("rk").cast("long"))
 
 
 @query(
