@@ -322,3 +322,54 @@ def p6_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p7_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderdate >= '1996-07-01'
+                THEN o_orderstatus END AS status
+    FROM orders
+    """,
+)
+def p7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in schema evolution under MERGE (operators/merge.py
+    allow_schema_evolution — the Delta autoMerge analog the
+    reference's fixed-DDL ON CONFLICT upsert cannot do,
+    clean_data.py:222-243): a table seeded WITHOUT the status column
+    takes an update batch that carries it; pre-existing rows null-fill,
+    updated/inserted rows carry their value, and the final footer
+    schema includes the new column. The seed (< 1997-01-01) and batch
+    (>= 1996-07-01) windows overlap, so all three row fates occur:
+    kept-and-null-filled, updated-with-new-column, fresh-insert. The
+    oracle folds the same two-phase history into one CASE expression
+    over orders."""
+    import shutil
+    import tempfile
+
+    from ..operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="p7_evolve_")
+    path = tmp + "/t"
+    try:
+        seed = o.where(F.col("o_orderdate") < F.lit("1997-01-01")).select(
+            "o_orderkey", "o_custkey"
+        )
+        merge_upsert(spark, path, seed, ["o_orderkey"])
+        evolved = o.where(F.col("o_orderdate") >= F.lit("1996-07-01")).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+        )
+        merge_upsert(
+            spark, path, evolved, ["o_orderkey"], allow_schema_evolution=True
+        )
+        out = spark.read.parquet(path).select(
+            "o_orderkey", "o_custkey", "status"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -380,6 +380,17 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     got = {r.k: (r.v, r.score) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", None), 2: ("b2", 9.0), 3: ("c", 7.0)}
 
+    # the new column is in every rewritten file's parquet FOOTER (not
+    # just schema-merged at read time)
+    import os
+
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(target):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            names = pq.ParquetFile(os.path.join(target, f)).schema_arrow.names
+            assert "score" in names, (f, names)
+
     # the mirror direction: an update batch MISSING a column null-fills it
     shrunk = spark.createDataFrame([(4, "d")], "k int, v string")
     n2 = merge_upsert(spark, target, shrunk, ["k"], allow_schema_evolution=True)
