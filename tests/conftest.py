@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale/stress tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(
