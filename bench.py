@@ -73,6 +73,8 @@ HEADLINE: list[str] = [
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim4_cosine_topk_ivf",
+    "sim8_pq_adc_topk",
+    "sim9_ivfpq_topk",
     "m1_multimodal_features",
 ]
 

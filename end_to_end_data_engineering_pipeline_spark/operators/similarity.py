@@ -428,6 +428,260 @@ def ivf_load_index(spark, path: str) -> list[list[int]]:
     return [list(r.centroid) for r in rows]
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC) — the compressed-domain ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    centroids: list[list[int]], m: int = 8
+) -> list[list[list[int]]]:
+    """Slice full-dim trained centroids into M per-subspace codebooks
+    (Jégou/Douze/Schmid TPAMI'11 product quantization; FAISS's PQ).
+    Reusing the deterministic mean-trained centroids (ivf_train) keeps
+    the whole PQ pipeline reproducible by any engine: subspace
+    codebook m is the centroids' m-th dim/M chunk. k stays 16 here, so
+    a 64-dim float vector compresses to 8 nibble codes — the 100 TB
+    trick: the corpus' search representation shrinks ~64x (8 bytes vs
+    64 floats), and queries scan codes + a tiny lookup table instead
+    of raw vectors."""
+    dim = len(centroids[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [c[mm * dsub : (mm + 1) * dsub] for c in centroids]
+        for mm in range(m)
+    ]
+
+
+def _pq_code_expr(sv_slice: Column, book_m: list[list[int]]) -> Column:
+    """Per-row nearest-codeword index for one subspace: argmin_j of
+    ||x - c_j||^2, which for fixed x is argmin of cn2_j - 2*x.c_j —
+    exact int64 per-row arithmetic, no join, no shuffle. Ties resolve
+    to the SMALLEST j (array_position returns the first match), the
+    same (dist, j) order the relational/oracle form uses."""
+    dists = [
+        F.lit(int(sum(x * x for x in cv))).cast("long")
+        - 2
+        * dot_scaled(
+            sv_slice, F.array(*[F.lit(int(x)).cast("long") for x in cv])
+        )
+        for cv in book_m
+    ]
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, c0..c{M-1}): the corpus compressed to M codes per vector.
+    One narrow projection over the scan — every argmin is a per-row
+    codegen expression; nothing shuffles. At 100 TB this table is the
+    ~64x-smaller search structure that pq_topk scans instead of the
+    embedding column."""
+    from ..catalog import fan_out
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    base = with_scaled(fan_out(emb), id_col, vec_col)
+    return base.select(
+        "id",
+        *[
+            _pq_code_expr(
+                F.slice(F.col("sv"), mm * dsub + 1, dsub), codebooks[mm]
+            ).alias(f"c{mm}")
+            for mm in range(m)
+        ],
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[int]],
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k by squared L2: corpus vectors are
+    scanned as M small codes; each query's exact (uncompressed) vector
+    becomes an M x K lookup table of exact-int subspace distances
+    (asymmetric distance computation), and a candidate's distance is
+    M map lookups + adds — no per-pair vector math at all.
+
+    Plan shape for scale: the code table is a per-row projection
+    (pq_encode, zero shuffle); the |Q| lookup-table rows are collected
+    driver-side (|Q| x M x K longs — same bounded-artifact class as
+    the IVF centroid list) and broadcast back as a VALUES relation, so
+    scoring is scan -> broadcast nested-loop (|Q| rows) -> per-row
+    map lookups -> per-query top-k window. Returns (query_id, cand_id,
+    adist, rk); adist is the exact int64 PQ distance, reproduced
+    bit-for-bit by the DuckDB oracle (sim8)."""
+    books = pq_codebooks(centroids, m)
+    dsub = len(books[0][0])
+    codes = pq_encode(emb, codebooks=books, id_col=id_col, vec_col=vec_col)
+
+    # exact scaled query vectors: |Q| rows to the driver (bounded)
+    qrows = (
+        with_scaled(
+            emb.where(F.col(id_col).isin(query_ids)), id_col, vec_col
+        )
+        .select("id", "sv")
+        .collect()
+    )
+    entries = []
+    for r in qrows:
+        maps = []
+        for mm in range(m):
+            qs = list(r.sv)[mm * dsub : (mm + 1) * dsub]
+            qn2 = sum(x * x for x in qs)
+            ds = [
+                qn2
+                - 2 * sum(x * y for x, y in zip(qs, cv))
+                + sum(y * y for y in cv)
+                for cv in books[mm]
+            ]
+            maps.append(
+                "map("
+                + ",".join(f"{j},{int(d)}L" for j, d in enumerate(ds))
+                + ")"
+            )
+        entries.append(f"({int(r.id)}L, {', '.join(maps)})")
+    spark = emb.sparkSession
+    qtab = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(entries)
+        + " AS t(query_id, "
+        + ", ".join(f"d{mm}" for mm in range(m))
+        + ")"
+    )
+    scored = codes.join(
+        F.broadcast(qtab), F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        sum(
+            [F.element_at(F.col(f"d{mm}"), F.col(f"c{mm}")) for mm in range(m)],
+            start=F.lit(0).cast("long"),
+        ).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[int]],
+    k: int = 10,
+    m: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cell probing composed with compressed-domain ADC
+    scoring — the canonical web-scale ANN architecture (FAISS IVFPQ;
+    Jégou et al. TPAMI'11). The IVF stage prunes ~(1 - nprobe/k_cells)
+    of the corpus before any scoring; the PQ stage scores survivors by
+    M map lookups instead of vector math.
+
+    Plan shape: ONE per-row projection computes each corpus vector's
+    cell AND its M codes (the cell argmin is the same exact-int
+    expression as a subspace code argmin, applied to the full vector —
+    zero shuffles, all codegen); the query side (nprobe probed cells x
+    ADC tables, |Q| x nprobe rows) is exact driver-side int arithmetic
+    broadcast back as a VALUES relation; candidates come from a
+    broadcast equi-join on the cell id. The only shuffle in the whole
+    query is the final per-query top-k window. Deterministic
+    end-to-end — sim9 carries a full value-hash DuckDB oracle."""
+    books = pq_codebooks(centroids, m)
+    dsub = len(books[0][0])
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col)
+    corpus = base.select(
+        "id",
+        _pq_code_expr(F.col("sv"), centroids).alias("cell"),
+        *[
+            _pq_code_expr(
+                F.slice(F.col("sv"), mm * dsub + 1, dsub), books[mm]
+            ).alias(f"c{mm}")
+            for mm in range(m)
+        ],
+    )
+
+    qrows = (
+        with_scaled(
+            emb.where(F.col(id_col).isin(query_ids)), id_col, vec_col
+        )
+        .select("id", "sv")
+        .collect()
+    )
+    cn2s = [sum(x * x for x in c) for c in centroids]
+    entries = []
+    for r in qrows:
+        sv = list(r.sv)
+        # nprobe nearest cells, (dist, cid) order — exact ints
+        cd = sorted(
+            (
+                cn2s[j] - 2 * sum(x * y for x, y in zip(sv, centroids[j])),
+                j,
+            )
+            for j in range(len(centroids))
+        )[:nprobe]
+        maps = []
+        for mm in range(m):
+            qs = sv[mm * dsub : (mm + 1) * dsub]
+            qn2 = sum(x * x for x in qs)
+            ds = [
+                qn2
+                - 2 * sum(x * y for x, y in zip(qs, cv))
+                + sum(y * y for y in cv)
+                for cv in books[mm]
+            ]
+            maps.append(
+                "map("
+                + ",".join(f"{j},{int(d)}L" for j, d in enumerate(ds))
+                + ")"
+            )
+        for _, cell in cd:
+            entries.append(
+                f"({int(r.id)}L, {int(cell)}, {', '.join(maps)})"
+            )
+    spark = emb.sparkSession
+    qtab = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(entries)
+        + " AS t(query_id, cell, "
+        + ", ".join(f"d{mm}" for mm in range(m))
+        + ")"
+    )
+    scored = corpus.join(
+        F.broadcast(qtab),
+        (corpus["cell"] == qtab["cell"])
+        & (F.col("id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        sum(
+            [F.element_at(F.col(f"d{mm}"), F.col(f"c{mm}")) for mm in range(m)],
+            start=F.lit(0).cast("long"),
+        ).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.8,

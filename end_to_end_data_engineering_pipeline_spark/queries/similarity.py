@@ -268,20 +268,32 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — train, nprobe=3 probe order (squared-L2 with (dist,
     cid) tiebreak), candidate join, exact fixed-point rescoring — is
     a deterministic SQL expression DuckDB reproduces bit-for-bit."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    # one Lloyd refinement on a 1/5 sample: the registry entry
+    # demonstrates the operator; tests/test_similarity.py grades recall
+    # with heavier settings
+    out = ivf_topk(
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=3
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _centroids_for(spark, sf_dir, emb) -> list[list[int]]:
+    """The memoized/persisted deterministic quantizer shared by sim4
+    (IVF coarse cells) and sim8 (PQ codebooks are its subspace
+    slices): load from the parquet index when present, else train and
+    try to persist, else fall back to the in-process memo."""
     import hashlib
     import os
 
     from ..operators.similarity import (
         ivf_load_index,
         ivf_save_index,
-        ivf_topk,
         ivf_train,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    # one Lloyd refinement on a 1/5 sample: the registry entry
-    # demonstrates the operator; tests/test_similarity.py grades recall
-    # with heavier settings
     memo_key = _ivf_memo_key(sf_dir)
     if memo_key not in _IVF_CENTROIDS:
         repo_root = os.path.dirname(
@@ -309,7 +321,205 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _IVF_CENTROIDS[memo_key] = ivf_train(
                 emb, n_centroids=16, iters=1, sample_mod=5
             )
-    out = ivf_topk(emb, QUERY_IDS, _IVF_CENTROIDS[memo_key], k=10, nprobe=3)
+    return _IVF_CENTROIDS[memo_key]
+
+
+# the 16x64 mean-centroid derivation shared by the sim4 and sim8
+# oracles (iters=1 -> the quantizer IS the per-cell component mean of
+# the vec_id%5 sample)
+_O_CENT = """
+    samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
+    comp AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cid, pos, sv[pos] AS v
+      FROM samp CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS pos)
+    ),
+    cent AS (
+      SELECT cid, LIST(m ORDER BY pos) AS cv
+      FROM (SELECT cid, pos, CAST(ROUND(AVG(v)) AS BIGINT) AS m
+            FROM comp GROUP BY cid, pos)
+      GROUP BY cid
+    )
+"""
+
+
+@query(
+    "sim8_pq_adc_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_CENT},
+    mms AS (SELECT UNNEST(RANGE(0, 8)) AS mm),
+    subn AS (
+      SELECT mm, cid, cv8,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(cv8) x)) AS BIGINT)
+               AS cn2
+      FROM (SELECT mm, cid, list_slice(cv, mm * 8 + 1, mm * 8 + 8) AS cv8
+            FROM cent CROSS JOIN mms) t
+    ),
+    vsub AS (
+      SELECT vec_id, mm, list_slice(sv, mm * 8 + 1, mm * 8 + 8) AS sv8
+      FROM normed CROSS JOIN mms
+    ),
+    cdist AS (
+      SELECT v.vec_id, v.mm, s.cid,
+             s.cn2
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(v.sv8) x, UNNEST(s.cv8) y))
+                        AS BIGINT) AS d
+      FROM vsub v JOIN subn s ON s.mm = v.mm
+    ),
+    codes AS (
+      SELECT vec_id, mm, cid AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mm
+                                         ORDER BY d, cid) rn
+            FROM cdist) t
+      WHERE rn = 1
+    ),
+    qdist AS (
+      SELECT v.vec_id AS query_id, v.mm, s.cid,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(v.sv8) x)) AS BIGINT)
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(v.sv8) x, UNNEST(s.cv8) y))
+                        AS BIGINT)
+             + s.cn2 AS d
+      FROM vsub v JOIN subn s ON s.mm = v.mm
+      WHERE v.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, CAST(SUM(q.d) AS BIGINT) AS adist
+      FROM codes c JOIN qdist q ON q.mm = c.mm AND q.cid = c.code
+      WHERE c.vec_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adist, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adist, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 10
+    """,
+)
+def sim8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py:
+    pq_encode/pq_topk) — the compressed-domain ANN scale path: the
+    corpus is scanned as 8 nibble codes per vector (~64x smaller than
+    the embedding column), each query's exact vector becomes an 8x16
+    exact-int lookup table, and a candidate's distance is 8 map
+    lookups. Shares sim4's deterministic mean-trained quantizer
+    (subspace codebooks are its dim/8 slices), so train + encode +
+    ADC + rank is one deterministic expression the DuckDB oracle
+    reproduces bit-for-bit. Recall vs exact L2 is graded in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import pq_topk
+
+    out = pq_topk(
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, m=8
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@query(
+    "sim9_ivfpq_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_CENT},
+    centn AS (
+      SELECT cid, cv,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(cv) x)) AS BIGINT)
+               AS cn2
+      FROM cent
+    ),
+    celld AS (
+      SELECT n.vec_id AS id, c.cid,
+             n.n2
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(n.sv) x, UNNEST(c.cv) y))
+                        AS BIGINT)
+             + c.cn2 AS dist
+      FROM normed n CROSS JOIN centn c
+    ),
+    corpus_cell AS (
+      SELECT id, cid AS cell
+      FROM (SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) rn
+            FROM celld) t
+      WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT id AS query_id, cid AS cell
+      FROM (SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) rn
+            FROM celld WHERE id IN (0, 1, 2, 3, 4)) t
+      WHERE rn <= 3
+    ),
+    mms AS (SELECT UNNEST(RANGE(0, 8)) AS mm),
+    subn AS (
+      SELECT mm, cid, cv8,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(cv8) x)) AS BIGINT)
+               AS cn2
+      FROM (SELECT mm, cid, list_slice(cv, mm * 8 + 1, mm * 8 + 8) AS cv8
+            FROM cent CROSS JOIN mms) t
+    ),
+    vsub AS (
+      SELECT vec_id, mm, list_slice(sv, mm * 8 + 1, mm * 8 + 8) AS sv8
+      FROM normed CROSS JOIN mms
+    ),
+    cdist AS (
+      SELECT v.vec_id, v.mm, s.cid,
+             s.cn2
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(v.sv8) x, UNNEST(s.cv8) y))
+                        AS BIGINT) AS d
+      FROM vsub v JOIN subn s ON s.mm = v.mm
+    ),
+    codes AS (
+      SELECT vec_id, mm, cid AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mm
+                                         ORDER BY d, cid) rn
+            FROM cdist) t
+      WHERE rn = 1
+    ),
+    qdist AS (
+      SELECT v.vec_id AS query_id, v.mm, s.cid,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(v.sv8) x)) AS BIGINT)
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(v.sv8) x, UNNEST(s.cv8) y))
+                        AS BIGINT)
+             + s.cn2 AS d
+      FROM vsub v JOIN subn s ON s.mm = v.mm
+      WHERE v.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT qc.query_id, cc.id AS cand_id,
+             CAST(SUM(q.d) AS BIGINT) AS adist
+      FROM qcells qc
+      JOIN corpus_cell cc ON cc.cell = qc.cell AND cc.id <> qc.query_id
+      JOIN codes c ON c.vec_id = cc.id
+      JOIN qdist q ON q.query_id = qc.query_id AND q.mm = c.mm
+                  AND q.cid = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adist, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adist, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 10
+    """,
+)
+def sim9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py:ivfpq_topk — the
+    FAISS-IVFPQ architecture): nprobe=3 coarse cells prune ~13/16 of
+    the corpus before scoring, survivors are scored by 8 exact-int
+    ADC map lookups against their nibble codes. Corpus cell + codes
+    are ONE per-row projection (zero shuffles; plan-pinned); the only
+    shuffle is the final top-k window. Shares sim4/sim8's
+    deterministic quantizer, so the composed pipeline hash-matches
+    the composed DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import ivfpq_topk
+
+    out = ivfpq_topk(
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, m=8, nprobe=3
+    )
     return out.withColumn("rk", F.col("rk").cast("long"))
 
 

@@ -157,3 +157,52 @@ def test_simhash_table_no_shuffle(spark, sf_dir):
     plan = buf.getvalue()
     assert "hashpartitioning" not in plan.lower(), plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_pq_encode_no_shuffle(spark, sf_dir):
+    """PQ corpus encoding (operators/similarity.py:pq_encode) is a
+    per-row codegen projection — every subspace argmin is array
+    arithmetic over the scan; no Exchange may appear. At 100 TB this
+    stage touches every vector, so a shuffle here would dominate the
+    whole ANN pipeline."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_train,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        ivf_train(emb, n_centroids=16, iters=1, sample_mod=5), m=8
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_encode(emb, books).explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_ivfpq_only_shuffle_is_topk_window(spark, sf_dir):
+    """ivfpq_topk's corpus side (cell + codes) is one per-row
+    projection and candidates come from a broadcast join — the ONLY
+    exchange in the whole plan is the final per-query top-k window's
+    hashpartitioning(query_id)."""
+    import re
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_centroids=16, iters=1, sample_mod=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivfpq_topk(emb, [0, 1, 2], cents, k=5).explain("formatted")
+    plan = buf.getvalue().lower()
+    parts = re.findall(r"hashpartitioning\(([a-z_0-9#]+)", plan)
+    assert parts and all(p.startswith("query_id") for p in parts), parts
+    assert "rangepartitioning" not in plan, plan

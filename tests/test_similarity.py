@@ -184,3 +184,88 @@ def test_neardup_lsh_pairs_recall_and_precision(clustered):
     # recall: clustered near-dups mostly share the 4-bit signature
     assert len(exact) > 50
     assert len(got) / len(exact) >= 0.5
+
+
+def test_pq_adc_recall_and_exact_arithmetic(clustered):
+    """PQ-ADC top-k (operators/similarity.py:pq_topk): on clustered
+    data the compressed-domain search keeps most true neighbors, codes
+    stay in [0, k), and the Spark-side adist of every returned row
+    equals a driver-side exact-int recomputation from the same
+    codebooks (the PQ distance is deterministic integer arithmetic,
+    which is what lets sim8 carry a full value-hash oracle)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_train,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        with_scaled,
+    )
+
+    m = 4  # dsub=4 over DIM=16
+    cents = ivf_train(clustered, n_centroids=N_CLUSTERS, iters=3)
+    books = pq_codebooks(cents, m)
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    approx = pq_topk(clustered, qids, cents, k=5, m=m).collect()
+    es, rs = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in approx:
+        rs.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(es[q] & rs.get(q, set())) for q in es)
+    assert hits / sum(len(s) for s in es.values()) >= 0.6
+
+    codes = {r.id: [r.c0, r.c1, r.c2, r.c3] for r in
+             pq_encode(clustered, books).collect()}
+    assert all(
+        0 <= c < N_CLUSTERS for cs in codes.values() for c in cs
+    )
+    sv = {r.id: list(r.sv) for r in
+          with_scaled(clustered, "vec_id", "embedding").collect()}
+    dsub = DIM // m
+    for r in approx:
+        want = 0
+        for mm in range(m):
+            q = sv[r.query_id][mm * dsub:(mm + 1) * dsub]
+            c = books[mm][codes[r.cand_id][mm]]
+            want += sum((x - y) ** 2 for x, y in zip(q, c))
+        assert r.adist == want, (r.query_id, r.cand_id)
+
+
+def test_ivfpq_composes_ivf_pruning_with_pq_scoring(clustered):
+    """IVF-PQ (operators/similarity.py:ivfpq_topk): probing EVERY cell
+    must reproduce plain PQ-ADC exactly (the IVF stage only prunes —
+    scoring is identical), and partial probing keeps most true
+    neighbors on clustered data."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    m = 4
+    cents = ivf_train(clustered, n_centroids=N_CLUSTERS, iters=3)
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+
+    full_probe = {
+        (r.query_id, r.cand_id, r.adist, r.rk)
+        for r in ivfpq_topk(
+            clustered, qids, cents, k=5, m=m, nprobe=N_CLUSTERS
+        ).collect()
+    }
+    pq_only = {
+        (r.query_id, r.cand_id, r.adist, r.rk)
+        for r in pq_topk(clustered, qids, cents, k=5, m=m).collect()
+    }
+    assert full_probe == pq_only
+
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    pruned = ivfpq_topk(clustered, qids, cents, k=5, m=m, nprobe=2).collect()
+    es, rs = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in pruned:
+        rs.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(es[q] & rs.get(q, set())) for q in es)
+    assert hits / sum(len(s) for s in es.values()) >= 0.6
