@@ -549,3 +549,45 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: per corpus document, how many of its
+    distinct k-word shingles also appear in the benchmark corpus.
+    Returns (id, n_hits) for contaminated documents only — callers
+    anti-join the result to drop them, or threshold on ``n_hits``.
+
+    Scale shape (the standard n-gram-overlap decontamination used for
+    LLM training sets): the benchmark side is small by definition
+    (eval suites are ~1e6 grams), so its distinct gram set is
+    BROADCAST — the 100 TB corpus is never shuffled. The corpus
+    explode is narrow (partition-local), the broadcast hash join
+    filters grams in place, and the per-doc count aggregates
+    map-side before the one tiny shuffle of (doc, partial-count)
+    rows for hit documents only (hits are rare). No sort, no
+    corpus-sized exchange anywhere.
+    """
+    bench_grams = (
+        shingled_docs(benchmark, id_col, text_col, k)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus_grams = shingled_docs(corpus, id_col, text_col, k).select(
+        "id", F.explode("sh").alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

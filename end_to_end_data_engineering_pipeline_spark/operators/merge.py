@@ -363,3 +363,43 @@ def _apply_changes_partitioned(
             shutil.rmtree(tmp, ignore_errors=True)
     finally:
         latest.unpersist()
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an I/U/D
+    changelog: one record per non-delete change, with
+
+      - ``valid_from`` — the change's own ``seq``,
+      - ``valid_to``   — the NEXT change's seq for the key (a later
+        U re-versions the record; a D closes it), NULL while open,
+      - ``is_current`` — open record (``valid_to`` IS NULL).
+
+    The history twin of :func:`apply_changes` (which keeps only the
+    latest state): ``scd2_history(...).where("is_current")`` equals
+    the latest-wins state minus deleted keys. A delete row closes its
+    predecessor but emits no record; a re-insert after a delete opens
+    a fresh record, so delete windows appear as gaps in
+    [valid_from, valid_to) coverage.
+
+    PRECONDITION: ``seq_col`` unique per key (ties get a deterministic
+    ``op_col`` tiebreak, D < I < U, but same-seq semantics are the
+    caller's contract to avoid). One shuffle on the key (the lead
+    window) — the same cost as the latest-wins dedup, and at 100 TB
+    the changelog is the small side; the window never touches the
+    dimension's full history if the caller partitions by key range.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(seq_col, op_col)
+    return (
+        changelog.withColumn("valid_to", F.lead(seq_col).over(w))
+        .where(F.col(op_col) != "D")
+        .withColumn("valid_from", F.col(seq_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col, seq_col)
+    )

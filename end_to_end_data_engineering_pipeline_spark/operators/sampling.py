@@ -59,3 +59,49 @@ def stratified_exact_k(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_budget_prefix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    numer: int,
+    denom: int,
+    *key_cols: Column | str,
+) -> DataFrame:
+    """Domain-mixture selection under a token budget: per group, keep
+    documents in hash order until their cumulative weight (token
+    count) reaches ``numer/denom`` of the group's total — the
+    deterministic quota sampler behind training-mix construction
+    ("30% of each source's tokens").
+
+    A document is kept iff it STARTS before the budget boundary:
+    ``(cum - w) * denom < numer * total`` — pure int64 arithmetic so
+    any engine agrees exactly (a float threshold would compare
+    differently-rounded doubles at the boundary). Hash order makes the
+    selection a pure function of the rows (re-derivable months later,
+    independent of partitioning), and nested: the 10% prefix is a
+    subset of the 30% prefix.
+
+    Scale: one shuffle on the group key; the per-group sort is the
+    same cost as any windowed top-k. For groups too large to sort at
+    100 TB, the two-phase variant applies: pick a hash threshold h*
+    from a per-group token histogram (tiny aggregate), pre-filter
+    ``sample_key < h*`` (scan predicate, no shuffle), and run this
+    exact prefix only on the boundary stragglers — hash order makes
+    the composition exact, same argument as ``stratified_exact_k``.
+    """
+    tiebreak = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(sample_key(*key_cols).asc(), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    wl = F.col(weight_col).cast("long")
+    return (
+        df.withColumn("cum_w", F.sum(wl).over(w_ord))
+        .withColumn("__tot", F.sum(wl).over(w_all))
+        .where((F.col("cum_w") - wl) * denom < numer * F.col("__tot"))
+        .drop("__tot")
+    )

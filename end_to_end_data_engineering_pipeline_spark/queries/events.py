@@ -658,3 +658,81 @@ def e15_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "e16_scd2_history",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+             'I' AS op, 1 AS seq
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2)),
+             'U', 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)), 'D', 3
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    rec AS (
+      SELECT *, lead(seq) OVER (PARTITION BY k ORDER BY seq, op) AS valid_to
+      FROM chg
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_records,
+           COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+           COUNT(*) FILTER (WHERE valid_to IS NOT NULL) AS n_closed,
+           CAST(ROUND(SUM(CASE WHEN valid_to IS NULL THEN price END), 4)
+                AS DOUBLE) AS sum_current_price
+    FROM rec WHERE op <> 'D'
+    GROUP BY o_orderstatus
+    """,
+)
+def e16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a CDC changelog — the HISTORY
+    twin of e15's latest-state apply (operators/merge.py:scd2_history).
+    Same deterministic changelog as e15 (I seq 1 for every order, U
+    seq 2 doubles keys % 7, D seq 3 removes keys % 13); the lead()
+    window assigns [valid_from, valid_to) versions, deletes close
+    their predecessor without emitting a record. The per-status
+    aggregate pins record counts, open/closed splits, AND the summed
+    current prices — so version boundaries, the delete-closes rule,
+    and the U re-pricing must all land exactly. The oracle mirrors
+    the operator generically (same window over the same UNION ALL
+    changelog), not the closed form."""
+    from ..functions import dec2, dsum_expr
+    from ..operators.merge import scd2_history
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec2("o_totalprice").alias("price")
+    )
+    chg = (
+        o.select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+                F.lit("U").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+            )
+        )
+    )
+    hist = scd2_history(chg, ["o_orderkey"], "seq", "op")
+    return hist.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count(F.when(F.col("is_current"), 1)).alias("n_current"),
+        F.count(F.when(~F.col("is_current"), 1)).alias("n_closed"),
+        dsum_expr(
+            F.when(F.col("is_current"), F.col("price")), "sum_current_price"
+        ),
+    )

@@ -750,3 +750,88 @@ def t18_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_frac_3",
         F.coalesce(F.col("dup_frac_3") > 0.2, F.lit(False)).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# t19 — benchmark decontamination (operators/dedup_fuzzy.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t19_decontamination",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    bench AS (SELECT DISTINCT g FROM (
+        SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+    corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM corpus c JOIN bench USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the n-gram-overlap scrub every LLM
+    training corpus runs against its benchmark suites): documents
+    sharing any 3-gram shingle with the 'benchmark' slice
+    (doc_id % 97 == 0 stands in for the eval set) are reported with
+    their overlap count. operators/dedup_fuzzy.py:contamination_hits —
+    benchmark grams broadcast, corpus never shuffled, per-doc count
+    combines map-side. The reference has no decontamination operator;
+    charter §2.12 requires it as a first-class curation step."""
+    from ..operators.dedup_fuzzy import contamination_hits
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench).select(
+        F.col("id").alias("doc_id"), "n_hits"
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — token-budget mixture selection (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+_O_DOCKEY32 = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+@query(
+    "t20_token_budget_mix",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, len({_O_RAW_TOKS}) AS n_tokens FROM documents),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY {_O_DOCKEY32}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_w,
+             SUM(n_tokens) OVER (PARTITION BY source) AS tot
+      FROM w)
+    SELECT doc_id, source, n_tokens, cum_w
+    FROM ordered WHERE (cum_w - n_tokens) * 10 < 3 * tot
+    """,
+)
+def t20_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: keep 30% of each source's TOKENS
+    (not documents) by taking docs in hash order until the cumulative
+    token count crosses the per-source budget —
+    operators/sampling.py:token_budget_prefix. Exact int64 boundary
+    arithmetic ((cum - w) * 10 < 3 * total) so the kept set is
+    bit-identical across engines; hash order makes it re-derivable
+    and nested (10% mix ⊂ 30% mix). Returns the kept docs with their
+    cumulative position so the oracle checks the whole prefix, not
+    just the aggregate."""
+    from ..operators.sampling import token_budget_prefix
+    from ..operators.text import whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_prefix(
+        docs, "source", "n_tokens", 3, 10, "doc_id"
+    ).select("doc_id", "source", "n_tokens", "cum_w")

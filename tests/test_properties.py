@@ -207,3 +207,129 @@ def test_apply_changes_partitioned_equals_unpartitioned(
         else set()
     )
     assert got_part == got_flat
+
+
+# ---------------------------------------------------------------------------
+# scd2_history: record boundaries vs a per-key sort model
+# ---------------------------------------------------------------------------
+
+
+def _scd2_model(rows):
+    """rows: [(k, op, v, seq)] with seq unique per key. Returns
+    {(k, v, valid_from, valid_to, is_current)} and the final
+    latest-state dict for the current-view cross-check."""
+    by_key: dict = {}
+    for k, op, v, s in rows:
+        by_key.setdefault(k, []).append((s, op, v))
+    records = set()
+    state = {}
+    for k, changes in by_key.items():
+        changes.sort()
+        for i, (s, op, v) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            if op != "D":
+                records.add((k, v, s, nxt, nxt is None))
+        last_op, last_v = changes[-1][1], changes[-1][2]
+        if last_op != "D":
+            state[k] = last_v
+    return records, state
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_change_rows)
+def test_scd2_history_matches_sort_model(spark, rows):
+    """scd2_history must reproduce the per-key sorted-fold record
+    boundaries exactly: every non-delete change opens a record closed
+    by the NEXT change's seq (U re-versions, D closes without a
+    record), and the current view equals the latest-wins state minus
+    deleted keys — the e15/e16 consistency contract."""
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        scd2_history,
+    )
+
+    # globally unique seq satisfies the per-key uniqueness precondition
+    data = [(k, op, v, i + 1) for i, (k, op, v) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        [(k, v, op, s) for (k, op, v, s) in data],
+        "k int, v string, op string, seq int",
+    )
+    hist = scd2_history(df, ["k"], "seq", "op").collect()
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in hist
+    }
+    expect_records, expect_state = _scd2_model(data)
+    assert got == expect_records
+    current = {r.k: r.v for r in hist if r.is_current}
+    assert current == expect_state
+
+
+# ---------------------------------------------------------------------------
+# token_budget_prefix: hash-order prefix model + nesting
+# ---------------------------------------------------------------------------
+
+
+def _hash32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+_budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=50),  # id
+        st.integers(min_value=1, max_value=9),   # weight
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda t: t[1],
+)
+
+
+def _budget_model(rows, numer, denom):
+    by_g: dict = {}
+    for g, i, w in rows:
+        by_g.setdefault(g, []).append((i, w))
+    kept = set()
+    for g, docs in by_g.items():
+        docs.sort(key=lambda t: (_hash32_py(str(t[0])), t[0]))
+        total = sum(w for _, w in docs)
+        cum = 0
+        for i, w in docs:
+            if cum * denom < numer * total:
+                kept.add(i)
+            cum += w
+    return kept
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_budget_rows)
+def test_token_budget_prefix_matches_model_and_nests(spark, rows):
+    """token_budget_prefix must keep exactly the hash-order prefix the
+    Python model keeps (boundary doc included iff it STARTS before the
+    budget), and smaller budgets must select subsets of larger ones
+    (nested mixes for scaling-law curves)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        token_budget_prefix,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g int, id int, w int")
+    kept_sets = {}
+    for numer in (1, 3, 10):
+        out = token_budget_prefix(df, "g", "w", numer, 10, "id")
+        kept_sets[numer] = {r.id for r in out.collect()}
+        assert kept_sets[numer] == _budget_model(rows, numer, 10)
+    assert kept_sets[1] <= kept_sets[3] <= kept_sets[10]
+    assert kept_sets[10] == {i for _, i, _w in rows}

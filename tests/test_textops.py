@@ -391,3 +391,34 @@ def test_pack_sequences_nonstring_group_and_zero_size(spark):
         4: (8, 0, 2000),
         5: (8, 0, 2000),
     }
+
+
+def test_contamination_hits_exact_counts(spark):
+    """A corpus doc sharing k-grams with the benchmark reports exactly
+    its count of distinct overlapping shingles; clean docs are absent
+    from the result (callers anti-join to drop the contaminated)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 'the quick brown' and 'quick brown fox' (2 hits)
+            (1, "note the quick brown fox sat"),
+            # case/whitespace-insensitive: normalization matches
+            (2, "THE  Quick   BROWN fox"),
+            # clean: no 3-gram overlap
+            (3, "completely different words entirely here"),
+            # repeated contaminated gram counts once (distinct shingles)
+            (4, "the quick brown then the quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.n_hits
+        for r in contamination_hits(corpus, bench, k=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 4: 1}
