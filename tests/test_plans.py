@@ -206,3 +206,31 @@ def test_ivfpq_only_shuffle_is_topk_window(spark, sf_dir):
     parts = re.findall(r"hashpartitioning\(([a-z_0-9#]+)", plan)
     assert parts and all(p.startswith("query_id") for p in parts), parts
     assert "rangepartitioning" not in plan, plan
+
+
+def test_t19_benchmark_broadcast_corpus_unshuffled(spark, sf_dir):
+    """Decontamination must broadcast the benchmark gram set — the
+    100 TB corpus side may shuffle only the per-doc hit counts
+    (one aggregate Exchange), never its exploded grams."""
+    plan = _plan(spark, sf_dir, "t19_decontamination")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    # the only KEY shuffles are the benchmark distinct's and the
+    # hit-count aggregate's (both tiny); the corpus side's Exchange is
+    # fan_out's round-robin spread, which skips itself on well-split
+    # inputs — no corpus-sized gram exchange may appear
+    details = plan.split("\n\n", 1)[1]
+    hash_exchanges = [
+        ln for ln in details.splitlines()
+        if ln.startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 2
+
+
+def test_t20_budget_prefix_single_shuffle(spark, sf_dir):
+    """The token-budget prefix is ONE shuffle on the group key: both
+    windows (running sum + group total) and the boundary filter must
+    reuse the same hash partitioning."""
+    tree = _plan(spark, sf_dir, "t20_token_budget_mix").split("\n\n")[0]
+    assert len(re.findall(r"\bExchange\b", tree)) == 1
