@@ -244,3 +244,38 @@ def ngram_dup_stats(
             f"dup_frac_{k}"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: ASCII-only patterns that parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround, explicit char classes.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and phone numbers from a text column — the
+    baseline PII pass every published training corpus runs (emails →
+    ``<EMAIL>``, phones → ``<PHONE>``). Adds ``n_emails`` /
+    ``n_phones`` match counts (taken BEFORE replacement) and the
+    scrubbed ``out_col``.
+
+    Pure per-row Catalyst regex — whole-stage codegen, zero shuffles,
+    embarrassingly parallel at any scale. Patterns are restricted to
+    the Java∩RE2 common syntax so the DuckDB oracle replays them
+    verbatim; phones are redacted first so a phone inside an
+    email-like token can't be double-counted."""
+    t = _c(text_col)
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, PHONE_RE, "<PHONE>"), EMAIL_RE, "<EMAIL>"
+        ).alias(out_col),
+    )

@@ -835,3 +835,68 @@ def t20_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_prefix(
         docs, "source", "n_tokens", 3, 10, "doc_id"
     ).select("doc_id", "source", "n_tokens", "cum_w")
+
+
+# --------------------------------------------------------------------------
+# t21 — PII redaction (operators/text.py:redact_pii)
+# --------------------------------------------------------------------------
+
+_O_AUG = (
+    "CASE WHEN doc_id % 3 <> 0 THEN text || ' Contact user' "
+    "|| CAST(doc_id % 50 AS VARCHAR) || '@example' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '.org or 555-010-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+)
+_O_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_O_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "t21_pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_O_AUG} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_O_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_O_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_O_PHONE}', '<PHONE>', 'g'),
+                              '{_O_EMAIL}', '<EMAIL>', 'g')) AS red_md5,
+           length(regexp_replace(regexp_replace(text, '{_O_PHONE}', '<PHONE>', 'g'),
+                                 '{_O_EMAIL}', '<EMAIL>', 'g')) AS red_len
+    FROM aug
+    """,
+)
+def t21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py:redact_pii): emails →
+    <EMAIL>, phones → <PHONE>, with per-doc match counts. The
+    synthetic corpus carries no PII, so a deterministic augmentation
+    injects an email + phone into 2/3 of the docs (keyed off doc_id —
+    the remaining third pins the zero-match path); the oracle md5s the
+    scrubbed text so the replacement must be byte-identical, not just
+    count-identical. Patterns live in the Java∩RE2 common syntax so
+    both engines compile the same automaton. Pure per-row codegen —
+    no shuffle at any scale."""
+    from ..operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("@example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org or 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    red = redact_pii(docs, "text", "redacted")
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("redacted").alias("red_md5"),
+        F.length("redacted").alias("red_len"),
+    )
