@@ -55,6 +55,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # percentiles, q62/q63 sampling, q36/q58 anti-join): every displaced
 # entry is driver-green as of CORRECTNESS_r05 and stays pytest-
 # oracled each run.
+# Round-6 additions rotation: the eight queries born or newly-oracled
+# this round (t19 decontamination, t20 token-budget mix, t21 PII
+# redaction, e16 SCD2, p7 schema evolution, sim4 now value-hashed,
+# sim8 PQ-ADC, sim9 IVF-PQ) enter the prefix so they earn driver
+# validation immediately, displacing eight r5-driver-green entries
+# whose shapes other prefix members keep covered (q50 join predicates
+# ~ q4/q47/q48; q56 distribution ~ q2/q35; q64 arg-extrema ~ q8/q13;
+# q66 blocked self-join ~ t6/t7 band joins; sim5 vector aggs ~
+# sim1/sim6; t10 winnow core ~ t11; e12 cohort windows ~ e3/e11/e13;
+# t13 CC core ~ t12). The ten round-6 verdict-#1 rotation entries all
+# stay put — they have not been driver-validated yet.
 _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q4_star_join_revenue",
@@ -65,13 +76,9 @@ _PRIORITY: list[str] = [
     "q43_correlated_avg_subquery",
     "q47_nation_trade_volume",
     "q48_market_share",
-    "q50_disjunctive_join_predicates",
     "q54_returned_items_topk",
-    "q56_customer_order_distribution",
     "q60_product_profit",
-    "q64_arg_extrema",
     "q65_exact_moments",
-    "q66_fuzzy_name_blocking",
     "q70_multiset_ops",
     "q71_forward_fill",
     "q72_group_ols_slope",
@@ -80,25 +87,28 @@ _PRIORITY: list[str] = [
     "e8_asof_join",
     "e10_session_window_native",
     "e11_funnel",
-    "e12_weekly_cohort_retention",
     "e13_inter_event_gaps",
     "e14_transition_matrix",
     "e15_cdc_latest_state",
+    "e16_scd2_history",
     "t1_text_stats",
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
-    "t10_winnow_fingerprints",
     "t11_winnow_overlap_pairs",
     "t12_neardup_clusters",
-    "t13_canonical_corpus",
     "t14_curation_filter",
     "t15_distinctive_terms",
     "t16_sequence_packing",
     "t17_passage_chunking",
+    "t19_decontamination",
+    "t20_token_budget_mix",
+    "t21_pii_redaction",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
-    "sim5_vector_stats",
+    "sim4_cosine_topk_ivf",
+    "sim8_pq_adc_topk",
+    "sim9_ivfpq_topk",
     "sim6_label_separation",
     "sim7_neardup_pairs_lsh",
     "m1_multimodal_features",
@@ -106,6 +116,7 @@ _PRIORITY: list[str] = [
     "p3_sql_model_over_views",
     "p5_incremental_gold",
     "p6_compaction_roundtrip",
+    "p7_schema_evolution_merge",
 ]
 
 
