@@ -455,22 +455,53 @@ def pq_codebooks(
     ]
 
 
-def _pq_code_expr(sv_slice: Column, book_m: list[list[int]]) -> Column:
-    """Per-row nearest-codeword index for one subspace: argmin_j of
-    ||x - c_j||^2, which for fixed x is argmin of cn2_j - 2*x.c_j —
-    exact int64 per-row arithmetic, no join, no shuffle. Ties resolve
-    to the SMALLEST j (array_position returns the first match), the
-    same (dist, j) order the relational/oracle form uses."""
-    dists = [
-        F.lit(int(sum(x * x for x in cv))).cast("long")
-        - 2
-        * dot_scaled(
-            sv_slice, F.array(*[F.lit(int(x)).cast("long") for x in cv])
-        )
-        for cv in book_m
-    ]
-    arr = F.array(*dists)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+def _stage_components(base: DataFrame, dim: int) -> DataFrame:
+    """Project the scaled vector's components to scalar columns
+    __x0..__x{dim-1} ONCE. Every downstream codeword distance then
+    reads plain long columns — no per-expression array slices, no
+    zip_with/aggregate lambdas. This is the HOF-staging rule
+    (docs/SCALE.md) applied to the ANALYZER as well as the executor:
+    the lambda formulation inlined k x dim literal ARRAYS into every
+    argmin (128 arrays for 8x16 codebooks), and resolving those
+    lambda scopes cost ~7 s of driver-side plan analysis per query —
+    18x the actual execution time at sf0.1. Scalar staging cuts the
+    tree to flat mul-add chains the analyzer (and whole-stage
+    codegen) handle in milliseconds."""
+    return base.select(
+        "*",
+        *[
+            F.element_at(F.col("sv"), i + 1).alias(f"__x{i}")
+            for i in range(dim)
+        ],
+    )
+
+
+def _argmin_code(xnames: list[str], book: list[list[int]]) -> Column:
+    """Per-row nearest-codeword index over staged scalar components:
+    argmin_j of ||x - c_j||^2 = argmin_j of cn2_j - 2*x.c_j — exact
+    int64 mul-add chains, no join, no shuffle, no lambdas. Ties
+    resolve to the SMALLEST j (array_position returns the first
+    match), the same (dist, j) order the relational/oracle form uses.
+
+    Built as ONE SQL string parsed by a single ``F.expr`` — not
+    composed from Column operators: each Python-side Column op is a
+    Py4J round trip, and the 8x16-codeword codebook needs ~2k
+    mul-adds, which cost ~8 s of pure Python/Py4J plan BUILD time
+    (20x the actual execution) when composed op-by-op. One parse of
+    the equivalent flat SQL text builds in <100 ms and produces the
+    identical codegen'd plan."""
+    entries = []
+    for j, cv in enumerate(book):
+        dot = " + ".join(f"{x}*{int(v)}L" for v, x in zip(cv, xnames))
+        d = f"({int(sum(v * v for v in cv))}L - 2*({dot}))"
+        entries.append(f"named_struct('d', {d}, 'j', {j})")
+    # min over (d, j) structs = first-match argmin, with the giant
+    # distance array appearing ONCE — the array_position(arr,
+    # array_min(arr)) form duplicates it, and nine duplicated argmins
+    # in one projection OOM'd Janino codegen at 16 g driver heap
+    return F.expr(
+        f"cast(array_min(array({','.join(entries)})).j as int)"
+    )
 
 
 def pq_encode(
@@ -480,20 +511,21 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, c0..c{M-1}): the corpus compressed to M codes per vector.
-    One narrow projection over the scan — every argmin is a per-row
-    codegen expression; nothing shuffles. At 100 TB this table is the
-    ~64x-smaller search structure that pq_topk scans instead of the
-    embedding column."""
+    Two narrow projections over the scan (component staging + argmin
+    chains) — every argmin is a per-row codegen expression; nothing
+    shuffles. At 100 TB this table is the ~64x-smaller search
+    structure that pq_topk scans instead of the embedding column."""
     from ..catalog import fan_out
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    base = with_scaled(fan_out(emb), id_col, vec_col)
+    base = _stage_components(with_scaled(fan_out(emb), id_col, vec_col), m * dsub)
     return base.select(
         "id",
         *[
-            _pq_code_expr(
-                F.slice(F.col("sv"), mm * dsub + 1, dsub), codebooks[mm]
+            _argmin_code(
+                [f"__x{mm * dsub + i}" for i in range(dsub)],
+                codebooks[mm],
             ).alias(f"c{mm}")
             for mm in range(m)
         ],
@@ -561,6 +593,13 @@ def pq_topk(
         + ", ".join(f"d{mm}" for mm in range(m))
         + ")"
     )
+    # materialize the code table: this IS the PQ index build (the
+    # persisted artifact a serving deployment writes once and scans
+    # per query — ivf_save_index's compressed analog). It also keeps
+    # the argmin expressions out of downstream operators: without the
+    # barrier, projection collapse inlines all M code argmins into the
+    # top-k window's SORT KEYS, whose codegen OOMs the driver
+    codes = codes.persist()
     scored = codes.join(
         F.broadcast(qtab), F.col("id") != F.col("query_id")
     ).select(
@@ -606,13 +645,17 @@ def ivfpq_topk(
     dsub = len(books[0][0])
     from ..catalog import fan_out
 
-    base = with_scaled(fan_out(emb), id_col, vec_col)
+    dim = len(centroids[0])
+    base = _stage_components(with_scaled(fan_out(emb), id_col, vec_col), dim)
     corpus = base.select(
         "id",
-        _pq_code_expr(F.col("sv"), centroids).alias("cell"),
+        _argmin_code(
+            [f"__x{i}" for i in range(dim)], centroids
+        ).alias("cell"),
         *[
-            _pq_code_expr(
-                F.slice(F.col("sv"), mm * dsub + 1, dsub), books[mm]
+            _argmin_code(
+                [f"__x{mm * dsub + i}" for i in range(dsub)],
+                books[mm],
             ).alias(f"c{mm}")
             for mm in range(m)
         ],
@@ -664,6 +707,10 @@ def ivfpq_topk(
         + ", ".join(f"d{mm}" for mm in range(m))
         + ")"
     )
+    # materialize cell + codes: the IVFPQ index build (see pq_topk —
+    # also required so the giant argmin exprs can't be inlined into
+    # the window sort's codegen, which OOMs)
+    corpus = corpus.persist()
     scored = corpus.join(
         F.broadcast(qtab),
         (corpus["cell"] == qtab["cell"])
