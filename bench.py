@@ -69,6 +69,8 @@ HEADLINE: list[str] = [
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
     "t12_neardup_clusters",
+    "t19_decontamination",
+    "t20_token_budget_mix",
     "q65_exact_moments",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",

@@ -573,21 +573,44 @@ def contamination_hits(
     (eval suites are ~1e6 grams), so its distinct gram set is
     BROADCAST — the 100 TB corpus is never shuffled. The corpus
     explode is narrow (partition-local), the broadcast hash join
-    filters grams in place, and the per-doc count aggregates
-    map-side before the one tiny shuffle of (doc, partial-count)
-    rows for hit documents only (hits are rare). No sort, no
-    corpus-sized exchange anywhere.
+    filters grams in place, and the per-doc distinct-hit count
+    aggregates map-side before the one tiny shuffle of (doc,
+    partial-count) rows for hit documents only (hits are rare). No
+    sort, no corpus-sized exchange anywhere.
+
+    Corpus grams are built by exploding POSITIONS and slicing one
+    gram per output row — NOT by exploding a per-doc gram array:
+    ``explode(<HOF-built array>)`` re-evaluates the whole transform
+    chain per OUTPUT row (measured ~30x: 5.7 s vs 0.8 s at sf0.1;
+    the staging discipline of docs/SCALE.md does not protect across
+    a Generate). Per-doc gram distinctness moves to the
+    ``count_distinct`` AFTER the semi join, where only the rare hits
+    remain — same result, exploded formulation's dedup cost avoided.
     """
+    from ..catalog import fan_out
+
     bench_grams = (
         shingled_docs(benchmark, id_col, text_col, k)
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
-    corpus_grams = shingled_docs(corpus, id_col, text_col, k).select(
-        "id", F.explode("sh").alias("g")
+    toks = fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).select("id", whitespace_tokens(normalize_text(F.col("t"))).alias("__toks"))
+    pos = toks.select(
+        "id",
+        "__toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__toks") - (k - 1), F.lit(1))
+            )
+        ).alias("__i"),
+    )
+    corpus_grams = pos.select(
+        "id", F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), k)).alias("g")
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct("g").alias("n_hits"))
     )

@@ -217,7 +217,8 @@ def test_t19_benchmark_broadcast_corpus_unshuffled(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     # the only KEY shuffles are the benchmark distinct's and the
-    # hit-count aggregate's (both tiny); the corpus side's Exchange is
+    # count_distinct pair ((id, g) dedup + (id) count) which see ONLY
+    # the rare post-join hit rows; the corpus side's Exchange is
     # fan_out's round-robin spread, which skips itself on well-split
     # inputs — no corpus-sized gram exchange may appear
     details = plan.split("\n\n", 1)[1]
@@ -225,7 +226,7 @@ def test_t19_benchmark_broadcast_corpus_unshuffled(spark, sf_dir):
         ln for ln in details.splitlines()
         if ln.startswith("Arguments: hashpartitioning")
     ]
-    assert len(hash_exchanges) == 2
+    assert len(hash_exchanges) == 3
 
 
 def test_t20_budget_prefix_single_shuffle(spark, sf_dir):
