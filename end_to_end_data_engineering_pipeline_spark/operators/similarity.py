@@ -455,52 +455,39 @@ def pq_codebooks(
     ]
 
 
-def _stage_components(base: DataFrame, dim: int) -> DataFrame:
-    """Project the scaled vector's components to scalar columns
-    __x0..__x{dim-1} ONCE. Every downstream codeword distance then
-    reads plain long columns — no per-expression array slices, no
-    zip_with/aggregate lambdas. This is the HOF-staging rule
-    (docs/SCALE.md) applied to the ANALYZER as well as the executor:
-    the lambda formulation inlined k x dim literal ARRAYS into every
-    argmin (128 arrays for 8x16 codebooks), and resolving those
-    lambda scopes cost ~7 s of driver-side plan analysis per query —
-    18x the actual execution time at sf0.1. Scalar staging cuts the
-    tree to flat mul-add chains the analyzer (and whole-stage
-    codegen) handle in milliseconds."""
-    return base.select(
-        "*",
-        *[
-            F.element_at(F.col("sv"), i + 1).alias(f"__x{i}")
-            for i in range(dim)
-        ],
+def _argmin_code(
+    sv_expr: str, lo: int, n: int, book: list[list[int]]
+) -> Column:
+    """Per-row nearest-codeword index for the scaled-vector slice
+    [lo, lo+n): argmin_j of ||x - c_j||^2 = argmin_j of cn2_j -
+    2*x.c_j — exact int64 per-row arithmetic, no join, no shuffle.
+    Ties resolve to the SMALLEST j (struct min on (d, j)), the same
+    (dist, j) order the relational/oracle form uses.
+
+    Two build disciplines learned the hard way (docs/SCALE.md):
+
+    - ONE SQL string parsed by a single ``F.expr`` — composing the
+      ~2k-term tree from Python Column operators costs one Py4J round
+      trip per operator, ~8 s of plan BUILD per query (20x the
+      execution time).
+    - the codebook stays a literal array-of-structs consumed by a
+      ``transform`` lambda — NOT flattened into open-coded mul-add
+      chains: the flat form generates megabytes of Java whose Janino
+      compile ran seconds PER PASS (codegen cache misses on fresh
+      exprIds) and OOM'd a 16 g driver when projection collapse
+      duplicated it into window sort keys. The lambda body is
+      interpreted, but 2k multiplies/row is microseconds — measured
+      0.5 s vs 3-6.5 s per corpus pass at sf0.1."""
+    structs = ",".join(
+        f"named_struct('j', {j}, 'cn2', {int(sum(v * v for v in cv))}L,"
+        f" 'cv', array({','.join(str(int(v)) + 'L' for v in cv)}))"
+        for j, cv in enumerate(book)
     )
-
-
-def _argmin_code(xnames: list[str], book: list[list[int]]) -> Column:
-    """Per-row nearest-codeword index over staged scalar components:
-    argmin_j of ||x - c_j||^2 = argmin_j of cn2_j - 2*x.c_j — exact
-    int64 mul-add chains, no join, no shuffle, no lambdas. Ties
-    resolve to the SMALLEST j (array_position returns the first
-    match), the same (dist, j) order the relational/oracle form uses.
-
-    Built as ONE SQL string parsed by a single ``F.expr`` — not
-    composed from Column operators: each Python-side Column op is a
-    Py4J round trip, and the 8x16-codeword codebook needs ~2k
-    mul-adds, which cost ~8 s of pure Python/Py4J plan BUILD time
-    (20x the actual execution) when composed op-by-op. One parse of
-    the equivalent flat SQL text builds in <100 ms and produces the
-    identical codegen'd plan."""
-    entries = []
-    for j, cv in enumerate(book):
-        dot = " + ".join(f"{x}*{int(v)}L" for v, x in zip(cv, xnames))
-        d = f"({int(sum(v * v for v in cv))}L - 2*({dot}))"
-        entries.append(f"named_struct('d', {d}, 'j', {j})")
-    # min over (d, j) structs = first-match argmin, with the giant
-    # distance array appearing ONCE — the array_position(arr,
-    # array_min(arr)) form duplicates it, and nine duplicated argmins
-    # in one projection OOM'd Janino codegen at 16 g driver heap
+    sl = f"slice({sv_expr}, {lo}, {n})"
     return F.expr(
-        f"cast(array_min(array({','.join(entries)})).j as int)"
+        f"cast(array_min(transform(array({structs}), s -> named_struct("
+        f"'d', s.cn2 - 2*aggregate(zip_with(s.cv, {sl}, (a, b) -> a*b),"
+        f" 0L, (acc, v) -> acc + v), 'j', s.j))).j as int)"
     )
 
 
@@ -519,14 +506,13 @@ def pq_encode(
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    base = _stage_components(with_scaled(fan_out(emb), id_col, vec_col), m * dsub)
+    base = with_scaled(fan_out(emb), id_col, vec_col)
     return base.select(
         "id",
         *[
-            _argmin_code(
-                [f"__x{mm * dsub + i}" for i in range(dsub)],
-                codebooks[mm],
-            ).alias(f"c{mm}")
+            _argmin_code("sv", mm * dsub + 1, dsub, codebooks[mm]).alias(
+                f"c{mm}"
+            )
             for mm in range(m)
         ],
     )
@@ -646,17 +632,14 @@ def ivfpq_topk(
     from ..catalog import fan_out
 
     dim = len(centroids[0])
-    base = _stage_components(with_scaled(fan_out(emb), id_col, vec_col), dim)
+    base = with_scaled(fan_out(emb), id_col, vec_col)
     corpus = base.select(
         "id",
-        _argmin_code(
-            [f"__x{i}" for i in range(dim)], centroids
-        ).alias("cell"),
+        _argmin_code("sv", 1, dim, centroids).alias("cell"),
         *[
-            _argmin_code(
-                [f"__x{mm * dsub + i}" for i in range(dsub)],
-                books[mm],
-            ).alias(f"c{mm}")
+            _argmin_code("sv", mm * dsub + 1, dsub, books[mm]).alias(
+                f"c{mm}"
+            )
             for mm in range(m)
         ],
     )
