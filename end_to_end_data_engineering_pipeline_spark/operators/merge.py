@@ -403,3 +403,69 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(op_col, seq_col)
     )
+
+
+def scd2_apply(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """Incremental SCD2 maintenance: merge one changelog batch into a
+    persisted history table (the warehouse-shaped twin of
+    :func:`scd2_history`, which rebuilds from the full log).
+
+    Per batch key: the key's OPEN record (``is_current``) is closed at
+    the batch's first change seq, and the batch's own records (from
+    ``scd2_history`` of the batch) are appended — the last one open
+    unless the batch ends in a delete. Sequential applies over ordered
+    batches land on EXACTLY the table the one-shot rebuild produces
+    (pinned by a hypothesis property), provided each key's seqs are
+    increasing across batches — the same ordering contract
+    ``apply_changes`` already requires.
+
+    Scale: the batch is the small side everywhere — its history is a
+    batch-local window, the close-set join broadcasts (batch keys,
+    close_seq), and untouched history rows stream through unmodified.
+    Same staged overwrite protocol as ``apply_changes``; at 100 TB
+    the hive-partitioned variant composes the same way as
+    ``_apply_changes_partitioned``.
+    """
+    batch_hist = scd2_history(changes, list(keys), seq_col, op_col)
+    close_seqs = changes.groupBy(*keys).agg(
+        F.min(seq_col).alias("__close_seq")
+    )
+
+    if not os.path.isdir(target_path):
+        merged = batch_hist
+    else:
+        old = spark.read.parquet(target_path)
+        closed = old.join(F.broadcast(close_seqs), list(keys), "left").select(
+            *[
+                c
+                for c in old.columns
+                if c not in ("valid_to", "is_current")
+            ],
+            F.when(
+                F.col("is_current") & F.col("__close_seq").isNotNull(),
+                F.col("__close_seq"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            (F.col("is_current") & F.col("__close_seq").isNull()).alias(
+                "is_current"
+            ),
+        )
+        merged = closed.unionByName(batch_hist)
+
+    tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        staged.write.mode("overwrite").parquet(target_path)
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

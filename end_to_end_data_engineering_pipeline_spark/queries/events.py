@@ -736,3 +736,91 @@ def e16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_current"), F.col("price")), "sum_current_price"
         ),
     )
+
+
+@query(
+    "e17_scd2_incremental",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+             'I' AS op, 1 AS seq
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2)),
+             'U', 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)), 'D', 3
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    rec AS (
+      SELECT *, lead(seq) OVER (PARTITION BY k ORDER BY seq, op) AS valid_to
+      FROM chg
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_records,
+           COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+           COUNT(*) FILTER (WHERE valid_to IS NOT NULL) AS n_closed,
+           CAST(ROUND(SUM(CASE WHEN valid_to IS NULL THEN price END), 4)
+                AS DOUBLE) AS sum_current_price
+    FROM rec WHERE op <> 'D'
+    GROUP BY o_orderstatus
+    """,
+)
+def e17_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/merge.py:scd2_apply):
+    the e16 changelog arrives in TWO batches — batch 1 the initial
+    inserts, batch 2 the U/D tail — applied against a persisted
+    history table, so the close-at-batch-boundary path (open records
+    closed by the next batch's first seq) actually executes. The
+    oracle is the ONE-SHOT rebuild SQL (identical to e16's), so the
+    driver hash proves sequential-apply ≡ full-log rebuild on real
+    data, complementing the hypothesis equivalence property."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.merge import scd2_apply
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec2("o_totalprice").alias("price")
+    )
+    b1 = o.select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+    b2 = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+            F.lit("U").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="e17_scd2_")
+    target = tmp + "/hist"
+    try:
+        scd2_apply(spark, target, b1, ["o_orderkey"])
+        scd2_apply(spark, target, b2, ["o_orderkey"])
+        hist = spark.read.parquet(target)
+        out = hist.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count(F.when(F.col("is_current"), 1)).alias("n_current"),
+            F.count(F.when(~F.col("is_current"), 1)).alias("n_closed"),
+            dsum_expr(
+                F.when(F.col("is_current"), F.col("price")),
+                "sum_current_price",
+            ),
+        )
+        # materialize before the staged table is deleted
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -333,3 +333,47 @@ def test_token_budget_prefix_matches_model_and_nests(spark, rows):
         assert kept_sets[numer] == _budget_model(rows, numer, 10)
     assert kept_sets[1] <= kept_sets[3] <= kept_sets[10]
     assert kept_sets[10] == {i for _, i, _w in rows}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch1=_change_rows, batch2=_change_rows)
+def test_scd2_apply_sequential_equals_one_shot(
+    spark, tmp_path_factory, batch1, batch2
+):
+    """Incremental SCD2 (scd2_apply per batch) must land on exactly
+    the table the one-shot scd2_history rebuild produces over the
+    concatenated log — close-at-batch-boundary, delete-closes, and
+    reopen-after-delete all consistent."""
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    # increasing seq across batches (the ordering contract); unique per key
+    rows1 = [(k, v, op, i + 1) for i, (k, op, v) in enumerate(batch1)]
+    rows2 = [
+        (k, v, op, 1000 + i) for i, (k, op, v) in enumerate(batch2)
+    ]
+    if not rows1 and not rows2:
+        return
+    schema = "k int, v string, op string, seq int"
+    path = str(tmp_path_factory.mktemp("scd2") / "t")
+    for rows in (rows1, rows2):
+        if rows:
+            scd2_apply(spark, path, spark.createDataFrame(rows, schema), ["k"])
+    one_shot = scd2_history(
+        spark.createDataFrame(rows1 + rows2, schema), ["k"]
+    )
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    expect = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in one_shot.collect()
+    }
+    assert got == expect
