@@ -704,3 +704,74 @@ def test_watermark_drops_late_straggler_keeps_fresh(spark, tmp_path):
     # the 13:00 window (end 14:00) is still OPEN at watermark 13:30 —
     # append mode must not have emitted it yet
     assert t(13, 0) not in by_window
+
+
+def test_streaming_scd2_apply_matches_one_shot_rebuild(spark, tmp_path):
+    """Incremental SCD2 under foreachBatch (e17's streaming side):
+    each microbatch's changelog is merged into the history table with
+    scd2_apply; the result must equal the ONE-SHOT scd2_history
+    rebuild over the full logged changelog. Valid because the rate
+    offset (seq) is monotone across microbatches, so every key's
+    changes arrive in increasing-seq batches — scd2_apply's ordering
+    contract. Same 3-non-empty-batch protocol as the CDC twin."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        scd2_apply,
+        scd2_history,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    log_dir = str(tmp_path / "changelog")
+    hist_dir = str(tmp_path / "hist")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+    changes = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 10 >= 5, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(log_dir)
+        scd2_apply(batch_df.sparkSession, hist_dir, batch_df, ["k"])
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+
+    full_log = spark.read.parquet(log_dir)
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(hist_dir).collect()
+    }
+    want = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(full_log, ["k"]).collect()
+    }
+    assert got == want and len(want) > 0
+    # history is richer than latest-state: some records must be closed
+    assert any(not cur for _, _, _, _, cur in want)
