@@ -712,6 +712,56 @@ def ivfpq_topk(
     )
 
 
+def pq_topk_refined(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[int]],
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN (the canonical serving pipeline: FAISS's
+    IndexRefine / DiskANN's rerank step): a cheap PQ-ADC pass
+    shortlists ``shortlist`` candidates per query from the compressed
+    codes, then ONLY those rows are re-ranked by exact scaled-int L2
+    against the uncompressed vectors. Quantization error affects
+    recall only through the shortlist; the final order is exact.
+
+    Scale shape: the shortlist (|Q| x shortlist ids) is BROADCAST
+    against the corpus vector table, so the refine stage is a scan +
+    broadcast semi-join + per-row exact dot — the full-precision
+    column is read once, never shuffled, and only for candidates.
+    Returns (query_id, cand_id, dist, rk) with the exact int64
+    squared-L2 distance."""
+    cand = pq_topk(
+        emb, query_ids, centroids, k=shortlist, m=m,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "cand_id")
+    vecs = with_scaled(emb, id_col, vec_col)
+    qv = vecs.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("sv").alias("qsv"),
+        F.col("n2").alias("qn2"),
+    )
+    joined = vecs.join(
+        F.broadcast(cand), vecs["id"] == cand["cand_id"]
+    ).join(F.broadcast(qv), "query_id")
+    dist = (
+        F.col("qn2")
+        - 2 * dot_scaled(F.col("qsv"), F.col("sv"))
+        + F.col("n2")
+    )
+    scored = joined.select(
+        "query_id", F.col("id").alias("cand_id"), dist.alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cand_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.8,

@@ -342,11 +342,9 @@ _O_CENT = """
 """
 
 
-@query(
-    "sim8_pq_adc_topk",
-    oracle=f"""
-    WITH {_O_SCALED},
-    {_O_CENT},
+# the PQ train+encode+ADC scoring chain shared by the sim8 and sim10
+# oracles (mms..scored over _O_SCALED + _O_CENT)
+_O_PQ_SCORED = """
     mms AS (SELECT UNNEST(RANGE(0, 8)) AS mm),
     subn AS (
       SELECT mm, cid, cv8,
@@ -390,6 +388,15 @@ _O_CENT = """
       WHERE c.vec_id <> q.query_id
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "sim8_pq_adc_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_CENT},
+    {_O_PQ_SCORED}
     SELECT query_id, cand_id, adist, CAST(rk AS BIGINT) AS rk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY adist, cand_id) AS rk
@@ -702,3 +709,58 @@ def sim7_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(emb, threshold=0.8, n_planes=6)
+
+
+@query(
+    "sim10_pq_refine_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_CENT},
+    {_O_PQ_SCORED},
+    short AS (
+      SELECT query_id, cand_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, cand_id) AS rk
+            FROM scored) t
+      WHERE rk <= 50
+    ),
+    exact AS (
+      SELECT s.query_id, s.cand_id,
+             q.n2
+             - 2 * CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(q.sv) x, UNNEST(c.sv) y))
+                        AS BIGINT)
+             + c.n2 AS dist
+      FROM short s
+      JOIN normed q ON q.vec_id = s.query_id
+      JOIN normed c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, dist, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dist, cand_id) AS rk
+          FROM exact) t
+    WHERE rk <= 10
+    """,
+)
+def sim10_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving pipeline (operators/similarity.py:
+    pq_topk_refined — FAISS IndexRefine / DiskANN rerank): PQ-ADC
+    shortlists 50 candidates per query from the compressed codes,
+    then exact scaled-int L2 re-ranks ONLY those 250 rows against
+    the uncompressed vectors (broadcast shortlist semi-join; the
+    full-precision column is scanned once, never shuffled).
+    Quantization error affects recall only through the shortlist —
+    the emitted order is exact. The oracle replays shortlist AND
+    refine generically over the shared PQ CTE chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import pq_topk_refined
+
+    out = pq_topk_refined(
+        emb,
+        QUERY_IDS,
+        _centroids_for(spark, sf_dir, emb),
+        k=10,
+        shortlist=50,
+        m=8,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))

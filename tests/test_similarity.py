@@ -269,3 +269,48 @@ def test_ivfpq_composes_ivf_pruning_with_pq_scoring(clustered):
         rs.setdefault(r.query_id, set()).add(r.cand_id)
     hits = sum(len(es[q] & rs.get(q, set())) for q in es)
     assert hits / sum(len(s) for s in es.values()) >= 0.6
+
+
+def test_pq_refine_improves_or_matches_adc_recall(clustered):
+    """Two-stage search (pq_topk_refined): the exact re-rank of the
+    ADC shortlist must (a) emit exact squared-L2 distances (verified
+    against a driver-side int recomputation), and (b) reach recall at
+    least as high as the plain ADC top-k — the shortlist can only be
+    re-ordered toward the truth, never away from it, when the
+    shortlist is large enough to contain the true neighbors."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_train,
+        pq_topk,
+        pq_topk_refined,
+        with_scaled,
+    )
+
+    m = 4
+    cents = ivf_train(clustered, n_centroids=N_CLUSTERS, iters=3)
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    adc = pq_topk(clustered, qids, cents, k=5, m=m).collect()
+    ref = pq_topk_refined(
+        clustered, qids, cents, k=5, shortlist=20, m=m
+    ).collect()
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        es = {}
+        for r in exact:
+            es.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(len(es[q] & got.get(q, set())) for q in es) / sum(
+            len(s) for s in es.values()
+        )
+
+    assert recall(ref) >= recall(adc)
+
+    sv = {r.id: list(r.sv) for r in
+          with_scaled(clustered, "vec_id", "embedding").collect()}
+    for r in ref:
+        q, c = sv[r.query_id], sv[r.cand_id]
+        want = sum((a - b) * (a - b) for a, b in zip(q, c))
+        assert r.dist == want
