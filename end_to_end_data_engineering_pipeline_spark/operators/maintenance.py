@@ -355,3 +355,34 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def expire_partitions(
+    path: str, partition_col: str, cutoff: str
+) -> list[str]:
+    """Retention/TTL sweep: delete every hive partition whose
+    (unescaped) value sorts BELOW ``cutoff`` — for ISO-date partition
+    values, lexicographic order IS chronological order, so
+    ``cutoff='2024-01-01'`` drops everything older. Returns the
+    removed values (sorted) for audit logging.
+
+    Metadata-only: no data file is ever read — cost is O(#partitions)
+    driver-side listing plus the dir removals, which is what makes
+    retention viable on a 100 TB table (the Delta/Iceberg
+    DELETE-by-partition fast path). Idempotent: a second sweep with
+    the same cutoff removes nothing. Dot-prefixed staging dirs from
+    an in-flight compaction are ignored (never listed as
+    partitions)."""
+    from .merge import _hive_unescape
+
+    removed = []
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not d.startswith(prefix) or not os.path.isdir(full):
+            continue
+        value = _hive_unescape(d[len(prefix):])
+        if value < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(value)
+    return removed

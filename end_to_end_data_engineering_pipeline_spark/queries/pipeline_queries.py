@@ -373,3 +373,63 @@ def p7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p8_retention_sweep",
+    oracle="""
+    WITH cutoff AS (
+      SELECT MAX(CAST(ts AS DATE)) - 7 AS c FROM events
+    ),
+    kept AS (
+      SELECT e.*, CAST(e.ts AS DATE) AS d
+      FROM events e, cutoff WHERE CAST(e.ts AS DATE) >= cutoff.c
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT d) AS n_days,
+           CAST(MIN(d) AS VARCHAR) AS earliest_kept
+    FROM kept GROUP BY event_type
+    """,
+)
+def p8_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL enforcement (operators/maintenance.py:
+    expire_partitions): events land in a date-partitioned table, a
+    7-day retention sweep deletes expired partition DIRS without
+    reading a byte of data (the Delta/Iceberg partition-delete fast
+    path — at 100 TB retention must be metadata-only), and the
+    surviving table is re-aggregated. The oracle filters the original
+    rows by the same cutoff, so the sweep must remove exactly the
+    expired dates — no more, no fewer — including hive-escaping
+    round-trips of the partition values."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import expire_partitions
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"),
+    )
+    cutoff_row = ev.agg(F.date_sub(F.max(F.to_date("d")), 7)).first()
+    cutoff = cutoff_row[0].isoformat()
+
+    tmp = tempfile.mkdtemp(prefix="p8_retention_")
+    path = tmp + "/t"
+    try:
+        ev.write.mode("overwrite").partitionBy("d").parquet(path)
+        removed = expire_partitions(path, "d", cutoff)
+        assert removed == sorted(removed)  # audit order contract
+        # idempotence: a second sweep with the same cutoff is a no-op
+        assert expire_partitions(path, "d", cutoff) == []
+        kept = spark.read.parquet(path)
+        out = kept.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("d").alias("n_days"),
+            F.min("d").cast("string").alias("earliest_kept"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -375,3 +375,27 @@ def test_sweep_leaves_young_and_unattributable_dirs(spark, tmp_path):
     _sweep_stage_dirs(path, min_age_seconds=0.0)
     assert not os.path.isdir(stage)
     assert os.path.isdir(unparseable)  # unattributable: never deleted
+
+
+def test_expire_partitions_escaped_values_and_idempotence(spark, tmp_path):
+    """Retention must compare the UNESCAPED partition value: values
+    Spark hive-escapes on disk (here ':' -> %3A) still sort and expire
+    correctly; staging dirs are ignored; a repeat sweep is a no-op."""
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01T00:00"), (2, "2024-01-05T00:00"), (3, "2024-02-01T00:00")],
+        "id int, d string",
+    )
+    df.write.mode("overwrite").partitionBy("d").parquet(path)
+    # a dot-prefixed staging dir must never be listed as a partition
+    (tmp_path / "t" / ".__compact_stage_x").mkdir()
+
+    removed = expire_partitions(path, "d", "2024-01-31")
+    assert removed == ["2024-01-01T00:00", "2024-01-05T00:00"]
+    kept = {r.id for r in spark.read.parquet(path).collect()}
+    assert kept == {3}
+    assert expire_partitions(path, "d", "2024-01-31") == []
