@@ -279,3 +279,65 @@ def redact_pii(
             F.regexp_replace(t, PHONE_RE, "<PHONE>"), EMAIL_RE, "<EMAIL>"
         ).alias(out_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embedding (hashing trick)
+# ---------------------------------------------------------------------------
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic text -> vector via the hashing trick (feature
+    hashing; Weinberger et al. ICML'09 — Spark MLlib's HashingTF with
+    a signed variant): every normalized token lands in component
+    ``hash32(token) % dim`` with sign from an independent hash, so
+    the embedding is a pure function of the text — reproducible by
+    ANY engine with md5, no vocabulary, no model file. The text-side
+    twin of the embeddings table: feeds the same cosine/LSH/PQ
+    near-dup operators when no learned embeddings exist.
+
+    Returns (id, e0..e{dim-1}) signed-int components (the multiset
+    token counts make it a signed term-frequency projection).
+
+    Per-row Catalyst only: token hash + sign arrays staged once
+    (HOF-staging rule), then one ``aggregate`` fold per component —
+    zero shuffles at any corpus size, same plan family as
+    ``simhash_table``."""
+    from ..catalog import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
+    toks = base.select(
+        "id", whitespace_tokens(normalize_text(F.col("t"))).alias("__toks")
+    )
+    staged = toks.select(
+        "id",
+        F.transform(F.col("__toks"), lambda t: hash32(t)).alias("__hs"),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.when(
+                hash32(F.concat(F.lit("s|"), t)) % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ).alias("__sg"),
+    )
+    pairs = staged.select("id", F.arrays_zip("__hs", "__sg").alias("__p"))
+
+    def _comp(d: int):
+        return F.aggregate(
+            F.col("__p"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(p["__hs"] % dim == d, p["__sg"])
+            .otherwise(0)
+            .cast("long"),
+        )
+
+    return pairs.select(
+        "id", *[_comp(d).alias(f"e{d}") for d in range(dim)]
+    )

@@ -900,3 +900,50 @@ def t21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("redacted").alias("red_md5"),
         F.length("redacted").alias("red_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — feature-hashing text embedding (operators/text.py)
+# --------------------------------------------------------------------------
+
+_O_HE_DIMS = 16
+
+
+def _o_hashed_embedding() -> str:
+    comps = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN d = {d} THEN s ELSE 0 END) AS BIGINT) AS e{d}"
+        for d in range(_O_HE_DIMS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS t FROM documents
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST({_o_hash32("t")} % {_O_HE_DIMS} AS INT) AS d,
+             CASE WHEN {_o_hash32("'s|' || t")} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           {comps}
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@query("t22_hashed_embedding", oracle=_o_hashed_embedding())
+def t22_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedding (operators/text.py:
+    hashed_embedding — the hashing trick, MLlib HashingTF's signed
+    variant): every document becomes a 16-dim signed term-frequency
+    vector, a pure function of its text via the shared md5 hash32 —
+    no vocabulary, no model, reproducible by any engine. This is the
+    text->vector bridge that lets the cosine/LSH/PQ near-dup family
+    run on corpora WITHOUT precomputed embeddings. The oracle
+    recomputes every component from the exploded token multiset
+    (signs included), so sign hash, bucket hash, and multiset
+    weighting must all agree exactly."""
+    from ..operators.text import hashed_embedding
+
+    docs = load(spark, sf_dir, "documents")
+    out = hashed_embedding(docs, dim=_O_HE_DIMS)
+    return out.select(F.col("id").alias("doc_id"), *[f"e{d}" for d in range(_O_HE_DIMS)])

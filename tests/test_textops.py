@@ -422,3 +422,28 @@ def test_contamination_hits_exact_counts(spark):
         for r in contamination_hits(corpus, bench, k=3).collect()
     }
     assert got == {1: 2, 2: 2, 4: 1}
+
+
+def test_hashed_embedding_locality_and_determinism(spark):
+    """Identical (normalization-equivalent) texts hash to identical
+    vectors; token multiset weighting shows up as component scaling;
+    disjoint texts yield different vectors — the properties that make
+    the hashing-trick embedding usable by the cosine near-dup family."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        hashed_embedding,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "ALPHA   beta gamma"),     # normalizes to doc 1
+            (3, "alpha beta gamma alpha beta gamma"),  # doubled multiset
+            (4, "delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: [r[f"e{d}"] for d in range(16)] for r in
+            hashed_embedding(docs, dim=16).collect()}
+    assert rows[1] == rows[2]
+    assert rows[3] == [2 * v for v in rows[1]]
+    assert rows[4] != rows[1]
