@@ -947,3 +947,94 @@ def t22_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = hashed_embedding(docs, dim=_O_HE_DIMS)
     return out.select(F.col("id").alias("doc_id"), *[f"e{d}" for d in range(_O_HE_DIMS)])
+
+
+# --------------------------------------------------------------------------
+# t23 — near-dup pairs over the hashed embeddings (no learned vectors)
+# --------------------------------------------------------------------------
+
+
+def _o_he_neardup() -> str:
+    he = _o_hashed_embedding()
+    dot = " + ".join(f"a.e{d} * b.e{d}" for d in range(_O_HE_DIMS))
+    n2a = " + ".join(f"a.e{d} * a.e{d}" for d in range(_O_HE_DIMS))
+    n2b = " + ".join(f"b.e{d} * b.e{d}" for d in range(_O_HE_DIMS))
+    cos = (
+        f"ROUND(CAST(({dot}) AS DOUBLE) / "
+        f"(SQRT(CAST(({n2a}) AS DOUBLE)) * SQRT(CAST(({n2b}) AS DOUBLE))), 6)"
+    )
+    return f"""
+    WITH he AS ({he}),
+    meta AS (SELECT doc_id, lang, source FROM documents)
+    SELECT m1.doc_id AS id_a, m2.doc_id AS id_b, m1.lang, m1.source,
+           {cos} AS cosine
+    FROM meta m1
+    JOIN meta m2 ON m2.lang = m1.lang AND m2.source = m1.source
+                AND m1.doc_id < m2.doc_id
+    JOIN he a ON a.doc_id = m1.doc_id
+    JOIN he b ON b.doc_id = m2.doc_id
+    WHERE ({n2a}) > 0 AND ({n2b}) > 0 AND {cos} >= 0.8
+    """
+
+
+@query("t23_hashed_embedding_neardup", oracle=_o_he_neardup())
+def t23_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full no-learned-embeddings near-dup path end-to-end: text ->
+    hashing-trick vector (t22) -> blocked cosine pairs (sim3's shape,
+    blocked on lang+source) — proving the engine can run vector
+    near-dup on a corpus that ships with NO embedding column. Exact
+    int dots over the signed term-frequency vectors; the zero-norm
+    guard is explicit on BOTH sides because Spark orders NaN above
+    every number while DuckDB compares it false. Narrow (id, block)
+    pairs shuffle; the 16 components ride a broadcast-eligible
+    projection."""
+    from ..operators.text import hashed_embedding
+
+    docs = load(spark, sf_dir, "documents")
+    he = hashed_embedding(docs, dim=_O_HE_DIMS)
+    meta = docs.select("doc_id", "lang", "source")
+    a = meta.select(F.col("doc_id").alias("id_a"), "lang", "source")
+    b = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "lang", "source")
+    ea = he.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"e{d}").alias(f"a{d}") for d in range(_O_HE_DIMS)],
+    )
+    eb = he.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"e{d}").alias(f"b{d}") for d in range(_O_HE_DIMS)],
+    )
+    j = pairs.join(ea, "id_a").join(eb, "id_b")
+    dot = sum(
+        [F.col(f"a{d}") * F.col(f"b{d}") for d in range(_O_HE_DIMS)],
+        start=F.lit(0).cast("long"),
+    )
+    n2a = sum(
+        [F.col(f"a{d}") * F.col(f"a{d}") for d in range(_O_HE_DIMS)],
+        start=F.lit(0).cast("long"),
+    )
+    n2b = sum(
+        [F.col(f"b{d}") * F.col(f"b{d}") for d in range(_O_HE_DIMS)],
+        start=F.lit(0).cast("long"),
+    )
+    cosine = F.round(
+        dot.cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+        6,
+    )
+    return (
+        j.select("id_a", "id_b", "lang", "source", cosine.alias("cosine"),
+                 n2a.alias("__n2a"), n2b.alias("__n2b"))
+        .where((F.col("__n2a") > 0) & (F.col("__n2b") > 0)
+               & (F.col("cosine") >= 0.8))
+        .drop("__n2a", "__n2b")
+    )
