@@ -71,12 +71,15 @@ HEADLINE: list[str] = [
     "t12_neardup_clusters",
     "t19_decontamination",
     "t20_token_budget_mix",
+    "t21_pii_redaction",
+    "t23_hashed_embedding_neardup",
     "q65_exact_moments",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim4_cosine_topk_ivf",
     "sim8_pq_adc_topk",
     "sim9_ivfpq_topk",
+    "sim10_pq_refine_topk",
     "m1_multimodal_features",
 ]
 

@@ -991,7 +991,13 @@ def t23_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import hashed_embedding
 
     docs = load(spark, sf_dir, "documents")
-    he = hashed_embedding(docs, dim=_O_HE_DIMS)
+    # materialize the embedding table before the pair join: both join
+    # sides read it, and without the barrier projection collapse
+    # inlines the 16 per-doc token folds into the PER-PAIR cosine
+    # (measured 42 s vs ~1.5 s at sf0.1 — the explode/join twin of the
+    # PQ sort-key inlining, docs/SCALE.md). 17 narrow columns per doc
+    # — the embedding table is the index artifact here.
+    he = hashed_embedding(docs, dim=_O_HE_DIMS).persist()
     meta = docs.select("doc_id", "lang", "source")
     a = meta.select(F.col("doc_id").alias("id_a"), "lang", "source")
     b = meta.select(
