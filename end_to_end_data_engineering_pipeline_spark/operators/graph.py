@@ -119,3 +119,39 @@ def resolve_canonical(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )
     return mapped.where(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")
+
+
+def resolve_canonical_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster resolution: like :func:`resolve_canonical`
+    but the survivor of each near-dup cluster is chosen by
+    ``order_cols`` (e.g. ``[F.col("quality_score").desc(), F.col("doc_id")]``)
+    instead of min id — the curation rule real pipelines use: among
+    near-duplicates, KEEP THE BEST COPY, drop the rest. The trailing
+    unique-id tiebreak is the caller's responsibility (pass the id
+    column last) so the survivor is deterministic.
+
+    Same scale shape as resolve_canonical: CC over the pair graph
+    (narrow label rows), one membership join, one per-cluster window —
+    clusters are near-dup groups, typically tiny, so the window sort
+    is bounded per group."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src_col, dst_col)
+    member = docs.join(
+        cc.withColumnRenamed("node", id_col), id_col, "left_outer"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order_cols)
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -105,3 +105,29 @@ def token_budget_prefix(
         .where((F.col("cum_w") - wl) * denom < numer * F.col("__tot"))
         .drop("__tot")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    boundaries: list[tuple[str, int]],
+    default_split: str,
+    *key_cols: Column | str,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's hash bucket
+    (``sample_key % SAMPLE_BUCKETS``) is compared against cumulative
+    ``boundaries`` — e.g. ``[("train", 900000), ("val", 950000)]``
+    with default ``"test"`` gives a 90/5/5 split. A pure function of
+    the row key: re-derivable months later, stable under
+    repartitioning and engine choice, and rows never migrate between
+    splits when MORE data arrives (the property shuffle-split lacks —
+    eval contamination at 100 TB usually enters through a re-rolled
+    split). Adds a ``split`` column."""
+    b = sample_key(*key_cols) % SAMPLE_BUCKETS
+    expr = None
+    for name, upper in boundaries:
+        cond = b < upper
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    expr = expr.otherwise(default_split) if expr is not None else F.lit(default_split)
+    return df.withColumn("split", expr)

@@ -1044,3 +1044,111 @@ def t23_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("cosine") >= 0.8))
         .drop("__n2a", "__n2b")
     )
+
+
+# --------------------------------------------------------------------------
+# t24 — quality-aware canonical corpus (keep the BEST near-duplicate)
+# --------------------------------------------------------------------------
+
+_O_QSCORE = f"""(CASE WHEN len({_O_RAW_TOKS}) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN {_o_stop(LANG_MARKERS["en"])} * 20 >= len({_O_RAW_TOKS})
+                     THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_extract_all(text, '[.,!?;:]')) * 10
+                          <= length(text) THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 5
+                          <= length(text) THEN 1 ELSE 0 END)"""
+
+
+@query(
+    "t24_canonical_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_o_t7_ctes(16, 4, 0.3)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    memb AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+             {_O_QSCORE} AS quality_score
+      FROM documents d LEFT OUTER JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, cluster_id, quality_score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality_score DESC, doc_id) rn
+          FROM memb) t
+    WHERE rn = 1
+    """,
+)
+def t24_canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup resolution (operators/graph.py:
+    resolve_canonical_by): among near-duplicates, keep the HIGHEST
+    quality copy (t1's quality score; doc_id breaks ties), not the
+    min id — the curation rule production pipelines actually use,
+    since boilerplate copies often have lower quality than the
+    original. Same CC machinery as t13; the survivor choice is a
+    per-cluster window."""
+    from ..operators.graph import resolve_canonical_by
+    from ..operators.text import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.join(
+        text_stats(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    kept = resolve_canonical_by(
+        scored,
+        pairs,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+    )
+    return kept.select(
+        "doc_id", "cluster_id", F.col("quality_score").cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# t25 — deterministic train/val/test split (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t25_train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, len({_O_RAW_TOKS}) AS n_tokens,
+             CASE WHEN {_O_DOCKEY32} % 1000000 < 900000 THEN 'train'
+                  WHEN {_O_DOCKEY32} % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY source, split
+    """,
+)
+def t25_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/sampling.py:assign_split): each doc's split is a pure
+    hash of its id — stable under repartitioning, engine choice, and
+    corpus growth (new rows never move existing rows between splits,
+    the property a re-rolled random split lacks; that migration is
+    how eval contamination usually enters). Scan-predicate cheap; the
+    only shuffle is the reporting aggregate."""
+    from ..operators.sampling import assign_split
+    from ..operators.text import whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    out = assign_split(
+        docs, [("train", 900000), ("val", 950000)], "test", "doc_id"
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
