@@ -1152,3 +1152,82 @@ def t25_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# t26 — corpus-vocabulary quality signal (common-token fraction)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t26_common_token_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rnk
+        FROM toks GROUP BY t) v
+      WHERE rnk <= 100
+    ),
+    scored AS (
+      SELECT k.doc_id, COUNT(*) AS n_toks,
+             COUNT(*) FILTER (WHERE v.t IS NOT NULL) AS n_common
+      FROM toks k LEFT JOIN vocab v ON v.t = k.t
+      GROUP BY k.doc_id
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1000000.0 / n_toks) / 1000000.0 AS common_frac,
+           n_common * 10 < n_toks * 3 AS flagged
+    FROM scored
+    """,
+)
+def t26_common_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style vocabulary quality signal: the corpus's top-100
+    tokens (by frequency, token-text tiebreak so the rank cut is
+    deterministic) form the reference vocabulary; each doc scores the
+    fraction of its token occurrences that are common-vocabulary, and
+    docs under 30% are flagged (gibberish / non-prose / wrong-language
+    text scores low). Two passes, both scale-clean: the vocab is ONE
+    aggregate + top-k (tiny result, broadcast back), scoring is a
+    broadcast join over exploded tokens with a map-side-combining
+    count — the corpus never shuffles its tokens. Exact-int ratio for
+    the cross-engine fraction."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(
+            whitespace_tokens(normalize_text(F.col("text")))
+        ).alias("t"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-100
+    # + tiny driver merge) — a global row_number window would sort the
+    # whole vocabulary in one partition
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(100)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count("__in_vocab").alias("n_common"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "n_common",
+        (F.round(F.col("n_common") * 1000000.0 / F.col("n_toks")) / 1000000.0)
+        .alias("common_frac"),
+        (F.col("n_common") * 10 < F.col("n_toks") * 3).alias("flagged"),
+    )
