@@ -775,3 +775,47 @@ def test_streaming_scd2_apply_matches_one_shot_rebuild(spark, tmp_path):
     assert got == want and len(want) > 0
     # history is richer than latest-state: some records must be closed
     assert any(not cur for _, _, _, _, cur in want)
+
+
+def test_streaming_dedup_within_watermark_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress duplicate keys
+    ACROSS microbatches while their event time is inside the
+    watermark: two files share ids 3..5, maxFilesPerTrigger=1 forces
+    them into separate batches, and the appended output still carries
+    each id exactly once — the streaming twin of e5's keyed dedup
+    (state-store dedup is the exactly-once ingestion building block)."""
+    import datetime as dt
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, t0) for i in (1, 2, 3, 4, 5)], "event_id long, ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=1)) for i in (3, 4, 5, 6, 7)],
+        "event_id long, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM dedup_wm").collect()
+    ids = [r.event_id for r in rows]
+    assert sorted(ids) == [1, 2, 3, 4, 5, 6, 7]  # each id exactly once
