@@ -412,6 +412,7 @@ def scd2_apply(
     keys: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    partition_col: str | None = None,
 ) -> int:
     """Incremental SCD2 maintenance: merge one changelog batch into a
     persisted history table (the warehouse-shaped twin of
@@ -429,10 +430,19 @@ def scd2_apply(
     Scale: the batch is the small side everywhere — its history is a
     batch-local window, the close-set join broadcasts (batch keys,
     close_seq), and untouched history rows stream through unmodified.
-    Same staged overwrite protocol as ``apply_changes``; at 100 TB
-    the hive-partitioned variant composes the same way as
-    ``_apply_changes_partitioned``.
+    Same staged overwrite protocol as ``apply_changes``.
+
+    With ``partition_col`` (hive-partitioned history; the partition
+    must be a FUNCTION OF THE KEY, as in merge_upsert_partitioned, so
+    a key's open record always lives in a partition the batch
+    touches) only the batch's partitions are read and rewritten —
+    history is append-mostly, so at 100 TB this is the difference
+    between rewriting GBs and rewriting the table.
     """
+    if partition_col is not None:
+        return _scd2_apply_partitioned(
+            spark, target_path, changes, keys, seq_col, op_col, partition_col
+        )
     batch_hist = scd2_history(changes, list(keys), seq_col, op_col)
     close_seqs = changes.groupBy(*keys).agg(
         F.min(seq_col).alias("__close_seq")
@@ -442,23 +452,9 @@ def scd2_apply(
         merged = batch_hist
     else:
         old = spark.read.parquet(target_path)
-        closed = old.join(F.broadcast(close_seqs), list(keys), "left").select(
-            *[
-                c
-                for c in old.columns
-                if c not in ("valid_to", "is_current")
-            ],
-            F.when(
-                F.col("is_current") & F.col("__close_seq").isNotNull(),
-                F.col("__close_seq"),
-            )
-            .otherwise(F.col("valid_to"))
-            .alias("valid_to"),
-            (F.col("is_current") & F.col("__close_seq").isNull()).alias(
-                "is_current"
-            ),
+        merged = _close_open_records(old, close_seqs, keys).unionByName(
+            batch_hist
         )
-        merged = closed.unionByName(batch_hist)
 
     tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
     try:
@@ -466,6 +462,84 @@ def scd2_apply(
         staged = spark.read.parquet(tmp)
         n = staged.count()
         staged.write.mode("overwrite").parquet(target_path)
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _close_open_records(
+    old: DataFrame, close_seqs: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """History rows with each batch key's OPEN record closed at the
+    batch's first seq; rows for untouched keys pass through."""
+    return old.join(F.broadcast(close_seqs), list(keys), "left").select(
+        *[c for c in old.columns if c not in ("valid_to", "is_current")],
+        F.when(
+            F.col("is_current") & F.col("__close_seq").isNotNull(),
+            F.col("__close_seq"),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+        (F.col("is_current") & F.col("__close_seq").isNull()).alias(
+            "is_current"
+        ),
+    )
+
+
+def _scd2_apply_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    partition_col: str,
+) -> int:
+    """Partition-scoped incremental SCD2: read/close/rewrite ONLY the
+    partitions present in the batch (dynamic partition overwrite).
+    History never deletes rows, so — unlike the CDC apply — no
+    partition can vanish and no dir cleanup is needed. Returns the
+    row count of the rewritten partitions."""
+    if partition_col not in changes.columns:
+        raise ValueError(
+            f"changes must carry partition column {partition_col!r}"
+        )
+    if changes.where(F.col(partition_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"changes contain NULL {partition_col!r} values; partition-"
+            "scoped apply cannot address the default partition safely"
+        )
+    batch_hist = scd2_history(changes, list(keys), seq_col, op_col)
+    close_seqs = changes.groupBy(*keys).agg(
+        F.min(seq_col).alias("__close_seq")
+    )
+
+    if not os.path.isdir(target_path):
+        n = batch_hist.count()
+        if n == 0:
+            return 0
+        batch_hist.write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(target_path)
+        return n
+
+    parts = [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path)
+    affected = target.where(F.col(partition_col).isin(parts))
+    merged = _close_open_records(affected, close_seqs, keys).unionByName(
+        batch_hist.select(*affected.columns)
+    )
+
+    tmp = f"{target_path}.__stage_{uuid.uuid4().hex}"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        staged.write.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(target_path)
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

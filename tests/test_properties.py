@@ -377,3 +377,52 @@ def test_scd2_apply_sequential_equals_one_shot(
         for r in one_shot.collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch1=_change_rows, batch2=_change_rows)
+def test_scd2_apply_partitioned_equals_unpartitioned(
+    spark, tmp_path_factory, batch1, batch2
+):
+    """Partition-scoped incremental SCD2 (partition = f(key), k % 2)
+    must land on exactly the same history as the flat apply over the
+    same batches — close-at-boundary across partition boundaries
+    included."""
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    rows1 = [(k, str(k % 2), v, op, i + 1) for i, (k, op, v) in enumerate(batch1)]
+    rows2 = [
+        (k, str(k % 2), v, op, 1000 + i) for i, (k, op, v) in enumerate(batch2)
+    ]
+    if not rows1 and not rows2:
+        return
+    schema = "k int, part string, v string, op string, seq int"
+    root = tmp_path_factory.mktemp("scd2_pv")
+    flat, part = str(root / "flat"), str(root / "part")
+    for rows in (rows1, rows2):
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, schema)
+        scd2_apply(spark, flat, df, ["k"])
+        scd2_apply(spark, part, df, ["k"], partition_col="part")
+
+    import os
+
+    if not os.path.isdir(flat):
+        assert not os.path.isdir(part)
+        return
+    got_flat = {
+        (r.k, str(r.part), r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(flat).collect()
+    }
+    got_part = {
+        (r.k, str(r.part), r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(part).collect()
+    }
+    assert got_part == got_flat
