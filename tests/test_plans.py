@@ -235,3 +235,14 @@ def test_t20_budget_prefix_single_shuffle(spark, sf_dir):
     reuse the same hash partitioning."""
     tree = _plan(spark, sf_dir, "t20_token_budget_mix").split("\n\n")[0]
     assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+def test_t26_vocab_broadcast_and_distributed_topk(spark, sf_dir):
+    """The corpus vocabulary must reach the scoring join as a
+    BROADCAST (the token stream never shuffles for the join) and the
+    top-100 cut must plan TakeOrderedAndProject — not a global
+    single-partition window sort."""
+    tree = _plan(spark, sf_dir, "t26_common_token_fraction").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "Window" not in tree
