@@ -426,3 +426,90 @@ def test_scd2_apply_partitioned_equals_unpartitioned(
         for r in spark.read.parquet(part).collect()
     }
     assert got_part == got_flat
+
+
+# ---------------------------------------------------------------------------
+# retention + split assignment: closed-form models
+# ---------------------------------------------------------------------------
+
+_dates = st.sampled_from(
+    [f"2024-{m:02d}-{d:02d}" for m in (1, 2, 3) for d in (1, 11, 21)]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), _dates), min_size=1, max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    cutoff=_dates,
+)
+def test_expire_partitions_matches_filter_model(
+    spark, tmp_path_factory, rows, cutoff
+):
+    """Expiring partitions below a cutoff must leave exactly the rows
+    a plain `d >= cutoff` filter keeps, report exactly the removed
+    values, and be idempotent."""
+    from end_to_end_data_engineering_pipeline_spark.operators.maintenance import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path_factory.mktemp("ttl") / "t")
+    df = spark.createDataFrame(rows, "id int, d string")
+    df.write.mode("overwrite").partitionBy("d").parquet(path)
+
+    removed = expire_partitions(path, "d", cutoff)
+    assert removed == sorted({d for _, d in rows if d < cutoff})
+    expect_ids = {i for i, d in rows if d >= cutoff}
+    if expect_ids:
+        got = {r.id for r in spark.read.parquet(path).collect()}
+        assert got == expect_ids
+    assert expire_partitions(path, "d", cutoff) == []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True))
+def test_assign_split_matches_hash_model_and_is_stable(spark, rows):
+    """Split assignment must equal the closed-form hash rule per row,
+    and adding MORE rows must never change existing rows' splits (the
+    anti-contamination property)."""
+    import hashlib
+
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        assign_split,
+    )
+
+    def model(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+        return "train" if b < 900000 else ("val" if b < 950000 else "test")
+
+    df = spark.createDataFrame([(i,) for i in rows], "id int")
+    got = {
+        r.id: r.split
+        for r in assign_split(
+            df, [("train", 900000), ("val", 950000)], "test", "id"
+        ).collect()
+    }
+    assert got == {i: model(i) for i in rows}
+
+    # growth stability: assignments over a SUPERSET agree on the subset
+    df2 = spark.createDataFrame(
+        [(i,) for i in rows + [max(rows) + 1 + k for k in range(5)]], "id int"
+    )
+    got2 = {
+        r.id: r.split
+        for r in assign_split(
+            df2, [("train", 900000), ("val", 950000)], "test", "id"
+        ).collect()
+    }
+    assert all(got2[i] == got[i] for i in rows)
