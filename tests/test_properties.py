@@ -513,3 +513,53 @@ def test_assign_split_matches_hash_model_and_is_stable(spark, rows):
         ).collect()
     }
     assert all(got2[i] == got[i] for i in rows)
+
+
+# ---------------------------------------------------------------------------
+# decontamination: shingle-overlap model
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_texts = st.lists(_words, min_size=1, max_size=8).map(" ".join)
+
+
+def _shingles_py(text: str, k: int = 3):
+    toks = text.lower().strip().split()
+    n = max(len(toks) - k + 1, 1)
+    return {" ".join(toks[i : i + k]) for i in range(n)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(_texts, min_size=1, max_size=8),
+    bench=st.lists(_texts, min_size=1, max_size=4),
+)
+def test_contamination_hits_matches_shingle_model(spark, corpus, bench):
+    """contamination_hits must report, for every corpus doc, exactly
+    |distinct-shingles(doc) ∩ union-of-bench-shingles| and omit clean
+    docs — pinned against a pure-Python shingle model so the
+    position-explode rewrite (and any future one) can't drift the
+    semantics."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        contamination_hits,
+    )
+
+    cdf = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    bench_set = set().union(*(_shingles_py(t) for t in bench))
+    expect = {}
+    for i, t in enumerate(corpus):
+        n = len(_shingles_py(t) & bench_set)
+        if n:
+            expect[i] = n
+    got = {r.id: r.n_hits for r in contamination_hits(cdf, bdf).collect()}
+    assert got == expect
