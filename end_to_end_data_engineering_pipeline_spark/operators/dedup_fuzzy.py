@@ -321,19 +321,22 @@ def simhash_table(
             lambda t: hash32(t),
         ).alias("__hs"),
     )
-    hs = F.col("__hs")
-
-    def _vote(mask: int):
-        # factory closure: pyspark introspects lambda arity, so the
-        # bit mask can't ride a default argument
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) > 0, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
+    # ONE SQL-text expr, not 32 op-by-op Column folds: each Python
+    # Column operation is a Py4J round trip, and the 32-bit vote tree
+    # cost ~1.4 s of plan BUILD per call vs 0.3 s of execution
+    # (the same lesson as the PQ argmins — docs/SCALE.md). Identical
+    # expression tree after parsing.
+    terms = []
     for b in range(bits):
-        votes = F.aggregate(hs, F.lit(0).cast("long"), _vote(1 << b))
-        out = out + F.when(votes > 0, F.lit(1 << b)).otherwise(0).cast("long")
+        mask = 1 << b
+        votes = (
+            f"aggregate(__hs, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"CASE WHEN (h & {mask}) > 0 THEN 1 ELSE -1 END)"
+        )
+        terms.append(
+            f"CAST(CASE WHEN {votes} > 0 THEN {mask} ELSE 0 END AS BIGINT)"
+        )
+    out = F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     return staged.select("id", out.alias("simhash"))
 
 
