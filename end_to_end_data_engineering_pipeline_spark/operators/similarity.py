@@ -123,19 +123,33 @@ def hyperplane(plane: int, dim: int) -> list[int]:
     return out
 
 
-def lsh_signature(sv: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def lsh_signature(
+    sv: Column | str, n_planes: int = 8, dim: int = 64
+) -> Column:
     """n-bit random-hyperplane signature of a SCALED vector (long).
 
     bit p = 1 iff sum(sv[i] * plane_p[i]) > 0 — exact int64 arithmetic
     (|sum| <= 6e7 * 1000 * dim << 2^63), so bucket assignment is
     engine- and partitioning-independent. Plane components ship as
-    literal arrays in the plan (computed once on the driver)."""
-    sig = F.lit(0).cast("long")
+    literal arrays in the plan (computed once on the driver).
+
+    Built as ONE SQL-text expr (the Py4J build-cost rule,
+    docs/SCALE.md): composed op-by-op, the n_planes x dim literal
+    arrays + dot lambdas cost ~2 s of plan build per call — more than
+    the signature's execution. ``sv`` may be a column NAME (preferred)
+    or a Column, which is rendered via its SQL string."""
+    sv_expr = sv if isinstance(sv, str) else sv._jc.toString()
+    terms = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c).cast("long") for c in hyperplane(p, dim)])
-        dot = dot_scaled(sv, plane)
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(0).cast("long")
-    return sig
+        lits = ",".join(f"{int(c)}L" for c in hyperplane(p, dim))
+        dot = (
+            f"aggregate(zip_with({sv_expr}, array({lits}), "
+            f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"CAST(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END AS BIGINT)"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def cosine_topk_lsh(
@@ -161,7 +175,7 @@ def cosine_topk_lsh(
     # pinned in memory; the query branch recomputes signatures for only
     # the isin-pushed rows.
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
-        "id", "sv", "n2", lsh_signature(F.col("sv"), n_planes, dim).alias("sig")
+        "id", "sv", "n2", lsh_signature("sv", n_planes, dim).alias("sig")
     )
     q = base.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
@@ -792,7 +806,7 @@ def embedding_neardup_lsh(
     from ..catalog import fan_out
 
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
-        "id", "sv", "n2", lsh_signature(F.col("sv"), n_planes, dim).alias("sig")
+        "id", "sv", "n2", lsh_signature("sv", n_planes, dim).alias("sig")
     )
     a = base.select(
         F.col("id").alias("id_a"),
