@@ -66,6 +66,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sim1/sim6; t10 winnow core ~ t11; e12 cohort windows ~ e3/e11/e13;
 # t13 CC core ~ t12). The ten round-6 verdict-#1 rotation entries all
 # stay put — they have not been driver-validated yet.
+# Round-7 rotation candidates (pytest + sf0.01/0.1 hash evidence, no
+# driver validation yet): e17, p8, t22, t23, t24, t25, t26, sim10 —
+# plus re-admitting any of the eight entries displaced this round.
 _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q4_star_join_revenue",

@@ -1231,3 +1231,52 @@ def t26_common_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("common_frac"),
         (F.col("n_common") * 10 < F.col("n_toks") * 3).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# t27 — decontaminated corpus (t19's removal composition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t27_decontaminated_corpus",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    bench AS (SELECT DISTINCT g FROM (
+        SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) c
+      JOIN bench USING (g)
+    )
+    SELECT d.lang, d.source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_O_RAW_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    GROUP BY d.lang, d.source
+    """,
+)
+def t27_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DROP step end-to-end: corpus minus every
+    document t19 flags (anti-join on the hit set), reported as
+    per-(lang, source) doc and token counts — the table a training
+    run would actually consume. The hit set is tiny (hits are rare),
+    so the anti-join broadcasts it; the corpus still never shuffles.
+    Closes the flag → remove contract t19 opens."""
+    from ..operators.dedup_fuzzy import contamination_hits
+    from ..operators.text import whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    hits = contamination_hits(corpus, bench).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = corpus.join(F.broadcast(hits), "doc_id", "left_anti")
+    return clean.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(whitespace_tokens("text")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
