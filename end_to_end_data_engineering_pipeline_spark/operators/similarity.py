@@ -832,3 +832,86 @@ def embedding_neardup_lsh(
             F.col("n2_b"),
         ).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): 1 byte/dim compressed-domain scoring
+# ---------------------------------------------------------------------------
+
+
+def with_sq8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q, qn2): symmetric max-abs int8 scalar quantization.
+
+    Each vector's 1e-8 fixed-point components are rescaled so its
+    largest |component| maps to 127 — the standard per-vector SQ8
+    recipe (FAISS ScalarQuantizer QT_8bit_direct family). The rounding
+    is PURE INTEGER round-half-away-from-zero
+    (``sign(v) * ((|v|*254 + m) div (2m))``), so codes are
+    bit-identical in any engine — no float division anywhere.
+
+    Scale story: SQ8 is the memory/bandwidth dial — 1 byte/dim vs 4
+    (float32), so the compressed corpus scans 4x faster and a 100 TB
+    embedding column becomes ~25 TB; scoring stays exact-int (|q|<=127
+    so a 2048-dim dot fits easily in int64). Unlike PQ (sim8) the
+    codes preserve per-dimension structure, so the SAME dot-product
+    operator scores them — no ADC table per query. Quantization is a
+    per-row projection: zero shuffles.
+    """
+    base = with_scaled(emb, id_col, vec_col)  # id, sv, n2
+    # stage the per-vector max BEFORE the quantize lambda references it
+    # (HOF staging rule, docs/SCALE.md) — an inlined max would re-reduce
+    # the whole array once per element
+    staged = base.select(
+        "id",
+        "sv",
+        F.greatest(
+            F.array_max(F.transform(F.col("sv"), lambda v: F.abs(v))),
+            F.lit(1).cast("long"),
+        ).alias("m"),
+    )
+    quant = staged.select(
+        "id",
+        F.expr(
+            "transform(sv, v -> CAST(sign(v) AS BIGINT)"
+            " * ((abs(v) * 254 + m) DIV (2 * m)))"
+        ).alias("q"),
+    )
+    return quant.select("id", "q", norm2_scaled(F.col("q")).alias("qn2"))
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors scored ENTIRELY in the int8 compressed
+    domain: (query_id, cand_id, q_cosine, rk). Same plan shape as the
+    exact brute-force baseline (broadcast queries, one unshuffled
+    corpus scan, per-query top-k window over narrow scored rows) —
+    only the representation changed, which is exactly the SQ8
+    contract. Recall vs the exact top-k is regression-tested
+    (tests/test_similarity.py)."""
+    from ..catalog import fan_out
+
+    base = with_sq8(fan_out(emb), id_col, vec_col)
+    qside = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qn2").alias("qqn2"),
+    )
+    pairs = base.join(F.broadcast(qside), F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        cosine_scaled(
+            dot_scaled(F.col("qq"), F.col("q")), F.col("qqn2"), F.col("qn2")
+        ).alias("q_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q_cosine").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

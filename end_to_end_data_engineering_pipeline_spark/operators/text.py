@@ -200,6 +200,54 @@ def chunk_passages(
     )
 
 
+def dedup_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_chunks, n_kept, dedup_text): sub-document exact dedup —
+    the CCNet/RefinedWeb-style pass that removes REPEATED SPANS from
+    otherwise-distinct documents (boilerplate headers, quoted reply
+    chains, mirrored paragraphs), where document-level dedup (t3)
+    keeps both copies because the docs differ elsewhere.
+
+    Semantics: split every doc into non-overlapping ``chunk_tokens``
+    token chunks (``chunk_passages`` with overlap=0 — the corpus has
+    no paragraph markers, so fixed token windows are the span unit);
+    a chunk SURVIVES iff it is the corpus-wide first occurrence of its
+    exact text (keep-first by (doc_id, chunk_idx) — same deterministic
+    rule as exact_dedup); each doc is reassembled from its surviving
+    chunks in document order.
+
+    Relational shape (scales like t3): chunk rows are narrow
+    (id, idx, passage); the first-occurrence decision is row_number
+    over a window partitioned by md5(passage) — ONE shuffle keyed on
+    the chunk hash, so a 100 TB corpus shuffles its chunk stream once,
+    never a pairwise comparison; the reassembly is one groupBy on the
+    doc id. No UDFs, no driver state.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_passages(
+        df, chunk_tokens=chunk_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy(F.md5(F.col("passage"))).orderBy(id_col, "chunk_idx")
+    flagged = chunks.withColumn("__rn", F.row_number().over(w))
+    kept = F.col("__rn") == 1
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("chunk_idx", "passage")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["passage"]), " "
+        ).alias("dedup_text"),
+    )
+
+
 def ngram_dup_stats(
     df: DataFrame,
     k: int,

@@ -824,3 +824,115 @@ def e17_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "e18_linear_interpolation",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi
+               FROM hourly GROUP BY user_id),
+    spine AS (SELECT user_id, UNNEST(range(lo, hi + 1)) AS h FROM bounds),
+    j AS (SELECT spine.user_id, spine.h, hourly.c
+          FROM spine LEFT JOIN hourly
+          ON hourly.user_id = spine.user_id AND hourly.h = spine.h),
+    f AS (
+      SELECT user_id, h, c,
+             LAST_VALUE(c IGNORE NULLS) OVER w_prev AS pc,
+             LAST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER w_prev AS ph,
+             FIRST_VALUE(c IGNORE NULLS) OVER w_next AS nc,
+             FIRST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER w_next AS nh
+      FROM j
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, h,
+           CAST(c IS NOT NULL AS BIGINT) AS is_actual,
+           CASE WHEN c IS NOT NULL THEN c / 10000.0
+                ELSE (CAST(sign(pc * (nh - h) + nc * (h - ph)) AS BIGINT)
+                      * ((abs(pc * (nh - h) + nc * (h - ph)) * 2 + (nh - ph))
+                         // (2 * (nh - ph)))) / 10000.0
+           END AS value_filled
+    FROM f
+    """,
+)
+def e18_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR interpolation: per-user hourly value totals
+    on a dense hour spine, gap hours filled by time-weighted
+    interpolation between the neighboring observed hours —
+    ``prev + (next - prev) * (h - prev_h)/(next_h - prev_h)`` — the
+    sensor/metrics gap-repair that forward-fill (q71) can't express.
+
+    Determinism: hourly totals are exact DECIMAL sums carried as
+    integer ten-thousandths, hour ids are exact integers, and the
+    interpolated value is rounded to ten-thousandths IN INTEGER
+    arithmetic (``sign(n) * ((|n|*2 + d) div 2d)`` — half away from
+    zero, the same primitive as SQ8 quantization) BEFORE the single
+    /1e4 float division — a float-domain ROUND here differs between
+    engines on exact-half quotients (Spark rounds the shortest
+    decimal rendering, DuckDB the binary double; observed 1-ulp
+    mismatches at sf0.001), integer rounding cannot. The spine is
+    bounded per user (first..last observed hour), prev/next always
+    exist inside it, so no NULL edges. Shape: one shuffle to the
+    hourly aggregate, the spine explode is narrow, and the two
+    unbounded windows reuse ONE user_id partitioning — at 100 TB the
+    windowed side is |users| x |hours|, already reduced from the raw
+    event stream."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(27,4)")) * 10000)
+        .cast("long")
+        .alias("c")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left_outer")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("c").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "c",
+        F.last("c", ignorenulls=True).over(w_prev).alias("pc"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("c", ignorenulls=True).over(w_next).alias("nc"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    # integer half-away rounding of num/den to ten-thousandths; the only
+    # float op in the query is the final exact-int / 1e4 division
+    interp = F.expr(
+        "(CAST(sign(pc * (nh - h) + nc * (h - ph)) AS BIGINT)"
+        " * ((abs(pc * (nh - h) + nc * (h - ph)) * 2 + (nh - ph))"
+        " DIV (2 * (nh - ph)))) / 10000.0"
+    )
+    return f.select(
+        "user_id",
+        "h",
+        F.col("c").isNotNull().cast("long").alias("is_actual"),
+        F.when(F.col("c").isNotNull(), F.col("c") / 10000.0)
+        .otherwise(interp)
+        .alias("value_filled"),
+    )

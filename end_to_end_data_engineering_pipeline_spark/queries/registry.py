@@ -69,6 +69,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-7 rotation candidates (pytest + sf0.01/0.1 hash evidence, no
 # driver validation yet): e17, p8, t22, t23, t24, t25, t26, sim10 —
 # plus re-admitting any of the eight entries displaced this round.
+# Late round-6 additions rotation: t28 (chunk dedup), sim11 (SQ8 ANN),
+# e18 (linear interpolation) enter the prefix so they earn driver
+# validation this round, displacing three r5-driver-green entries
+# whose shapes other prefix members keep covered (t17 chunking is
+# literally t28's first CTE; sim7's banded-LSH self-join ~ sim2 + t7;
+# e10's native session window ~ e3's manual sessionization, which
+# stays).
 _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q4_star_join_revenue",
@@ -88,12 +95,12 @@ _PRIORITY: list[str] = [
     "q76_array_set_algebra",
     "e3_sessionization",
     "e8_asof_join",
-    "e10_session_window_native",
     "e11_funnel",
     "e13_inter_event_gaps",
     "e14_transition_matrix",
     "e15_cdc_latest_state",
     "e16_scd2_history",
+    "e18_linear_interpolation",
     "t1_text_stats",
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
@@ -103,17 +110,17 @@ _PRIORITY: list[str] = [
     "t14_curation_filter",
     "t15_distinctive_terms",
     "t16_sequence_packing",
-    "t17_passage_chunking",
     "t19_decontamination",
     "t20_token_budget_mix",
     "t21_pii_redaction",
+    "t28_chunk_dedup_corpus",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim4_cosine_topk_ivf",
     "sim8_pq_adc_topk",
     "sim9_ivfpq_topk",
     "sim6_label_separation",
-    "sim7_neardup_pairs_lsh",
+    "sim11_sq8_topk",
     "m1_multimodal_features",
     "m2_frame_sample_offsets",
     "p3_sql_model_over_views",

@@ -764,3 +764,59 @@ def sim10_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8,
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@query(
+    "sim11_sq8_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    mx AS (
+      SELECT vec_id, sv,
+             greatest((SELECT MAX(abs(x)) FROM (SELECT UNNEST(sv) x)),
+                      1) AS m
+      FROM scaled
+    ),
+    quant AS (
+      SELECT vec_id,
+             list_transform(sv, v -> CAST(sign(v) AS BIGINT)
+                                     * ((abs(v) * 254 + m) // (2 * m))) AS q
+      FROM mx
+    ),
+    qn AS (
+      SELECT vec_id, q,
+             CAST((SELECT SUM(x * x) FROM (SELECT UNNEST(q) x)) AS BIGINT)
+               AS qn2
+      FROM quant
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(CAST((SELECT SUM(x * y)
+                         FROM (SELECT UNNEST(qs.q) x, UNNEST(c.q) y))
+                        AS DOUBLE)
+                   / (SQRT(CAST(qs.qn2 AS DOUBLE))
+                      * SQRT(CAST(c.qn2 AS DOUBLE))), 6) AS q_cosine
+      FROM qn qs JOIN qn c ON c.vec_id <> qs.vec_id
+      WHERE qs.vec_id IN (0, 1, 2, 3, 4)
+    )
+    SELECT query_id, cand_id, q_cosine, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY q_cosine DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 10
+    """,
+)
+def sim11_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-10 (operators/similarity.py
+    with_sq8/sq8_topk): per-vector symmetric max-abs quantization to
+    the [-127, 127] byte range, then cosine top-k scored entirely on
+    the 1-byte/dim codes — the memory-bandwidth scale path that keeps
+    per-dimension structure (unlike PQ) so the plain int dot product
+    still scores it. Quantization is pure integer round-half-away
+    arithmetic, so the whole pipeline sits under a full value-hash
+    DuckDB oracle; recall vs the exact baseline is additionally pinned
+    in tests/test_similarity.py."""
+    from ..operators.similarity import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = sq8_topk(emb, QUERY_IDS, k=10)
+    return out.withColumn("rk", F.col("rk").cast("long"))

@@ -1280,3 +1280,55 @@ def t27_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t28 — sub-document chunk dedup (repeated spans removed, docs reassembled)
+# --------------------------------------------------------------------------
+
+# t28 span geometry — named once so the oracle SQL and the
+# dedup_chunks call can never drift apart (same discipline as t17).
+_T28_CHUNK = 30
+
+
+@query(
+    "t28_chunk_dedup_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             UNNEST(range(0, greatest(len(t) - 1, 0) + 1, {_T28_CHUNK})) AS s
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, CAST(s // {_T28_CHUNK} AS BIGINT) AS chunk_idx,
+             array_to_string(t[s + 1 : s + {_T28_CHUNK}], ' ') AS passage
+      FROM st
+    ),
+    fl AS (
+      SELECT doc_id, chunk_idx, passage,
+             ROW_NUMBER() OVER (PARTITION BY md5(passage)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                               ORDER BY chunk_idx), '') AS dedup_text
+    FROM fl GROUP BY doc_id
+    """,
+)
+def t28_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: repeated {chunk}-token spans removed
+    corpus-wide (keep-first by (doc_id, chunk_idx)), every document
+    reassembled from its surviving chunks — the CCNet-style span-level
+    pass that document-level t3 can't express. One shuffle on the
+    chunk hash (the keep-first window) + one on the doc id (the
+    reassembly); chunk rows are narrow and nothing is pairwise. Every
+    reassembled text is value-hash checked against the DuckDB replay
+    (operators/text.py dedup_chunks)."""
+    from ..operators.text import dedup_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_chunks(docs, chunk_tokens=_T28_CHUNK)

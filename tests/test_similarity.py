@@ -314,3 +314,31 @@ def test_pq_refine_improves_or_matches_adc_recall(clustered):
         q, c = sv[r.query_id], sv[r.cand_id]
         want = sum((a - b) * (a - b) for a, b in zip(q, c))
         assert r.dist == want
+
+
+def test_sq8_recall_and_code_range(clustered):
+    """Int8 scalar quantization: codes stay in [-127, 127], the max
+    component hits exactly +/-127 (symmetric max-abs contract), and
+    compressed-domain top-k recalls the exact top-k on clustered data
+    (quantization noise ~1/254 of max — far below cluster separation)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        sq8_topk,
+        with_sq8,
+    )
+
+    codes = with_sq8(clustered).collect()
+    for r in codes:
+        assert all(-127 <= v <= 127 for v in r.q)
+        assert max(abs(v) for v in r.q) == 127
+    qids = [0, PER_CLUSTER, 2 * PER_CLUSTER]
+    exact = cosine_topk_bruteforce(clustered, qids, k=5).collect()
+    approx = sq8_topk(clustered, qids, k=5).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.8

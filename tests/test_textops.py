@@ -447,3 +447,51 @@ def test_hashed_embedding_locality_and_determinism(spark):
     assert rows[1] == rows[2]
     assert rows[3] == [2 * v for v in rows[1]]
     assert rows[4] != rows[1]
+
+
+def test_dedup_chunks_removes_repeated_spans(spark):
+    """Sub-document dedup contract: the corpus-wide FIRST occurrence of
+    a chunk survives, later occurrences vanish even inside otherwise-
+    unique documents, and reassembly preserves document order."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dedup_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one full 4-token chunk
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(4))),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(4))),
+            (3, " ".join(f"z{i}" for i in range(4)) + " " + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_chunks(docs, chunk_tokens=4).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[1].dedup_text == boiler + " " + " ".join(f"x{i}" for i in range(4))
+    # doc 2's boilerplate chunk is a repeat — only its unique tail survives
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[2].dedup_text == " ".join(f"y{i}" for i in range(4))
+    # doc 3's boilerplate is at the END — removal keeps the head, order intact
+    assert out[3].n_chunks == 2 and out[3].n_kept == 1
+    assert out[3].dedup_text == " ".join(f"z{i}" for i in range(4))
+
+
+def test_dedup_chunks_all_duplicate_doc_empty_text(spark):
+    """A document made ENTIRELY of repeated chunks stays in the output
+    with an empty reassembled text (count parity with the input — the
+    caller decides whether to drop empties)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dedup_chunks,
+    )
+
+    span = " ".join(f"w{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, span), (2, span)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_chunks(docs, chunk_tokens=4).collect()}
+    assert out[1].dedup_text == span and out[1].n_kept == 1
+    assert out[2].dedup_text == "" and out[2].n_kept == 0
