@@ -246,3 +246,45 @@ def test_t26_vocab_broadcast_and_distributed_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "TakeOrderedAndProject" in tree
     assert "Window" not in tree
+
+
+def test_sq8_quantization_no_shuffle(spark, sf_dir):
+    """SQ8 code generation (operators/similarity.py:with_sq8) is a
+    per-row projection chain — scale, staged max-abs, integer
+    quantize, norm — with NO Exchange anywhere: at 100 TB this stage
+    touches every vector, so a shuffle here would dominate the
+    compressed-scan savings the codes exist to provide."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        with_sq8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_sq8(emb).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+
+
+def test_t28_chunk_dedup_exactly_two_shuffles(spark, sf_dir):
+    """Sub-document dedup's scale contract: exactly TWO Exchanges —
+    the keep-first window keyed on the chunk hash and the per-doc
+    reassembly aggregate — with a map-side partial aggregate before
+    the second (nothing crosses the network un-combined). A third
+    shuffle (e.g. an explode+join formulation) would move the chunk
+    stream twice more."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dedup_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup_chunks(docs).explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 2, plan
+    # partial (ObjectHashAggregate) below the final-agg exchange
+    assert plan.count("ObjectHashAggregate") >= 2, plan

@@ -563,3 +563,50 @@ def test_contamination_hits_matches_shingle_model(spark, corpus, bench):
             expect[i] = n
     got = {r.id: r.n_hits for r in contamination_hits(cdf, bdf).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunks vs a pure-Python keep-first model
+# ---------------------------------------------------------------------------
+
+_WORDS = st.integers(min_value=0, max_value=3).map(lambda i: f"w{i}")
+_DOC_TEXT = st.lists(_WORDS, min_size=1, max_size=9).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=6))
+def test_dedup_chunks_matches_keep_first_model(spark, texts):
+    """Sub-document dedup equals the obvious sequential fold: walk docs
+    in id order, chunk each into fixed token windows, keep a chunk iff
+    its text was never seen before, reassemble in order. The tiny
+    2-word alphabet forces heavy cross-doc chunk collisions."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dedup_chunks,
+    )
+
+    chunk = 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    seen: set[str] = set()
+    model = {}
+    for i, t in docs:
+        toks = t.split()
+        pieces = [
+            " ".join(toks[s : s + chunk]) for s in range(0, len(toks), chunk)
+        ]
+        kept = []
+        for p in pieces:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        model[i] = (len(pieces), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in dedup_chunks(df, chunk_tokens=chunk).collect()
+    }
+    assert got == model
