@@ -936,3 +936,86 @@ def e18_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("value_filled"),
     )
+
+
+@query(
+    "e19_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             FIRST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conv AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT model, attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM (
+      SELECT 'first_touch' AS model,
+             COALESCE(first_touch, 'direct') AS attributed_type, value
+      FROM conv
+      UNION ALL
+      SELECT 'last_touch' AS model,
+             COALESCE(last_touch, 'direct') AS attributed_type, value
+      FROM conv)
+    GROUP BY model, attributed_type
+    """,
+)
+def e19_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase is credited to the user's
+    FIRST and MOST RECENT preceding touch event (click/view/signup),
+    'direct' when no touch precedes it — the first-touch/last-touch
+    pair every growth pipeline reports. One window shuffle on user_id
+    computes both touches in a single frame (UNBOUNDED PRECEDING..1
+    PRECEDING, so the purchase itself can never self-attribute); the
+    two models then UNPIVOT in-row (explode of a 2-element struct
+    array — no second scan, no union re-read) into one small
+    aggregate. Value totals use the exact DECIMAL sum pattern."""
+    ev = load(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    models = F.explode(
+        F.array(
+            F.struct(
+                F.lit("first_touch").alias("model"),
+                F.coalesce("first_touch", F.lit("direct")).alias(
+                    "attributed_type"
+                ),
+            ),
+            F.struct(
+                F.lit("last_touch").alias("model"),
+                F.coalesce("last_touch", F.lit("direct")).alias(
+                    "attributed_type"
+                ),
+            ),
+        )
+    )
+    stacked = t.select(models.alias("m"), "value").select(
+        "m.model", "m.attributed_type", "value"
+    )
+    return stacked.groupBy("model", "attributed_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -863,3 +863,62 @@ def q80_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return n.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "q81_iqr_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(b.q1, 4) AS q1_price,
+           ROUND(b.q3, 4) AS q3_price,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                            OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                          THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+             / 1000000.0 AS outlier_frac
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.q1, b.q3
+    """,
+)
+def q81_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling per group: exact interpolated
+    quartiles (the q20 cross-engine recipe), 1.5-IQR fences, outlier
+    count and fraction. The per-group fence table is GROUP-cardinality
+    rows, so the second pass is a broadcast join against the fact scan
+    — the standard two-pass shape for any statistic that needs a
+    group-level threshold before a row-level test. Fence arithmetic is
+    identical IEEE ops on identical percentile doubles in both
+    engines; the fraction uses the exact-int-ratio rounding pattern
+    (e14/t15)."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    joined = li.join(F.broadcast(b), "l_returnflag")
+    return joined.groupBy("l_returnflag", "q1", "q3").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        (F.round(F.sum(is_out.cast("long")) * 1000000.0 / F.count(F.lit(1)))
+         / 1000000.0).alias("outlier_frac"),
+    ).select(
+        "l_returnflag",
+        F.round("q1", 4).alias("q1_price"),
+        F.round("q3", 4).alias("q3_price"),
+        "n_total",
+        "n_outliers",
+        "outlier_frac",
+    )
