@@ -1,0 +1,209 @@
+"""Versioned parquet table: snapshot isolation, time travel, vacuum.
+
+The reference's warehouse is Postgres, where MVCC gives readers a
+stable snapshot for free (cf. transformation/clean_data.py's
+transactional upserts). A parquet lake has no such engine, so this
+module re-creates the minimum table-format contract over plain
+parquet — the Delta/Iceberg core, reduced to its load-bearing idea:
+
+- DATA FILES ARE IMMUTABLE and uniquely named (committing token +
+  index); nothing ever rewrites or appends to an existing file.
+- A VERSION is a JSON manifest (``_versions/vN.json``) listing the
+  files that are live in that snapshot. Readers resolve a manifest
+  first, then read exactly those files — never a directory listing.
+- The MANIFEST RENAME IS THE COMMIT POINT: data files are staged and
+  moved into place before the manifest exists, so a crash at any
+  earlier step leaves orphan files that no reader can see (vacuum
+  reclaims them); os.rename of the manifest is atomic on POSIX, so a
+  reader sees a version fully or not at all. ``os.link`` + unlink
+  publication makes the version-number claim itself atomic: two
+  concurrent writers racing to commit the same number cannot both
+  succeed (the loser retries on top of the winner — optimistic
+  concurrency, the Delta protocol's rule).
+
+Scale notes: the manifest holds file NAMES only — at 100 TB with
+512 MB files that is ~200k strings per version, a few MB of JSON; the
+driver-side work is one manifest read, not an object-store listing
+(which is the slow, eventually-consistent operation this design
+exists to avoid). Time travel is O(1): any retained version is just
+another manifest. Readers pass the explicit file list to
+``spark.read.parquet`` so partition discovery never scans the data
+dir and concurrent commits never change a running query's inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DATA = "data"
+_VERS = "_versions"
+
+
+def _vers_dir(path: str) -> str:
+    return os.path.join(path, _VERS)
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, _DATA)
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed version numbers, ascending (empty for a fresh path)."""
+    d = _vers_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1 : -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(path: str) -> int | None:
+    vs = list_versions(path)
+    return vs[-1] if vs else None
+
+
+def _manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_vers_dir(path), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def snapshot_write(
+    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``mode='append'`` adds the new files to the previous version's live
+    set; ``mode='overwrite'`` starts the live set fresh. Either way no
+    existing file is touched — overwrite is a metadata operation, and
+    the previous version remains readable until vacuumed.
+
+    Commit protocol (crash-safe at every step):
+      1. write df to a dot-prefixed stage dir (invisible to readers,
+         and to parquet partition discovery — no ``=`` in the name),
+      2. move the part files into ``data/`` under unique names (still
+         invisible: no manifest references them),
+      3. write the manifest to a dot-prefixed temp name, hard-link it
+         to ``vN.json`` (atomic claim of version N — fails with EEXIST
+         if a concurrent writer won), unlink the temp.
+    On a lost race the commit retries against the winner's version, so
+    appends from concurrent writers serialize instead of silently
+    overwriting each other's manifest.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_data_dir(path), exist_ok=True)
+    os.makedirs(_vers_dir(path), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f".__snap_stage_{token}")
+    df.write.mode("overwrite").parquet(stage)
+    names: list[str] = []
+    for i, f in enumerate(
+        sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    ):
+        name = f"{token}-{i:05d}.parquet"
+        os.rename(os.path.join(stage, f), os.path.join(_data_dir(path), name))
+        names.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    while True:
+        prev = current_version(path)
+        if mode == "append" and prev is not None:
+            live = list(_manifest(path, prev)["files"])
+        else:
+            live = []
+        version = 0 if prev is None else prev + 1
+        manifest = {"version": version, "mode": mode, "files": live + names}
+        tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_vers_dir(path), f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST if we lost the race
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # re-resolve prev against the winner and retry
+        os.unlink(tmp)
+        return version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest). The file list is
+    resolved from the manifest, so the returned DataFrame's inputs are
+    pinned — concurrent commits and vacuums of OTHER versions cannot
+    change what it reads."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    files = _manifest(path, v)["files"]
+    if not files:
+        raise ValueError(
+            f"version {v} is empty (overwrite of zero rows) — no schema "
+            "to serve; keep a schema-bearing file or read another version"
+        )
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in files]
+    )
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """(version, mode, n_files) per committed version, ascending."""
+    return [
+        {
+            "version": v,
+            "mode": _manifest(path, v)["mode"],
+            "n_files": len(_manifest(path, v)["files"]),
+        }
+        for v in list_versions(path)
+    ]
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the newest ``keep_last`` versions and delete every
+    data file no retained manifest references — including orphans from
+    crashed commits (staged files whose manifest never landed). Returns
+    the deleted file names. Retained versions stay byte-identical
+    (their files are never touched), so a reader holding an old
+    DataFrame over a RETAINED version is unaffected; vacuuming a
+    version a reader is actively scanning is the same read-under-
+    delete hazard as any table format — retention policy is the
+    defense, exactly as in Delta's VACUUM."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = list_versions(path)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_manifest(path, v)["files"])
+    deleted = []
+    d = _data_dir(path)
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f not in live:
+                os.remove(os.path.join(d, f))
+                deleted.append(f)
+    for v in drop:
+        os.remove(os.path.join(_vers_dir(path), f"v{v}.json"))
+    # sweep crashed commit leftovers: stage dirs and temp manifests
+    for n in os.listdir(path):
+        if n.startswith(".__snap_stage_"):
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+    vd = _vers_dir(path)
+    for n in os.listdir(vd):
+        if n.startswith(".v"):
+            os.remove(os.path.join(vd, n))
+    return deleted

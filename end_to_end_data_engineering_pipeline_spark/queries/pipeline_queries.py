@@ -433,3 +433,75 @@ def p8_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p9_time_travel",
+    oracle="""
+    SELECT 0 AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1 AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+    """,
+)
+def p9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table end-to-end (operators/snapshots.py —
+    the Delta/Iceberg core over plain parquet: immutable data files,
+    JSON manifest per version, manifest link as the atomic commit):
+    version 0 seeds a third of orders, version 1 APPENDS another third
+    (metadata union of file lists), version 2 OVERWRITES with a
+    different slice (fresh file list; v0/v1 stay readable). The query
+    reads ALL THREE versions via time travel and aggregates each — so
+    the oracle checks that every historical snapshot returns exactly
+    the rows current at its commit, which is the whole contract."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.snapshots import snapshot_read, snapshot_write
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="p9_snap_")
+    path = tmp + "/t"
+    try:
+        snapshot_write(spark, path, o.where(F.col("o_orderkey") % 3 == 0))
+        snapshot_write(spark, path, o.where(F.col("o_orderkey") % 3 == 1))
+        snapshot_write(
+            spark, path, o.where(F.col("o_orderkey") % 7 == 0),
+            mode="overwrite",
+        )
+        parts = [
+            snapshot_read(spark, path, version=v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum_expr(dec2("o_totalprice"), "total_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "o_orderstatus",
+                "n_rows",
+                "total_price",
+            )
+            for v in (0, 1, 2)
+        ]
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
