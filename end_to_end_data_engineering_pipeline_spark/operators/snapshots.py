@@ -136,6 +136,122 @@ def snapshot_write(
         return version
 
 
+class SnapshotConflict(RuntimeError):
+    """A concurrent writer committed while a merge was computing its
+    file rewrite. The merge result is stale at file granularity —
+    re-run the merge against the new current version (the Delta
+    protocol's conflict-then-retry contract, surfaced instead of
+    silently retried because a MERGE retry must re-read data, not
+    just re-resolve a manifest)."""
+
+
+def _stage_files(spark: SparkSession, path: str, df: DataFrame) -> list[str]:
+    """Write df's part files into data/ under unique names; the files
+    are invisible until some manifest references them."""
+    os.makedirs(_data_dir(path), exist_ok=True)
+    os.makedirs(_vers_dir(path), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f".__snap_stage_{token}")
+    df.write.mode("overwrite").parquet(stage)
+    names: list[str] = []
+    for i, f in enumerate(
+        sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    ):
+        name = f"{token}-{i:05d}.parquet"
+        os.rename(os.path.join(stage, f), os.path.join(_data_dir(path), name))
+        names.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return names
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> int:
+    """Keyed MERGE (upsert) committed as a new snapshot version, with
+    FILE-GRANULAR COPY-ON-WRITE: only data files that actually contain
+    a matched key are rewritten; every untouched file is carried into
+    the new manifest BY REFERENCE (same name, same bytes — identity is
+    pytest-pinned). This is Delta/Iceberg CoW MERGE re-expressed over
+    the manifest table: at 100 TB a merge touching 0.1% of keys
+    rewrites ~0.1% of files, and every pre-merge version stays
+    time-travelable.
+
+    Plan shape: one broadcast semi-join against the scan tags touched
+    files via ``input_file_name()`` (the distinct file list collected
+    driver-side is FILE metadata, bounded by file count, not rows);
+    the rewrite then anti-joins only the touched files' rows. Raises
+    ``SnapshotConflict`` if another writer commits between the read
+    and the manifest claim — the caller re-runs the merge (optimistic
+    concurrency; an automatic retry would have to silently re-read
+    data, hiding the cost)."""
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    if not vs:
+        return snapshot_write(spark, path, updates, mode="overwrite")
+    base_version = vs[-1]
+    base_files = list(_manifest(path, base_version)["files"])
+    touched: set[str] = set()
+    survivors = None
+    if base_files:  # an empty (zero-row overwrite) base is all-insert
+        full = [os.path.join(_data_dir(path), f) for f in base_files]
+        df = spark.read.parquet(*full).withColumn(
+            "__file", F.input_file_name()
+        )
+        upd_keys = updates.select(*keys)
+        if broadcast_updates:
+            upd_keys = F.broadcast(upd_keys)
+        touched_uris = [
+            r["__file"]
+            for r in df.join(upd_keys, list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        touched = {os.path.basename(u) for u in touched_uris}
+        if touched:
+            survivors = (
+                df.where(F.col("__file").isin(touched_uris))
+                .drop("__file")
+                .join(
+                    F.broadcast(updates.select(*keys)) if broadcast_updates
+                    else updates.select(*keys),
+                    list(keys),
+                    "left_anti",
+                )
+            )
+    rewrite = (
+        survivors.unionByName(updates) if survivors is not None else updates
+    )
+    new_names = _stage_files(spark, path, rewrite)
+    untouched = [f for f in base_files if f not in touched]
+    version = base_version + 1
+    manifest = {
+        "version": version,
+        "mode": "merge",
+        "files": untouched + new_names,
+    }
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_vers_dir(path), f"v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"version {version} was committed concurrently; re-run the "
+            "merge against the new current version"
+        ) from None
+    os.unlink(tmp)
+    return version
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

@@ -133,3 +133,99 @@ def test_empty_version_read_raises(spark, tmp_path):
         snapshot_read(spark, t, version=1)
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, str(tmp_path / "missing"))
+
+
+def test_merge_copy_on_write_file_granularity(spark, tmp_path):
+    """CoW MERGE contract: only files containing a matched key are
+    rewritten; untouched files enter the new manifest BY REFERENCE
+    (same name — so at scale merge cost tracks touched files, not
+    table size), and the pre-merge version stays time-travelable."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    # two files with disjoint key ranges via repartitionByRange
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (101, "x"), (102, "y")], "k long, v string"
+    ).repartitionByRange(2, "k")
+    snapshot_write(spark, t, base)
+    m0 = set(_manifest(t, 0)["files"])
+    assert len(m0) == 2
+
+    upd = spark.createDataFrame([(1, "A"), (200, "new")], "k long, v string")
+    v = snapshot_merge(spark, t, upd, keys=["k"])
+    assert v == 1
+    assert _collect(spark, t, 1) == [
+        (1, "A"),
+        (2, "b"),
+        (101, "x"),
+        (102, "y"),
+        (200, "new"),
+    ]
+    # the low-range file (containing k=1) was rewritten; the high-range
+    # file survives by reference in the new manifest
+    m1 = set(_manifest(t, 1)["files"])
+    shared = m0 & m1
+    assert len(shared) == 1
+    # pre-merge state intact
+    assert _collect(spark, t, 0) == [(1, "a"), (2, "b"), (101, "x"), (102, "y")]
+
+
+def test_merge_insert_only_rewrites_nothing(spark, tmp_path):
+    """A merge whose keys match no existing row must carry EVERY base
+    file by reference and only add the new rows' files."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+    )
+    m0 = set(_manifest(t, 0)["files"])
+    snapshot_merge(
+        spark,
+        t,
+        spark.createDataFrame([(9, "z")], "k long, v string"),
+        keys=["k"],
+    )
+    m1 = set(_manifest(t, 1)["files"])
+    assert m0 <= m1  # all base files referenced unchanged
+    assert _collect(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_merge_conflict_raises(spark, tmp_path, monkeypatch):
+    """A concurrent commit landing BETWEEN the merge's read and its
+    manifest claim must surface as SnapshotConflict, never clobber.
+    The race is injected by planting the rival manifest inside the
+    merge's staging step (after it resolved its base version)."""
+    from end_to_end_data_engineering_pipeline_spark.operators import snapshots
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    rival = {"version": 1, "mode": "overwrite", "files": []}
+    real_stage = snapshots._stage_files
+
+    def stage_and_race(sp, path, df):
+        names = real_stage(sp, path, df)
+        with open(os.path.join(t, "_versions", "v1.json"), "w") as fh:
+            json.dump(rival, fh)
+        return names
+
+    monkeypatch.setattr(snapshots, "_stage_files", stage_and_race)
+    with pytest.raises(snapshots.SnapshotConflict):
+        snapshots.snapshot_merge(
+            spark,
+            t,
+            spark.createDataFrame([(1, "A")], "k long, v string"),
+            keys=["k"],
+        )
+    # rival manifest untouched
+    assert json.load(open(os.path.join(t, "_versions", "v1.json"))) == rival
