@@ -73,6 +73,8 @@ HEADLINE: list[str] = [
     "t20_token_budget_mix",
     "t21_pii_redaction",
     "t23_hashed_embedding_neardup",
+    "t28_chunk_dedup_corpus",
+    "e18_linear_interpolation",
     "q65_exact_moments",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
@@ -80,6 +82,7 @@ HEADLINE: list[str] = [
     "sim8_pq_adc_topk",
     "sim9_ivfpq_topk",
     "sim10_pq_refine_topk",
+    "sim11_sq8_topk",
     "m1_multimodal_features",
 ]
 

@@ -610,3 +610,55 @@ def test_dedup_chunks_matches_keep_first_model(spark, texts):
         for r in dedup_chunks(df, chunk_tokens=chunk).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# snapshot_merge vs a dict-fold model (CoW MERGE correctness under
+# arbitrary batch sequences)
+# ---------------------------------------------------------------------------
+
+_SNAP_BATCH = st.lists(
+    st.tuples(st.integers(0, 6), st.text(alphabet="xyz", min_size=1, max_size=2)),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_SNAP_BATCH, min_size=1, max_size=4))
+def test_snapshot_merge_matches_dict_model(
+    spark, tmp_path_factory, batches
+):
+    """A sequence of CoW merges equals the dict fold (last write per
+    key wins within and across batches), AND every intermediate
+    version remains readable as the fold's state at that point —
+    time travel is part of the contract, not just the final state.
+    Batches are pre-deduped per key (merge requires key-unique
+    updates), keeping the LAST pair per key like the fold does."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    t = str(tmp_path_factory.mktemp("snap") / "t")
+    model: dict[int, str] = {}
+    states: list[dict[int, str]] = []
+    for batch in batches:
+        dedup: dict[int, str] = {}
+        for k, v in batch:
+            dedup[k] = v
+        df = spark.createDataFrame(
+            sorted(dedup.items()), "k long, v string"
+        )
+        snapshot_merge(spark, t, df, keys=["k"])
+        model.update(dedup)
+        states.append(dict(model))
+    for v, state in enumerate(states):
+        got = sorted(
+            (r.k, r.v) for r in snapshot_read(spark, t, version=v).collect()
+        )
+        assert got == sorted(state.items())

@@ -819,3 +819,67 @@ def test_streaming_dedup_within_watermark_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_wm").collect()
     ids = [r.event_id for r in rows]
     assert sorted(ids) == [1, 2, 3, 4, 5, 6, 7]  # each id exactly once
+
+
+def test_streaming_snapshot_sink_linear_history(spark, tmp_path):
+    """Streaming into the snapshot table (operators/snapshots.py):
+    each micro-batch commits one APPEND version under foreachBatch, so
+    the table gains a linear, time-travelable history — version N is
+    exactly the stream's first N+1 micro-batches, and the final state
+    equals everything the stream logged. This is the exactly-once
+    story for the manifest table: a batch that crashes mid-commit
+    leaves only invisible files, and the re-driven batch commits a
+    fresh manifest."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        list_versions,
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "snap")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=200, num_partitions=2)
+    rows = ev.select("event_id", "user_id", "value")
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(log_dir)
+        snapshot_write(batch_df.sparkSession, table, batch_df, mode="append")
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        rows.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+    assert list_versions(table) == [0, 1, 2]
+
+    # final state == everything logged; historical versions are prefixes
+    want = sorted(
+        map(tuple, spark.read.parquet(log_dir).collect())
+    )
+    got = sorted(map(tuple, snapshot_read(spark, table).collect()))
+    assert got == want and len(want) > 0
+    sizes = [
+        snapshot_read(spark, table, version=v).count() for v in (0, 1, 2)
+    ]
+    assert sizes[0] < sizes[2] and sizes == sorted(sizes)
