@@ -1,0 +1,80 @@
+"""Deterministic count-min sketch (CMS) over a token stream.
+
+q31's HLL++/KLL twins are approximate-by-design with opaque seeds, so
+they sit under rows-only checks. CMS is different: given a FIXED hash
+family it is a deterministic function of the input multiset — every
+counter and every estimate is exactly replayable in another engine.
+This module uses the repo's shared hash32 primitive
+(``h_i(t) = hash32(t || '#' || i) % w``), so the full sketch pipeline
+(build → point query) hash-matches a DuckDB replay (t29), while the
+CMS guarantee (estimate >= true count, overestimate bounded by
+collisions) is pytest-pinned.
+
+Scale story (Cormode/Muthukrishnan '05): the counter table is d*w
+rows REGARDLESS of corpus size — partial aggregation IS the sketch
+merge, so each map task emits at most d*w counters and the shuffle
+carries kilobytes from a 100 TB token stream. Point queries broadcast
+the counter table (d*w rows) against the key set. The d-fold stream
+expansion happens IN-ROW by exploding positions (``sequence(0,d-1)``)
+and hashing per exploded row — one md5 per (token, row), never a
+re-evaluated array-building chain (docs/SCALE.md HOF staging rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash32, whitespace_tokens
+
+
+def _bucket(token: Column, i: Column, w: int) -> Column:
+    return hash32(F.concat(token, F.lit("#"), i.cast("string"))) % w
+
+
+def cms_build(
+    df: DataFrame,
+    d: int = 4,
+    w: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """(i, bucket, c): the d x w counter table for the corpus token
+    stream. One aggregate; group cardinality d*w, so map-side combine
+    collapses every partition to <= d*w rows before the exchange."""
+    toks = df.select(
+        F.explode(whitespace_tokens(text_col)).alias("token")
+    )
+    expanded = toks.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+    )
+    return expanded.groupBy(
+        F.col("i").cast("int").alias("i"),
+        _bucket(F.col("token"), F.col("i"), w).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    d: int = 4,
+    w: int = 64,
+    key_col: str = "token",
+) -> DataFrame:
+    """(token, cms_n): CMS point estimate per key — min over the d
+    rows of the key's bucket counters (0 when a bucket is empty, i.e.
+    the key never occurred and nothing collided with it). The counter
+    table is broadcast: d*w rows against however many keys."""
+    probes = keys.select(key_col).select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+    )
+    probes = probes.select(
+        key_col,
+        F.col("i").cast("int").alias("i"),
+        _bucket(F.col(key_col), F.col("i"), w).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(counters), ["i", "bucket"], "left_outer")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_n")
+    )

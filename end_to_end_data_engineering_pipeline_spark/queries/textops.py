@@ -1332,3 +1332,75 @@ def t28_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dedup_chunks(docs, chunk_tokens=_T28_CHUNK)
+
+
+# --------------------------------------------------------------------------
+# t29 — count-min sketch heavy hitters with an EXACT oracle
+# --------------------------------------------------------------------------
+
+_T29_D = 4
+_T29_W = 64
+
+
+def _o_cms_bucket(tok_expr: str, i_expr: str) -> str:
+    return (
+        _o_hash32(f"{tok_expr} || '#' || CAST({i_expr} AS VARCHAR)")
+        + f" % {_T29_W}"
+    )
+
+
+@query(
+    "t29_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_O_RAW_TOKS}) AS token FROM documents),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    keys AS (
+      SELECT token, n FROM exact ORDER BY n DESC, token LIMIT 20),
+    counters AS (
+      SELECT i, {_o_cms_bucket("token", "i")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok CROSS JOIN range({_T29_D}) t(i)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT k.token, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_n
+      FROM keys k
+      CROSS JOIN range({_T29_D}) t(i)
+      LEFT JOIN counters c
+        ON c.i = t.i AND c.bucket = {_o_cms_bucket("k.token", "t.i")}
+      GROUP BY k.token)
+    SELECT k.token, k.n AS exact_n, e.cms_n,
+           e.cms_n - k.n AS overestimate
+    FROM keys k JOIN est e ON e.token = k.token
+    """,
+)
+def t29_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch end-to-end with an EXACT oracle
+    (operators/sketches.py): build the d x w counter table over the
+    corpus token stream, point-query it for the exact top-20 tokens,
+    and report estimate vs truth. Unlike q31's seeded HLL/KLL twins,
+    CMS with a fixed hash family is a deterministic function of the
+    input multiset, so every counter and estimate value-hash matches
+    the DuckDB replay — and the printed overestimate column is the
+    collision error a reader can see. The counter table is d*w rows
+    from ANY corpus size (partial agg is the merge), which is the
+    whole point of the sketch at 100 TB."""
+    from ..operators.sketches import cms_build, cms_estimate
+    from ..operators.text import whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(whitespace_tokens("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    keys = exact.orderBy(F.col("n").desc(), "token").limit(20)
+    counters = cms_build(docs, d=_T29_D, w=_T29_W)
+    est = cms_estimate(counters, keys, d=_T29_D, w=_T29_W)
+    return (
+        keys.join(est, "token")
+        .select(
+            "token",
+            F.col("n").alias("exact_n"),
+            "cms_n",
+            (F.col("cms_n") - F.col("n")).alias("overestimate"),
+        )
+    )

@@ -495,3 +495,39 @@ def test_dedup_chunks_all_duplicate_doc_empty_text(spark):
     out = {r.doc_id: r for r in dedup_chunks(docs, chunk_tokens=4).collect()}
     assert out[1].dedup_text == span and out[1].n_kept == 1
     assert out[2].dedup_text == "" and out[2].n_kept == 0
+
+
+def test_cms_overestimates_never_underestimates(spark):
+    """The CMS contract on a collision-heavy configuration (w=4 forces
+    collisions): estimate >= true count for EVERY key, and with a
+    collision-free width the estimate is exact."""
+    from end_to_end_data_engineering_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i + 1))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(F.explode(whitespace_tokens("text")).alias("token"))
+    exact = {r.token: r.n for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = toks.select("token").distinct()
+
+    tight = cms_estimate(cms_build(docs, d=2, w=4), keys, d=2, w=4)
+    for r in tight.collect():
+        assert r.cms_n >= exact[r.token], (r.token, r.cms_n, exact[r.token])
+
+    wide = cms_estimate(cms_build(docs, d=4, w=4096), keys, d=4, w=4096)
+    for r in wide.collect():
+        assert r.cms_n == exact[r.token]
+
+    # a key absent from the corpus estimates 0 unless something collides
+    ghost = spark.createDataFrame([("zzz_absent",)], "token string")
+    est = cms_estimate(cms_build(docs, d=4, w=4096), ghost, d=4, w=4096)
+    assert est.collect()[0].cms_n == 0
