@@ -78,3 +78,65 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: deterministic build-side membership prefilter
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(key: Column, d: int, m: int) -> list[Column]:
+    """The d bit positions of a key (hash32 of key || '!' || i, mod m).
+    String-cast keys so any key type shares one hash recipe."""
+    return [
+        hash32(F.concat(key.cast("string"), F.lit("!"), F.lit(str(i)))) % m
+        for i in range(d)
+    ]
+
+
+def bloom_bitmap(
+    build: DataFrame, key_col: str, d: int = 3, m: int = 4096
+) -> list[int]:
+    """Build the filter: the m-bit bitmap as ``ceil(m/64)`` int64 words.
+    The distinct occupied-position set is collected driver-side — it is
+    bounded by m (filter metadata, like IVF centroids), never by build
+    rows; the aggregation that produces it is one distinct over
+    d x |build| narrow position rows."""
+    rows = build.select(
+        F.explode(
+            F.array(*bloom_positions(F.col(key_col), d, m))
+        ).alias("pos")
+    ).distinct()
+    words = [0] * ((m + 63) // 64)
+    for r in rows.collect():
+        p = int(r.pos)
+        words[p // 64] |= 1 << (p % 64)
+    # keep values in signed-int64 range for the Spark literal array
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(key: Column, words: list[int], d: int, m: int) -> Column:
+    """In-row membership test against the literal bitmap: d O(1) word
+    lookups (element_at + shift), no join, no explode — the probe side
+    of a 100 TB scan pays a few ALU ops per row, which is the entire
+    point of shipping a bloom filter to the scan instead of the build
+    table. May return true for a key never inserted (false positive,
+    rate ~(1-e^{-dn/m})^d); never false for an inserted key."""
+    # one SQL-text parse for the word array: op-by-op Column literals
+    # would pay ~len(words) Py4J round trips of plan build (docs/
+    # SCALE.md "plan BUILD time is a cost too")
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    checks = []
+    for pos in bloom_positions(key, d, m):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # call_function: the SQL shiftright accepts a COLUMN shift
+        # amount (the python F.shiftright wrapper takes only literals)
+        checks.append(
+            F.call_function(
+                "shiftright", word, (pos % 64).cast("int")
+            ).bitwiseAND(F.lit(1)) == 1
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

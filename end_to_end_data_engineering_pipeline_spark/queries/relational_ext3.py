@@ -922,3 +922,93 @@ def q81_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "outlier_frac",
     )
+
+
+_Q82_D = 3
+_Q82_M = 131072
+
+
+def _o_bloom_pos(key_expr: str, i_expr: str) -> str:
+    h = (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '!' || "
+        f"CAST({i_expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+    return f"({h} % {_Q82_M})"
+
+
+@query(
+    "q82_bloom_semijoin_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    pos AS (
+      SELECT DISTINCT {_o_bloom_pos("o_orderkey", "t.i")} AS p
+      FROM build CROSS JOIN range({_Q82_D}) t(i)),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    kp AS (
+      SELECT l_orderkey, {_o_bloom_pos("l_orderkey", "t.i")} AS p
+      FROM keys CROSS JOIN range({_Q82_D}) t(i)),
+    memb AS (
+      SELECT kp.l_orderkey,
+             SUM(CASE WHEN pos.p IS NOT NULL THEN 1 ELSE 0 END)
+               = {_Q82_D} AS bloom_pass
+      FROM kp LEFT JOIN pos ON pos.p = kp.p
+      GROUP BY kp.l_orderkey),
+    flags AS (
+      SELECT l.l_returnflag, m.bloom_pass,
+             b.o_orderkey IS NOT NULL AS true_match
+      FROM lineitem l
+      JOIN memb m ON m.l_orderkey = l.l_orderkey
+      LEFT JOIN build b ON b.o_orderkey = l.l_orderkey)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_match,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT true_match
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM flags GROUP BY l_returnflag
+    """,
+)
+def q82_bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter runtime prefilter
+    (operators/sketches.py bloom_*): the selective build side
+    (URGENT orders) compresses to an m-bit bitmap shipped to the probe
+    scan as a literal; each lineitem row pays d O(1) word lookups
+    IN-ROW (no join, no shuffle) and only bloom-passing rows would
+    continue to the real join — the AQE runtime-filter idea made
+    explicit and AUDITABLE: the query reports, per return flag, how
+    many rows the filter passes vs the true semi-join, so the false-
+    positive cost of the m/d choice is a visible column. With the
+    fixed hash32 family the bitmap is a deterministic function of the
+    build keys, so even the false positives value-hash match the
+    DuckDB occupied-set replay. Never a false negative (pytest-pinned
+    guarantee: n_bloom_pass >= n_true_match per group)."""
+    from ..operators.sketches import bloom_bitmap, bloom_member
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    ).distinct()
+    words = bloom_bitmap(build, "o_orderkey", d=_Q82_D, m=_Q82_M)
+    truth = build.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
+    )
+    flagged = li.select(
+        "l_returnflag",
+        bloom_member(F.col("l_orderkey"), words, _Q82_D, _Q82_M).alias(
+            "bloom_pass"
+        ),
+        "l_orderkey",
+    ).join(F.broadcast(truth), "l_orderkey", "left_outer")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("__hit").isNotNull().cast("long")).alias("n_true_match"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("__hit").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )

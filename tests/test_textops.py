@@ -531,3 +531,28 @@ def test_cms_overestimates_never_underestimates(spark):
     ghost = spark.createDataFrame([("zzz_absent",)], "token string")
     est = cms_estimate(cms_build(docs, d=4, w=4096), ghost, d=4, w=4096)
     assert est.collect()[0].cms_n == 0
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    """Bloom contract: every inserted key passes (no false negatives —
+    the property that makes it a safe prefilter), and with a
+    generously-sized bitmap the false-positive rate over absent keys
+    stays far below 50%."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_member,
+    )
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(200)], "k long"
+    )
+    words = bloom_bitmap(build, "k", d=3, m=8192)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1000)], "k long"
+    ).select("k", bloom_member(F.col("k"), words, d=3, m=8192).alias("hit"))
+    rows = {r.k: r.hit for r in probe.collect()}
+    assert all(rows[k] for k in range(200))  # no false negatives
+    fp = sum(1 for k in range(200, 1000) if rows[k])
+    assert fp / 800 < 0.1
