@@ -131,3 +131,35 @@ def assign_split(
         )
     expr = expr.otherwise(default_split) if expr is not None else F.lit(default_split)
     return df.withColumn("split", expr)
+
+
+def pps_sample(
+    df: DataFrame,
+    expected_k: int,
+    size_col: Column | str,
+    *key_cols: Column | str,
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sample: row i is kept
+    with probability ``min(1, expected_k * size_i / total_size)`` — the
+    corpus-curation sampler that keeps big documents at a rate matching
+    their token contribution (a uniform sample over-represents tiny
+    docs in ROW terms and under-represents them in TOKEN terms).
+
+    Deterministic and engine-exact: the decision is the pure-integer
+    test ``hash32(key) * total_size < expected_k * size_i * 2^32``
+    (hash32 is uniform on [0, 2^32)) — no float probability, so no
+    boundary to disagree at, and re-running on any partitioning keeps
+    the SAME rows (bound: total_size < 2^31 and k*size < 2^31 keep
+    both products inside int64). The total is one scalar aggregate
+    broadcast into the predicate; everything else is a scan filter —
+    no shuffle of data rows, same shape as bernoulli_sample.
+    """
+    size = (size_col if isinstance(size_col, Column) else F.col(size_col)).cast(
+        "long"
+    )
+    total = df.agg(F.sum(size).cast("long").alias("__total"))
+    h = sample_key(*key_cols)
+    keep = (h * F.col("__total")) < (
+        F.lit(int(expected_k)) * size * F.lit(1 << 32)
+    )
+    return df.crossJoin(F.broadcast(total)).where(keep).drop("__total")

@@ -1404,3 +1404,37 @@ def t29_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("n")).alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t30 — probability-proportional-to-size corpus sample
+# --------------------------------------------------------------------------
+
+_T30_K = 100
+
+
+@query(
+    "t30_pps_weighted_sample",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents, tot
+    WHERE {_o_hash32("CAST(doc_id AS VARCHAR)")} * t
+          < {_T30_K} * CAST(n_chars AS BIGINT) * 4294967296
+    """,
+)
+def t30_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted (PPS) deterministic sample of the corpus
+    (operators/sampling.py pps_sample): each document is kept with
+    probability proportional to its character count, expected sample
+    size {k} — the curation sampler that matches TOKEN shares instead
+    of row shares. The keep decision is a pure-integer inequality on
+    the shared hash32 key (no float probability), so the sample is
+    identical on any engine and any partitioning, and the oracle
+    replays it row-for-row."""
+    from ..operators.sampling import pps_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return pps_sample(docs, _T30_K, "n_chars", F.col("doc_id")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

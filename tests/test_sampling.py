@@ -75,3 +75,35 @@ def test_two_phase_requires_low_buckets(spark):
         assert {tuple(r) for r in direct.collect()} == {
             tuple(r) for r in twophase.collect()
         }
+
+
+def test_pps_sample_weights_by_size(spark):
+    """PPS contract: a document holding most of the corpus mass is
+    kept with probability ~1 (its k*share exceeds 1), the sample is
+    deterministic across reruns, and every kept row satisfies the
+    integer inequality (replayed in python)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    rows = [(0, 500_000)] + [(i, 50) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out1 = sorted(
+        r.doc_id
+        for r in pps_sample(df, 10, "n_chars", F.col("doc_id")).collect()
+    )
+    out2 = sorted(
+        r.doc_id
+        for r in pps_sample(df, 10, "n_chars", F.col("doc_id")).collect()
+    )
+    assert out1 == out2  # deterministic
+    assert 0 in out1  # the dominant doc's p = min(1, 10*0.96...) = 1
+    total = sum(s for _, s in rows)
+    sizes = dict(rows)
+    for d in out1:
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        assert h * total < 10 * sizes[d] * (1 << 32)
