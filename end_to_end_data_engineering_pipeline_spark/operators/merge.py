@@ -405,6 +405,23 @@ def scd2_history(
     )
 
 
+def scd2_asof(hist: DataFrame, at) -> DataFrame:
+    """Point-in-time (as-of) read over an SCD2 history: the rows whose
+    validity interval covers ``at`` — ``valid_from <= at`` and
+    (``valid_to`` IS NULL or ``valid_to > at``). This is row-level time
+    travel: where the snapshot table (operators/snapshots.py) answers
+    "the table as of commit N", this answers "each KEY's version as of
+    sequence T" from one stored history — no per-version storage. A
+    key deleted before ``at`` has no covering interval (delete windows
+    are gaps), so it simply drops out. Pure filter over the history —
+    pushes to the scan, no shuffle, and a history clustered on
+    valid_from prunes files by the same predicate at 100 TB."""
+    return hist.where(
+        (F.col("valid_from") <= F.lit(at))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(at)))
+    )
+
+
 def scd2_apply(
     spark: SparkSession,
     target_path: str,

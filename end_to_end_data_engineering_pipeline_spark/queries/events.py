@@ -1019,3 +1019,91 @@ def e19_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "e21_scd2_asof",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+             'I' AS op, 1 AS seq
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2)),
+             'U', 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)), 'D', 3
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    rec AS (
+      SELECT *, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq, op) AS valid_to
+      FROM chg
+    ),
+    hist AS (SELECT * FROM rec WHERE op <> 'D'),
+    ats AS (SELECT UNNEST([1, 2, 3]) AS asof)
+    SELECT ats.asof, h.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(ROUND(SUM(h.price), 4) AS DOUBLE) AS sum_price
+    FROM ats JOIN hist h
+      ON h.valid_from <= ats.asof
+     AND (h.valid_to IS NULL OR h.valid_to > ats.asof)
+    GROUP BY ats.asof, h.o_orderstatus
+    """,
+)
+def e21_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level time travel over SCD2 history (operators/merge.py
+    scd2_asof): the e16 changelog's history queried AS OF each of the
+    three sequence points — as of 1 every insert is live at its
+    original price, as of 2 the %7 keys show doubled prices, as of 3
+    the %13 deletes have dropped out (delete windows are interval
+    gaps, so the as-of filter needs no delete-awareness). Where p9's
+    snapshot table answers "the TABLE as of commit N", this answers
+    "each KEY's version as of sequence T" from one stored history.
+    The as-of read is a pure interval filter — scan-pushable, no
+    shuffle — here joined against a 3-row as-of spine to pin all
+    three snapshots in one result."""
+    from ..functions import dec2, dsum_expr
+    from ..operators.merge import scd2_asof, scd2_history
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec2("o_totalprice").alias("price")
+    )
+    chg = (
+        o.select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+                F.lit("U").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+            )
+        )
+    )
+    hist = scd2_history(chg, ["o_orderkey"], "seq", "op")
+    parts = [
+        scd2_asof(hist, at)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            dsum_expr(F.col("price"), "sum_price"),
+        )
+        .select(
+            F.lit(at).cast("int").alias("asof"),
+            "o_orderstatus",
+            "n_keys",
+            "sum_price",
+        )
+        for at in (1, 2, 3)
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
