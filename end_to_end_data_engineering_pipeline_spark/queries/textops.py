@@ -1438,3 +1438,92 @@ def t30_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_sample(docs, _T30_K, "n_chars", F.col("doc_id")).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# m3 — content-addressed chunk store (storage dedup over binary media)
+# --------------------------------------------------------------------------
+
+_M3_CHUNK = 64
+
+
+@query(
+    "m3_content_addressed_store",
+    oracle=f"""
+    WITH m AS (
+      -- the corpus is pure ASCII (checked at all scales), so chunking
+      -- the VARCHAR by characters is byte-identical to chunking the
+      -- encoded blob, and md5(varchar) hashes the same bytes DuckDB
+      -- has no blob substring for
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             text AS content
+      FROM documents),
+    ch AS (
+      SELECT media_id, kind,
+             UNNEST(range(0, greatest(CAST(ceil(length(content)
+                                              / {_M3_CHUNK}.0) AS BIGINT),
+                                      1))) AS i,
+             content
+      FROM m),
+    chunks AS (
+      SELECT kind,
+             md5(substring(content, CAST(i * {_M3_CHUNK} + 1 AS INT),
+                           {_M3_CHUNK})) AS h,
+             length(substring(content,
+                              CAST(i * {_M3_CHUNK} + 1 AS INT),
+                              {_M3_CHUNK})) AS len
+      FROM ch),
+    per_hash AS (
+      SELECT kind, h, CAST(COUNT(*) AS BIGINT) AS refs,
+             CAST(MAX(len) AS BIGINT) AS len
+      FROM chunks GROUP BY kind, h)
+    SELECT kind,
+           CAST(SUM(refs) AS BIGINT) AS n_refs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(refs) - COUNT(*) AS BIGINT) AS n_dup_refs,
+           CAST(SUM(refs * len) AS BIGINT) AS logical_bytes,
+           CAST(SUM(len) AS BIGINT) AS stored_bytes
+    FROM per_hash GROUP BY kind
+    """,
+)
+def m3_content_addressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk storage statistics — the dedup layer a
+    blob store runs under multimodal data (operators/multimodal.py
+    chunk_media): media split into fixed 64-byte chunks, addressed by
+    md5; identical chunks store ONCE no matter how many media
+    reference them. Per kind: reference count vs distinct chunks and
+    logical vs stored bytes — the dedup ratio a 100 TB media lake
+    actually banks. Chunking is the JVM substring path (no Python, no
+    materialized arrays); the distinct-chunk reduction is one
+    aggregate on the chunk hash — the same single-shuffle shape as
+    exact dedup, applied to binary content."""
+    from ..operators.multimodal import chunk_media, documents_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    chunks = chunk_media(media, chunk_bytes=_M3_CHUNK)
+    kind = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    per_hash = (
+        chunks.select(
+            kind.alias("kind"),
+            F.md5("chunk").alias("h"),
+            F.length("chunk").cast("long").alias("len"),
+        )
+        .groupBy("kind", "h")
+        .agg(
+            F.count(F.lit(1)).alias("refs"), F.max("len").alias("len")
+        )
+    )
+    return per_hash.groupBy("kind").agg(
+        F.sum("refs").cast("long").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("refs") - F.count(F.lit(1))).cast("long").alias("n_dup_refs"),
+        F.sum(F.col("refs") * F.col("len")).cast("long").alias("logical_bytes"),
+        F.sum("len").cast("long").alias("stored_bytes"),
+    )
