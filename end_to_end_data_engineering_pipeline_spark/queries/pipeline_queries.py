@@ -505,3 +505,77 @@ def p9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p10_incremental_agg",
+    oracle="""
+    WITH fin AS (
+      SELECT o_orderstatus AS s,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2
+                            AS DECIMAL(15,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(15,2))
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(price), 4) AS DOUBLE) AS total_price
+    FROM fin GROUP BY s
+    """,
+)
+def p10_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic incremental view maintenance (operators/merge.py
+    incremental_agg_delta / apply_agg_delta): a maintained
+    count/sum-by-status aggregate absorbs an I/U/D change batch
+    carrying BEFORE IMAGES as a pure delta — updates contribute
+    (after - before), deletes subtract their before image, inserts
+    add — with NO base-table recompute; the maintenance cost is one
+    tiny join of group-cardinality rows. The batch: %7 keys re-price
+    2x (U), %13 keys delete (D, winning over their update), %11 keys
+    clone in under fresh keys (I). The oracle aggregates the COMPOSED
+    final table directly, so the delta algebra must land exactly —
+    decimal arithmetic end-to-end, no float drift."""
+    from ..functions import dec2
+    from ..operators.merge import apply_agg_delta, incremental_agg_delta
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    seed = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").alias("total"),
+    )
+    upd = o.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select(
+        "o_orderstatus",
+        F.lit("U").alias("op"),
+        F.col("price").alias("before"),
+        (F.col("price") * 2).cast("decimal(15,2)").alias("after"),
+    )
+    dele = o.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderstatus",
+        F.lit("D").alias("op"),
+        F.col("price").alias("before"),
+        F.lit(None).cast("decimal(15,2)").alias("after"),
+    )
+    ins = o.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderstatus",
+        F.lit("I").alias("op"),
+        F.lit(None).cast("decimal(15,2)").alias("before"),
+        F.col("price").alias("after"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    delta = incremental_agg_delta(changes, ["o_orderstatus"])
+    final = apply_agg_delta(seed, delta, ["o_orderstatus"], "n", "total")
+    return final.select(
+        "o_orderstatus",
+        "n",
+        F.round("total", 4).cast("double").alias("total_price"),
+    )

@@ -236,3 +236,35 @@ def test_relationships_child_with_colliding_field_name(spark, tmp_path):
     audit = spark.read.parquet(str(tmp_path / "_model_test_results"))
     rel = audit.where(F.col("test") == "relationships").collect()
     assert len(rel) == 1 and rel[0].status == "PASS"
+
+
+def test_incremental_agg_empties_and_creates_groups(spark):
+    """apply_agg_delta edge contract: a group whose count reaches zero
+    DROPS from the maintained aggregate; a group born in the batch
+    appears; untouched groups carry through bit-identical."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_agg_delta,
+        incremental_agg_delta,
+    )
+
+    agg = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0), ("c", 4, 100.0)],
+        "g string, n long, total double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", "D", 10.0, None),
+            ("a", "D", 20.0, None),   # group a emptied
+            ("d", "I", None, 7.0),    # group d born
+            ("b", "U", 5.0, 8.0),     # group b repriced
+        ],
+        "g string, op string, before double, after double",
+    )
+    delta = incremental_agg_delta(changes, ["g"])
+    out = {
+        r.g: (r.n, r.total)
+        for r in apply_agg_delta(agg, delta, ["g"], "n", "total").collect()
+    }
+    assert out == {"b": (1, 8.0), "c": (4, 100.0), "d": (1, 7.0)}
