@@ -466,6 +466,13 @@ def scd2_apply(
     )
 
     if not os.path.isdir(target_path):
+        # a first batch whose effective history is empty (e.g. deletes
+        # against nothing) creates NO table — the same no-op contract as
+        # the partitioned variant, so the two stay interchangeable
+        # (hypothesis-pinned; a D-only opening batch used to create an
+        # empty table here but nothing there)
+        if batch_hist.limit(1).count() == 0:
+            return 0
         merged = batch_hist
     else:
         old = spark.read.parquet(target_path)
