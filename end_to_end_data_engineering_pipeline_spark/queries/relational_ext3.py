@@ -1012,3 +1012,44 @@ def q82_bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_pass") & F.col("__hit").isNull()).cast("long")
         ).alias("n_false_pos"),
     )
+
+
+@query(
+    "q83_rolling_percentiles",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER w, 4) AS roll_median,
+           ROUND(quantile_cont(o_totalprice, 0.9) OVER w, 4) AS roll_p90
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q83_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonlinear aggregates as WINDOW functions: exact interpolated
+    median and p90 over a trailing 10-row frame per status — the
+    rolling-statistics shape (anomaly baselines, smoothed monitors)
+    that q39's linear RANGE sums can't express. Both engines run the
+    standard (1-g)*lo + g*hi continuous quantile over the frame (the
+    q20 recipe, per-frame), so values hash-match. One shuffle on the
+    partition key; per-row cost is O(frame), which is the inherent
+    price of an exact order statistic — at 100 TB you bound the frame
+    (rows, not range) and this plan holds."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias(
+            "roll_median"
+        ),
+        F.round(F.expr("percentile(o_totalprice, 0.9)").over(w), 4).alias(
+            "roll_p90"
+        ),
+    )

@@ -1527,3 +1527,69 @@ def m3_content_addressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("refs") * F.col("len")).cast("long").alias("logical_bytes"),
         F.sum("len").cast("long").alias("stored_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# t31 — classifier evaluation: lang-id confusion matrix + per-class metrics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t31_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_o_stop(LANG_MARKERS["en"])} AS score_en,
+             {_o_stop(LANG_MARKERS["fr"])} AS score_fr,
+             {_o_stop(LANG_MARKERS["es"])} AS score_es,
+             {_o_stop(LANG_MARKERS["de"])} AS score_de
+      FROM documents),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0
+                  THEN 'und'
+                  WHEN score_en = greatest(score_en, score_fr, score_es,
+                                           score_de) THEN 'en'
+                  WHEN score_fr = greatest(score_en, score_fr, score_es,
+                                           score_de) THEN 'fr'
+                  WHEN score_es = greatest(score_en, score_fr, score_es,
+                                           score_de) THEN 'es'
+                  ELSE 'de' END AS predicted
+      FROM scored),
+    cells AS (
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY actual, predicted)
+    SELECT actual, predicted, n,
+           ROUND(n * 1000000.0
+                 / SUM(n) OVER (PARTITION BY actual)) / 1000000.0
+             AS row_frac
+    FROM cells
+    """,
+)
+def t31_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the corpus: the lang-id predictor
+    (t2, operators/text.py:lang_id) scored against the stored lang
+    label as a confusion matrix with per-actual row fractions (recall
+    diagonals) — the eval table any curation classifier ships with.
+    One aggregate over per-row predictions (scores are pure Catalyst
+    regexp counts), one tiny window for the normalization; fractions
+    use the exact-int-ratio rounding pattern."""
+    from pyspark.sql import Window
+
+    from ..operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    pred = lang_id(docs).select(
+        F.col("lang").alias("actual"), F.col("pred_lang").alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        (F.round(F.col("n") * 1000000.0 / F.sum("n").over(w)) / 1000000.0)
+        .alias("row_frac"),
+    )
