@@ -24,6 +24,7 @@ rows_strategy = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=12)
 
 
 @settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -58,6 +59,7 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, base, upd):
 
 
 @settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -116,6 +118,7 @@ def _changes_df(spark, rows, seqs, seq_base, with_part):
 
 
 @settings(
+    derandomize=True,
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -159,6 +162,7 @@ def test_apply_changes_matches_fold_model(
 
 
 @settings(
+    derandomize=True,
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -236,6 +240,7 @@ def _scd2_model(rows):
 
 
 @settings(
+    derandomize=True,
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -309,6 +314,7 @@ def _budget_model(rows, numer, denom):
 
 
 @settings(
+    derandomize=True,
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -336,6 +342,7 @@ def test_token_budget_prefix_matches_model_and_nests(spark, rows):
 
 
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -380,6 +387,7 @@ def test_scd2_apply_sequential_equals_one_shot(
 
 
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -438,6 +446,7 @@ _dates = st.sampled_from(
 
 
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -473,6 +482,7 @@ def test_expire_partitions_matches_filter_model(
 
 
 @settings(
+    derandomize=True,
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -530,6 +540,7 @@ def _shingles_py(text: str, k: int = 3):
 
 
 @settings(
+    derandomize=True,
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -574,6 +585,7 @@ _DOC_TEXT = st.lists(_WORDS, min_size=1, max_size=9).map(" ".join)
 
 
 @settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -625,6 +637,7 @@ _SNAP_BATCH = st.lists(
 
 
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
