@@ -323,3 +323,52 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if n.startswith(".v"):
             os.remove(os.path.join(vd, n))
     return deleted
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Keyed diff between two committed versions: one row per changed
+    key with ``change`` in {'added', 'removed', 'changed'} plus both
+    sides' non-key columns (``<col>_from`` / ``<col>_to``). The
+    reconciliation primitive time travel makes cheap: auditing what a
+    merge/overwrite actually did, or validating a migration, without
+    having kept a separate copy. One full-outer join on the key —
+    both sides are manifest-pinned reads, so the diff is stable even
+    under concurrent commits. Unchanged rows are dropped via an
+    any-column comparison (null-safe <=>)."""
+    from pyspark.sql import functions as F
+
+    a = snapshot_read(spark, path, from_version)
+    b = snapshot_read(spark, path, to_version)
+    val_cols = [c for c in a.columns if c not in keys]
+    a_r = a.select(
+        *keys,
+        F.lit(True).alias("__in_from"),
+        *[F.col(c).alias(f"{c}_from") for c in val_cols],
+    )
+    b_r = b.select(
+        *keys,
+        F.lit(True).alias("__in_to"),
+        *[F.col(c).alias(f"{c}_to") for c in val_cols],
+    )
+    j = a_r.join(b_r, keys, "full_outer")
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"{c}_from").eqNullSafe(
+            F.col(f"{c}_to")
+        )
+    change = (
+        F.when(F.col("__in_from").isNull(), "added")
+        .when(F.col("__in_to").isNull(), "removed")
+        .when(~same_vals, "changed")
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .drop("__in_from", "__in_to")
+    )

@@ -579,3 +579,83 @@ def p10_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("total", 4).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "p11_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS p
+      FROM orders),
+    v1 AS (
+      SELECT k, s,
+             CASE WHEN k % 7 = 0 THEN CAST(p * 2 AS DECIMAL(15,2))
+                  ELSE p END AS p
+      FROM base
+      UNION ALL
+      SELECT k + 1000000000, s, p FROM base WHERE k % 11 = 0),
+    d AS (
+      SELECT COALESCE(base.k, v1.k) AS o_orderkey,
+             CASE WHEN base.k IS NULL THEN 'added'
+                  WHEN v1.k IS NULL THEN 'removed'
+                  WHEN NOT (base.s IS NOT DISTINCT FROM v1.s
+                            AND base.p IS NOT DISTINCT FROM v1.p)
+                  THEN 'changed' END AS change,
+             base.s AS o_orderstatus_from, v1.s AS o_orderstatus_to,
+             CAST(base.p AS DOUBLE) AS price_from,
+             CAST(v1.p AS DOUBLE) AS price_to
+      FROM base FULL OUTER JOIN v1 ON v1.k = base.k)
+    SELECT * FROM d WHERE change IS NOT NULL
+    """,
+)
+def p11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff across snapshot versions (operators/snapshots.py
+    snapshot_diff): version 0 seeds orders, a copy-on-write MERGE
+    commits version 1 (%7 keys repriced 2x, %11 keys cloned under
+    fresh keys), and the diff reports exactly what the merge did —
+    one 'changed' row per repriced key with both prices, one 'added'
+    row per clone, nothing else. The reconciliation/audit primitive
+    time travel enables without keeping a separate copy; one
+    full-outer join of two manifest-pinned reads. The oracle derives
+    both versions from orders directly, so the whole
+    write -> merge -> diff pipeline must reproduce them exactly."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2
+    from ..operators.snapshots import snapshot_diff, snapshot_merge, snapshot_write
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="p11_diff_")
+    path = tmp + "/t"
+    try:
+        snapshot_write(spark, path, o)
+        upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+        ).unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "price",
+            )
+        )
+        snapshot_merge(spark, path, upd, keys=["o_orderkey"])
+        out = snapshot_diff(spark, path, ["o_orderkey"], 0, 1).select(
+            "o_orderkey",
+            "change",
+            "o_orderstatus_from",
+            "o_orderstatus_to",
+            F.col("price_from").cast("double").alias("price_from"),
+            F.col("price_to").cast("double").alias("price_to"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
