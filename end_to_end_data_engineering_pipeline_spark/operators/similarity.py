@@ -915,3 +915,63 @@ def sq8_topk(
         F.col("q_cosine").desc(), F.col("cand_id")
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide approximate kNN graph: (src_id, dst_id, cosine, rk)
+    with each vector's top-k neighbors AMONG ITS LSH BUCKET — the
+    graph construction step under dedup clustering, label propagation,
+    or diversity selection, where every node (not a handful of query
+    ids) needs neighbors.
+
+    Scale shape: signatures are per-row (zero shuffles — the sim2
+    machinery); candidates come from the bucket SELF-JOIN, so scored
+    pairs are sum-of-bucket² not n² — 2^n_planes buckets dial the
+    candidate volume exactly like the LSH near-dup pipelines, and the
+    only other shuffle is the per-node top-k window. Vectors whose
+    bucket holds fewer than k others emit fewer rows (recall comes
+    from more planes/probes, regression-tested on clustered data)."""
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col).select(
+        "id", "sv", "n2", lsh_signature("sv", n_planes, dim).alias("sig")
+    )
+    a = base.select(
+        F.col("id").alias("src_id"),
+        F.col("sv").alias("sv_a"),
+        F.col("n2").alias("n2_a"),
+        "sig",
+    )
+    b = base.select(
+        F.col("id").alias("dst_id"),
+        F.col("sv").alias("sv_b"),
+        F.col("n2").alias("n2_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sig_b")) & (F.col("src_id") != F.col("dst_id"))
+    )
+    scored = pairs.select(
+        "src_id",
+        "dst_id",
+        cosine_scaled(
+            dot_scaled(F.col("sv_a"), F.col("sv_b")),
+            F.col("n2_a"),
+            F.col("n2_b"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("dst_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

@@ -820,3 +820,36 @@ def sim11_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = sq8_topk(emb, QUERY_IDS, k=10)
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@query(
+    "sim12_knn_graph",
+    oracle=f"""
+    WITH {_O_SCALED},
+    sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(8, 64)} AS BIGINT) AS sig
+             FROM normed),
+    scored AS (
+      SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_O_COS} AS cosine
+      FROM sigd q JOIN sigd c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+    )
+    SELECT src_id, dst_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                       ORDER BY cosine DESC, dst_id) AS rk
+          FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (operators/similarity.py
+    knn_graph): EVERY vector's top-3 in-bucket cosine neighbors — the
+    graph-construction step under dedup clustering and diversity
+    selection. Candidate volume is sum-of-bucket-squares (2^8 buckets
+    here), never n²; the whole pipeline (per-row signatures, bucket
+    self-join, exact rescoring, per-node top-k) is deterministic and
+    sits under a full value-hash oracle. Neighbor recall on clustered
+    data is regression-tested in tests/test_similarity.py."""
+    from ..operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, n_planes=8)

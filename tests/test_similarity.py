@@ -342,3 +342,30 @@ def test_sq8_recall_and_code_range(clustered):
     hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.8
+
+
+def test_knn_graph_neighbors_stay_in_cluster(clustered):
+    """kNN-graph recall on clustered data: every node gets neighbors,
+    and for a sampling of nodes the in-bucket top-k matches cluster
+    membership (tight clusters land in one hyperplane bucket)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    g = knn_graph(clustered, k=3, n_planes=4, dim=DIM).collect()
+    by_src: dict[int, list] = {}
+    for r in g:
+        by_src.setdefault(r.src_id, []).append(r)
+    # most nodes find neighbors (clusters are far larger than k)
+    assert len(by_src) >= N_CLUSTERS * PER_CLUSTER * 0.8
+    same_cluster = sum(
+        1
+        for rows in by_src.values()
+        for r in rows
+        if r.src_id // PER_CLUSTER == r.dst_id // PER_CLUSTER
+    )
+    total = sum(len(v) for v in by_src.values())
+    assert same_cluster / total >= 0.9
+    for rows in by_src.values():
+        rks = sorted(r.rk for r in rows)
+        assert rks == list(range(1, len(rks) + 1))  # dense top-k ranks
