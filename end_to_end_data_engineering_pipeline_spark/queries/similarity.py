@@ -853,3 +853,42 @@ def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=3, n_planes=8)
+
+
+@query(
+    "sim13_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_O_SCALED},
+    sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
+             FROM normed),
+    pairs AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b
+      FROM sigd q JOIN sigd c ON c.sig = q.sig AND q.vec_id < c.vec_id
+      WHERE {_O_COS} >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def sim13_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: the LSH similarity pair
+    graph (sim7 machinery at a fixture-matched 0.3 threshold; the
+    synthetic embeddings hold no >=0.8 near-dups) resolved to connected components (operators/graph.py) —
+    the cross-family composition that turns pairwise vector
+    similarity into the transitive duplicate GROUPS a curation
+    pipeline actually deletes from, exactly as t12 does for text
+    minhash pairs. Iterative min-label propagation verified against
+    DuckDB's recursive-CTE transitive closure over the identical
+    pair set."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_lsh(emb, threshold=0.3, n_planes=6)
+    return connected_components(pairs)
