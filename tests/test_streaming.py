@@ -883,3 +883,92 @@ def test_streaming_snapshot_sink_linear_history(spark, tmp_path):
         snapshot_read(spark, table, version=v).count() for v in (0, 1, 2)
     ]
     assert sizes[0] < sizes[2] and sizes == sorted(sizes)
+
+
+def test_streaming_incremental_agg_matches_one_shot(spark, tmp_path):
+    """Streaming materialized-view maintenance: each micro-batch's
+    I/U/D delta (with before images) folds into the maintained
+    aggregate under foreachBatch; because the delta algebra is
+    associative, the batch-wise fold must equal ONE delta computed
+    over the full logged changelog — the property that makes the
+    maintained view correct no matter how the stream is chopped into
+    micro-batches."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        apply_agg_delta,
+        incremental_agg_delta,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    log_dir = str(tmp_path / "log")
+    agg_dir = str(tmp_path / "agg")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+    changes = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("g"),
+        F.when(F.col("event_id") % 10 >= 9, "D")
+        .when(F.col("event_id") % 10 >= 6, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(F.col("event_id") % 10 >= 6, F.col("value")).alias("before"),
+        F.when(F.col("event_id") % 10 < 9, F.col("value") * 2).alias("after"),
+    )
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(log_dir)
+        sp = batch_df.sparkSession
+        delta = incremental_agg_delta(batch_df, ["g"])
+        import os
+
+        if os.path.isdir(agg_dir):
+            agg = sp.read.parquet(agg_dir)
+        else:
+            agg = sp.createDataFrame([], "g string, n long, total double")
+        new = apply_agg_delta(agg, delta, ["g"], "n", "total")
+        new.write.mode("overwrite").parquet(agg_dir + "_tmp")
+        sp.read.parquet(agg_dir + "_tmp").write.mode("overwrite").parquet(
+            agg_dir
+        )
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+
+    full = spark.read.parquet(log_dir)
+    one_shot = apply_agg_delta(
+        spark.createDataFrame([], "g string, n long, total double"),
+        incremental_agg_delta(full, ["g"]),
+        ["g"],
+        "n",
+        "total",
+    )
+    got = {r.g: (r.n, r.total) for r in spark.read.parquet(agg_dir).collect()}
+    want = {r.g: (r.n, r.total) for r in one_shot.collect()}
+    assert set(got) == set(want) and want
+    for g in want:
+        assert got[g][0] == want[g][0]  # counts exact
+        # double sums: batch-wise vs one-shot reduction order may
+        # differ in final ulps — tolerance, not bit equality
+        assert abs(got[g][1] - want[g][1]) < 1e-6 * max(1.0, abs(want[g][1]))
