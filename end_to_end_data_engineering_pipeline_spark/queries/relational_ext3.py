@@ -1053,3 +1053,63 @@ def q83_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roll_p90"
         ),
     )
+
+
+@query(
+    "q84_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS j,
+             o_orderkey,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS price
+      FROM orders),
+    r AS (
+      SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL
+                  ELSE c_custkey END AS jk,
+             c_custkey
+      FROM customer)
+    SELECT CAST(l.j IS NULL AS BIGINT) AS null_bridge,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT l.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT r.c_custkey) AS BIGINT) AS n_custs,
+           CAST(ROUND(SUM(l.price), 4) AS DOUBLE) AS total_price
+    FROM l JOIN r ON l.j IS NOT DISTINCT FROM r.jk
+    GROUP BY l.j IS NULL
+    """,
+)
+def q84_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join semantics (<=> / IS NOT DISTINCT FROM):
+    unlike `=`, NULL keys MATCH EACH OTHER, so the null groups of
+    both sides bridge into a small cross product — the join behavior
+    entity-resolution pipelines rely on when 'unknown' must unify
+    with 'unknown', and a classic source of silent row loss when
+    someone swaps in a plain equi-join. Spark plans <=> as an
+    ordinary hash-join key (no fallback to a nested loop), so the
+    shape survives scale; the aggregate splits matched rows by
+    null-bridge vs normal and pins counts, distincts, and the exact
+    decimal revenue of each side."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    from ..functions import dec2
+
+    l = o.select(
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("j"),
+        "o_orderkey",
+        dec2("o_totalprice").alias("price"),
+    )
+    r = c.select(
+        F.when(F.col("c_custkey") % 89 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("jk"),
+        "c_custkey",
+    )
+    joined = l.join(r, F.col("j").eqNullSafe(F.col("jk")))
+    return joined.groupBy(F.col("j").isNull().cast("long").alias("null_bridge")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.countDistinct("c_custkey").alias("n_custs"),
+        F.round(F.sum("price"), 4).cast("double").alias("total_price"),
+    )
