@@ -617,3 +617,70 @@ def contamination_hits(
         .groupBy("id")
         .agg(F.count_distinct("g").alias("n_hits"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: |A∩B|/|A| and |A∩B|/|B| within
+    blocking buckets — the quote/excerpt detector. Jaccard punishes
+    size asymmetry (a 50-gram quote inside a 5000-gram article scores
+    |∩|/|∪| ≈ 1%, invisible at any useful threshold) while its
+    containment from the SHORT side is ≈ 100%; curation pipelines
+    need containment to catch wrapped copies, quotations, and
+    boilerplate embeddings that symmetric similarity misses
+    (Broder's containment measure, same lineage as resemblance).
+
+    Relational shape = ngram_jaccard_pairs: blocked shingle equi-join
+    -> per-pair intersection count -> per-side ratios from the
+    PER-ROW array sizes (no extra shuffle). Emits pairs where EITHER
+    direction clears ``threshold``; both directions are reported so
+    the caller knows which doc is the container. Exact-int-ratio
+    rounding keeps the fractions engine-identical.
+    """
+    shs = shingled_docs(
+        df, id_col, text_col, k, keep_cols=bucket_cols
+    ).cache()
+    sizes = shs.select("id", F.size("sh").alias("n_sh"))
+    tok = shs.select("id", *bucket_cols, F.explode("sh").alias("shingle"))
+    a = tok.select(F.col("id").alias("id_a"), *bucket_cols, "shingle")
+    b = tok.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in bucket_cols],
+        F.col("shingle").alias("__b_shingle"),
+    )
+    cond = (F.col("shingle") == F.col("__b_shingle")) & (
+        F.col("id_a") < F.col("id_b")
+    )
+    for c in bucket_cols:
+        cond &= F.col(c) == F.col(f"__b_{c}")
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("n_inter") * 1000000.0 / F.col("n_a")) / 1000000.0
+    cont_b = F.round(F.col("n_inter") * 1000000.0 / F.col("n_b")) / 1000000.0
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+    )
+    return out.where(
+        (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+    )

@@ -1593,3 +1593,48 @@ def t31_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("n") * 1000000.0 / F.sum("n").over(w)) / 1000000.0)
         .alias("row_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# t33 — asymmetric containment pairs (quote/excerpt detection)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t33_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {_o_shingles(3)} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+             CAST(len(a.s) AS BIGINT) AS n_a,
+             CAST(len(b.s) AS BIGINT) AS n_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) > 0)
+    SELECT id_a, id_b, n_inter, n_a, n_b,
+           ROUND(n_inter * 1000000.0 / n_a) / 1000000.0 AS cont_a,
+           ROUND(n_inter * 1000000.0 / n_b) / 1000000.0 AS cont_b
+    FROM pairs
+    WHERE ROUND(n_inter * 1000000.0 / n_a) / 1000000.0 >= 0.08
+       OR ROUND(n_inter * 1000000.0 / n_b) / 1000000.0 >= 0.08
+    """,
+)
+def t33_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup_fuzzy.py
+    ngram_containment_pairs — Broder's containment measure): |A∩B|
+    over EACH side's own shingle count, the quote/excerpt detector
+    symmetric Jaccard (t6) structurally misses — a short doc fully
+    embedded in a long one scores ~100% containment from the short
+    side but ~1% Jaccard. Both directions are emitted so the caller
+    knows which doc is the container; the fixture holds one true
+    full-containment pair (cont = 1.0) that t6's 5% Jaccard floor
+    also catches but cannot ATTRIBUTE. Same blocked shingle-join
+    shape as t6 — no new shuffle surface."""
+    from ..operators.dedup_fuzzy import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, ["lang", "source"], k=3, threshold=0.08
+    )

@@ -556,3 +556,33 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark):
     assert all(rows[k] for k in range(200))  # no false negatives
     fp = sum(1 for k in range(200, 1000) if rows[k])
     assert fp / 800 < 0.1
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The t33 semantics: a short passage fully embedded in a long
+    document scores containment 1.0 from the short side while its
+    Jaccard stays below any useful threshold — the asymmetric case
+    the containment operator exists for."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(6))
+    article = quote + " " + " ".join(f"a{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote, "en", "s"), (2, article, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    cont = ngram_containment_pairs(
+        docs, ["lang", "source"], k=3, threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_a == 1.0 and r.cont_b < 0.1
+    # symmetric Jaccard on the same pair is tiny — below a 10% floor
+    jac = ngram_jaccard_pairs(
+        docs, ["lang", "source"], k=3, threshold=0.1
+    ).collect()
+    assert jac == []
