@@ -1638,3 +1638,108 @@ def t33_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         docs, ["lang", "source"], k=3, threshold=0.08
     )
+
+
+# --------------------------------------------------------------------------
+# t34 — curation audit: each dedup stage's independent yield on the corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t34_curation_audit",
+    oracle=f"""
+    WITH RECURSIVE {_o_t7_ctes(16, 4, 0.3)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    tok AS (SELECT doc_id, len({_O_RAW_TOKS}) AS nt FROM documents),
+    exact_keep AS (
+      SELECT doc_id FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_O_NORM})
+                                 ORDER BY doc_id) = 1),
+    ct AS (SELECT doc_id, {_O_RAW_TOKS} AS t FROM documents),
+    st2 AS (
+      SELECT doc_id, t,
+             UNNEST(range(0, greatest(len(t) - 1, 0) + 1, {_T28_CHUNK})) AS s
+      FROM ct),
+    fl2 AS (
+      SELECT doc_id,
+             len(t[s + 1 : s + {_T28_CHUNK}]) AS n_ct,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(t[s + 1 : s + {_T28_CHUNK}],
+                                                ' '))
+               ORDER BY doc_id, s) AS rn
+      FROM st2),
+    chunk_stage AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN rn = 1 THEN n_ct ELSE 0 END) AS BIGINT)
+               AS nt,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept
+      FROM fl2 GROUP BY doc_id),
+    canon AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN cc ON d.doc_id = cc.node
+      WHERE COALESCE(cc.cluster_id, d.doc_id) = d.doc_id)
+    SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM tok
+    UNION ALL
+    SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nt) AS BIGINT)
+    FROM exact_keep JOIN tok USING (doc_id)
+    UNION ALL
+    SELECT '2_chunk_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nt) AS BIGINT)
+    FROM chunk_stage WHERE kept > 0
+    UNION ALL
+    SELECT '3_neardup_canonical', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nt) AS BIGINT)
+    FROM canon JOIN tok USING (doc_id)
+    """,
+)
+def t34_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation audit table: each dedup stage's INDEPENDENT
+    yield against the raw corpus — surviving doc and token counts for
+    exact dedup (t3), sub-document chunk dedup (t28), and near-dup
+    canonicalization (t13) in one result — the dashboard row a data
+    team reads before choosing which stages to run and in what order.
+    Every stage reuses its already-oracled operator; the oracle
+    composes the same verified CTE chains, so four pipelines'
+    numbers must land exactly in one query."""
+    from ..operators.dedup_fuzzy import exact_dedup, minhash_lsh_pairs
+    from ..operators.graph import resolve_canonical
+    from ..operators.text import dedup_chunks, whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(whitespace_tokens("text")).cast("long")
+    tok = docs.select("doc_id", nt.alias("nt"))
+
+    def stage(name, df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    raw = stage("0_raw", tok)
+    exact = stage(
+        "1_exact_dedup",
+        exact_dedup(docs).select("doc_id").join(tok, "doc_id"),
+    )
+    chunk = dedup_chunks(docs, chunk_tokens=30).where(F.col("n_kept") > 0)
+    chunk_tok = chunk.select(
+        F.when(F.length("dedup_text") == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(whitespace_tokens("dedup_text")).cast("long"))
+        .alias("nt")
+    )
+    chunks = stage("2_chunk_dedup", chunk_tok)
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    canon = stage(
+        "3_neardup_canonical",
+        resolve_canonical(docs, pairs).select("doc_id").join(tok, "doc_id"),
+    )
+    return raw.unionByName(exact).unionByName(chunks).unionByName(canon)
