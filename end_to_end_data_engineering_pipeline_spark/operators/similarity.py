@@ -805,33 +805,43 @@ def embedding_neardup_lsh(
     """
     from ..catalog import fan_out
 
+    # narrow-pair shape (the sim3 rule, same rationale as knn_graph):
+    # the bucket self-join moves only (id, sig); the vector arrays
+    # re-attach by id after, shuffling once per corpus row rather
+    # than once per candidate pair
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
         "id", "sv", "n2", lsh_signature("sv", n_planes, dim).alias("sig")
     )
-    a = base.select(
+    sigs = base.select("id", "sig")
+    a = sigs.select(F.col("id").alias("id_a"), "sig")
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    va = base.select(
         F.col("id").alias("id_a"),
         F.col("sv").alias("sv_a"),
         F.col("n2").alias("n2_a"),
-        "sig",
     )
-    b = base.select(
+    vb = base.select(
         F.col("id").alias("id_b"),
         F.col("sv").alias("sv_b"),
         F.col("n2").alias("n2_b"),
-        F.col("sig").alias("sig_b"),
     )
-    pairs = a.join(
-        b, (F.col("sig") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_scaled(
+                dot_scaled(F.col("sv_a"), F.col("sv_b")),
+                F.col("n2_a"),
+                F.col("n2_b"),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        cosine_scaled(
-            dot_scaled(F.col("sv_a"), F.col("sv_b")),
-            F.col("n2_a"),
-            F.col("n2_b"),
-        ).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -924,6 +934,7 @@ def knn_graph(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate kNN graph: (src_id, dst_id, cosine, rk)
     with each vector's top-k neighbors AMONG ITS LSH BUCKET — the
@@ -940,32 +951,54 @@ def knn_graph(
     from more planes/probes, regression-tested on clustered data)."""
     from ..catalog import fan_out
 
+    # NARROW-PAIR shape (the sim3 rule): candidate generation joins
+    # only (id, sig) rows, and the 512-byte vector arrays re-attach by
+    # id AFTER — so the arrays shuffle once per CORPUS row, never once
+    # per candidate pair. Measured at 200k clustered vectors / ~20M
+    # candidates: the wide formulation shuffles ~20 GB of arrays and
+    # took 276 s; this one moves ~100 MB (docs/SCALE.md).
     base = with_scaled(fan_out(emb), id_col, vec_col).select(
         "id", "sv", "n2", lsh_signature("sv", n_planes, dim).alias("sig")
     )
-    a = base.select(
+    sigs = base.select("id", "sig")
+    if max_bucket is not None:
+        # the band-cap analog (dedup_fuzzy.minhash_lsh_pairs): a hot
+        # bucket contributes b^2 candidates; buckets past the cap are
+        # dropped wholesale (their members keep neighbors only via
+        # OTHER probes at higher plane counts) — the bounded-list rule
+        # every IVF/LSH serving system applies. Changes results, so
+        # the oracle query leaves it off; stress pytest pins it.
+        sizes = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("__bs"))
+        sigs = sigs.join(
+            F.broadcast(sizes.where(F.col("__bs") <= max_bucket)), "sig"
+        ).drop("__bs")
+    a = sigs.select(F.col("id").alias("src_id"), "sig")
+    b = sigs.select(F.col("id").alias("dst_id"), F.col("sig").alias("sig_b"))
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sig_b")) & (F.col("src_id") != F.col("dst_id"))
+    ).select("src_id", "dst_id")
+    va = base.select(
         F.col("id").alias("src_id"),
         F.col("sv").alias("sv_a"),
         F.col("n2").alias("n2_a"),
-        "sig",
     )
-    b = base.select(
+    vb = base.select(
         F.col("id").alias("dst_id"),
         F.col("sv").alias("sv_b"),
         F.col("n2").alias("n2_b"),
-        F.col("sig").alias("sig_b"),
     )
-    pairs = a.join(
-        b, (F.col("sig") == F.col("sig_b")) & (F.col("src_id") != F.col("dst_id"))
-    )
-    scored = pairs.select(
-        "src_id",
-        "dst_id",
-        cosine_scaled(
-            dot_scaled(F.col("sv_a"), F.col("sv_b")),
-            F.col("n2_a"),
-            F.col("n2_b"),
-        ).alias("cosine"),
+    scored = (
+        pairs.join(va, "src_id")
+        .join(vb, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            cosine_scaled(
+                dot_scaled(F.col("sv_a"), F.col("sv_b")),
+                F.col("n2_a"),
+                F.col("n2_b"),
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("dst_id")

@@ -369,3 +369,25 @@ def test_knn_graph_neighbors_stay_in_cluster(clustered):
     for rows in by_src.values():
         rks = sorted(r.rk for r in rows)
         assert rks == list(range(1, len(rks) + 1))  # dense top-k ranks
+
+
+def test_knn_graph_bucket_cap_bounds_candidates(clustered):
+    """max_bucket drops mega-buckets wholesale (the IVF bounded-list
+    rule): capped output is a subset of the uncapped graph's edges
+    restricted to surviving buckets, and a cap below every bucket
+    size empties the graph."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    full = knn_graph(clustered, k=3, n_planes=4, dim=DIM).collect()
+    capped = knn_graph(
+        clustered, k=3, n_planes=4, dim=DIM, max_bucket=PER_CLUSTER * 2
+    ).collect()
+    full_edges = {(r.src_id, r.dst_id) for r in full}
+    capped_edges = {(r.src_id, r.dst_id) for r in capped}
+    assert capped_edges <= full_edges
+    none = knn_graph(
+        clustered, k=3, n_planes=4, dim=DIM, max_bucket=1
+    ).collect()
+    assert none == []
