@@ -372,3 +372,67 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .drop("__in_from", "__in_to")
     )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE as a snapshot commit: rewrite the current version's
+    SMALL files (< ``small_file_bytes``) into ~``target_file_bytes``
+    files and publish the result as a new version — large files carry
+    into the new manifest BY REFERENCE, readers of the current version
+    flip atomically at the manifest link, and every prior version
+    (still referencing the small files) stays time-travelable until
+    vacuumed. This is Delta OPTIMIZE re-expressed over the manifest
+    table: streaming appends (one version per micro-batch) accrete
+    files, and scan cost tracks FILE COUNT long before bytes; the
+    maintenance cost here tracks the small-file backlog, never table
+    size. Returns the new version (or the current one unchanged if
+    fewer than two small files exist — nothing to combine).
+
+    Conflict rule: like snapshot_merge, a concurrent commit between
+    the read and the claim raises SnapshotConflict (compaction is
+    cheap to re-run)."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = vs[-1]
+    base_files = list(_manifest(path, base_version)["files"])
+    sizes = {
+        f: os.path.getsize(os.path.join(_data_dir(path), f))
+        for f in base_files
+    }
+    small = [f for f in base_files if sizes[f] < small_file_bytes]
+    if len(small) < 2:
+        return base_version
+    keep = [f for f in base_files if f not in set(small)]
+    small_bytes = sum(sizes[f] for f in small)
+    n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
+    merged = spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in small]
+    ).repartition(n_out)
+    new_names = _stage_files(spark, path, merged)
+    version = base_version + 1
+    manifest = {
+        "version": version,
+        "mode": "compact",
+        "files": keep + new_names,
+    }
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_vers_dir(path), f"v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"version {version} was committed concurrently; re-run "
+            "compaction against the new current version"
+        ) from None
+    os.unlink(tmp)
+    return version

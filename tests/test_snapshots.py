@@ -229,3 +229,46 @@ def test_merge_conflict_raises(spark, tmp_path, monkeypatch):
         )
     # rival manifest untouched
     assert json.load(open(os.path.join(t, "_versions", "v1.json"))) == rival
+
+
+def test_compact_combines_smalls_keeps_bigs_by_reference(spark, tmp_path):
+    """OPTIMIZE-as-commit contract: small files combine into a new
+    version whose content equals the old one byte-for-row; files above
+    the small threshold carry by reference; prior versions still read
+    the uncompacted layout until vacuumed; an already-compact table is
+    a no-op returning the current version."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "t")
+    # 4 append versions -> many tiny files
+    for i in range(4):
+        snapshot_write(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i}_{j}") for j in range(5)],
+                "k long, v string",
+            ),
+        )
+    before = set(_manifest(t, 3)["files"])
+    assert len(before) >= 4
+    rows_before = _collect(spark, t)
+
+    v = snapshot_compact(spark, t, small_file_bytes=1 << 20)
+    assert v == 4
+    after = _manifest(t, 4)["files"]
+    assert len(after) == 1  # everything was small -> one output file
+    assert _collect(spark, t) == rows_before  # content identical
+    assert _collect(spark, t, 3) == rows_before  # history intact
+    # idempotence: nothing left to combine
+    assert snapshot_compact(spark, t, small_file_bytes=1 << 20) == 4
+
+    # big-file carve-out: with the threshold at 0 every file is "big"
+    t2 = str(tmp_path / "t2")
+    snapshot_write(
+        spark, t2, spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    assert snapshot_compact(spark, t2, small_file_bytes=0) == 0
