@@ -1113,3 +1113,76 @@ def q84_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_custs"),
         F.round(F.sum("price"), 4).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "q85_rolling_anomaly_bands",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    f AS (
+      SELECT o_orderstatus, o_orderkey, cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT o_orderstatus, o_orderkey,
+           cents / 100.0 AS price,
+           ((s1 * 100 * 2 + n) // (2 * n)) / 10000.0 AS roll_mean,
+           CAST(CASE WHEN (n * cents - s1) * (n * cents - s1)
+                          > 4 * (n * s2 - s1 * s1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM f
+    """,
+)
+def q85_rolling_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly bands (Bollinger shape): each order flagged
+    when its price leaves the trailing-10 window's mean +/- 2 sigma.
+    The flag is decided ENTIRELY in integer cents —
+    ``(n*x - s1)^2 > 4*(n*s2 - s1^2)`` is the 2-sigma test cleared of
+    every division — so no engine can disagree at the boundary, the
+    classic failure of float rolling statistics; the rolling mean is
+    likewise integer-rounded to ten-thousandths before its single
+    /1e4 float epilogue (the e18 rule — a float-domain ROUND diverges
+    across engines on exact-half quotients) (q65's exact-moments
+    discipline applied per frame). One window shuffle; power sums are
+    linear aggregates over the frame, O(1) per row via Spark's
+    sliding-frame accumulation (unlike q83's O(frame) exact
+    percentile)."""
+    from pyspark.sql import Window
+
+    from ..functions import dec2
+
+    o = load(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    f = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(cents).over(w).cast("long").alias("s1"),
+        F.sum(cents * cents).over(w).cast("long").alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return f.select(
+        "o_orderstatus",
+        "o_orderkey",
+        (F.col("cents") / 100.0).alias("price"),
+        F.expr(
+            "((s1 * 100 * 2 + n) DIV (2 * n)) / CAST(10000 AS DOUBLE)"
+        ).alias(
+            "roll_mean"
+        ),
+        (dev * dev > var4).cast("long").alias("is_outlier"),
+    )
