@@ -272,3 +272,26 @@ def test_compact_combines_smalls_keeps_bigs_by_reference(spark, tmp_path):
         spark, t2, spark.createDataFrame([(1, "a")], "k long, v string")
     )
     assert snapshot_compact(spark, t2, small_file_bytes=0) == 0
+
+
+def test_compact_mid_stream_appends_continue(spark, tmp_path):
+    """Interplay of the streaming sink and OPTIMIZE: appends accrete
+    versions, a compaction commits between them, and later appends
+    chain onto the compacted manifest — content is always the union
+    of everything appended, and the compacted version's files carry
+    forward by reference."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    snapshot_write(spark, t, _rows(spark, [(2, "b")]))
+    v = snapshot_compact(spark, t, small_file_bytes=1 << 20)
+    assert v == 2
+    snapshot_write(spark, t, _rows(spark, [(3, "c")]))
+    assert _collect(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+    # the append chained onto the compacted file set
+    assert set(_manifest(t, 2)["files"]) <= set(_manifest(t, 3)["files"])
+    assert len(_manifest(t, 2)["files"]) == 1
