@@ -74,8 +74,11 @@ HEADLINE: list[str] = [
     "t21_pii_redaction",
     "t23_hashed_embedding_neardup",
     "t28_chunk_dedup_corpus",
+    "t33_containment_pairs",
+    "t34_curation_audit",
     "e18_linear_interpolation",
     "q65_exact_moments",
+    "q85_rolling_anomaly_bands",
     "sim1_cosine_topk_bruteforce",
     "sim2_cosine_topk_lsh",
     "sim4_cosine_topk_ivf",
