@@ -935,6 +935,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Corpus-wide approximate kNN graph: (src_id, dst_id, cosine, rk)
     with each vector's top-k neighbors AMONG ITS LSH BUCKET — the
@@ -972,7 +973,21 @@ def knn_graph(
         sigs = sigs.join(
             F.broadcast(sizes.where(F.col("__bs") <= max_bucket)), "sig"
         ).drop("__bs")
-    a = sigs.select(F.col("id").alias("src_id"), "sig")
+    if multi_probe:
+        # hamming-1 probing (the cosine_topk_lsh dial applied
+        # graph-wide): each node also probes the n_planes buckets one
+        # bit away, so sparse-bucket nodes recover neighbors at
+        # (1 + n_planes)x candidate cost; every probe value is
+        # distinct, so a pair can match at most once — no dedup pass
+        probes = F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        a = sigs.select(
+            F.col("id").alias("src_id"), F.explode(probes).alias("sig")
+        )
+    else:
+        a = sigs.select(F.col("id").alias("src_id"), "sig")
     b = sigs.select(F.col("id").alias("dst_id"), F.col("sig").alias("sig_b"))
     pairs = a.join(
         b, (F.col("sig") == F.col("sig_b")) & (F.col("src_id") != F.col("dst_id"))

@@ -926,7 +926,11 @@ def e18_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.expr(
         "(CAST(sign(pc * (nh - h) + nc * (h - ph)) AS BIGINT)"
         " * ((abs(pc * (nh - h) + nc * (h - ph)) * 2 + (nh - ph))"
-        " DIV (2 * (nh - ph)))) / 10000.0"
+        # explicit double divisor: a bare 10000.0 literal parses as
+        # DECIMAL inside expr (q85 lesson) — here when/otherwise
+        # unification with the double branch masked it, but the type
+        # should not depend on coercion
+        " DIV (2 * (nh - ph)))) / CAST(10000 AS DOUBLE)"
     )
     return f.select(
         "user_id",

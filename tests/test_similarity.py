@@ -391,3 +391,30 @@ def test_knn_graph_bucket_cap_bounds_candidates(clustered):
         clustered, k=3, n_planes=4, dim=DIM, max_bucket=1
     ).collect()
     assert none == []
+
+
+def test_knn_graph_multi_probe_dominates_single(clustered):
+    """Hamming-1 probing graph-wide: every node reached by the single-
+    probe graph is still reached, per-node neighbor quality does not
+    drop (same-cluster edge rate >= single-probe), and nodes isolated
+    in sparse buckets can only GAIN neighbors."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    single = knn_graph(clustered, k=3, n_planes=4, dim=DIM).collect()
+    multi = knn_graph(
+        clustered, k=3, n_planes=4, dim=DIM, multi_probe=True
+    ).collect()
+    nodes_s = {r.src_id for r in single}
+    nodes_m = {r.src_id for r in multi}
+    assert nodes_s <= nodes_m
+
+    def cluster_rate(rows):
+        same = sum(
+            1 for r in rows if r.src_id // PER_CLUSTER == r.dst_id // PER_CLUSTER
+        )
+        return same / len(rows)
+
+    assert cluster_rate(multi) >= cluster_rate(single) - 0.05
+    assert len(multi) >= len(single)
