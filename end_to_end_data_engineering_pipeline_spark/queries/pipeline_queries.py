@@ -659,3 +659,61 @@ def p11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p12_zorder_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_partkey AS BIGINT)) AS BIGINT) AS sum_part,
+           CAST(SUM(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS sum_supp
+    FROM lineitem WHERE l_shipdate >= '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def p12_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered write preserves data exactly
+    (operators/maintenance.py zorder_write — the Delta OPTIMIZE ...
+    ZORDER BY analog): a lineitem slice is rewritten clustered on
+    (l_partkey, l_suppkey) and re-aggregated, and the result must
+    equal the oracle over the ORIGINAL rows — the layout rewrite is
+    content-neutral while each output file covers a compact rectangle
+    in key space (per-file bbox areas pinned separately in
+    tests/test_maintenance.py). Layout is the ONLY thing that
+    changed, which is exactly what a clustering pass must guarantee
+    before anyone trusts its pruning."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.maintenance import zorder_write
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01")
+    ).select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_partkey", "l_suppkey",
+    )
+    tmp = tempfile.mkdtemp(prefix="p12_zorder_")
+    path = tmp + "/t"
+    try:
+        zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                dsum_expr(dec2("l_extendedprice"), "sum_price"),
+                F.sum(F.col("l_partkey").cast("bigint")).alias("sum_part"),
+                F.sum(F.col("l_suppkey").cast("bigint")).alias("sum_supp"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

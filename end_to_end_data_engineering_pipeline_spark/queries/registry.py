@@ -68,9 +68,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # stay put — they have not been driver-validated yet.
 # Round-7 rotation candidates (pytest + sf0.01/0.1 hash evidence, no
 # driver validation yet): e17, e19, e21, m3, p8, p9, p10, p11, q81,
-# q82, q83, q84, q85, t22, t23, t24, t25, t26, t29, t30, t31, t33,
-# t34, sim10, sim12, sim13 — plus re-admitting any entries displaced
-# this round.
+# p12, q82, q83, q84, q85, t22, t23, t24, t25, t26, t29, t30, t31,
+# t33, t34, sim10, sim12, sim13 — plus re-admitting any entries
+# displaced this round.
 # Late round-6 additions rotation: t28 (chunk dedup), sim11 (SQ8 ANN),
 # e18 (linear interpolation) enter the prefix so they earn driver
 # validation this round, displacing three r5-driver-green entries
