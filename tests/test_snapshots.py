@@ -295,3 +295,60 @@ def test_compact_mid_stream_appends_continue(spark, tmp_path):
     # the append chained onto the compacted file set
     assert set(_manifest(t, 2)["files"]) <= set(_manifest(t, 3)["files"])
     assert len(_manifest(t, 2)["files"]) == 1
+
+
+def test_merge_then_compact_then_diff_composition(spark, tmp_path):
+    """Lifecycle composition: CoW merge -> OPTIMIZE -> diff. The diff
+    across the compaction boundary must be EMPTY (compaction is
+    layout-only), and the diff from pre-merge to post-compaction must
+    equal the diff to pre-compaction (same logical content)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_diff,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a"), (2, "b")]))
+    snapshot_merge(
+        spark,
+        t,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        keys=["k"],
+    )  # v1
+    v = snapshot_compact(spark, t, small_file_bytes=1 << 20)  # v2
+    assert v == 2
+    # layout-only commit: logically nothing changed
+    assert snapshot_diff(spark, t, ["k"], 1, 2).collect() == []
+    d02 = sorted(
+        (r.k, r.change)
+        for r in snapshot_diff(spark, t, ["k"], 0, 2).collect()
+    )
+    d01 = sorted(
+        (r.k, r.change)
+        for r in snapshot_diff(spark, t, ["k"], 0, 1).collect()
+    )
+    assert d02 == d01 == [(2, "changed"), (3, "added")]
+
+
+def test_merge_after_vacuum_of_ancestors(spark, tmp_path):
+    """Vacuuming history must not disturb the live version's merge
+    path: after dropping ancestors, a CoW merge still reads the
+    current manifest's files and commits the next version."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    snapshot_write(spark, t, _rows(spark, [(2, "b")]), mode="overwrite")
+    vacuum(t, keep_last=1)
+    assert list_versions(t) == [1]
+    v = snapshot_merge(
+        spark,
+        t,
+        spark.createDataFrame([(2, "B")], "k long, v string"),
+        keys=["k"],
+    )
+    assert v == 2
+    assert _collect(spark, t) == [(2, "B")]
