@@ -102,3 +102,25 @@ def test_bare_driver_session_loads_and_gate_prefix():
     )
     failures = json.loads(line[len(marker):])
     assert failures == {}, json.dumps(failures, indent=2)
+
+
+def test_gate_prefix_is_exactly_fifty_valid_names():
+    """The driver's correctness gate records exactly the FIRST 50
+    entries of queries() (round-1 evidence, queries/registry.py).
+    The curated prefix must therefore be exactly 50 names, every one
+    registered, unique, and oracled — a silent typo here would waste
+    a gate slot on a name the driver can't resolve."""
+    from end_to_end_data_engineering_pipeline_spark.queries import registry
+
+    pr = registry._PRIORITY
+    qs = registry.all_queries()
+    os_ = registry.all_oracles()
+    assert len(pr) == 50
+    assert len(set(pr)) == 50
+    missing = [n for n in pr if n not in qs]
+    assert missing == []
+    unoracled = [n for n in pr if n not in os_]
+    assert unoracled == []
+    # and the curation actually works: the first 50 of queries() ARE
+    # the prefix, in order
+    assert list(qs)[:50] == pr
