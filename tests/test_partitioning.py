@@ -299,3 +299,33 @@ def test_apply_changes_deletes_hive_escaped_partitions(spark, tmp_path):
         for d in os.listdir(path)
         if d.startswith("bucket=")
     )
+
+
+def test_salted_join_null_keys_and_null_scatter(spark):
+    """Null semantics under salting: NULL join keys never match (same
+    as the plain equi-join it must be equivalent to), and a NULL in
+    the scatter column still lands in a valid salt bucket (xxhash64 of
+    NULL is defined) so the row is not silently dropped when its KEY
+    is valid."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (2, None)], "k int, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (None, "none")], "k int, name string"
+    )
+    got = sorted(
+        (r.k, r.payload, r.name)
+        for r in salted_join(big, small, "k", salt_buckets=4).collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.name)
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want
+    assert got == [(1, "x", "one"), (2, None, "two")]
