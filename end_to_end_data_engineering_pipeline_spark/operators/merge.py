@@ -617,9 +617,12 @@ def apply_agg_delta(
     appear, emptied groups drop when their count reaches zero),
     coalesced addition elsewhere. At 100 TB the maintained aggregate
     is GROUP-cardinality rows and the batch delta is smaller still —
-    the whole maintenance cost is one tiny join, vs re-scanning the
-    fact table the aggregate summarizes."""
-    joined = agg.join(F.broadcast(delta), group_cols, "full_outer")
+    the whole maintenance cost is one group-cardinality join, vs
+    re-scanning the fact table the aggregate summarizes. Spark cannot
+    broadcast a full-outer join (both sides can produce unmatched
+    rows), so this runs as a sort-merge join over group-cardinality
+    inputs — still tiny relative to the fact scan it replaces."""
+    joined = agg.join(delta, group_cols, "full_outer")
     new_count = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
         F.col("d_count"), F.lit(0)
     )

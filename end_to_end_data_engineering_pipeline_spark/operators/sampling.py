@@ -157,9 +157,35 @@ def pps_sample(
     size = (size_col if isinstance(size_col, Column) else F.col(size_col)).cast(
         "long"
     )
+    # Enforce the int64 bounds the predicate's docstring states: past
+    # them the non-ANSI multiply wraps SILENTLY and the sample is wrong
+    # with no error. assert_true raises at scan time on the first
+    # violating row — one extra codegen'd comparison, no extra pass.
+    bound = F.lit(1 << 31).cast("long")
     total = df.agg(F.sum(size).cast("long").alias("__total"))
+    total = total.select(
+        F.when(
+            F.col("__total") < bound, F.col("__total")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "pps_sample: total_size >= 2^31 overflows the int64 "
+                    "decision product; pre-scale size_col (e.g. size//1024)"
+                )
+            ).cast("long")
+        ).alias("__total")
+    )
     h = sample_key(*key_cols)
-    keep = (h * F.col("__total")) < (
-        F.lit(int(expected_k)) * size * F.lit(1 << 32)
+    keep = F.when(
+        F.lit(int(expected_k)) * size >= bound,
+        F.raise_error(
+            F.lit(
+                "pps_sample: expected_k*size >= 2^31 overflows the int64 "
+                "decision product; pre-scale size_col (e.g. size//1024)"
+            )
+        ).isNotNull(),
+    ).otherwise(
+        (h * F.col("__total"))
+        < (F.lit(int(expected_k)) * size * F.lit(1 << 32))
     )
     return df.crossJoin(F.broadcast(total)).where(keep).drop("__total")

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -288,7 +289,9 @@ def snapshot_history(path: str) -> list[dict]:
     ]
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_last: int = 1, retention_seconds: float = 86400.0
+) -> list[str]:
     """Drop all but the newest ``keep_last`` versions and delete every
     data file no retained manifest references — including orphans from
     crashed commits (staged files whose manifest never landed). Returns
@@ -297,9 +300,22 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     DataFrame over a RETAINED version is unaffected; vacuuming a
     version a reader is actively scanning is the same read-under-
     delete hazard as any table format — retention policy is the
-    defense, exactly as in Delta's VACUUM."""
+    defense, exactly as in Delta's VACUUM.
+
+    ``retention_seconds`` is that policy for CONCURRENT WRITERS: an
+    in-flight snapshot_write/merge moves files into data/ and writes
+    its temp manifest BEFORE the manifest link lands, so a racing
+    vacuum that deleted everything unreferenced would delete the
+    commit's files and corrupt the version it is about to publish.
+    Anything (data file, stage dir, temp manifest) whose mtime is
+    within the retention window is therefore SKIPPED — exactly Delta's
+    ``retentionHours`` defense. The 24h default means a writer stalled
+    for a full day can still lose its race; pass ``0.0`` only when you
+    can guarantee exclusive access (as the tests, which own their
+    tmpdir, do)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff = time.time() - retention_seconds
     vs = list_versions(path)
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     live: set[str] = set()
@@ -309,19 +325,23 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     d = _data_dir(path)
     if os.path.isdir(d):
         for f in sorted(os.listdir(d)):
-            if f not in live:
-                os.remove(os.path.join(d, f))
+            p = os.path.join(d, f)
+            if f not in live and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
                 deleted.append(f)
     for v in drop:
         os.remove(os.path.join(_vers_dir(path), f"v{v}.json"))
-    # sweep crashed commit leftovers: stage dirs and temp manifests
+    # sweep crashed commit leftovers: stage dirs and temp manifests —
+    # same retention guard (a FRESH stage dir is a commit in flight)
     for n in os.listdir(path):
-        if n.startswith(".__snap_stage_"):
-            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+        p = os.path.join(path, n)
+        if n.startswith(".__snap_stage_") and os.path.getmtime(p) <= cutoff:
+            shutil.rmtree(p, ignore_errors=True)
     vd = _vers_dir(path)
     for n in os.listdir(vd):
-        if n.startswith(".v"):
-            os.remove(os.path.join(vd, n))
+        p = os.path.join(vd, n)
+        if n.startswith(".v") and os.path.getmtime(p) <= cutoff:
+            os.remove(p)
     return deleted
 
 

@@ -1730,7 +1730,9 @@ def t34_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1_exact_dedup",
         exact_dedup(docs).select("doc_id").join(tok, "doc_id"),
     )
-    chunk = dedup_chunks(docs, chunk_tokens=30).where(F.col("n_kept") > 0)
+    chunk = dedup_chunks(docs, chunk_tokens=_T28_CHUNK).where(
+        F.col("n_kept") > 0
+    )
     chunk_tok = chunk.select(
         F.when(F.length("dedup_text") == 0, F.lit(0).cast("long"))
         .otherwise(F.size(whitespace_tokens("dedup_text")).cast("long"))

@@ -124,3 +124,25 @@ def test_gate_prefix_is_exactly_fifty_valid_names():
     # and the curation actually works: the first 50 of queries() ARE
     # the prefix, in order
     assert list(qs)[:50] == pr
+
+
+def test_rotation_policy_maximizes_min_freshness():
+    """The 50-slot gate prefix is the only driver-validation channel
+    (registry.py rotation policy): a never-driver-validated oracled
+    query must never wait outside the prefix while a slot is spent on
+    an already-validated one. Either every never-validated oracled
+    query is in the prefix, or the prefix is made entirely of
+    never-validated queries (more candidates than slots, as in r7)."""
+    from end_to_end_data_engineering_pipeline_spark.queries import registry
+
+    pr = set(registry._PRIORITY)
+    oracled = set(registry.all_oracles())
+    never = {q for q in oracled if q not in registry.VALIDATED_ROUND}
+    assert never <= pr or pr <= never, (
+        f"validated queries occupy slots while never-validated wait: "
+        f"waiting={sorted(never - pr)} "
+        f"slot-holders={sorted(q for q in pr if q not in never)}"
+    )
+    # the ledger only names registered queries (no typos / stale keys)
+    unknown = [q for q in registry.VALIDATED_ROUND if q not in registry.all_queries()]
+    assert unknown == []

@@ -107,3 +107,34 @@ def test_pps_sample_weights_by_size(spark):
     for d in out1:
         h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
         assert h * total < 10 * sizes[d] * (1 << 32)
+
+
+def test_pps_sample_overflow_bounds_raise(spark):
+    """ADVICE r6: the int64 bounds (total_size < 2^31, expected_k*size
+    < 2^31) were documented but unenforced — past them the non-ANSI
+    multiply wraps silently and the sample is wrong with no error.
+    Both violations must now raise at execution time."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    big_total = spark.createDataFrame(
+        [(i, 1 << 30) for i in range(4)], "id int, sz long"
+    )
+    with pytest.raises(SparkRuntimeException, match="total_size"):
+        pps_sample(big_total, 2, "sz", "id").collect()
+
+    big_product = spark.createDataFrame(
+        [(1, (1 << 31) // 100), (2, 10)], "id int, sz long"
+    )
+    with pytest.raises(SparkRuntimeException, match="expected_k"):
+        pps_sample(big_product, 200, "sz", "id").collect()
+
+    # sane inputs still sample (guard adds no false trips)
+    ok = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1000)], "id int, sz long"
+    )
+    n = pps_sample(ok, 100, "sz", "id").count()
+    assert 50 <= n <= 160

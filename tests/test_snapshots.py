@@ -69,7 +69,7 @@ def test_orphan_files_invisible_until_vacuum(spark, tmp_path):
         dst.write(body)
     os.makedirs(os.path.join(t, ".__snap_stage_dead"), exist_ok=True)
     assert _collect(spark, t) == [(1, "a")]  # orphan not read
-    deleted = vacuum(t, keep_last=1)
+    deleted = vacuum(t, keep_last=1, retention_seconds=0.0)
     assert "deadbeef-00000.parquet" in deleted
     assert not os.path.exists(os.path.join(t, ".__snap_stage_dead"))
     assert _collect(spark, t) == [(1, "a")]  # committed data intact
@@ -85,7 +85,7 @@ def test_vacuum_drops_old_versions_keeps_retained(spark, tmp_path):
     )
 
     dead = set(_manifest(t, 1)["files"])  # v1 ⊇ v0; v2 overwrote both
-    deleted = vacuum(t, keep_last=1)
+    deleted = vacuum(t, keep_last=1, retention_seconds=0.0)
     # v0/v1's files are dead (v2 overwrote); their manifests are gone
     assert set(deleted) == dead and dead
     assert list_versions(t) == [2]
@@ -100,7 +100,7 @@ def test_append_after_vacuum_and_shared_files(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_write(spark, t, _rows(spark, [(1, "a")]))
     snapshot_write(spark, t, _rows(spark, [(2, "b")]))
-    deleted = vacuum(t, keep_last=1)  # v1 references v0's files too
+    deleted = vacuum(t, keep_last=1, retention_seconds=0.0)  # v1 references v0's files too
     assert deleted == []
     assert _collect(spark, t) == [(1, "a"), (2, "b")]
     snapshot_write(spark, t, _rows(spark, [(3, "c")]))
@@ -342,7 +342,7 @@ def test_merge_after_vacuum_of_ancestors(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_write(spark, t, _rows(spark, [(1, "a")]))
     snapshot_write(spark, t, _rows(spark, [(2, "b")]), mode="overwrite")
-    vacuum(t, keep_last=1)
+    vacuum(t, keep_last=1, retention_seconds=0.0)
     assert list_versions(t) == [1]
     v = snapshot_merge(
         spark,
@@ -352,3 +352,37 @@ def test_merge_after_vacuum_of_ancestors(spark, tmp_path):
     )
     assert v == 2
     assert _collect(spark, t) == [(2, "B")]
+
+
+def test_vacuum_retention_window_protects_inflight_commit(spark, tmp_path):
+    """ADVICE r6 (medium): a concurrent snapshot_write moves files into
+    data/ and writes its temp manifest BEFORE the manifest link, so a
+    racing vacuum with no age threshold would delete them and corrupt
+    the commit. The retention window (default 24h) must skip anything
+    fresh: unreferenced-but-new data files, stage dirs, temp manifests
+    all survive; old-version manifests still drop (metadata only)."""
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    # simulate an in-flight commit mid-protocol: moved data file + temp
+    # manifest + stage dir, all with fresh mtimes
+    inflight = os.path.join(t, "data", "cafef00d-00000.parquet")
+    committed = sorted(os.listdir(os.path.join(t, "data")))[0]
+    with open(os.path.join(t, "data", committed), "rb") as src:
+        body = src.read()
+    with open(inflight, "wb") as dst:
+        dst.write(body)
+    os.makedirs(os.path.join(t, ".__snap_stage_cafe"), exist_ok=True)
+    tmp_manifest = os.path.join(t, "_versions", ".v1.json.cafe")
+    with open(tmp_manifest, "w") as fh:
+        fh.write("{}")
+    deleted = vacuum(t, keep_last=1)  # default retention
+    assert deleted == []
+    assert os.path.exists(inflight)
+    assert os.path.exists(os.path.join(t, ".__snap_stage_cafe"))
+    assert os.path.exists(tmp_manifest)
+    # with retention waived (exclusive access), everything is reclaimed
+    deleted = vacuum(t, keep_last=1, retention_seconds=0.0)
+    assert deleted == ["cafef00d-00000.parquet"]
+    assert not os.path.exists(os.path.join(t, ".__snap_stage_cafe"))
+    assert not os.path.exists(tmp_manifest)
+    assert _collect(spark, t) == [(1, "a")]
