@@ -386,3 +386,4 @@ def expire_partitions(
             shutil.rmtree(full, ignore_errors=True)
             removed.append(value)
     return removed
+

@@ -230,3 +230,43 @@ def reassemble_media(chunks: DataFrame) -> DataFrame:
             ).alias("content"),
         )
     )
+
+
+class CodecsUnavailableError(NotImplementedError):
+    """Raised by :func:`decode_media` when real media codecs are not
+    installed. Exists so nobody mistakes the deterministic
+    ``_decode_stub`` plumbing fake for an actual decoder (r6 verdict
+    #7): every feature column the stub feeds is prefixed ``fake_`` and
+    the real-decode entry point below fails LOUDLY instead of quietly
+    serving hash-derived dimensions."""
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode entry point: binary content -> decoded frame/sample
+    features. Requires actual codec libraries (PIL for images, soundfile
+    or torchaudio for audio, av/ffmpeg for video), which this container
+    does not ship — so this raises :class:`CodecsUnavailableError`
+    unless one is importable. The Spark-side plumbing a real decoder
+    needs (binary column handling, Arrow batch shape, typed metadata
+    schema, decode-skip on null) is implemented and tested via
+    :func:`extract_features` over ``_decode_stub``; swapping the stub
+    for a real per-batch decoder is the ONLY change required once
+    codecs exist."""
+    for mod in ("PIL", "soundfile", "torchaudio", "av"):
+        try:
+            __import__(mod)
+            break
+        except ImportError:
+            continue
+    else:
+        raise CodecsUnavailableError(
+            "decode_media needs a real codec library (PIL / soundfile / "
+            "torchaudio / av); none is installed in this environment. "
+            "extract_features provides the tested Spark plumbing over a "
+            "deterministic stub (columns are named fake_* for a reason) "
+            "— do NOT treat its output as decoded media."
+        )
+    raise CodecsUnavailableError(
+        "a codec library is importable but no real decoder is wired yet; "
+        "implement the per-batch decode in place of _decode_stub"
+    )

@@ -32,17 +32,27 @@ def write_bucketed(
     table_name: str,
     keys: Sequence[str],
     n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed+sorted managed table (hash(key) -> bucket
-    file). Both sides of a later equi-join on ``keys`` with the same
-    bucket count satisfy the join's required distribution from disk."""
-    (
+    """Persist as a bucketed+sorted table (hash(key) -> bucket file).
+    Both sides of a later equi-join on ``keys`` with the same bucket
+    count satisfy the join's required distribution from disk. With
+    ``path`` the table is EXTERNAL (data at ``path``, only metadata in
+    the catalog) — the 100 TB shape, where data lives on object
+    storage and outlives any one metastore entry; without it, managed
+    (lands in spark.sql.warehouse.dir). Read back via
+    ``spark.table`` — a plain parquet read of ``path`` would not know
+    the bucketing (the layout contract lives in the catalog, exactly
+    as Hive/Iceberg bucket transforms do)."""
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *keys)
         .sortBy(*keys)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def bucketed_join(

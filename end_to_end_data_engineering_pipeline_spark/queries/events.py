@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from .benchmeta import fixture_phase
 from .registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -644,7 +645,8 @@ def e15_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="e15_cdc_")
     target = tmp + "/state"
     try:
-        apply_changes(spark, target, inserts, ["o_orderkey"], "seq")
+        with fixture_phase():  # seed state; operator = the U+D merge
+            apply_changes(spark, target, inserts, ["o_orderkey"], "seq")
         apply_changes(
             spark, target, updates.unionByName(deletes), ["o_orderkey"], "seq"
         )
@@ -807,7 +809,8 @@ def e17_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="e17_scd2_")
     target = tmp + "/hist"
     try:
-        scd2_apply(spark, target, b1, ["o_orderkey"])
+        with fixture_phase():  # seed history; operator = batch-2 apply
+            scd2_apply(spark, target, b1, ["o_orderkey"])
         scd2_apply(spark, target, b2, ["o_orderkey"])
         hist = spark.read.parquet(target)
         out = hist.groupBy("o_orderstatus").agg(

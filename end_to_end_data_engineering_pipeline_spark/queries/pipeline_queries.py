@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load, register_views
 from ..functions import iso_dow
+from .benchmeta import fixture_phase
 from .registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -262,7 +263,8 @@ def p5_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         # incremental: recompute complete months from the watermark on
         return monthly(o.where(F.col("o_orderdate") >= F.lit("1997-01-01")))
 
-    runner.run(spark)
+    with fixture_phase():  # backfill; operator = incremental run
+        runner.run(spark)
     phase["n"] = 2
     out = runner.run(spark)
     return out["gold_monthly_revenue"].select("month", "n_orders", "sum_price")
@@ -304,10 +306,13 @@ def p6_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="p6_compact_")
     path = tmp + "/t"
     try:
-        for i in range(4):  # fragment: 4 appends x 4 tasks per partition
-            li.where((F.col("l_orderkey") % 4) == i).repartition(4).write.mode(
-                "append"
-            ).partitionBy("l_returnflag").parquet(path)
+        with fixture_phase():  # fragment; operator = the compaction
+            for i in range(4):  # 4 appends x 4 tasks per partition
+                li.where((F.col("l_orderkey") % 4) == i).repartition(
+                    4
+                ).write.mode("append").partitionBy("l_returnflag").parquet(
+                    path
+                )
         compact_partitions(spark, path, target_file_bytes=1 << 30)
         out = (
             spark.read.parquet(path)
@@ -357,7 +362,8 @@ def p7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed = o.where(F.col("o_orderdate") < F.lit("1997-01-01")).select(
             "o_orderkey", "o_custkey"
         )
-        merge_upsert(spark, path, seed, ["o_orderkey"])
+        with fixture_phase():  # seed; operator = evolution merge
+            merge_upsert(spark, path, seed, ["o_orderkey"])
         evolved = o.where(F.col("o_orderdate") >= F.lit("1996-07-01")).select(
             "o_orderkey",
             "o_custkey",
@@ -418,7 +424,8 @@ def p8_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="p8_retention_")
     path = tmp + "/t"
     try:
-        ev.write.mode("overwrite").partitionBy("d").parquet(path)
+        with fixture_phase():  # land the table; operator = the sweep
+            ev.write.mode("overwrite").partitionBy("d").parquet(path)
         removed = expire_partitions(path, "d", cutoff)
         assert removed == sorted(removed)  # audit order contract
         # idempotence: a second sweep with the same cutoff is a no-op
@@ -479,12 +486,17 @@ def p9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="p9_snap_")
     path = tmp + "/t"
     try:
-        snapshot_write(spark, path, o.where(F.col("o_orderkey") % 3 == 0))
-        snapshot_write(spark, path, o.where(F.col("o_orderkey") % 3 == 1))
-        snapshot_write(
-            spark, path, o.where(F.col("o_orderkey") % 7 == 0),
-            mode="overwrite",
-        )
+        with fixture_phase():  # commit 3 versions; operator = reads
+            snapshot_write(
+                spark, path, o.where(F.col("o_orderkey") % 3 == 0)
+            )
+            snapshot_write(
+                spark, path, o.where(F.col("o_orderkey") % 3 == 1)
+            )
+            snapshot_write(
+                spark, path, o.where(F.col("o_orderkey") % 7 == 0),
+                mode="overwrite",
+            )
         parts = [
             snapshot_read(spark, path, version=v)
             .groupBy("o_orderstatus")
@@ -634,7 +646,8 @@ def p11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="p11_diff_")
     path = tmp + "/t"
     try:
-        snapshot_write(spark, path, o)
+        with fixture_phase():  # seed v0; operator = CoW merge + diff
+            snapshot_write(spark, path, o)
         upd = o.where(F.col("o_orderkey") % 7 == 0).select(
             "o_orderkey",
             "o_orderstatus",
@@ -715,5 +728,63 @@ def p12_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "p13_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4)
+                AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def p13_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over a bucketed table pair
+    (operators/maintenance.py write_bucketed) — the named fallback for
+    the 100 TB broadcast cliff (docs/SCALE.md): orders and customer
+    are persisted bucketed on the customer key with the SAME bucket
+    count, so the join's HashPartitioning requirement is satisfied by
+    the SCANS themselves and the sort-merge join runs with ZERO
+    Exchange below it (plan-pinned in tests/test_plans.py). The merge
+    hint forces SMJ so the demonstration doesn't silently degrade to a
+    broadcast at test scale — at 100 TB neither side broadcasts and
+    this IS the plan. The only shuffle in the whole query is the final
+    group-by's. Oracle joins the raw tables directly, proving the
+    bucketed round-trip is content-neutral."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions import dec2, dsum_expr
+    from ..operators.partitioning import write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    token = uuid.uuid4().hex[:8]
+    t_o, t_c = f"p13_orders_{token}", f"p13_customer_{token}"
+    tmp = tempfile.mkdtemp(prefix="p13_bucketed_")
+    try:
+        with fixture_phase():  # one-time layout cost; operator = join
+            write_bucketed(o, t_o, ["o_custkey"], 16, path=tmp + "/o")
+            write_bucketed(c, t_c, ["c_custkey"], 16, path=tmp + "/c")
+        bo, bc = spark.table(t_o), spark.table(t_c)
+        out = (
+            bo.hint("merge")
+            .join(bc, bo["o_custkey"] == bc["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum_expr(dec2("o_totalprice"), "revenue"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -63,7 +63,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # fresh r6 evidence and stay pytest-oracled; the headline bench still
 # runs them every round.
 _PRIORITY: list[str] = [
-    "q68_conditional_distinct",
     "q73_lateral_topn",
     "q75_explode_outer",
     "q77_trailing_time_window",
@@ -113,6 +112,10 @@ _PRIORITY: list[str] = [
     "p10_incremental_agg",
     "p11_snapshot_diff",
     "p12_zorder_roundtrip",
+    # r7 addition: the bucketed shuffle-free join (broadcast-cliff
+    # fallback) — displaced q68_conditional_distinct, whose
+    # conditional-distinct shape is covered by r1-validated q2/q17
+    "p13_bucketed_colocated_join",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

@@ -1,5 +1,7 @@
-"""bench.py regression guard: per-query medians vs the newest prior
-clean BENCH_r{N}.json become a gate, not just a number (r5 verdict #2).
+"""bench.py regression guard: per-query medians vs the BEST prior
+clean BENCH_r{N}.json numbers become a gate, not just a number (r5
+verdict #2; r6 verdict #2 moved the baseline from newest-round to
+best-of-history so ambient drift can't compound under the 1.5x gate).
 No Spark session needed — the guard is pure JSON comparison."""
 
 from __future__ import annotations
@@ -15,11 +17,22 @@ bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(bench)
 
 
-def test_prior_bench_loads_newest_clean_round():
+def test_prior_bench_loads_best_of_history():
     prior = bench._prior_bench(0.1)
-    # the repo carries at least one clean sf0.1 bench (r3/r5); the
-    # loader must find per-query medians in it
+    # the repo carries several clean sf0.1 benches; the loader must
+    # find per-query medians in them
     assert prior and all(isinstance(v, float) for v in prior.values())
+    # best-of-history: each baseline is the MIN across every clean
+    # round, so no single round's number may undercut it
+    import glob
+    import json
+    import os
+
+    for f in glob.glob(os.path.join(_here, "BENCH_r*.json")):
+        d = json.load(open(f))
+        if d.get("rc") == 0 and d.get("sf") == 0.1:
+            for name, t in (d.get("parsed") or {}).get("queries", {}).items():
+                assert prior[name] <= t
 
 
 def test_prior_bench_ignores_other_sf():

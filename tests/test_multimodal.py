@@ -108,3 +108,25 @@ def test_chunk_reassemble_roundtrip(spark):
     got = {r.media_id: r.h for r in back.select(
         "media_id", F.md5("content").alias("h")).collect()}
     assert got == orig
+
+
+def test_decode_media_fails_loudly_without_codecs(spark):
+    """The decode stub must be impossible to mistake for a decoder
+    (r6 verdict #7): the real-decode entry point raises
+    CodecsUnavailableError in this codec-less container, naming the
+    stub and the fake_* columns, instead of silently returning
+    hash-derived dimensions."""
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        CodecsUnavailableError,
+        decode_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"))], "media_id long, kind string, content binary"
+    )
+    with pytest.raises(CodecsUnavailableError):
+        decode_media(df)
+    # and it is a NotImplementedError subtype, so generic guards catch it
+    assert issubclass(CodecsUnavailableError, NotImplementedError)

@@ -16,12 +16,15 @@ from end_to_end_data_engineering_pipeline_spark.queries import all_queries
 QUERIES = all_queries()
 
 
-def _plan(spark, sf_dir, name) -> str:
-    df = QUERIES[name](spark, sf_dir)
+def _plan_df(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return _plan_df(QUERIES[name](spark, sf_dir))
 
 
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
@@ -288,3 +291,44 @@ def test_t28_chunk_dedup_exactly_two_shuffles(spark, sf_dir):
     assert n_exchange == 2, plan
     # partial (ObjectHashAggregate) below the final-agg exchange
     assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_bucketed_pair_joins_with_zero_exchange(spark, sf_dir, tmp_path):
+    """The 100 TB broadcast-cliff fallback (docs/SCALE.md): two tables
+    bucketed on the join key with the same bucket count must
+    sort-merge-join with ZERO Exchange — the bucketed scans themselves
+    satisfy the join's HashPartitioning requirement. This is the plan
+    p13_bucketed_colocated_join demonstrates; pinned here at the join
+    level so a config or writer regression can't silently reintroduce
+    the shuffle."""
+    import uuid
+
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        write_bucketed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    token = uuid.uuid4().hex[:8]
+    t_o, t_c = f"plans_o_{token}", f"plans_c_{token}"
+    try:
+        write_bucketed(o, t_o, ["o_custkey"], 8, path=str(tmp_path / "o"))
+        write_bucketed(c, t_c, ["c_custkey"], 8, path=str(tmp_path / "c"))
+        bo, bc = spark.table(t_o), spark.table(t_c)
+        join = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+        tree = _plan_df(join).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree, tree
+        # the scans really are bucket-aware (not plain parquet reads)
+        assert "Bucketed: true" in _plan_df(join)
+        # and the join result is correct (content-neutral round-trip)
+        assert join.count() == o.join(
+            c, o["o_custkey"] == c["c_custkey"]
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
