@@ -104,6 +104,7 @@ HEADLINE: list[str] = [
     "p9_time_travel",
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
+    "sim14_ivf_partitioned_topk",
 ]
 
 

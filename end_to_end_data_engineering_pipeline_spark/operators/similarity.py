@@ -1023,3 +1023,101 @@ def knn_graph(
         .where(F.col("rk") <= k)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF as TABLE LAYOUT: inverted lists stored as parquet partitions
+# ---------------------------------------------------------------------------
+
+
+def ivf_partitioned_write(
+    emb: DataFrame,
+    centroids: list[list[int]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus PARTITIONED BY its IVF cell — the inverted
+    lists become the table layout (``path/cell=N/``). ``ivf_topk``
+    prunes candidates with a post-scan equi-join, which still READS
+    the whole corpus; at 100 TB the scan itself is the cost, so the
+    index must prune IO, not just compute. With cell as a partition
+    column, a probe's ``cell IN (...)`` filter resolves at PLANNING
+    time (PartitionFilters — directories never listed, files never
+    opened), so a 3-of-16-cell probe reads ~3/16 of the BYTES.
+    This is Iceberg/Hive partition-transform thinking applied to an
+    ANN index: FAISS's inverted lists, expressed as data layout.
+
+    One full-corpus pass: assign (no shuffle beyond the write's own
+    partitionBy fan-out) and write. Re-run to rebuild after centroid
+    retraining, exactly like any index rebuild."""
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col)
+    cells = _assign_cells(base, centroids, nprobe=1).select(
+        F.col("id").alias("__cell_id"), F.col("cid").alias("cell")
+    )
+    out = emb.join(cells, emb[id_col] == F.col("__cell_id")).drop(
+        "__cell_id"
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_partitioned_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over an :func:`ivf_partitioned_write` store: identical
+    results to :func:`ivf_topk` (same centroids/queries/nprobe — the
+    oracle is shared), but the candidate restriction happens at the
+    SCAN via partition pruning instead of a post-scan join.
+
+    The probed cell set (|queries| x nprobe ids, bounded driver
+    metadata like IVF centroids themselves) is collected and inlined
+    as a literal IN-list, so Catalyst turns it into PartitionFilters:
+    unprobed ``cell=N`` directories are never read. Per-query
+    restriction to that query's OWN cells then rides the broadcast
+    (cell, query) join exactly as in ivf_topk."""
+    qbase = with_scaled(queries, id_col, vec_col)
+    q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("cid").alias("cell")
+    )
+    q = (
+        qbase.select(
+            F.col("id").alias("query_id"),
+            F.col("sv").alias("qsv"),
+            F.col("n2").alias("qn2"),
+        )
+        .join(q_cells, "query_id")
+    )
+    q = q.cache()
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    cbase = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col("cell"),
+        scale_vec(F.col(vec_col)).alias("sv"),
+    ).withColumn("n2", norm2_scaled(F.col("sv")))
+    cand = cbase.join(F.broadcast(q), ["cell"]).where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        cosine_scaled(
+            dot_scaled(F.col("qsv"), F.col("sv")), F.col("qn2"), F.col("n2")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    out = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    return out

@@ -64,7 +64,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # runs them every round.
 _PRIORITY: list[str] = [
     "q73_lateral_topn",
-    "q75_explode_outer",
     "q77_trailing_time_window",
     "q80_union_by_name",
     "q81_iqr_outliers",
@@ -112,10 +111,12 @@ _PRIORITY: list[str] = [
     "p10_incremental_agg",
     "p11_snapshot_diff",
     "p12_zorder_roundtrip",
-    # r7 addition: the bucketed shuffle-free join (broadcast-cliff
-    # fallback) — displaced q68_conditional_distinct, whose
-    # conditional-distinct shape is covered by r1-validated q2/q17
+    # r7 additions: the bucketed shuffle-free join (broadcast-cliff
+    # fallback) and the partition-pruned IVF store — displacing
+    # q68_conditional_distinct (shape ~ r1-validated q2/q17) and
+    # q75_explode_outer (shape ~ r1-validated q37 posexplode)
     "p13_bucketed_colocated_join",
+    "sim14_ivf_partitioned_topk",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

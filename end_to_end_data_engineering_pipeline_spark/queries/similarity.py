@@ -21,6 +21,7 @@ from ..operators.similarity import (
     dot_scaled,
     with_scaled,
 )
+from .benchmeta import fixture_phase
 from .registry import query
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -195,9 +196,7 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
     return (path, mtime)
 
 
-@query(
-    "sim4_cosine_topk_ivf",
-    oracle=f"""
+_O_IVF_TOPK = f"""
     WITH {_O_SCALED},
     samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
     comp AS (
@@ -251,7 +250,12 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
                                        ORDER BY cosine DESC, cand_id) AS rk
           FROM scored) t
     WHERE rk <= 10
-    """,
+    """
+
+
+@query(
+    "sim4_cosine_topk_ivf",
+    oracle=_O_IVF_TOPK,
 )
 def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer + nprobe cell
@@ -892,3 +896,48 @@ def sim13_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_lsh(emb, threshold=0.3, n_planes=6)
     return connected_components(pairs)
+
+
+@query(
+    "sim14_ivf_partitioned_topk",
+    oracle=_O_IVF_TOPK,
+)
+def sim14_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF where the inverted lists are the TABLE LAYOUT
+    (operators/similarity.py:ivf_partitioned_write/-_topk): the corpus
+    is persisted partitioned by its IVF cell, and a probe's cell set
+    becomes a literal IN-filter the planner resolves as
+    PartitionFilters — unprobed cell directories are never read, so a
+    3-of-16 probe reads ~3/16 of corpus BYTES (ivf_topk's equi-join
+    prunes compute but still scans everything; at 100 TB the scan IS
+    the cost). Same centroids, queries, nprobe, tiebreaks as sim4 —
+    the ORACLE IS SHARED (_O_IVF_TOPK), pinning that moving the
+    pruning from join to layout changes IO, never results. Pruning
+    itself is plan-pinned in tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_partitioned_topk,
+        ivf_partitioned_write,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    tmp = tempfile.mkdtemp(prefix="sim14_ivfpart_")
+    store = tmp + "/store"
+    try:
+        with fixture_phase():  # index build; operator = pruned search
+            ivf_partitioned_write(emb, cents, store)
+        out = ivf_partitioned_topk(
+            spark,
+            store,
+            emb.where(F.col("vec_id").isin(QUERY_IDS)),
+            cents,
+            k=10,
+            nprobe=3,
+        ).withColumn("rk", F.col("rk").cast("long"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

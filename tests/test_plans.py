@@ -332,3 +332,48 @@ def test_bucketed_pair_joins_with_zero_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_sim14_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF-as-layout store (operators/similarity.py
+    ivf_partitioned_write/-_topk) must restrict candidates at the
+    SCAN: the probed cell set appears as PartitionFilters on the
+    parquet read, so unprobed cell directories are never listed or
+    opened — IO pruning, not post-scan compute pruning. A regression
+    here (e.g. cell becoming a data column) would silently read the
+    whole corpus again."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_partitioned_topk,
+        ivf_partitioned_write,
+        ivf_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_centroids=16, iters=1, sample_mod=5)
+    store = str(tmp_path / "store")
+    ivf_partitioned_write(emb, cents, store)
+    out = ivf_partitioned_topk(
+        spark, store, emb.where(F.col("vec_id") < 3), cents, k=5, nprobe=2
+    )
+    plan = _plan_df(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # the corpus scan carries a non-empty cell partition filter
+    assert any("cell" in l and "IN" in l.upper() for l in pf), plan
+    # results equal the join-pruned ivf_topk formulation exactly
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, [0, 1, 2], cents, k=5, nprobe=2)
+            .select("query_id", "cand_id", "rk")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, out.select("query_id", "cand_id", "rk").collect())
+    )
+    assert got == want and len(got) > 0
