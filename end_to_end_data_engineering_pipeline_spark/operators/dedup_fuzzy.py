@@ -235,12 +235,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verify as PER-ROW set algebra: pull each side's
-    # (already distinct) shingle array onto the pair and intersect in
-    # the row — no shingle-level join, no pair groupBy, no size joins.
-    # Work is proportional to candidate pairs x array length, all
-    # whole-stage codegen; the two id-equi-joins are the only shuffles
-    # and at corpus scale candidates are a sliver of documents.
+    return _verify_pairs(cands, shs, threshold)
+
+
+def _verify_pairs(
+    cands: DataFrame, shs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify as PER-ROW set algebra: pull each side's
+    (already distinct) shingle array onto the pair and intersect in
+    the row — no shingle-level join, no pair groupBy, no size joins.
+    Work is proportional to candidate pairs x array length, all
+    whole-stage codegen; the two id-equi-joins are the only shuffles
+    and at corpus scale candidates are a sliver of documents."""
     sh_a = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
     sh_b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
     joined = (
@@ -270,6 +276,101 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key): a corpus's LSH index rows — what a
+    deployment PERSISTS so tomorrow's increment never re-hashes the
+    corpus. Signatures are per-row/zero-shuffle and depend only on the
+    document's own text (never on the rest of the corpus), so index
+    rows written today band-join correctly against documents hashed
+    next year. ~bands rows x ~50 bytes per doc: a 100 TB corpus keeps
+    a few-hundred-GB band table, ideally stored partitioned/bucketed
+    by band_key."""
+    sig = _rowwise_sig(shingled_docs(df, id_col, text_col, k), n_hashes)
+    return sig.select("id", *lsh_band_keys(n_hashes, bands)).unpivot(
+        "id", [f"band{b}" for b in range(bands)], "band_idx", "band_key"
+    )
+
+
+def incremental_lsh_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    k: int = 3,
+    old_band_table: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING A NEW DOC — incremental LSH index
+    maintenance: at 100 TB you never re-LSH the corpus when a daily
+    increment arrives; you hash the increment, join it against the
+    persisted band table, and verify only the touched documents.
+
+    Returns exactly ``minhash_lsh_pairs(old ∪ new)`` restricted to
+    pairs with >=1 new id (minhash signatures are a pure function of
+    each doc's own text, so banding the increment separately yields
+    the identical candidate set — pytest-pinned; requires disjoint
+    old/new ids and no band-size cap, whose counts are corpus-wide).
+
+    Cost shape: signatures only over the increment (zero shuffle);
+    the band table NEVER shuffles — the increment's band rows are
+    broadcast into it; new x new is a self-join of the increment;
+    exact-Jaccard verify re-shingles ONLY candidate-touched old docs
+    (semi-join pushdown) plus the increment. Pass ``old_band_table``
+    (from :func:`lsh_band_table`, persisted) to skip re-deriving the
+    index; without it the index is derived from ``old_docs`` in-query
+    (same rows, same plan shape from the join onward)."""
+    old_idx = (
+        old_band_table
+        if old_band_table is not None
+        else lsh_band_table(old_docs, id_col, text_col, n_hashes, bands, k)
+    )
+    new_stacked = lsh_band_table(
+        new_docs, id_col, text_col, n_hashes, bands, k
+    ).cache()
+    inc = new_stacked.select(
+        F.col("id").alias("__id_new"), "band_idx", "band_key"
+    )
+    new_old = (
+        old_idx.join(F.broadcast(inc), ["band_idx", "band_key"])
+        .where(F.col("id") != F.col("__id_new"))
+        .select(
+            F.least("id", "__id_new").alias("id_a"),
+            F.greatest("id", "__id_new").alias("id_b"),
+        )
+    )
+    new_new = (
+        new_stacked.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+        .join(
+            new_stacked.select(
+                F.col("id").alias("id_b"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cands = new_old.unionByName(new_new).distinct()
+    # verify shingles: only docs a candidate touches are re-shingled
+    ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    touched_old = old_docs.join(F.broadcast(ids), id_col, "left_semi")
+    corpus = touched_old.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    shs = shingled_docs(corpus, id_col, text_col, k)
+    return _verify_pairs(cands, shs, threshold)
 
 
 # ---------------------------------------------------------------------------

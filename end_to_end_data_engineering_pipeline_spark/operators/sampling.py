@@ -189,3 +189,66 @@ def pps_sample(
         < (F.lit(int(expected_k)) * size * F.lit(1 << 32))
     )
     return df.crossJoin(F.broadcast(total)).where(keep).drop("__total")
+
+
+def isqrt_long(x: Column) -> Column:
+    """Exact integer sqrt for non-negative longs < 2^52: floor(sqrt)
+    on the double, then +-1 Newton corrections — the float sqrt is
+    correctly rounded IEEE in every engine, and the corrections are
+    pure integer comparisons, so the result is engine-exact even
+    where the unguarded floor would straddle a perfect square."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when(s * s > x, s - 1).otherwise(s)
+    return F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    target_size: int,
+    size_col: Column | str,
+    *key_cols: Column | str,
+) -> DataFrame:
+    """Temperature-rebalanced corpus mixture (alpha = 1/2): sample a
+    ~``target_size``-token corpus whose group shares are proportional
+    to sqrt(group tokens) instead of group tokens — the standard
+    LLM-mixture move that up-weights rare domains/languages without
+    letting any one giant group dominate (alpha=1 reproduces natural
+    proportions; alpha=0 is uniform-per-group; 1/2 is the classic
+    compromise, and the ONE exponent with an engine-exact integer
+    formulation, which is why it's the operator).
+
+    Row keep test, fully integer (hash32 uniform on [0, 2^32); w_g =
+    isqrt(n_g); S = sum of w_g):
+
+        hash32(key) * n_g * S  <  target_size * w_g * 2^32
+
+    i.e. keep probability min(1, target*w_g / (n_g*S)), so expected
+    tokens from group g are target * w_g / S — the sqrt-share. The
+    products run in DECIMAL(38,0) (exact to 1e38; bounds: n_g < 2^52
+    for the isqrt, hash*n_g*S and target*w_g*2^32 < 1e38 — a 2.5e13-
+    token 100 TB corpus with 1e6 groups sits orders of magnitude
+    inside). Deterministic, layout-independent, nested under
+    target_size growth (same hash ordering), and re-derivable months
+    later — the same contract as every sampler in this module. Cost:
+    one group-cardinality aggregate broadcast back; the keep test is
+    a scan predicate."""
+    size = (
+        size_col if isinstance(size_col, Column) else F.col(size_col)
+    ).cast("long")
+    per = df.groupBy(group_col).agg(F.sum(size).alias("__ng"))
+    per = per.withColumn("__wg", isqrt_long(F.col("__ng")))
+    tot = per.agg(F.sum("__wg").alias("__S"))
+
+    def d(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    keep = d(sample_key(*key_cols)) * d(F.col("__ng")) * d(F.col("__S")) < (
+        d(F.lit(int(target_size))) * d(F.col("__wg")) * d(F.lit(1 << 32))
+    )
+    return (
+        df.join(F.broadcast(per), group_col)
+        .crossJoin(F.broadcast(tot))
+        .where(keep)
+        .drop("__ng", "__wg", "__S")
+    )

@@ -55,13 +55,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # list — all 27 are in). Every entry here is pytest-oracled each run
 # (tests/test_oracle_parity.py) and was hash-swept green at sf0.01 —
 # the gate scale — in this session's full-registry verify run before
-# rotation. Four relational stragglers wait for r8, their shapes
+# rotation. Six relational stragglers wait for r8, their shapes
 # covered by r1-validated kin: q67_map_roundtrip ~ q14/q37 collection
-# fns, q74_null_ordering ~ q45 null semantics, q78_string_rewrite ~
-# q46 string advanced, q79_null_conditionals ~ q16/q45. The 50
-# displaced r6-green entries (q1, q4, q8, t3, t7, sim1... ) all have
-# fresh r6 evidence and stay pytest-oracled; the headline bench still
-# runs them every round.
+# fns, q68_conditional_distinct ~ q2/q17, q74_null_ordering ~ q45
+# null semantics, q75_explode_outer ~ q37 posexplode,
+# q78_string_rewrite ~ q46 string advanced, q79_null_conditionals ~
+# q16/q45 — plus the r7-born t35/t36. The 50 displaced r6-green
+# entries (q1, q4, q8, t3, t7, sim1... ) all have fresh r6 evidence
+# and stay pytest-oracled; the headline bench still runs them every
+# round.
 _PRIORITY: list[str] = [
     "q73_lateral_topn",
     "q77_trailing_time_window",

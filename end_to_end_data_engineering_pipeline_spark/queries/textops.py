@@ -1745,3 +1745,88 @@ def t34_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_canonical(docs, pairs).select("doc_id").join(tok, "doc_id"),
     )
     return raw.unionByName(exact).unionByName(chunks).unionByName(canon)
+
+
+@query(
+    "t35_incremental_neardup",
+    oracle=f"""
+    WITH {_o_t7_ctes(threshold=0.3)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+)
+def t35_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance (operators/dedup_fuzzy.py:
+    incremental_lsh_pairs): the corpus is split into an already-indexed
+    base (doc_id %5 != 0) and an arriving increment (%5 == 0); only the
+    increment is hashed, its band rows broadcast against the base's
+    band table, and exact-Jaccard verify re-shingles only touched
+    docs. Because minhash signatures are a pure function of each doc's
+    own text, the result must equal the FULL-corpus t7 recompute
+    restricted to pairs involving a new doc — which is literally this
+    oracle: t7's CTE chain with that filter. At 100 TB this is the
+    daily-ingest dedup path: index once, join increments forever."""
+    from ..operators.dedup_fuzzy import incremental_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return incremental_lsh_pairs(old, new, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# t36 — temperature-rebalanced corpus mixture (alpha = 1/2)
+# --------------------------------------------------------------------------
+
+_T36_TARGET = 100_000
+
+
+@query(
+    "t36_temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS ng
+      FROM documents GROUP BY lang
+    ),
+    s0 AS (
+      SELECT lang, ng,
+             CAST(FLOOR(SQRT(CAST(ng AS DOUBLE))) AS BIGINT) AS s
+      FROM per
+    ),
+    s1 AS (
+      SELECT lang, ng, CASE WHEN s * s > ng THEN s - 1 ELSE s END AS s
+      FROM s0
+    ),
+    w AS (
+      SELECT lang, ng,
+             CASE WHEN (s + 1) * (s + 1) <= ng THEN s + 1 ELSE s END AS wg
+      FROM s1
+    ),
+    tot AS (SELECT CAST(SUM(wg) AS BIGINT) AS st FROM w)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN w ON w.lang = d.lang, tot
+    WHERE CAST({_o_hash32("CAST(doc_id AS VARCHAR)")} AS HUGEINT)
+            * w.ng * tot.st
+          < CAST({_T36_TARGET} AS HUGEINT) * w.wg * 4294967296
+    """,
+)
+def t36_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture sampling, alpha = 1/2
+    (operators/sampling.py:temperature_mixture): a ~100k-char sample
+    whose per-language shares are proportional to sqrt(language
+    chars) — the LLM-mixture rebalance that up-weights rare languages.
+    The keep test is fully integer (isqrt weights via Newton-corrected
+    floor(sqrt), DECIMAL(38,0)/HUGEINT products), so Spark and DuckDB
+    agree on every row at every scale — a float-rate formulation
+    would flip boundary rows per engine. One group-cardinality
+    aggregate broadcast back; the test is a scan predicate."""
+    from ..operators.sampling import temperature_mixture
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "lang",
+        _T36_TARGET,
+        "n_chars",
+        "doc_id",
+    )

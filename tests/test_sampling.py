@@ -138,3 +138,61 @@ def test_pps_sample_overflow_bounds_raise(spark):
     )
     n = pps_sample(ok, 100, "sz", "id").count()
     assert 50 <= n <= 160
+
+
+def test_temperature_mixture_shares_and_determinism(spark):
+    """alpha=1/2 mixture: expected kept size per group tracks the
+    sqrt-share target*w_g/S (up-weighting small groups), the sample is
+    layout-independent, and it nests as target grows."""
+    from end_to_end_data_engineering_pipeline_spark.operators.sampling import (
+        isqrt_long,
+        temperature_mixture,
+    )
+
+    # two groups, 9:1 natural size ratio -> sqrt share 3:1
+    rows = [(i, "big" if i % 10 else "small", 100) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, g string, sz long")
+    target = 400_000  # of 2M total size units
+    samp = temperature_mixture(df, "g", target, "sz", "id")
+    got = {
+        r["g"]: r["kept"]
+        for r in samp.groupBy("g").agg(
+            F.sum("sz").alias("kept")
+        ).collect()
+    }
+    import math
+
+    n_big, n_small = 18000 * 100, 2000 * 100
+    s = math.isqrt(n_big) + math.isqrt(n_small)
+    want_big = target * math.isqrt(n_big) / s
+    want_small = min(n_small, target * math.isqrt(n_small) / s)
+    assert abs(got["big"] - want_big) / want_big < 0.08
+    assert abs(got["small"] - want_small) / want_small < 0.08
+    # the small group's share rose vs its natural 10%
+    assert got["small"] / (got["small"] + got["big"]) > 0.2
+
+    # layout-independent and nested under target growth
+    ids = {r["id"] for r in samp.select("id").collect()}
+    ids_re = {
+        r["id"]
+        for r in temperature_mixture(
+            df.repartition(13), "g", target, "sz", "id"
+        ).select("id").collect()
+    }
+    assert ids_re == ids
+    ids_bigger = {
+        r["id"]
+        for r in temperature_mixture(df, "g", 2 * target, "sz", "id")
+        .select("id").collect()
+    }
+    assert ids <= ids_bigger
+
+    # isqrt correctness at perfect-square boundaries
+    vals = spark.createDataFrame(
+        [(0,), (1,), (3,), (4,), (15,), (16,), (17,), ((1 << 40) - 1,)],
+        "x long",
+    ).select(isqrt_long(F.col("x")).alias("s"), "x").collect()
+    import math as m
+
+    for r in vals:
+        assert r["s"] == m.isqrt(r["x"]), (r["x"], r["s"])

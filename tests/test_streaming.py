@@ -1056,3 +1056,105 @@ def test_stream_static_join_pinned_snapshot_version(spark, tmp_path):
     assert {
         r["segment"] for r in snapshot_read(spark, table).collect()
     } == {"v1"}
+
+
+def test_streaming_incremental_lsh_matches_batch_recompute(spark, tmp_path):
+    """Streaming near-dup detection via incremental LSH index
+    maintenance (operators/dedup_fuzzy.py): each micro-batch hashes
+    only its own docs, joins them against the band table accumulated
+    by earlier batches, emits pairs involving a new doc, and appends
+    its band rows to the index. Because every pair is discovered
+    exactly once (when its LATER member arrives), the union of all
+    per-batch emissions must equal the one-shot minhash_lsh_pairs
+    recompute over everything the stream saw — the dedup-at-ingest
+    contract: index once, join increments forever."""
+    import os
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        incremental_lsh_pairs,
+        lsh_band_table,
+        minhash_lsh_pairs,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    band_dir = str(tmp_path / "bands")
+    docs_dir = str(tmp_path / "docs")
+
+    def synth(ids_df):
+        own = F.col("doc_id")
+        prev = own - 1
+
+        def toks(base, js):
+            return [
+                F.md5(F.concat(base.cast("string"), F.lit(str(j))))
+                for j in js
+            ]
+
+        return ids_df.select(
+            "doc_id",
+            F.when(
+                own % 10 == 7,
+                F.concat_ws(
+                    " ", *toks(prev, range(7)), F.md5(own.cast("string"))
+                ),
+            )
+            .otherwise(F.concat_ws(" ", *toks(own, range(8))))
+            .alias("text"),
+        )
+
+    emitted: list[tuple] = []
+    state = {"batches": 0}
+    n_batches = 3
+
+    def handle(batch_df, _batch_id):
+        if state["batches"] >= n_batches or batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        new = synth(
+            batch_df.select(F.col("event_id").alias("doc_id"))
+        ).persist()
+        if os.path.isdir(docs_dir):
+            old_docs = s.read.parquet(docs_dir)
+            old_bands = s.read.parquet(band_dir)
+        else:
+            old_docs = s.createDataFrame([], "doc_id long, text string")
+            old_bands = None
+        pairs = incremental_lsh_pairs(
+            old_docs, new, threshold=0.3, old_band_table=old_bands
+        )
+        emitted.extend(
+            (r.id_a, r.id_b, r.jaccard) for r in pairs.collect()
+        )
+        lsh_band_table(new).write.mode("append").parquet(band_dir)
+        new.write.mode("append").parquet(docs_dir)
+        new.unpersist()
+        state["batches"] += 1
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+    q = (
+        ev.select("event_id")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and state["batches"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert state["batches"] == n_batches
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            spark.read.parquet(docs_dir), threshold=0.3
+        ).collect()
+    }
+    got = set(emitted)
+    assert len(got) == len(emitted)  # no pair discovered twice
+    assert got == full and len(full) > 0

@@ -586,3 +586,46 @@ def test_containment_catches_quote_jaccard_misses(spark):
         docs, ["lang", "source"], k=3, threshold=0.1
     ).collect()
     assert jac == []
+
+
+def test_incremental_lsh_equals_full_recompute_filtered(spark, sf_dir, tmp_path):
+    """incremental_lsh_pairs must return EXACTLY the full-corpus
+    recompute restricted to pairs involving a new doc (signatures are
+    a pure function of each doc's own text) — on a different split
+    than the t35 oracle uses, and identically when the base's band
+    table comes from a PERSISTED parquet index instead of being
+    derived in-query (the deployment path)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        incremental_lsh_pairs,
+        lsh_band_table,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 3 != 1)
+    new = docs.where(F.col("doc_id") % 3 == 1)
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+        if r.id_a % 3 == 1 or r.id_b % 3 == 1
+    }
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_lsh_pairs(old, new, threshold=0.3).collect()
+    }
+    assert inc == full and len(full) > 0
+
+    # persisted index: write the base band table, read it back, reuse
+    idx_path = str(tmp_path / "bands")
+    lsh_band_table(old).write.parquet(idx_path)
+    via_index = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_lsh_pairs(
+            old,
+            new,
+            threshold=0.3,
+            old_band_table=spark.read.parquet(idx_path),
+        ).collect()
+    }
+    assert via_index == full
