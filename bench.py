@@ -150,8 +150,11 @@ def main() -> None:
             # operators cache shared sub-plans; drop them so queries are
             # timed independently and memory doesn't creep across the run
             spark.catalog.clearCache()
+    # 3 decimals (ms resolution): the driver records only the last
+    # 2000 bytes of output, and the 50-query line with 4-dp numbers
+    # plus a populated regressions dict brushed that cap
     timings = {
-        name: round(statistics.median(s), 4) for name, s in samples.items()
+        name: round(statistics.median(s), 3) for name, s in samples.items()
     }
     fixture_total = round(
         sum(statistics.median(s) for s in fixtures.values()), 4

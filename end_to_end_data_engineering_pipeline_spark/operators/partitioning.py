@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -93,3 +93,41 @@ def salted_join(
     small_replicated = small.select("*", salts)
     joined = big_salted.join(small_replicated, [key, "__salt"])
     return joined.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """Shuffle-key skew audit: the ``top_n`` hottest key values with
+    row count, share of total, cumulative share, and rank — the table
+    you read BEFORE shuffling 100 TB on a key, because it tells you
+    which mitigation the data needs: a top key holding >5-10% of rows
+    wants ``salted_join``/band caps, a long flat tail wants nothing
+    (AQE's skew split absorbs moderate imbalance on its own).
+
+    One partial-aggregated groupBy on the key (the same shuffle shape
+    the audited join would pay, but carrying only (key, count) rows)
+    plus a single-partition window over top_n rows. Shares are
+    count/total double divisions of exact ints — engine-exact, so the
+    audit itself sits under a value-hash oracle (e22)."""
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    w_rank = Window.orderBy(F.col("n_rows").desc(), *keys)
+    top = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        *key_cols,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        F.round(
+            F.sum("n_rows").over(w_cum) / F.col("__total"), 6
+        ).alias("cum_share"),
+        "rank",
+    )

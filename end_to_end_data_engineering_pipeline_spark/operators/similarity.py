@@ -1121,3 +1121,51 @@ def ivf_partitioned_topk(
         F.col("rk") <= k
     )
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of ANN retriever outputs — the standard
+    hybrid-search combiner (Cormack/Clarke/Buettcher 2009): candidate
+    score = sum over retrievers of 1/(rrf_k + rank), missing rank
+    contributes 0; re-rank by the fused score. Each input must carry
+    (query_id, cand_id, rk). Rank-based (not score-based) fusion is
+    what makes heterogeneous retrievers (LSH buckets, IVF cells,
+    lexical BM25...) combinable without score calibration.
+
+    Engine-exact: each contribution is one IEEE double division of
+    small ints (correctly rounded everywhere), and the fused sum is a
+    fixed left-to-right chain of coalesced additions, so any engine
+    reproduces it bit-for-bit — which is why sim15 carries a full
+    value-hash oracle. Scale: inputs are top-k tables (|Q| x k rows,
+    driver-bounded); the fusion is |retrievers|-1 joins of those tiny
+    relations plus one window — negligible next to retrieval itself."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contribs = []
+    for i, r in enumerate(rankings):
+        contribs.append(
+            r.select(
+                "query_id",
+                "cand_id",
+                (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rk"))).alias(
+                    f"__c{i}"
+                ),
+            )
+        )
+    fused = contribs[0]
+    for c in contribs[1:]:
+        fused = fused.join(c, ["query_id", "cand_id"], "full_outer")
+    score = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(contribs)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("rrf", score)
+        .select("query_id", "cand_id", "rrf")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -1114,3 +1114,43 @@ def e21_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         for at in (1, 2, 3)
     ]
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
+    "e22_skew_audit",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts),
+    ranked AS (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM counts
+    )
+    SELECT user_id, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+           ROUND(SUM(CAST(n_rows AS DOUBLE)) OVER (
+                   ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) / t, 6) AS cum_share,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked, tot
+    WHERE rank <= 10
+    """,
+)
+def e22_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (operators/partitioning.py:skew_report):
+    the 10 hottest event user_ids with row share and cumulative share
+    — the diagnostic a 100 TB pipeline reads before choosing between
+    a plain shuffle join, AQE skew-split, and salted_join. One
+    partial-aggregated groupBy carrying only (key, count) rows, then
+    a top-n window; the audit output is a handful of rows whatever
+    the corpus size."""
+    from ..operators.partitioning import skew_report
+
+    ev = load(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_n=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

@@ -85,23 +85,30 @@ def _o_lsh_sig(n_planes: int = 6, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
+_O_LSH_CTES = f"""sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
+             FROM normed),
+    lsh_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
+      FROM sigd q JOIN sigd c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    lsh_ranked AS (
+      SELECT query_id, cand_id, cosine, rk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, cand_id) AS rk
+            FROM lsh_scored) t
+      WHERE rk <= 10
+    )"""
+
+
 @query(
     "sim2_cosine_topk_lsh",
     oracle=f"""
     WITH {_O_SCALED},
-    sigd AS (SELECT vec_id, sv, n2,
-                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
-             FROM normed),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
-      FROM sigd q JOIN sigd c ON c.sig = q.sig AND c.vec_id <> q.vec_id
-      WHERE q.vec_id IN (0, 1, 2, 3, 4)
-    )
+    {_O_LSH_CTES}
     SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, cand_id) AS rk
-          FROM scored) t
-    WHERE rk <= 10
+    FROM lsh_ranked
     """,
 )
 def sim2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,9 +203,7 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
     return (path, mtime)
 
 
-_O_IVF_TOPK = f"""
-    WITH {_O_SCALED},
-    samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
+_O_IVF_CTES = f"""samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
     comp AS (
       SELECT CAST(vec_id % 16 AS INT) AS cid, pos, sv[pos] AS v
       FROM samp CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS pos)
@@ -238,18 +243,27 @@ _O_IVF_TOPK = f"""
             FROM dists WHERE id IN (0, 1, 2, 3, 4)) t
       WHERE rn <= 3
     ),
-    scored AS (
+    ivf_scored AS (
       SELECT qc.query_id, cc.id AS cand_id, {_O_COS} AS cosine
       FROM qcells qc
       JOIN corpus_cell cc ON cc.cell = qc.cell AND cc.id <> qc.query_id
       JOIN normed q ON q.vec_id = qc.query_id
       JOIN normed c ON c.vec_id = cc.id
     )
+,
+    ivf_ranked AS (
+      SELECT query_id, cand_id, cosine, rk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, cand_id) AS rk
+            FROM ivf_scored) t
+      WHERE rk <= 10
+    )"""
+
+_O_IVF_TOPK = f"""
+    WITH {_O_SCALED},
+    {_O_IVF_CTES}
     SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, cand_id) AS rk
-          FROM scored) t
-    WHERE rk <= 10
+    FROM ivf_ranked
     """
 
 
@@ -941,3 +955,48 @@ def sim14_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "sim15_rrf_hybrid_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_LSH_CTES},
+    {_O_IVF_CTES},
+    fused AS (
+      SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+             COALESCE(l.cand_id, i.cand_id) AS cand_id,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.rk), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + i.rk), 0) AS rrf
+      FROM lsh_ranked l FULL OUTER JOIN ivf_ranked i
+        ON i.query_id = l.query_id AND i.cand_id = l.cand_id
+    )
+    SELECT query_id, cand_id, rrf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id) AS rk
+          FROM fused) t
+    WHERE rk <= 10
+    """,
+)
+def sim15_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid ANN via reciprocal-rank fusion (operators/similarity.py:
+    rrf_fuse): sim2's hyperplane-LSH top-10 and sim4's IVF top-10
+    fused by 1/(60+rank) — the calibration-free combiner for
+    retrievers whose raw scores aren't comparable. A candidate found
+    by BOTH retrievers outranks one found by either alone, which is
+    exactly the redundancy-as-confidence signal hybrid search buys.
+    The oracle composes the sim2 and sim4 CTE chains verbatim
+    (_O_LSH_CTES / _O_IVF_CTES) and fuses with the same fixed
+    coalesced-addition order, so the whole two-retriever pipeline
+    sits under one value-hash check. Fusion cost is |Q| x k rows per
+    retriever — invisible next to retrieval at any scale."""
+    from ..operators.similarity import cosine_topk_lsh, ivf_topk, rrf_fuse
+
+    emb = load(spark, sf_dir, "embeddings")
+    lsh = cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6)
+    ivf = ivf_topk(
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=3
+    )
+    return rrf_fuse([lsh, ivf], k=10).withColumn(
+        "rk", F.col("rk").cast("long")
+    )

@@ -418,3 +418,43 @@ def test_knn_graph_multi_probe_dominates_single(clustered):
 
     assert cluster_rate(multi) >= cluster_rate(single) - 0.05
     assert len(multi) >= len(single)
+
+
+def test_rrf_fuse_hand_computed_and_n_retrievers(spark):
+    """RRF fusion against a hand-computed example: a candidate ranked
+    by BOTH retrievers must outrank one ranked #1 by a single
+    retriever when 1/(60+r_a)+1/(60+r_b) says so; missing ranks
+    contribute 0; and the operator generalizes past two retrievers."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, cand_id long, rk long",
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, cand_id long, rk long",
+    )
+    got = {
+        r.cand_id: (r.rrf, r.rk)
+        for r in rrf_fuse([r1, r2], k=10).collect()
+    }
+    want = {
+        10: 1 / 61,
+        11: 1 / 62 + 1 / 61,  # both retrievers -> top
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    order = sorted(want, key=lambda c: (-want[c], c))
+    assert [c for c, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+    for c in want:
+        assert abs(got[c][0] - want[c]) < 1e-15
+
+    # three retrievers: the triple-hit dominates
+    r3 = spark.createDataFrame(
+        [(0, 12, 1), (0, 11, 5)], "query_id long, cand_id long, rk long"
+    )
+    top = rrf_fuse([r1, r2, r3], k=1).collect()[0]
+    assert top.cand_id == 11  # hit by all three
