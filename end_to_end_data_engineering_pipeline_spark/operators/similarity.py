@@ -1099,6 +1099,16 @@ def ivf_partitioned_topk(
     q = q.cache()
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
     corpus = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    return _probe_corpus_topk(q, corpus, k, id_col, vec_col)
+
+
+def _probe_corpus_topk(
+    q: DataFrame, corpus: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared scoring tail for cell-pruned IVF stores: broadcast the
+    (query, cell) probe table against the already-pruned corpus,
+    cosine-score, top-k per query. Identical tiebreaks to ivf_topk —
+    the oracle stays shared whatever pruned the scan."""
     cbase = corpus.select(
         F.col(id_col).alias("id"),
         F.col("cell"),
@@ -1117,10 +1127,93 @@ def ivf_partitioned_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
-    out = scored.withColumn("rk", F.row_number().over(w)).where(
+    return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
     )
-    return out
+
+
+def versioned_ivf_write(
+    spark: SparkSession,
+    emb: DataFrame,
+    centroids: list[list[int]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Commit an IVF index BUILD as a snapshot version: the
+    cell-assigned corpus goes through
+    operators/snapshots.py:snapshot_write_partitioned (manifest-level
+    cell pruning) with the quantizer centroids embedded in the
+    manifest's ``extra`` — so one atomic commit captures BOTH halves
+    of the index (coarse quantizer + inverted lists), and time travel
+    restores a coherent index, never v1 lists under v0 centroids.
+    Returns the committed version.
+
+    This is what an index REBUILD needs at 100 TB: retraining
+    centroids re-partitions every vector, so the rebuild must be
+    all-or-nothing while serving continues — here searchers keep
+    resolving the old manifest until the new one links in (and can pin
+    a version outright for reproducible eval runs). Build cost is the
+    same single corpus pass as ivf_partitioned_write."""
+    from ..catalog import fan_out
+    from .snapshots import snapshot_write_partitioned
+
+    base = with_scaled(fan_out(emb), id_col, vec_col)
+    cells = _assign_cells(base, centroids, nprobe=1).select(
+        F.col("id").alias("__cell_id"), F.col("cid").alias("cell")
+    )
+    out = emb.join(cells, emb[id_col] == F.col("__cell_id")).drop(
+        "__cell_id"
+    )
+    return snapshot_write_partitioned(
+        spark,
+        path,
+        out,
+        "cell",
+        mode="overwrite",
+        extra={"centroids": [[int(x) for x in c] for c in centroids]},
+    )
+
+
+def versioned_ivf_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a :func:`versioned_ivf_write` store. No centroid
+    argument: the quantizer is LOADED FROM THE PINNED MANIFEST, so a
+    version pin reproduces the exact search of that index build even
+    after rebuilds — and the manifest is resolved ONCE, so centroids
+    and file list always come from the same commit under concurrency.
+    Candidate restriction is manifest pruning
+    (snapshot_read_partitioned): a probe opens only its cells' files,
+    same IO shape as hive PartitionFilters but time-travelable.
+    Results are identical to ivf_topk over the committed corpus with
+    the committed centroids (shared oracle)."""
+    from .snapshots import snapshot_manifest, snapshot_read_partitioned
+
+    m = snapshot_manifest(path, version)
+    centroids = [[int(x) for x in c] for c in m["extra"]["centroids"]]
+    qbase = with_scaled(queries, id_col, vec_col)
+    q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("cid").alias("cell")
+    )
+    q = qbase.select(
+        F.col("id").alias("query_id"),
+        F.col("sv").alias("qsv"),
+        F.col("n2").alias("qn2"),
+    ).join(q_cells, "query_id")
+    q = q.cache()
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    corpus = snapshot_read_partitioned(
+        spark, path, values=probed, version=m["version"]
+    )
+    return _probe_corpus_topk(q, corpus, k, id_col, vec_col)
 
 
 def rrf_fuse(

@@ -456,3 +456,169 @@ def snapshot_compact(
         ) from None
     os.unlink(tmp)
     return version
+
+
+def snapshot_manifest(path: str, version: int | None = None) -> dict:
+    """Resolve a committed manifest (default: latest) — the public
+    read of version metadata: ``files``, ``mode``, and for partitioned
+    commits ``part_col``/``part_type``/``partitions`` plus the
+    caller-supplied ``extra`` dict (e.g. a versioned ANN index's
+    quantizer centroids). Resolving once and passing the returned
+    ``version`` to readers pins BOTH metadata and data to the same
+    snapshot under concurrent commits."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    return _manifest(path, v)
+
+
+def snapshot_write_partitioned(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    part_col: str,
+    mode: str = "overwrite",
+    extra: dict | None = None,
+) -> int:
+    """Commit ``df`` as a new version whose MANIFEST carries file→
+    partition-value metadata — Iceberg's file-level pruning stats,
+    reduced to one exact-valued column. The stage write uses
+    ``partitionBy(part_col)`` so every data file holds exactly one
+    partition value; that value is recorded per file in the manifest,
+    and :func:`snapshot_read_partitioned` prunes to the requested
+    values by manifest lookup alone — no directory layout, no
+    listing, and the pruning survives time travel because it lives IN
+    the versioned manifest (hive-style ``cell=N/`` directories are
+    mutable shared state; a manifest is immutable per version).
+
+    ``extra`` is an arbitrary JSON-able dict committed atomically with
+    the data — the hook that lets an ANN index version its quantizer
+    centroids WITH its inverted lists (see
+    operators/similarity.py:versioned_ivf_write).
+
+    Values must round-trip through their directory-name string (ints
+    and simple strings do; nulls and escaped characters are rejected).
+    Same crash-safe stage/claim protocol as :func:`snapshot_write`;
+    ``mode='append'`` merges the previous version's partition map and
+    requires the same ``part_col``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    part_type = df.schema[part_col].dataType.simpleString()
+    os.makedirs(_data_dir(path), exist_ok=True)
+    os.makedirs(_vers_dir(path), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f".__snap_stage_{token}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    names: list[str] = []
+    parts: dict[str, str] = {}
+    i = 0
+    for d in sorted(os.listdir(stage)):
+        if not d.startswith(f"{part_col}="):
+            continue
+        raw = d.split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__" or "%" in raw:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"partition value {raw!r} does not round-trip through "
+                "a directory name (null or escaped character); use an "
+                "int or plain-string partition column"
+            )
+        for f in sorted(
+            p
+            for p in os.listdir(os.path.join(stage, d))
+            if p.endswith(".parquet")
+        ):
+            name = f"{token}-{i:05d}.parquet"
+            i += 1
+            os.rename(
+                os.path.join(stage, d, f),
+                os.path.join(_data_dir(path), name),
+            )
+            names.append(name)
+            parts[name] = raw
+    shutil.rmtree(stage, ignore_errors=True)
+
+    while True:
+        prev = current_version(path)
+        live: list[str] = []
+        prev_parts: dict[str, str] = {}
+        if mode == "append" and prev is not None:
+            pm = _manifest(path, prev)
+            if pm.get("part_col") != part_col:
+                raise ValueError(
+                    f"append part_col {part_col!r} != committed "
+                    f"{pm.get('part_col')!r}"
+                )
+            live = list(pm["files"])
+            prev_parts = dict(pm.get("partitions", {}))
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": live + names,
+            "part_col": part_col,
+            "part_type": part_type,
+            "partitions": {**prev_parts, **parts},
+            "extra": extra or {},
+        }
+        tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_vers_dir(path), f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST if we lost
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version
+
+
+def snapshot_read_partitioned(
+    spark: SparkSession,
+    path: str,
+    values: list | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a partitioned snapshot version pruned BY MANIFEST to the
+    requested partition values (``values=None`` reads all). The file
+    set is resolved from the per-version partition map, so at 100 TB
+    a 3-of-16-cell probe opens ~3/16 of the files — the same IO
+    economics as hive PartitionFilters, but version-pinned: a
+    concurrent index rebuild commits a NEW manifest and cannot change
+    which files this read touches. The partition column is re-attached
+    per file group as a cast literal (one bounded union per distinct
+    requested value — partition cardinality is index fan-out, not data
+    size)."""
+    m = snapshot_manifest(path, version)
+    if "part_col" not in m:
+        raise ValueError(
+            f"version {m['version']} under {path} was not committed "
+            "with snapshot_write_partitioned"
+        )
+    part_col, part_type = m["part_col"], m["part_type"]
+    parts = m["partitions"]
+    wanted = None if values is None else {str(v) for v in values}
+    by_val: dict[str, list[str]] = {}
+    for f in m["files"]:
+        raw = parts[f]
+        if wanted is None or raw in wanted:
+            by_val.setdefault(raw, []).append(f)
+    if not by_val:
+        raise ValueError(
+            f"no files match partition values {sorted(wanted or set())} "
+            f"in version {m['version']}"
+        )
+    dfs = [
+        spark.read.parquet(
+            *[os.path.join(_data_dir(path), f) for f in fs]
+        ).selectExpr("*", f"CAST('{raw}' AS {part_type}) AS {part_col}")
+        for raw, fs in sorted(by_val.items())
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1000,3 +1000,52 @@ def sim15_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lsh, ivf], k=10).withColumn(
         "rk", F.col("rk").cast("long")
     )
+
+
+@query(
+    "sim16_versioned_ivf_topk",
+    oracle=_O_IVF_TOPK,
+)
+def sim16_versioned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index builds as TIME-TRAVELABLE COMMITS
+    (operators/similarity.py:versioned_ivf_write/-_topk): the
+    cell-assigned corpus AND its quantizer centroids go through one
+    atomic snapshot_write_partitioned commit (centroids in the
+    manifest's extra), search prunes files by MANIFEST lookup, and a
+    version pin reproduces that build's exact results after any
+    rebuild. Here the index is committed as v0, then REBUILT (v1)
+    over a half corpus — and the query searches pinned at v0, proving
+    the rebuild cannot perturb a pinned reader: same centroids,
+    queries, nprobe, tiebreaks as sim4, so the ORACLE IS SHARED
+    (_O_IVF_TOPK). The v0-vs-v1 divergence itself is pinned in
+    tests/test_similarity.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    tmp = tempfile.mkdtemp(prefix="sim16_vivf_")
+    store = tmp + "/index"
+    try:
+        with fixture_phase():  # index builds; operator = pinned search
+            v0 = versioned_ivf_write(spark, emb, cents, store)
+            versioned_ivf_write(  # rebuild over half the corpus
+                spark, emb.where(F.col("vec_id") % 2 == 0), cents, store
+            )
+        out = versioned_ivf_topk(
+            spark,
+            store,
+            emb.where(F.col("vec_id").isin(QUERY_IDS)),
+            k=10,
+            nprobe=3,
+            version=v0,
+        ).withColumn("rk", F.col("rk").cast("long"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -458,3 +458,51 @@ def test_rrf_fuse_hand_computed_and_n_retrievers(spark):
     )
     top = rrf_fuse([r1, r2, r3], k=1).collect()[0]
     assert top.cand_id == 11  # hit by all three
+
+
+def test_versioned_ivf_time_travel(spark, sf_dir, tmp_path):
+    """An IVF rebuild is a snapshot commit: after rebuilding over a
+    half corpus, a v0-pinned search still equals ivf_topk over the
+    FULL corpus (centroids loaded from the pinned manifest), the
+    latest search equals ivf_topk over the half corpus, and history
+    shows two versions."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_history,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.similarity import (
+        QUERY_IDS,
+        _centroids_for,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    queries = emb.where(F.col("vec_id").isin(QUERY_IDS))
+    store = str(tmp_path / "index")
+
+    v0 = versioned_ivf_write(spark, emb, cents, store)
+    v1 = versioned_ivf_write(spark, half, cents, store)
+    assert (v0, v1) == (0, 1)
+    assert [h["version"] for h in snapshot_history(store)] == [0, 1]
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.cand_id, r.cosine, r.rk) for r in df.collect()
+        )
+
+    pinned = versioned_ivf_topk(spark, store, queries, k=10, nprobe=3, version=0)
+    assert key(pinned) == key(ivf_topk(emb, QUERY_IDS, cents, k=10, nprobe=3))
+    even_ids = [i for i in QUERY_IDS if i % 2 == 0]
+    latest = versioned_ivf_topk(
+        spark, store, queries.where(F.col("vec_id") % 2 == 0), k=10, nprobe=3
+    )
+    assert key(latest) == key(ivf_topk(half, even_ids, cents, k=10, nprobe=3))
+    assert key(pinned) != key(latest)  # the rebuild really diverged

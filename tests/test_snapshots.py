@@ -386,3 +386,98 @@ def test_vacuum_retention_window_protects_inflight_commit(spark, tmp_path):
     assert not os.path.exists(os.path.join(t, ".__snap_stage_cafe"))
     assert not os.path.exists(tmp_manifest)
     assert _collect(spark, t) == [(1, "a")]
+
+
+class TestPartitionedSnapshots:
+    """snapshot_write_partitioned / snapshot_read_partitioned:
+    Iceberg-style manifest-level partition pruning, version-pinned."""
+
+    def _write(self, spark, path, rows, mode="overwrite", extra=None):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_write_partitioned,
+        )
+
+        df = spark.createDataFrame(rows, "id long, cell int, val string")
+        return snapshot_write_partitioned(
+            spark, path, df, "cell", mode=mode, extra=extra
+        )
+
+    def test_roundtrip_and_manifest_pruning(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_manifest,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, f"v{i}") for i in range(30)]
+        v = self._write(spark, path, rows, extra={"k": 3})
+        assert v == 0
+        m = snapshot_manifest(path)
+        assert m["part_col"] == "cell" and m["extra"] == {"k": 3}
+        assert set(m["partitions"].values()) == {"0", "1", "2"}
+
+        full = snapshot_read_partitioned(spark, path)
+        assert sorted(
+            (r.id, r.cell, r.val) for r in full.collect()
+        ) == sorted(rows)
+        # pruning is by FILE: a 1-of-3-cell read opens only that
+        # cell's files, and the part col is re-attached correctly
+        one = snapshot_read_partitioned(spark, path, values=[1])
+        assert set(one.inputFiles()) < set(full.inputFiles())
+        got = sorted((r.id, r.cell, r.val) for r in one.collect())
+        assert got == sorted(r for r in rows if r[1] == 1)
+        assert dict(one.dtypes)["cell"] == "int"
+
+    def test_append_merges_partition_map_and_pin_survives(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, [(1, 0, "a"), (2, 1, "b")])
+        self._write(spark, path, [(3, 1, "c"), (4, 2, "d")], mode="append")
+        latest = snapshot_read_partitioned(spark, path, values=[1])
+        assert sorted(r.id for r in latest.collect()) == [2, 3]
+        # v0 pinned: the append cannot change what a pinned read sees
+        v0 = snapshot_read_partitioned(spark, path, values=[1], version=0)
+        assert [r.id for r in v0.collect()] == [2]
+
+    def test_rejects_null_partition_and_unpartitioned_version(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+            snapshot_write,
+            snapshot_write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, None, "a")], "id long, cell int, val string"
+        )
+        with pytest.raises(ValueError, match="round-trip"):
+            snapshot_write_partitioned(spark, path, df, "cell")
+        path2 = str(tmp_path / "plain")
+        snapshot_write(
+            spark,
+            path2,
+            spark.createDataFrame([(1,)], "id long"),
+        )
+        with pytest.raises(ValueError, match="not committed"):
+            snapshot_read_partitioned(spark, path2)
+
+    def test_missing_values_raise(self, spark, tmp_path):
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, [(1, 0, "a")])
+        with pytest.raises(ValueError, match="no files match"):
+            snapshot_read_partitioned(spark, path, values=[7])
