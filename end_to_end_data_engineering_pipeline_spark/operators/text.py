@@ -389,3 +389,168 @@ def hashed_embedding(
     return pairs.select(
         "id", *[_comp(d).alias(f"e{d}") for d in range(dim)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span coverage (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc repeated n-gram SPAN coverage — the n-gram-granular
+    analog of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is DUP-COVERED if any length-``n`` token window
+    containing it occurs >= ``min_count`` times corpus-wide (within-
+    or cross-document — memorization doesn't care which). Returns
+    (id, n_tokens, n_grams, n_dup_grams, dup_covered_tokens,
+    dup_fraction); a high dup_fraction doc is mostly boilerplate even
+    when no single chunk boundary (t28) aligns with the repetition —
+    sliding windows catch arbitrary-offset repeats that fixed chunks
+    miss.
+
+    Relational shape: one row per (doc, window start) carrying only
+    (md5 hash, id, start) — the corpus-wide occurrence count is a
+    window count partitioned by the gram hash, ONE shuffle of that
+    narrow stream (the Spark-native stand-in for the suffix sort;
+    same key discipline as dedup_chunks). Span-union coverage then
+    needs NO position explode: equal-length intervals sorted by start
+    overlap-chain, so covered = sum of least(n, start - lag(start))
+    per doc — a lag window + groupBy on the doc id. No UDFs, no
+    driver state; skew ceiling is the hottest single n-gram's count.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    ).withColumn("n_tokens", F.size("__toks").cast("long"))
+    starts = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), (F.col("n_tokens") - n + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.col("__toks"),
+    ).select(
+        "id",
+        "start",
+        F.md5(
+            F.array_join(F.slice(F.col("__toks"), F.col("start"), n), " ")
+        ).alias("__gh"),
+    )
+    w_cnt = Window.partitionBy("__gh")
+    dup = (
+        grams.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("__cnt") >= min_count)
+        .select("id", "start")
+    )
+    w_doc = Window.partitionBy("id").orderBy("start")
+    cov = dup.withColumn(
+        "__c",
+        F.coalesce(
+            F.least(
+                F.lit(n).cast("long"),
+                (F.col("start") - F.lag("start").over(w_doc)).cast("long"),
+            ),
+            F.lit(n).cast("long"),
+        ),
+    )
+    per_doc = cov.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        F.sum("__c").cast("long").alias("dup_covered_tokens"),
+    )
+    stats = base.select(
+        "id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - n + 1, F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return (
+        stats.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("dup_covered_tokens", F.lit(0).cast("long")).alias(
+                "dup_covered_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_covered_tokens", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality scorer (model-based filtering plumbing)
+# ---------------------------------------------------------------------------
+
+
+def quality_score_linear(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filtering as a BROADCAST-ARTIFACT inference
+    pass — the fastText/CCNet-classifier stage of a curation pipeline,
+    reduced to its Spark-native plumbing: a linear model over
+    hashing-trick features, where the WEIGHTS LIVE IN A TABLE that is
+    broadcast-joined against the exploded token stream (exactly how a
+    real trained artifact — fastText ngram weights, a distilled linear
+    probe — is served at 100 TB: the model is executor-resident
+    metadata, the corpus streams through one narrow shuffle on the doc
+    id). Here the weight table is derived deterministically
+    (hash32('w|'||bucket) % 17 - 8, integers in [-8, 8]) so ANY engine
+    regenerates it and the whole inference sits under a value-hash
+    oracle; swap in a real artifact by replacing ``weights`` alone.
+
+    Returns (id, n_tokens, raw_score, score, keep): raw_score is the
+    exact integer weight sum, score its per-token mean, keep the
+    threshold decision (mean >= 0). Token rows are (id, bucket int) —
+    narrow; the weights join is broadcast (dim rows); one groupBy on
+    the doc id."""
+    spark = df.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            hash32(F.concat(F.lit("w|"), F.col("id").cast("string"))) % 17
+            - 8
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            whitespace_tokens(normalize_text(F.col(text_col)))
+        ).alias("__tok"),
+    ).select("id", (hash32(F.col("__tok")) % dim).cast("int").alias("bucket"))
+    scored = toks.join(F.broadcast(weights), "bucket").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("weight").cast("long").alias("raw_score"),
+    )
+    mean = F.col("raw_score").cast("double") / F.col("n_tokens")
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "raw_score",
+        F.round(mean, 6).alias("score"),
+        (mean >= 0).alias("keep"),
+    )

@@ -1830,3 +1830,121 @@ def t36_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "doc_id",
     )
+
+
+# --------------------------------------------------------------------------
+# t37 — repeated n-gram span coverage (operators/text.py:dup_span_stats)
+# --------------------------------------------------------------------------
+
+_T37_N = 5
+
+
+@query(
+    "t37_dup_span_coverage",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_O_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, start,
+             md5(array_to_string(toks[start:start+{_T37_N - 1}], ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   UNNEST(range(1, GREATEST(len(toks) - {_T37_N} + 1, 0) + 1))
+                     AS start
+            FROM base)
+    ),
+    dup AS (
+      SELECT doc_id, start
+      FROM (SELECT doc_id, start,
+                   COUNT(*) OVER (PARTITION BY gh) AS cnt
+            FROM g)
+      WHERE cnt >= 2
+    ),
+    cov AS (
+      SELECT doc_id,
+             COALESCE(LEAST({_T37_N},
+                      start - LAG(start) OVER (PARTITION BY doc_id
+                                               ORDER BY start)),
+                      {_T37_N}) AS c
+      FROM dup
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+             CAST(SUM(c) AS BIGINT) AS dup_covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(b.toks) - {_T37_N} + 1, 0) AS BIGINT) AS n_grams,
+           COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(a.dup_covered_tokens, 0) AS dup_covered_tokens,
+           ROUND(CAST(COALESCE(a.dup_covered_tokens, 0) AS DOUBLE)
+                 / len(b.toks), 6) AS dup_fraction
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def t37_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated n-gram SPAN coverage (operators/text.py:
+    dup_span_stats): per-doc fraction of token positions covered by a
+    5-token window occurring >=2 times corpus-wide — the
+    n-gram-granular analog of Lee et al.'s suffix-array
+    exact-substring dedup, catching arbitrary-offset boilerplate that
+    fixed chunk boundaries (t28) miss. One narrow shuffle on the gram
+    hash (the stand-in for the suffix sort), then lag-window interval
+    union per doc — no position explode, no UDFs."""
+    from ..operators.text import dup_span_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=_T37_N, min_count=2)
+
+
+# --------------------------------------------------------------------------
+# t38 — hashed linear quality scorer (operators/text.py:quality_score_linear)
+# --------------------------------------------------------------------------
+
+_T38_DIM = 64
+
+
+@query(
+    "t38_quality_scorer",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(i AS INT) AS bucket,
+             CAST({_o_hash32("'w|' || CAST(i AS VARCHAR)")} % 17 - 8
+                  AS BIGINT) AS weight
+      FROM (SELECT UNNEST(range(0, {_T38_DIM})) AS i)
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST({_O_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST({_o_hash32("tok")} % {_T38_DIM} AS INT) AS bucket
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(weight) AS BIGINT) AS raw_score
+      FROM b JOIN w USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, raw_score,
+           ROUND(CAST(raw_score AS DOUBLE) / n_tokens, 6) AS score,
+           (CAST(raw_score AS DOUBLE) / n_tokens) >= 0 AS keep
+    FROM agg
+    """,
+)
+def t38_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing (operators/text.py:
+    quality_score_linear): a linear scorer over hashing-trick token
+    features whose weight table is BROADCAST-JOINED against the
+    exploded token stream — the serving shape of a fastText-style
+    curation classifier at 100 TB (model = executor-resident
+    metadata; corpus = one narrow shuffle on the doc id). Weights are
+    hash-derived integers so the entire inference is value-hash
+    oracled; a trained artifact drops in by replacing the weights
+    table alone."""
+    from ..operators.text import quality_score_linear
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_score_linear(docs, dim=_T38_DIM)

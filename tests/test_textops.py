@@ -629,3 +629,91 @@ def test_incremental_lsh_equals_full_recompute_filtered(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert via_index == full
+
+
+class TestDupSpanStats:
+    """operators/text.py:dup_span_stats — hand-computed interval-union
+    coverage, window-count semantics, and the no-gram edge."""
+
+    def _run(self, spark, docs, n=3, min_count=2):
+        from end_to_end_data_engineering_pipeline_spark.operators.text import (
+            dup_span_stats,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r.doc_id: r.asDict()
+            for r in dup_span_stats(df, n=n, min_count=min_count).collect()
+        }
+
+    def test_hand_computed_overlapping_spans(self, spark):
+        # doc 0 and doc 1 share the 5-token run "a b c d e": doc 0 has
+        # 3-gram starts {1,2,3} flagged (overlap-chained: coverage =
+        # 3 + 1 + 1 = 5 of its 6 tokens); doc 1 identical run at
+        # starts {2,3,4} -> coverage 5 of 7. doc 2 shares nothing.
+        got = self._run(
+            spark,
+            [
+                (0, "a b c d e x"),
+                (1, "y a b c d e z"),
+                (2, "p q r s t u"),
+            ],
+        )
+        assert got[0]["n_tokens"] == 6 and got[0]["n_grams"] == 4
+        assert got[0]["n_dup_grams"] == 3
+        assert got[0]["dup_covered_tokens"] == 5
+        assert abs(got[0]["dup_fraction"] - round(5 / 6, 6)) < 1e-12
+        assert got[1]["dup_covered_tokens"] == 5
+        assert got[2]["n_dup_grams"] == 0
+        assert got[2]["dup_covered_tokens"] == 0
+        assert got[2]["dup_fraction"] == 0.0
+
+    def test_within_doc_repetition_counts(self, spark):
+        # "a b c" occurs twice INSIDE one doc -> both starts flagged
+        # (memorization doesn't care the repeat is intra-doc);
+        # disjoint spans at starts 1 and 4 -> coverage 3 + 3 = 6
+        got = self._run(spark, [(0, "a b c a b c")])
+        assert got[0]["n_dup_grams"] == 2
+        assert got[0]["dup_covered_tokens"] == 6
+        assert got[0]["dup_fraction"] == 1.0
+
+    def test_short_doc_has_no_grams(self, spark):
+        got = self._run(spark, [(0, "a b"), (1, "a b c x y z")])
+        assert got[0]["n_grams"] == 0 and got[0]["n_dup_grams"] == 0
+        assert got[0]["n_tokens"] == 2
+
+    def test_normalization_case_insensitive(self, spark):
+        # normalize_text lowercases: "A B C" matches "a b c"
+        got = self._run(spark, [(0, "A B C z1 z2"), (1, "a b c w1 w2")])
+        assert got[0]["n_dup_grams"] == 1
+        assert got[1]["n_dup_grams"] == 1
+
+
+class TestQualityScoreLinear:
+    def test_weights_deterministic_and_scores_exact(self, spark):
+        """The score is the exact integer weight sum over hashed
+        buckets — recompute it in Python from the same md5 primitive
+        and require equality, keep = (mean >= 0)."""
+        import hashlib
+
+        from end_to_end_data_engineering_pipeline_spark.operators.text import (
+            quality_score_linear,
+        )
+
+        def h32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        dim = 16
+        docs = [(0, "alpha beta gamma"), (1, "Delta   delta epsilon")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.asDict()
+            for r in quality_score_linear(df, dim=dim).collect()
+        }
+        for doc_id, text in docs:
+            toks = text.lower().split()
+            raw = sum(h32(f"w|{h32(t) % dim}") % 17 - 8 for t in toks)
+            assert got[doc_id]["n_tokens"] == len(toks)
+            assert got[doc_id]["raw_score"] == raw
+            assert got[doc_id]["score"] == round(raw / len(toks), 6)
+            assert got[doc_id]["keep"] == (raw / len(toks) >= 0)
