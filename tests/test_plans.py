@@ -377,3 +377,43 @@ def test_sim14_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
         map(tuple, out.select("query_id", "cand_id", "rk").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_t37_dup_span_narrow_shuffles(spark, sf_dir):
+    """Span coverage's scale contract: the gram stream shuffles as
+    (md5 hash, id, start) — the full token ARRAY must never reach an
+    Exchange (gram text collapses to its hash BEFORE the window), and
+    there is no position-explode join back to the corpus. Bounded
+    Exchange count: gram-hash window + per-doc lag window/agg + the
+    doc-stats join."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dup_span_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan_df(dup_span_stats(docs, n=5))
+    for ex in re.finditer(r"\(\d+\) Exchange.*", plan):
+        assert "__toks" not in ex.group(0), plan
+    assert "CartesianProduct" not in plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 5, plan
+
+
+def test_t38_weights_join_is_broadcast(spark, sf_dir):
+    """Model inference's scale contract: the weight table rides a
+    BroadcastHashJoin (artifact = executor metadata, the token stream
+    never shuffles for the join) and the per-doc score aggregates
+    map-side before its single Exchange."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        quality_score_linear,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan_df(quality_score_linear(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    # one broadcast exchange (weights) + one hash exchange (doc agg)
+    assert n_exchange <= 2, plan
