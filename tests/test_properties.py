@@ -675,3 +675,111 @@ def test_snapshot_merge_matches_dict_model(
             (r.k, r.v) for r in snapshot_read(spark, t, version=v).collect()
         )
         assert got == sorted(state.items())
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats vs brute-force covered-position-set model
+# ---------------------------------------------------------------------------
+
+TOKS = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10
+)
+
+
+@settings(
+    derandomize=True,
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(TOKS, min_size=1, max_size=5))
+def test_dup_span_stats_matches_position_set_model(spark, docs):
+    """The lag-window interval-union trick must equal the brute-force
+    model: a token position is covered iff it lies inside ANY
+    length-n window whose gram occurs >= 2 times corpus-wide.
+    Tiny 4-letter alphabet forces heavy within- and cross-doc
+    repetition (the overlap-chain's hard case)."""
+    from collections import Counter
+
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        dup_span_stats,
+    )
+
+    n = 3
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict() for r in dup_span_stats(df, n=n).collect()
+    }
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            grams[tuple(toks[i : i + n])] += 1
+    for doc_id, toks in enumerate(docs):
+        covered: set[int] = set()
+        n_dup = 0
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i : i + n])] >= 2:
+                n_dup += 1
+                covered.update(range(i, i + n))
+        # whitespace_tokens of "" is [""] (size 1): the operator's
+        # n_tokens for an empty doc is 1 — mirror that in the model
+        n_tokens = max(len(toks), 1)
+        assert got[doc_id]["n_dup_grams"] == n_dup
+        assert got[doc_id]["dup_covered_tokens"] == len(covered)
+        assert got[doc_id]["n_tokens"] == n_tokens
+        assert got[doc_id]["dup_fraction"] == round(
+            len(covered) / n_tokens, 6
+        )
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse vs per-candidate fold model
+# ---------------------------------------------------------------------------
+
+RANKING = st.lists(
+    st.integers(min_value=10, max_value=15), min_size=0, max_size=5, unique=True
+)
+
+
+@settings(
+    derandomize=True,
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rankings=st.lists(RANKING, min_size=1, max_size=3))
+def test_rrf_fuse_matches_fold_model(spark, rankings):
+    """RRF against the obvious Python model: score(cand) =
+    sum over retrievers of 1/(60 + rank), missing -> 0; top-k by
+    (score desc, cand_id). Random overlapping candidate lists
+    exercise every full-outer-join null pattern."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    dfs = []
+    for cands in rankings:
+        rows = [(0, c, i + 1) for i, c in enumerate(cands)]
+        dfs.append(
+            spark.createDataFrame(
+                rows or [], "query_id long, cand_id long, rk long"
+            )
+        )
+    k = 4
+    got = [
+        (r.cand_id, r.rrf, r.rk)
+        for r in sorted(rrf_fuse(dfs, k=k).collect(), key=lambda r: r.rk)
+    ]
+
+    score: dict[int, float] = {}
+    for cands in rankings:
+        for i, c in enumerate(cands):
+            score[c] = score.get(c, 0.0) + 1.0 / (60 + i + 1)
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(g[0], g[2]) for g in got] == [
+        (c, i + 1) for i, (c, _) in enumerate(want)
+    ]
+    for (_, ws), (_, gs, _) in zip(want, got):
+        assert abs(gs - ws) < 1e-12
