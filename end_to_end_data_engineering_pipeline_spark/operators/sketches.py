@@ -140,3 +140,92 @@ def bloom_member(key: Column, words: list[int], d: int, m: int) -> Column:
     for c in checks[1:]:
         out = out & c
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (register table + raw estimate)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}  # Flajolet et al. 2007
+HLL_ALPHA = _HLL_ALPHA[HLL_P]
+
+
+def _hll_rho(key: Column, p: int = HLL_P) -> tuple[Column, Column]:
+    """(register, rho) for one key: the shared 32-bit hash's top ``p``
+    bits pick the register; rho is 1 + the count of leading zeros in
+    the remaining ``32-p`` bits (w=0 -> rho = 32-p+1). Leading zeros
+    come from the BINARY-STRING length — ``length(bin(w))`` is
+    floor(log2(w))+1 for w>0 in Spark and DuckDB alike — so rho is a
+    pure integer function of md5, never a float log."""
+    h = hash32(key)
+    tail_bits = 32 - p
+    reg = (h / F.lit(1 << tail_bits)).cast("long")  # top p bits
+    w = h % (1 << tail_bits)
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        tail_bits + 1 - F.length(F.bin(w))
+    )
+    return reg.cast("int"), rho.cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """HyperLogLog register table: per group, ``2^p`` rows of
+    (register, max rho). Like the CMS (t29), the q31 objection —
+    approximate sketches hide opaque seeds — does not apply when the
+    hash family is FIXED: the register table is a deterministic
+    function of the input SET (duplicate keys cannot change a max),
+    exactly replayable by any engine with md5.
+
+    Scale story (Flajolet et al. 2007 / Heule et al. 2013): registers
+    merge by MAX, and max is what partial aggregation computes — each
+    map task emits <= 2^p rows per group whatever its input size, so
+    the shuffle carries register tables, not keys. This is how a
+    100 TB distinct-count runs without moving the keys: the exact
+    answer needs a shuffle of every distinct key; the sketch needs
+    64 rows per group. Estimating UNIONS across groups (or days) is a
+    further max of their register tables — no re-scan."""
+    gcols = list(group_cols or [])
+    reg, rho = _hll_rho(F.col(key_col).cast("string"), p)
+    return (
+        df.select(*gcols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*gcols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table:
+    ``alpha_m * m^2 / (zeros + sum(2^-max_rho))`` with ``m - n_regs``
+    absent registers contributing 2^0 each. ENGINE-EXACT by
+    construction: every 2^-rho is a dyadic rational with denominator
+    <= 2^27, so the double harmonic sum is exact in any order, and
+    the final multiply-divide is one correctly-rounded IEEE op — the
+    raw estimate hash-matches across engines with NO rounding fudge
+    (the small-range ln() correction is deliberately omitted: ln is
+    not correctly-rounded in every engine, and the raw estimate is
+    the deterministic core; accuracy itself is pytest-pinned).
+    Returns (group..., n_registers_set, raw_estimate)."""
+    gcols = list(group_cols or [])
+    m = 1 << p
+    alpha = _HLL_ALPHA.get(p, 0.7213 / (1 + 1.079 / m))
+    # 1.0 / (1 << rho), not pow(): a division by a power of two is one
+    # correctly-rounded op onto an exactly-representable value in any
+    # engine; pow()'s rounding is libm's business
+    harm = F.sum(F.expr("CAST(1 AS DOUBLE) / shiftleft(1, max_rho)"))
+    nset = F.count(F.lit(1))
+    return registers.groupBy(*gcols).agg(
+        nset.cast("long").alias("n_registers_set"),
+        F.round(
+            F.lit(alpha * m * m) / (harm + (F.lit(m) - nset)), 6
+        ).alias("raw_estimate"),
+    )

@@ -1154,3 +1154,65 @@ def e22_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(ev, ["user_id"], top_n=10).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+@query(
+    "e23_hll_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    rr AS (
+      SELECT event_type,
+             CAST(hv // 67108864 AS INT) AS register,
+             CASE WHEN hv % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(hv % 67108864)) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, register, MAX(rho) AS max_rho
+      FROM rr GROUP BY event_type, register
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_set,
+             ROUND(CAST(0.709 AS DOUBLE) * 64 * 64
+                   / (SUM(CAST(1 AS DOUBLE) / (1 << max_rho))
+                      + (64 - COUNT(*))), 6) AS raw_estimate
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_registers_set, e.raw_estimate,
+           x.exact_distinct
+    FROM est e JOIN ex x ON x.event_type = e.event_type
+    """,
+)
+def e23_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (operators/sketches.py:hll_registers/hll_estimate), alongside the
+    exact COUNT(DISTINCT) for the accuracy exhibit. Like the CMS
+    (t29), fixing the hash family makes the 'approximate' sketch a
+    deterministic function of the input SET — registers, harmonic
+    sum, and raw estimate all hash-match a DuckDB replay (the
+    estimate arithmetic is engine-exact: dyadic 2^-rho terms sum
+    exactly in any order; the ln small-range correction is omitted as
+    not correctly-rounded across engines). At 100 TB the register
+    table is 64 rows per group whatever the corpus — partial-agg max
+    IS the merge; the exact side here shuffles every distinct key,
+    which is precisely the cost the sketch exists to avoid."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", group_cols=["event_type"])
+    est = hll_estimate(regs, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")

@@ -717,3 +717,69 @@ class TestQualityScoreLinear:
             assert got[doc_id]["raw_score"] == raw
             assert got[doc_id]["score"] == round(raw / len(toks), 6)
             assert got[doc_id]["keep"] == (raw / len(toks) >= 0)
+
+
+class TestHllSketch:
+    """operators/sketches.py HLL: accuracy, set-semantics, and the
+    merge-by-max property the distributed story rests on."""
+
+    def _regs(self, spark, values, **kw):
+        from end_to_end_data_engineering_pipeline_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        df = spark.createDataFrame([(v,) for v in values], "k string")
+        return hll_registers(df, "k", **kw)
+
+    def test_estimate_tracks_cardinality(self, spark):
+        """Raw estimate within the ~1.04/sqrt(64) = 13% standard
+        error band (3 sigma) at cardinalities well past m."""
+        from end_to_end_data_engineering_pipeline_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        for n in (500, 5000):
+            est = hll_estimate(
+                self._regs(spark, [f"u{i}" for i in range(n)])
+            ).collect()[0]
+            assert abs(est.raw_estimate - n) / n < 0.39, (n, est)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        """The sketch is a function of the SET: inserting every key
+        ten times yields byte-identical registers."""
+        vals = [f"u{i}" for i in range(200)]
+        once = sorted(map(tuple, self._regs(spark, vals).collect()))
+        many = sorted(map(tuple, self._regs(spark, vals * 10).collect()))
+        assert once == many
+
+    def test_union_is_register_max(self, spark):
+        """Registers of A ∪ B == element-wise max of A's and B's
+        registers — the property that makes partial aggregation the
+        merge and lets unions across groups/days skip the re-scan."""
+        a = [f"a{i}" for i in range(300)]
+        b = [f"b{i}" for i in range(300)]
+        union = {
+            r.register: r.max_rho for r in self._regs(spark, a + b).collect()
+        }
+        ra = {r.register: r.max_rho for r in self._regs(spark, a).collect()}
+        rb = {r.register: r.max_rho for r in self._regs(spark, b).collect()}
+        merged = {
+            k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+        }
+        assert union == merged
+
+    def test_rho_matches_python_bit_model(self, spark):
+        """register/rho against a pure-Python md5 bit model."""
+        import hashlib
+
+        vals = [f"x{i}" for i in range(50)]
+        got = {}
+        for r in self._regs(spark, vals).collect():
+            got.setdefault(r.register, r.max_rho)
+        regs: dict[int, int] = {}
+        for v in vals:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+            reg, w = h >> 26, h % (1 << 26)
+            rho = 27 if w == 0 else 27 - w.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        assert got == regs
