@@ -1158,3 +1158,96 @@ def test_streaming_incremental_lsh_matches_batch_recompute(spark, tmp_path):
     got = set(emitted)
     assert len(got) == len(emitted)  # no pair discovered twice
     assert got == full and len(full) > 0
+
+
+def test_streaming_hll_register_merge_matches_batch(spark, tmp_path):
+    """Streaming distinct-count sketch maintenance (operators/
+    sketches.py): each micro-batch computes its own HLL register
+    table and merges it into a persisted one by MAX — the same
+    operation partial aggregation performs inside a batch job, now
+    across time. After the stream, the persisted registers must equal
+    the one-shot hll_registers over everything the stream saw
+    (byte-identical: max is associative/commutative/idempotent, so
+    batch boundaries and replays cannot move a register), and the
+    estimate over them is the same deterministic arithmetic."""
+    import os
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    log_dir = str(tmp_path / "seen")
+    reg_dir = str(tmp_path / "regs")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(log_dir)
+        sp = batch_df.sparkSession
+        incr = hll_registers(batch_df, "user_id", group_cols=["event_type"])
+        if os.path.isdir(reg_dir):
+            prev = sp.read.parquet(reg_dir)
+            merged = (
+                prev.unionByName(incr)
+                .groupBy("event_type", "register")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        else:
+            merged = incr
+        merged.write.mode("overwrite").parquet(reg_dir + "_tmp")
+        sp.read.parquet(reg_dir + "_tmp").write.mode("overwrite").parquet(
+            reg_dir
+        )
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+
+    seen = spark.read.parquet(log_dir)
+    want_regs = sorted(
+        map(
+            tuple,
+            hll_registers(
+                seen, "user_id", group_cols=["event_type"]
+            ).collect(),
+        )
+    )
+    got_regs = sorted(map(tuple, spark.read.parquet(reg_dir).collect()))
+    assert got_regs == want_regs and want_regs
+
+    est = {
+        r.event_type: (r.n_registers_set, r.raw_estimate)
+        for r in hll_estimate(
+            spark.read.parquet(reg_dir), group_cols=["event_type"]
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in seen.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t][1] - n) / n < 0.39, (t, n, est[t])
