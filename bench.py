@@ -105,6 +105,15 @@ HEADLINE: list[str] = [
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
     "sim14_ivf_partitioned_topk",
+    # r7-born operators: RRF hybrid fusion, versioned-IVF pinned
+    # search (builds in fixture_phase), skew audit, span coverage,
+    # broadcast-weights scorer, deterministic HLL
+    "sim15_rrf_hybrid_topk",
+    "sim16_versioned_ivf_topk",
+    "e22_skew_audit",
+    "e23_hll_distinct_users",
+    "t37_dup_span_coverage",
+    "t38_quality_scorer",
 ]
 
 

@@ -195,7 +195,14 @@ def snapshot_merge(
     if not vs:
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
-    base_files = list(_manifest(path, base_version)["files"])
+    base_manifest = _manifest(path, base_version)
+    if "part_col" in base_manifest:
+        raise ValueError(
+            "snapshot_merge would publish a manifest without the "
+            "partition map and break snapshot_read_partitioned; "
+            "rebuild partitioned tables with snapshot_write_partitioned"
+        )
+    base_files = list(base_manifest["files"])
     touched: set[str] = set()
     survivors = None
     if base_files:  # an empty (zero-row overwrite) base is all-insert
@@ -420,7 +427,14 @@ def snapshot_compact(
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
-    base_files = list(_manifest(path, base_version)["files"])
+    base_manifest = _manifest(path, base_version)
+    if "part_col" in base_manifest:
+        raise ValueError(
+            "snapshot_compact would merge files across partition values "
+            "and publish a manifest without the partition map; rewrite "
+            "partitioned tables with snapshot_write_partitioned"
+        )
+    base_files = list(base_manifest["files"])
     sizes = {
         f: os.path.getsize(os.path.join(_data_dir(path), f))
         for f in base_files
@@ -622,3 +636,183 @@ def snapshot_read_partitioned(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _stat_key(v) -> float | int | str:
+    """JSON-able ordering key for a file statistic: numbers pass
+    through; naive timestamps become epoch microseconds (int ordering
+    == time ordering)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # pyarrow returns tz-aware (UTC) stats for TIMESTAMP_MICROS;
+        # caller bounds are naive in the session's UTC timezone —
+        # normalize both to naive UTC before the epoch subtraction
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    if isinstance(v, (int, float)):
+        return v
+    raise TypeError(f"unsupported stats value {type(v).__name__}")
+
+
+def _file_min_max(fpath: str, col: str) -> list | None:
+    """(min_key, max_key) of ``col`` from the parquet FOOTER row-group
+    statistics — no data pages read. None if any row group lacks
+    min/max (then the file is never pruned: conservatively live)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    mins: list = []
+    maxs: list = []
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        found = False
+        for c in range(row_group.num_columns):
+            cc = row_group.column(c)
+            if cc.path_in_schema == col:
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(_stat_key(st.min))
+                maxs.append(_stat_key(st.max))
+                found = True
+        if not found:
+            return None
+    if not mins:
+        return None
+    return [min(mins), max(maxs)]
+
+
+def snapshot_write_sorted(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_col: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    extra: dict | None = None,
+) -> int:
+    """Commit ``df`` RANGE-CLUSTERED on ``stats_col`` with per-file
+    min/max recorded in the manifest — Iceberg's file-skipping stats
+    for range predicates, the read-path complement to hive-style
+    equality pruning (:func:`snapshot_write_partitioned`). The stage
+    write is ``repartitionByRange + sortWithinPartitions`` so file
+    ranges are DISJOINT (clustering is what makes min/max selective;
+    unsorted data gives every file the full range and prunes
+    nothing — the same argument as Z-order, restricted to one
+    dimension). Stats come from the parquet FOOTERS (no data read),
+    collected at write time exactly as Iceberg populates its
+    manifests; a file whose footer lacks min/max gets null stats and
+    is conservatively never pruned.
+
+    The canonical 100 TB use is an event/time-series table: commits
+    cluster on event time, and :func:`snapshot_read_range` opens only
+    the files overlapping a query's time window — by MANIFEST lookup,
+    version-pinned, no directory listing, no footer round-trips at
+    read time."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    clustered = (
+        df.repartitionByRange(n_files, stats_col)
+        if n_files
+        else df.repartitionByRange(stats_col)
+    ).sortWithinPartitions(stats_col)
+    # Spark's default parquet timestamp encoding is INT96, which the
+    # format deprecated WITHOUT min/max statistics — a ts-clustered
+    # store would silently never prune. Stage the write as
+    # TIMESTAMP_MICROS (stats-bearing, the modern encoding).
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        names = _stage_files(spark, path, clustered)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+    stats = {
+        f: _file_min_max(os.path.join(_data_dir(path), f), stats_col)
+        for f in names
+    }
+
+    token = uuid.uuid4().hex[:12]
+    while True:
+        prev = current_version(path)
+        live: list[str] = []
+        prev_stats: dict[str, list | None] = {}
+        if mode == "append" and prev is not None:
+            pm = _manifest(path, prev)
+            if pm.get("stats_col") != stats_col:
+                raise ValueError(
+                    f"append stats_col {stats_col!r} != committed "
+                    f"{pm.get('stats_col')!r}"
+                )
+            live = list(pm["files"])
+            prev_stats = dict(pm.get("stats", {}))
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": live + names,
+            "stats_col": stats_col,
+            "stats": {**prev_stats, **stats},
+            "extra": extra or {},
+        }
+        tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_vers_dir(path), f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST if we lost
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version
+
+
+def snapshot_read_range(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range query over a :func:`snapshot_write_sorted` store: opens
+    only the files whose manifest [min, max] overlaps [lo, hi]
+    (null-stats files stay conservatively live), then applies the
+    exact BETWEEN residual — so results equal a full-scan filter
+    while IO tracks the window's share of files. Bounds take the
+    stats column's own type (number or naive datetime)."""
+    m = snapshot_manifest(path, version)
+    if "stats_col" not in m:
+        raise ValueError(
+            f"version {m['version']} under {path} was not committed "
+            "with snapshot_write_sorted"
+        )
+    lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+    stats = m["stats"]
+    live = [
+        f
+        for f in m["files"]
+        if stats.get(f) is None
+        or not (stats[f][1] < lo_k or stats[f][0] > hi_k)
+    ]
+    if not live:
+        # empty result with the committed schema: read one file's
+        # schema via an always-false filter
+        live = m["files"][:1]
+        if not live:
+            raise ValueError(f"version {m['version']} is empty")
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(os.path.join(_data_dir(path), live[0]))
+        return base.where(F.lit(False))
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in live]
+    )
+    return df.where(F.col(m["stats_col"]).between(F.lit(lo), F.lit(hi)))

@@ -788,3 +788,64 @@ def p13_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p14_time_range_pruned_read",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                 AND TIMESTAMP '2024-01-14 23:59:59'
+    GROUP BY event_type
+    """,
+)
+def p14_time_range_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window query over a range-clustered snapshot store
+    (operators/snapshots.py:snapshot_write_sorted/snapshot_read_range
+    — Iceberg file-skipping stats in the versioned manifest): events
+    are committed clustered on ts with per-file min/max collected
+    from the parquet FOOTERS at write time; the week-window read then
+    opens only the overlapping files BY MANIFEST LOOKUP (no listing,
+    no read-time footer round-trips, version-pinned against
+    concurrent commits) and applies the exact BETWEEN residual. The
+    oracle is a plain full-scan filter over the raw table — pruning
+    must change IO, never results (file-subset behavior pinned in
+    tests/test_snapshots.py). Value sums ride the decimal(27,4) rule
+    (functions/scalar.py) so both engines agree bit-for-bit."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_read_range,
+        snapshot_write_sorted,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="p14_range_")
+    store = tmp + "/events"
+    try:
+        with fixture_phase():  # commit is the fixture; operator = read
+            snapshot_write_sorted(spark, store, ev, "ts", n_files=8)
+        week = snapshot_read_range(
+            spark,
+            store,
+            datetime.datetime(2024, 1, 8, 0, 0, 0),
+            datetime.datetime(2024, 1, 14, 23, 59, 59),
+        )
+        out = week.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

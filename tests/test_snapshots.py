@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
     current_version,
@@ -481,3 +482,113 @@ class TestPartitionedSnapshots:
         self._write(spark, path, [(1, 0, "a")])
         with pytest.raises(ValueError, match="no files match"):
             snapshot_read_partitioned(spark, path, values=[7])
+
+    def test_merge_and_compact_refuse_partitioned_tables(
+        self, spark, tmp_path
+    ):
+        """A merge/compact commit would drop the partition map (its
+        rewrite mixes partition values into shared files), silently
+        breaking snapshot_read_partitioned — both must refuse."""
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_compact,
+            snapshot_merge,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, [(1, 0, "a"), (2, 1, "b")])
+        upd = spark.createDataFrame(
+            [(1, 0, "z")], "id long, cell int, val string"
+        )
+        with pytest.raises(ValueError, match="partition map"):
+            snapshot_merge(spark, path, upd, ["id"])
+        with pytest.raises(ValueError, match="partition map"):
+            snapshot_compact(spark, path, small_file_bytes=1 << 30)
+
+
+class TestSortedSnapshots:
+    """snapshot_write_sorted / snapshot_read_range: per-file min/max
+    stats in the versioned manifest (Iceberg file skipping)."""
+
+    def _write(self, spark, path, lo, hi, n_files=4, mode="overwrite"):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_write_sorted,
+        )
+
+        df = spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        return snapshot_write_sorted(
+            spark, path, df, "k", n_files=n_files, mode=mode
+        )
+
+    def test_range_read_prunes_files_and_matches_filter(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_manifest,
+            snapshot_read_range,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, 0, 1000, n_files=8)
+        m = snapshot_manifest(path)
+        assert m["stats_col"] == "k" and len(m["files"]) == 8
+        # clustered write -> disjoint file ranges: total span coverage
+        spans = sorted(m["stats"].values())
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi < b_lo  # strictly disjoint
+
+        full = snapshot_read_range(spark, path, 0, 999)
+        narrow = snapshot_read_range(spark, path, 100, 149)
+        assert len(narrow.inputFiles()) < len(full.inputFiles())
+        assert sorted(r.k for r in narrow.collect()) == list(range(100, 150))
+
+    def test_empty_window_returns_schema_no_rows(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_range,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, 0, 100)
+        out = snapshot_read_range(spark, path, 5000, 6000)
+        assert out.count() == 0
+        assert [f[0] for f in out.dtypes] == ["k", "v"]
+
+    def test_append_merges_stats_and_pin_survives(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_range,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, 0, 100, n_files=2)
+        self._write(spark, path, 100, 200, n_files=2, mode="append")
+        latest = snapshot_read_range(spark, path, 50, 150)
+        assert sorted(r.k for r in latest.collect()) == list(range(50, 151))
+        v0 = snapshot_read_range(spark, path, 50, 150, version=0)
+        assert sorted(r.k for r in v0.collect()) == list(range(50, 100))
+
+    def test_timestamp_stats_roundtrip(self, spark, tmp_path):
+        import datetime
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_range,
+            snapshot_write_sorted,
+        )
+
+        path = str(tmp_path / "t")
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base + datetime.timedelta(hours=i)) for i in range(96)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        snapshot_write_sorted(spark, path, df, "ts", n_files=4)
+        day2 = snapshot_read_range(
+            spark,
+            path,
+            datetime.datetime(2024, 1, 2),
+            datetime.datetime(2024, 1, 2, 23, 59, 59),
+        )
+        assert sorted(r.id for r in day2.collect()) == list(range(24, 48))
+        assert len(day2.inputFiles()) < 4
