@@ -114,6 +114,8 @@ HEADLINE: list[str] = [
     "e23_hll_distinct_users",
     "t37_dup_span_coverage",
     "t38_quality_scorer",
+    "p14_time_range_pruned_read",
+    "sim17_neardup_triangles",
 ]
 
 

@@ -155,3 +155,69 @@ def resolve_canonical_by(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair graph
+    (input edges canonical ``id_a < id_b``, the near-dup operators'
+    output contract): (node, n_triangles) for every node in at least
+    one triangle. Triangles are the transitivity census of a
+    similarity graph — a near-dup CLUSTER whose pairs close into
+    triangles is a genuine clique (one boilerplate family), while
+    high-degree nodes with NO closure are hub false-positives (one
+    template matching many unrelated docs), so the triangle count is
+    the diagnostic that separates them before canonicalization
+    deletes documents.
+
+    Scale shape (Cohen's map-reduce triangle counting / Schank's
+    oriented enumeration): edges are ORIENTED from the
+    lower-(degree, id) endpoint to the higher, so every wedge is
+    generated at its lowest-degree apex — candidate wedges are
+    bounded by sum(min-degree per edge) = O(m^1.5) on any graph,
+    immune to the hub that makes naive a<b enumeration blow up
+    (a 1M-degree hub contributes ZERO wedges unless both endpoints
+    out-rank it). One degree aggregate, one self-join on the apex,
+    one semi-join against the canonical edge set for closure, one
+    explode-to-3 count — all narrow (node, node) rows.
+    """
+    e = pairs.select(
+        F.col(src_col).alias("u").cast("long"),
+        F.col(dst_col).alias("v").cast("long"),
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge toward the higher (degree, id) endpoint
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    # wedges at the lowest-ranked apex: two out-edges (apex->b, apex->c)
+    o1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    o2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = o1.join(o2, "apex").where(F.col("b") < F.col("c"))
+    # closure check against the CANONICAL edge set (orientation-free)
+    closing = pairs.select(
+        F.col(src_col).alias("b").cast("long"),
+        F.col(dst_col).alias("c").cast("long"),
+    )
+    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    nodes = (
+        tris.select(F.col("apex").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

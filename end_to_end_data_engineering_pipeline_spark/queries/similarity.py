@@ -1049,3 +1049,47 @@ def sim16_versioned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "sim17_neardup_triangles",
+    oracle=f"""
+    WITH {_O_SCALED},
+    sigd AS (SELECT vec_id, sv, n2,
+                    CAST({_o_lsh_sig(6, 64)} AS BIGINT) AS sig
+             FROM normed),
+    pairs AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b
+      FROM sigd q JOIN sigd c ON c.sig = q.sig AND q.vec_id < c.vec_id
+      WHERE {_O_COS} >= 0.1),
+    tris AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p2.id_a = p1.id_b
+      JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris)
+    GROUP BY node
+    """,
+)
+def sim17_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census of the embedding near-dup graph
+    (operators/graph.py:triangle_count over sim13's LSH pair
+    machinery at threshold 0.1): the transitivity diagnostic that
+    separates genuine near-dup CLIQUES (pairs that close into
+    triangles — one boilerplate family) from hub false-positives
+    (high degree, no closure) BEFORE canonicalization deletes
+    documents. The Spark side counts via degree-ORIENTED wedge
+    enumeration (every wedge generated at its lowest-(degree,id)
+    apex — O(m^1.5) wedges on any graph, hub-immune); the oracle
+    enumerates naively by id order a<b<c — two formulations of the
+    same graph property, so the value-hash match pins orientation
+    correctness, not just arithmetic."""
+    from ..operators.graph import triangle_count
+    from ..operators.similarity import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_lsh(emb, threshold=0.1, n_planes=6)
+    return triangle_count(pairs)

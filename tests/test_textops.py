@@ -783,3 +783,40 @@ class TestHllSketch:
             rho = 27 if w == 0 else 27 - w.bit_length()
             regs[reg] = max(regs.get(reg, 0), rho)
         assert got == regs
+
+
+class TestTriangleCount:
+    """operators/graph.py:triangle_count — hand-built graphs where the
+    triangle census is known, including the hub shape the oriented
+    enumeration exists for."""
+
+    def _run(self, spark, edges):
+        from end_to_end_data_engineering_pipeline_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "id_a long, id_b long",
+        )
+        return {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+    def test_k4_every_node_in_three(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._run(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_star_hub_has_no_triangles(self, spark):
+        # a 10-leaf hub: max degree, zero closure -> empty census
+        assert self._run(spark, [(0, i) for i in range(1, 11)]) == {}
+
+    def test_hub_with_one_closure(self, spark):
+        # hub 0 -> leaves 1..10, plus the single closing edge (1,2):
+        # exactly one triangle {0,1,2}; leaves 3..10 absent
+        edges = [(0, i) for i in range(1, 11)] + [(1, 2)]
+        assert self._run(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+    def test_two_disjoint_triangles_and_a_chain(self, spark):
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12),
+                 (20, 21), (21, 22)]  # chain 20-21-22 never closes
+        got = self._run(spark, edges)
+        assert got == {0: 1, 1: 1, 2: 1, 10: 1, 11: 1, 12: 1}
