@@ -116,6 +116,7 @@ HEADLINE: list[str] = [
     "t38_quality_scorer",
     "p14_time_range_pruned_read",
     "sim17_neardup_triangles",
+    "p15_corpus_release",
 ]
 
 
@@ -161,11 +162,17 @@ def main() -> None:
             # operators cache shared sub-plans; drop them so queries are
             # timed independently and memory doesn't creep across the run
             spark.catalog.clearCache()
-    # 3 decimals (ms resolution): the driver records only the last
-    # 2000 bytes of output, and the 50-query line with 4-dp numbers
-    # plus a populated regressions dict brushed that cap
+    # 3 decimals (ms resolution) and SHORT keys: the driver records
+    # only the LAST 2000 bytes of output and parses the JSON line out
+    # of that window — full names at 59 queries put the line at ~2 KB
+    # and one byte past the window decapitates the JSON. Each query's
+    # leading code (q1, t34, sim16...) is unique by construction
+    # (asserted), so timings serialize under it; prior-round full
+    # names are normalized the same way in _prior_bench.
+    assert len({_short(n) for n in names}) == len(names), "key collision"
     timings = {
-        name: round(statistics.median(s), 3) for name, s in samples.items()
+        _short(name): round(statistics.median(s), 3)
+        for name, s in samples.items()
     }
     fixture_total = round(
         sum(statistics.median(s) for s in fixtures.values()), 4
@@ -191,6 +198,13 @@ def main() -> None:
 
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_S = 0.3  # absolute growth below this is timing noise
+
+
+def _short(name: str) -> str:
+    """A query's leading code ("t34_curation_audit" -> "t34") — the
+    serialization key that keeps the bench JSON line inside the
+    driver's 2000-byte output tail."""
+    return name.split("_", 1)[0]
 
 
 def _prior_bench(sf_val) -> dict[str, float]:
@@ -222,10 +236,13 @@ def _prior_bench(sf_val) -> dict[str, float]:
             and isinstance(parsed.get("queries"), dict)
         ):
             for name, t in parsed["queries"].items():
+                # rounds <= r6 recorded full names; normalize so the
+                # best-of-history gate spans the key change
+                key = _short(name)
                 if isinstance(t, (int, float)) and (
-                    name not in best or t < best[name]
+                    key not in best or t < best[key]
                 ):
-                    best[name] = t
+                    best[key] = t
     return best
 
 

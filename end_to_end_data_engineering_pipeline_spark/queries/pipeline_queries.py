@@ -849,3 +849,141 @@ def p14_time_range_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# p15 — corpus release: quality gate -> exact dedup -> decontamination ->
+# versioned commit (the training-corpus product, end to end)
+# --------------------------------------------------------------------------
+
+from . import textops as _t  # oracle fragments shared with t19/t27/t38
+
+
+@query(
+    "p15_corpus_release",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(i AS INT) AS bucket,
+             CAST({_t._o_hash32("'w|' || CAST(i AS VARCHAR)")} % 17 - 8
+                  AS BIGINT) AS weight
+      FROM (SELECT UNNEST(range(0, 64)) AS i)
+    ),
+    tokq AS (
+      SELECT doc_id, UNNEST({_t._O_TOKS}) AS tok
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    qa AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(weight) AS BIGINT) AS raw
+      FROM (SELECT doc_id,
+                   CAST({_t._o_hash32("tok")} % 64 AS INT) AS bucket
+            FROM tokq) b
+      JOIN w USING (bucket)
+      GROUP BY doc_id
+    ),
+    keepq AS (SELECT doc_id FROM qa WHERE raw + n >= 0),
+    fp AS (
+      SELECT d.doc_id, md5({_t._O_NORM}) AS fp
+      FROM documents d JOIN keepq USING (doc_id)
+    ),
+    ded AS (SELECT MIN(doc_id) AS doc_id, fp FROM fp GROUP BY fp),
+    sh AS (SELECT doc_id, {_t._o_shingles(3)} AS s FROM documents),
+    bench AS (SELECT DISTINCT g FROM (
+        SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT d.doc_id, unnest(s.s) AS g
+            FROM ded d JOIN sh s ON s.doc_id = d.doc_id) c
+      JOIN bench USING (g)
+    ),
+    rel AS (
+      SELECT d.doc_id, d.fp FROM ded d
+      WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    )
+    SELECT doc.lang, doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_t._O_RAW_TOKS})) AS BIGINT) AS n_tokens,
+           md5(string_agg(r.fp, '' ORDER BY r.fp)) AS corpus_md5
+    FROM rel r JOIN documents doc ON doc.doc_id = r.doc_id
+    GROUP BY doc.lang, doc.source
+    """,
+)
+def p15_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCT of a curation engine, end to end: documents pass
+    the model-based quality gate (t38's scorer; integer inequality
+    raw_score >= -n_tokens, i.e. mean weight >= -1 — no float
+    boundary), survivors exact-dedup corpus-wide (keep lowest id per
+    normalized fingerprint, t3 semantics), the deduped corpus is
+    decontaminated against the benchmark shingle set (t19/t27
+    machinery), and the RELEASE is committed as a lang-partitioned
+    snapshot version (operators/snapshots.py) with stage lineage in
+    the manifest extra — then read BACK from the pinned version, so
+    the reported table proves the commit round-trip is
+    content-neutral. Per (lang, source): doc count, token count, and
+    a corpus membership DIGEST (md5 over the sorted fingerprint
+    concatenation) — the value-hash oracle therefore pins the exact
+    SET of released documents, not just counts, across a four-stage
+    pipeline in two engines. Every stage keeps the narrow-key
+    discipline of its standalone query; the composition adds one
+    lang-partitioned write."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup_fuzzy import contamination_hits, exact_dedup
+    from ..operators.snapshots import (
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+    from ..operators.text import (
+        fingerprint,
+        quality_score_linear,
+        whitespace_tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    scores = quality_score_linear(corpus, dim=64)
+    keep = scores.where(
+        F.col("raw_score") + F.col("n_tokens") >= 0
+    ).select("doc_id")
+    gated = corpus.join(keep, "doc_id")
+    ded = exact_dedup(gated)
+    hits = contamination_hits(ded, bench).select(
+        F.col("id").alias("doc_id")
+    )
+    release = ded.join(F.broadcast(hits), "doc_id", "left_anti").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+
+    tmp = tempfile.mkdtemp(prefix="p15_release_")
+    store = tmp + "/release"
+    try:
+        with fixture_phase():  # the commit; operator = gated pipeline
+            version = snapshot_write_partitioned(
+                spark,
+                store,
+                release,
+                "lang",
+                extra={
+                    "stages": [
+                        "quality_mean_ge_-1",
+                        "exact_dedup_keep_first",
+                        "decontaminate_shingle3_mod97",
+                    ],
+                },
+            )
+        back = snapshot_read_partitioned(spark, store, version=version)
+        out = back.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(whitespace_tokens("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("fp")))
+            ).alias("corpus_md5"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
