@@ -554,3 +554,33 @@ def quality_score_linear(
         F.round(mean, 6).alias("score"),
         (mean >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy beyond PII regexes)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier k-anonymity audit (Sweeney 2002): the groups
+    of ``quasi_cols`` values shared by FEWER than ``k`` rows —
+    exactly the rows a release would re-identify even after direct
+    identifiers are redacted (t21's redact_pii removes emails/phones;
+    it cannot remove the fact that a document is the only Swahili one
+    from source X in a length band). Returns the violating groups
+    with their sizes; the release decision (suppress, generalize the
+    bucket, or accept) belongs to the caller.
+
+    One partial-aggregated groupBy on the quasi key — (key, count)
+    rows, same scale shape as any counting audit; the violating set
+    is small by definition (each group < k rows)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

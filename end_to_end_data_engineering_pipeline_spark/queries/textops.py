@@ -1948,3 +1948,42 @@ def t38_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return quality_score_linear(docs, dim=_T38_DIM)
+
+
+# --------------------------------------------------------------------------
+# t40 — k-anonymity audit (operators/text.py:k_anonymity_violations)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t40_k_anonymity_audit",
+    oracle="""
+    SELECT lang, source,
+           CAST(n_chars // 1000 AS BIGINT) AS chars_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY lang, source, n_chars // 1000
+    HAVING COUNT(*) < 5
+    """,
+)
+def t40_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus release metadata
+    (operators/text.py:k_anonymity_violations, k=5): quasi-identifier
+    groups (lang, source, length band) too small to hide in — the
+    privacy check that survives PII redaction (t21 strips emails; it
+    cannot strip being the only document of a kind). One counting
+    groupBy; the violating set is < 5 rows per group by definition."""
+    from ..operators.text import k_anonymity_violations
+
+    docs = load(spark, sf_dir, "documents")
+    return k_anonymity_violations(
+        docs,
+        [
+            F.col("lang"),
+            F.col("source"),
+            (F.col("n_chars") / 1000)
+            .cast("long")
+            .alias("chars_bucket"),
+        ],
+        k=5,
+    )

@@ -820,3 +820,19 @@ class TestTriangleCount:
                  (20, 21), (21, 22)]  # chain 20-21-22 never closes
         got = self._run(spark, edges)
         assert got == {0: 1, 1: 1, 2: 1, 10: 1, 11: 1, 12: 1}
+
+
+def test_k_anonymity_violations_hand_case(spark):
+    """Groups under k surface with exact sizes; groups at/over k are
+    absent; expression quasi-columns work."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        k_anonymity_violations,
+    )
+
+    rows = [("en", "web")] * 5 + [("en", "book")] * 2 + [("sw", "web")]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        (r.lang, r.source): r.group_size
+        for r in k_anonymity_violations(df, ["lang", "source"], k=5).collect()
+    }
+    assert got == {("en", "book"): 2, ("sw", "web"): 1}
