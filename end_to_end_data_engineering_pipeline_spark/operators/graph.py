@@ -184,6 +184,12 @@ def triangle_count(
     one semi-join against the canonical edge set for closure, one
     explode-to-3 count — all narrow (node, node) rows.
     """
+    # the edge list fans out into THREE consumers (degree table, wedge
+    # self-join, closure semi-join). Deliberately NOT cached: the
+    # branches share the expensive upstream (e.g. sim17's LSH
+    # rescoring) through ReusedExchange, and an explicit .cache() was
+    # MEASURED SLOWER (~1.3x at sf0.1) — the InMemoryRelation barrier
+    # blocks exchange reuse and whole-stage codegen across it
     e = pairs.select(
         F.col(src_col).alias("u").cast("long"),
         F.col(dst_col).alias("v").cast("long"),
@@ -207,10 +213,10 @@ def triangle_count(
     o1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
     o2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
     wedges = o1.join(o2, "apex").where(F.col("b") < F.col("c"))
-    # closure check against the CANONICAL edge set (orientation-free)
-    closing = pairs.select(
-        F.col(src_col).alias("b").cast("long"),
-        F.col(dst_col).alias("c").cast("long"),
+    # closure check against the CANONICAL edge set (orientation-free;
+    # e preserves the input's id_a < id_b canonical order)
+    closing = e.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
     )
     tris = wedges.join(closing, ["b", "c"], "left_semi")
     nodes = (
