@@ -32,7 +32,9 @@ def test_prior_bench_loads_best_of_history():
         d = json.load(open(f))
         if d.get("rc") == 0 and d.get("sf") == 0.1:
             for name, t in (d.get("parsed") or {}).get("queries", {}).items():
-                assert prior[name] <= t
+                # rounds <= r6 recorded full names; the loader
+                # normalizes to the short serialization key
+                assert prior[bench._short(name)] <= t
 
 
 def test_prior_bench_ignores_other_sf():
@@ -64,3 +66,14 @@ def test_guard_flags_only_real_regressions():
     fresh = dict(prior)
     fresh["brand_new_query"] = 99.0
     assert "brand_new_query" not in bench._find_regressions(fresh, 0.1)
+
+
+def test_short_keys_unique_over_headline():
+    """The bench serializes timings under each query's leading code to
+    fit the driver's 2000-byte output tail — the codes must stay
+    unique or two queries would silently share a slot."""
+    shorts = [bench._short(n) for n in bench.HEADLINE]
+    assert len(set(shorts)) == len(shorts)
+    # and the normalizer maps r6-era full names onto the same space
+    assert bench._short("t34_curation_audit") == "t34"
+    assert bench._short("q1_pricing_summary") == "q1"
