@@ -1216,3 +1216,93 @@ def e23_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+@query(
+    "e24_session_trigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_seq
+      FROM ordered
+    ), tri AS (
+      SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER w AS step2,
+             LEAD(event_type, 2) OVER w AS step3
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_seq
+                   ORDER BY ts, event_id)
+    ), counts AS (
+      SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri WHERE step3 IS NOT NULL
+      GROUP BY step1, step2, step3
+    ), tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT step1, step2, step3, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, step1, step2, step3)
+                AS BIGINT) AS rank
+    FROM counts, tot
+    """,
+)
+def e24_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over sessions: every 3-step
+    event-type path occurring INSIDE one session (e3's 30-minute-gap
+    session rule; crossing a session boundary is not a behavioral
+    sequence), counted corpus-wide with share and rank — the
+    order-sensitive generalization of e14's transition matrix
+    (bigrams) that funnel analysis and next-action models consume.
+    One shuffle on user_id serves sessionization AND the trigram
+    leads (same window partition key); the pattern space is
+    |event_types|^3 rows, so the count aggregate partial-combines to
+    a handful of rows whatever the corpus size."""
+    ev = load(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_user = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        w_user
+    )
+    is_new = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy(*order)
+    tri = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w_sess).alias("step2"),
+        F.lead("event_type", 2).over(w_sess).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    counts = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    w_rank = Window.orderBy(
+        F.col("n").desc(), "step1", "step2", "step3"
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+    )
