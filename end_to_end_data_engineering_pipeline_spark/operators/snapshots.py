@@ -674,8 +674,14 @@ def _file_min_max(fpath: str, col: str) -> list | None:
                 st = cc.statistics
                 if st is None or not st.has_min_max:
                     return None
-                mins.append(_stat_key(st.min))
-                maxs.append(_stat_key(st.max))
+                try:
+                    mins.append(_stat_key(st.min))
+                    maxs.append(_stat_key(st.max))
+                except TypeError:
+                    # unsupported stats type (e.g. strings): commit
+                    # with null stats rather than failing the write —
+                    # the file is just never pruned
+                    return None
                 found = True
         if not found:
             return None

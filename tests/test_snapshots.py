@@ -592,3 +592,27 @@ class TestSortedSnapshots:
         )
         assert sorted(r.id for r in day2.collect()) == list(range(24, 48))
         assert len(day2.inputFiles()) < 4
+
+    def test_string_stats_column_degrades_to_no_pruning(
+        self, spark, tmp_path
+    ):
+        """A string-typed stats column has no supported ordering key:
+        the write must still commit (null stats = conservatively
+        never pruned), and range bounds on it fail loudly."""
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_manifest,
+            snapshot_read_range,
+            snapshot_write_sorted,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"k{i:03d}") for i in range(20)], "id long, name string"
+        )
+        snapshot_write_sorted(spark, path, df, "name", n_files=2)
+        m = snapshot_manifest(path)
+        assert all(v is None for v in m["stats"].values())
+        with pytest.raises(TypeError, match="unsupported stats value"):
+            snapshot_read_range(spark, path, "a", "z")
