@@ -106,17 +106,24 @@ def skew_report(
     (AQE's skew split absorbs moderate imbalance on its own).
 
     One partial-aggregated groupBy on the key (the same shuffle shape
-    the audited join would pay, but carrying only (key, count) rows)
-    plus a single-partition window over top_n rows. Shares are
-    count/total double divisions of exact ints — engine-exact, so the
-    audit itself sits under a value-hash oracle (e22)."""
+    the audited join would pay, but carrying only (key, count) rows),
+    then the top-n selection goes through ``orderBy(...).limit`` —
+    TakeOrderedAndProject, per-partition heaps + a driver merge of
+    top_n rows — NEVER a global row_number window, which would drag
+    every distinct key value through one partition (the audit of a
+    billion-key column must not itself be the skew problem); rank and
+    the cumulative window then run over the top_n surviving rows
+    only. Shares are count/total double divisions of exact ints —
+    engine-exact, so the audit itself sits under a value-hash oracle
+    (e22)."""
     keys = [F.col(c) for c in key_cols]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__total"))
     w_rank = Window.orderBy(F.col("n_rows").desc(), *keys)
     top = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= top_n)
+        counts.orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w_rank))
         .crossJoin(F.broadcast(total))
     )
     w_cum = Window.orderBy("rank").rowsBetween(

@@ -417,3 +417,12 @@ def test_t38_weights_join_is_broadcast(spark, sf_dir):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     # one broadcast exchange (weights) + one hash exchange (doc agg)
     assert n_exchange <= 2, plan
+
+
+def test_e22_skew_audit_uses_takeordered_not_global_window(spark, sf_dir):
+    """The skew audit of a billion-key column must not itself be the
+    skew problem: top-n selection plans TakeOrderedAndProject
+    (per-partition heaps), and the only window in the plan runs over
+    the top_n survivors, never the full distinct-key stream."""
+    plan = _plan(spark, sf_dir, "e22_skew_audit")
+    assert "TakeOrderedAndProject" in plan, plan
