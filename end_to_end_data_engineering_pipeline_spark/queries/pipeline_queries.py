@@ -903,7 +903,8 @@ from . import textops as _t  # oracle fragments shared with t19/t27/t38
     SELECT doc.lang, doc.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len({_t._O_RAW_TOKS})) AS BIGINT) AS n_tokens,
-           md5(string_agg(r.fp, '' ORDER BY r.fp)) AS corpus_md5
+           CAST(SUM(CAST('0x' || substr(r.fp, 1, 8) AS BIGINT))
+                AS BIGINT) AS corpus_digest
     FROM rel r JOIN documents doc ON doc.doc_id = r.doc_id
     GROUP BY doc.lang, doc.source
     """,
@@ -979,9 +980,11 @@ def p15_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(whitespace_tokens("text")).cast("long")).alias(
                 "n_tokens"
             ),
-            F.md5(
-                F.concat_ws("", F.array_sort(F.collect_list("fp")))
-            ).alias("corpus_md5"),
+            F.sum(
+                F.conv(F.substring("fp", 1, 8), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("corpus_digest"),
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
