@@ -822,3 +822,90 @@ def snapshot_read_range(
         *[os.path.join(_data_dir(path), f) for f in live]
     )
     return df.where(F.col(m["stats_col"]).between(F.lit(lo), F.lit(hi)))
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+) -> int:
+    """Keyed DELETE committed as a new snapshot version with the same
+    file-granular copy-on-write as :func:`snapshot_merge` — the
+    right-to-be-forgotten path through the lakehouse: only files
+    actually CONTAINING a matched key are rewritten without those
+    rows; untouched files carry by reference. Note the two-step
+    compliance contract this module makes explicit: the DELETE commit
+    makes rows invisible to every reader of the new version, but the
+    BYTES survive in prior versions' files until :func:`vacuum`
+    retires them (that retention is time travel's whole point) — so
+    "physically gone" = delete + retention expiry + vacuum, exactly
+    as in Delta/Iceberg, and the erasure-completeness test scans the
+    remaining files to prove it. Returns the new version; raises
+    SnapshotConflict on a concurrent commit.
+
+    Plan shape: one (broadcast) semi-join tags touched files via
+    input_file_name(); the rewrite anti-joins only those files' rows.
+    A delete touching 0.01% of keys rewrites ~0.01% of files."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = vs[-1]
+    base_manifest = _manifest(path, base_version)
+    if "part_col" in base_manifest:
+        raise ValueError(
+            "snapshot_delete would publish a manifest without the "
+            "partition map and break snapshot_read_partitioned; "
+            "rebuild partitioned tables with snapshot_write_partitioned"
+        )
+    from pyspark.sql import functions as F
+
+    base_files = list(base_manifest["files"])
+    touched: set[str] = set()
+    new_names: list[str] = []
+    if base_files:
+        full = [os.path.join(_data_dir(path), f) for f in base_files]
+        df = spark.read.parquet(*full).withColumn(
+            "__file", F.input_file_name()
+        )
+        del_keys = delete_keys.select(*keys)
+        if broadcast_keys:
+            del_keys = F.broadcast(del_keys)
+        touched_uris = [
+            r["__file"]
+            for r in df.join(del_keys, list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        touched = {os.path.basename(u) for u in touched_uris}
+        if touched:
+            survivors = (
+                df.where(F.col("__file").isin(touched_uris))
+                .drop("__file")
+                .join(del_keys, list(keys), "left_anti")
+            )
+            new_names = _stage_files(spark, path, survivors)
+    untouched = [f for f in base_files if f not in touched]
+    version = base_version + 1
+    manifest = {
+        "version": version,
+        "mode": "delete",
+        "files": untouched + new_names,
+    }
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_vers_dir(path), f"v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"version {version} was committed concurrently; re-run the "
+            "delete against the new current version"
+        ) from None
+    os.unlink(tmp)
+    return version

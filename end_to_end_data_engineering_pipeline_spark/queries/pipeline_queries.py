@@ -990,3 +990,61 @@ def p15_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p16_gdpr_delete_sweep",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY event_type
+    """,
+)
+def p16_gdpr_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the lakehouse
+    (operators/snapshots.py:snapshot_delete): events are committed as
+    a snapshot table, every event of the erasure-requesting users
+    (user_id % 37 == 0) is deleted via file-granular copy-on-write,
+    and the report reads the POST-DELETE version back from the store
+    — so the oracle (a plain filter over the raw table) pins that the
+    CoW rewrite dropped exactly the requested rows and nothing else.
+    The prior version stays time-travelable until vacuum retires it;
+    erasure completeness (delete + vacuum => bytes gone from every
+    surviving file) is pinned in tests/test_snapshots.py. A delete
+    touching k% of keys rewrites ~k% of files at any table size."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import snapshot_delete, snapshot_read
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="p16_gdpr_")
+    store = tmp + "/events"
+    try:
+        with fixture_phase():  # seeding the table is the fixture
+            from ..operators.snapshots import snapshot_write
+
+            snapshot_write(
+                spark, store, ev.repartitionByRange(4, "user_id")
+            )
+        erasure = ev.where(F.col("user_id") % 37 == 0).select(
+            "user_id"
+        ).distinct()
+        v = snapshot_delete(spark, store, erasure, ["user_id"])
+        back = snapshot_read(spark, store, version=v)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

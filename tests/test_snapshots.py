@@ -616,3 +616,91 @@ class TestSortedSnapshots:
         assert all(v is None for v in m["stats"].values())
         with pytest.raises(TypeError, match="unsupported stats value"):
             snapshot_read_range(spark, path, "a", "z")
+
+
+class TestSnapshotDelete:
+    """snapshot_delete: CoW right-to-be-forgotten, erasure proven by
+    scanning the surviving bytes."""
+
+    def _seed(self, spark, path):
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (101, "x"), (102, "y")], "k long, v string"
+        ).repartitionByRange(2, "k")
+        snapshot_write(spark, path, base)
+
+    def test_cow_delete_file_granularity_and_time_travel(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        m0 = set(_manifest(t, 0)["files"])
+        keys = spark.createDataFrame([(1,)], "k long")
+        assert snapshot_delete(spark, t, keys, ["k"]) == 1
+        assert _collect(spark, t, 1) == [(2, "b"), (101, "x"), (102, "y")]
+        # high-range file untouched, carried by reference
+        m1 = set(_manifest(t, 1)["files"])
+        assert len(m0 & m1) == 1
+        # pre-delete version still fully readable (retention contract)
+        assert _collect(spark, t, 0) == [
+            (1, "a"), (2, "b"), (101, "x"), (102, "y"),
+        ]
+
+    def test_vacuum_after_delete_erases_bytes(self, spark, tmp_path):
+        """The compliance contract: delete + vacuum => the key's rows
+        exist in NO remaining data file (scanned directly, not via a
+        manifest)."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_delete,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        snapshot_delete(
+            spark, t, spark.createDataFrame([(1,)], "k long"), ["k"]
+        )
+        vacuum(t, keep_last=1, retention_seconds=0.0)
+        data_dir = os.path.join(t, "data")
+        every_file = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        raw = spark.read.parquet(*every_file)
+        assert raw.where(F.col("k") == 1).count() == 0
+        assert sorted(r.k for r in raw.collect()) == [2, 101, 102]
+
+    def test_no_match_delete_rewrites_nothing(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        m0 = set(_manifest(t, 0)["files"])
+        snapshot_delete(
+            spark, t, spark.createDataFrame([(999,)], "k long"), ["k"]
+        )
+        assert set(_manifest(t, 1)["files"]) == m0
+        assert _manifest(t, 1)["mode"] == "delete"
+
+    def test_refuses_partitioned_manifest(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_delete,
+            snapshot_write_partitioned,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 0, "a")], "id long, cell int, val string"
+        )
+        snapshot_write_partitioned(spark, t, df, "cell")
+        with pytest.raises(ValueError, match="partition map"):
+            snapshot_delete(
+                spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
+            )
