@@ -1251,3 +1251,70 @@ def test_streaming_hll_register_merge_matches_batch(spark, tmp_path):
     }
     for t, n in exact.items():
         assert abs(est[t][1] - n) / n < 0.39, (t, n, est[t])
+
+
+def test_streaming_erasure_requests_apply_like_one_shot(spark, tmp_path):
+    """Right-to-be-forgotten at ingest cadence: a stream of erasure
+    requests applies snapshot_delete per micro-batch against a seeded
+    snapshot table. Sequential CoW deletes must equal ONE anti-join
+    of everything the stream requested (delete is idempotent and
+    order-free on disjoint keys), history stays linear (one version
+    per applying batch), and the seed version remains time-travelable
+    — the audit trail a compliance process needs."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    store = str(tmp_path / "t")
+    seed = spark.range(200).select(
+        F.col("id").alias("user_id"), (F.col("id") * 10).alias("balance")
+    )
+    snapshot_write(spark, store, seed.repartitionByRange(4, "user_id"))
+
+    n_batches = 3
+    done = {"n": 0}
+    requested: list[int] = []
+
+    ev = rate_event_stream(spark, rows_per_second=200, num_partitions=2)
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        reqs = (
+            batch_df.select((F.col("user_id") * 7 % 200).alias("user_id"))
+            .distinct()
+        )
+        requested.extend(r.user_id for r in reqs.collect())
+        snapshot_delete(batch_df.sparkSession, store, reqs, ["user_id"])
+        done["n"] += 1
+
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches and requested
+
+    latest = sorted(r.user_id for r in snapshot_read(spark, store).collect())
+    want = sorted(set(range(200)) - set(requested))
+    assert latest == want
+    # linear history: seed + one delete version per applying batch
+    hist = snapshot_history(store)
+    assert len(hist) == 1 + n_batches
+    # the seed version is still complete (retention contract)
+    assert snapshot_read(spark, store, version=0).count() == 200
