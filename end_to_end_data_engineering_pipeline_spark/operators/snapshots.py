@@ -909,3 +909,45 @@ def snapshot_delete(
         ) from None
     os.unlink(tmp)
     return version
+
+
+def snapshot_restore(path: str, version: int) -> int:
+    """Roll the table back to ``version`` by committing a NEW version
+    that references the old version's files — Delta's RESTORE: a
+    metadata-only operation (no data moves, O(one manifest)), and the
+    bad intermediate versions remain in history for the post-mortem
+    instead of being destroyed. Rolling FORWARD again is just another
+    restore. Raises SnapshotConflict if a writer commits concurrently
+    (a restore decision is made against a specific current state).
+
+    Works on any manifest flavor — partitioned maps, range stats, and
+    ``extra`` (e.g. a versioned ANN index's centroids) ride along
+    verbatim, so restoring an index version restores a COHERENT
+    index."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs}")
+    base_version = vs[-1]
+    source = _manifest(path, version)
+    new_version = base_version + 1
+    manifest = dict(source)
+    manifest["version"] = new_version
+    manifest["mode"] = "restore"
+    manifest["restored_from"] = version
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_vers_dir(path), f".v{new_version}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_vers_dir(path), f"v{new_version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"version {new_version} was committed concurrently; "
+            "re-evaluate the restore against the new current version"
+        ) from None
+    os.unlink(tmp)
+    return new_version

@@ -704,3 +704,70 @@ class TestSnapshotDelete:
             snapshot_delete(
                 spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
             )
+
+
+class TestSnapshotRestore:
+    def test_restore_is_metadata_only_and_auditable(self, spark, tmp_path):
+        """Restore commits the OLD file list as a NEW version: data
+        readable at the restored state, the bad version still in
+        history, vacuum keeps shared files, and restoring a
+        partitioned/extra manifest keeps its map and extra."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+            snapshot_restore,
+        )
+
+        t = str(tmp_path / "t")
+        snapshot_write(spark, t, _rows(spark, [(1, "a"), (2, "b")]))
+        snapshot_delete(  # the "oops" commit
+            spark, t, spark.createDataFrame([(1,)], "k long"), ["k"]
+        )
+        assert _collect(spark, t) == [(2, "b")]
+        v = snapshot_restore(t, 0)
+        assert v == 2
+        assert _collect(spark, t) == [(1, "a"), (2, "b")]
+        m = _manifest(t, 2)
+        assert m["mode"] == "restore" and m["restored_from"] == 0
+        # the bad delete version survives for the post-mortem
+        assert _collect(spark, t, 1) == [(2, "b")]
+        # vacuum to latest keeps the restored files alive
+        vacuum(t, keep_last=1, retention_seconds=0.0)
+        assert _collect(spark, t) == [(1, "a"), (2, "b")]
+
+    def test_restore_carries_partition_map_and_extra(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+            snapshot_restore,
+            snapshot_write_partitioned,
+        )
+
+        t = str(tmp_path / "t")
+        df0 = spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "id long, cell int, val string"
+        )
+        snapshot_write_partitioned(spark, t, df0, "cell", extra={"gen": 0})
+        df1 = spark.createDataFrame(
+            [(3, 2, "c")], "id long, cell int, val string"
+        )
+        snapshot_write_partitioned(spark, t, df1, "cell", extra={"gen": 1})
+        v = snapshot_restore(t, 0)
+        out = snapshot_read_partitioned(spark, t, values=[0], version=v)
+        assert [r.id for r in out.collect()] == [1]
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_manifest,
+        )
+
+        assert snapshot_manifest(t, v)["extra"] == {"gen": 0}
+
+    def test_restore_unknown_version_raises(self, spark, tmp_path):
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_restore,
+        )
+
+        t = str(tmp_path / "t")
+        snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+        with pytest.raises(FileNotFoundError):
+            snapshot_restore(t, 7)
