@@ -119,7 +119,16 @@ def snapshot_write(
     while True:
         prev = current_version(path)
         if mode == "append" and prev is not None:
-            live = list(_manifest(path, prev)["files"])
+            pm = _manifest(path, prev)
+            if "part_col" in pm or "stats_col" in pm:
+                raise ValueError(
+                    "plain append would publish a manifest without the "
+                    "partition map / file stats and silently downgrade "
+                    "pruned reads; append partitioned tables with "
+                    "snapshot_write_partitioned and range-clustered "
+                    "tables with snapshot_write_sorted"
+                )
+            live = list(pm["files"])
         else:
             live = []
         version = 0 if prev is None else prev + 1

@@ -771,3 +771,44 @@ class TestSnapshotRestore:
         snapshot_write(spark, t, _rows(spark, [(1, "a")]))
         with pytest.raises(FileNotFoundError):
             snapshot_restore(t, 7)
+
+
+def test_plain_append_refuses_pruned_table_flavors(spark, tmp_path):
+    """snapshot_write(mode='append') onto a partitioned or
+    range-clustered table would publish a manifest without the
+    partition map / file stats, silently downgrading pruned reads —
+    it must refuse (overwrite, which replaces the flavor wholesale,
+    stays legal)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_write_partitioned,
+        snapshot_write_sorted,
+    )
+
+    part = str(tmp_path / "part")
+    snapshot_write_partitioned(
+        spark,
+        part,
+        spark.createDataFrame([(1, 0, "a")], "id long, cell int, v string"),
+        "cell",
+    )
+    extra = spark.createDataFrame([(2, 1, "b")], "id long, cell int, v string")
+    with pytest.raises(ValueError, match="downgrade"):
+        snapshot_write(spark, part, extra, mode="append")
+    v = snapshot_write(spark, part, extra, mode="overwrite")
+    assert v == 1  # explicit flavor replacement is allowed
+
+    srt = str(tmp_path / "sorted")
+    snapshot_write_sorted(
+        spark,
+        srt,
+        spark.createDataFrame([(1, 5)], "id long, k long"),
+        "k",
+        n_files=1,
+    )
+    with pytest.raises(ValueError, match="downgrade"):
+        snapshot_write(
+            spark,
+            srt,
+            spark.createDataFrame([(2, 6)], "id long, k long"),
+            mode="append",
+        )
