@@ -1306,3 +1306,68 @@ def e24_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "e25_drift_table",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(value / 100) AS BIGINT), 9) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 1 ELSE 0 END AS w1
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(w1) AS BIGINT) AS n_before,
+             CAST(SUM(1 - w1) AS BIGINT) AS n_after
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(n_before) AS t1, SUM(n_after) AS t2 FROM c
+    )
+    SELECT bucket, n_before, n_after,
+           ROUND(CAST(n_before AS DOUBLE) / t1, 6) AS share_before,
+           ROUND(CAST(n_after AS DOUBLE) / t2, 6) AS share_after,
+           ROUND(ABS(CAST(n_before AS DOUBLE) / t1
+                     - CAST(n_after AS DOUBLE) / t2), 6) AS abs_shift
+    FROM c, tot
+    """,
+)
+def e25_drift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the per-bucket share comparison a
+    pipeline reads before trusting this week's data against last
+    week's — value deciles' before/after counts, shares, and absolute
+    share shift (the per-bucket terms of an L1/PSI drift statistic,
+    emitted AS ROWS rather than pre-summed: the per-bucket divisions
+    and one subtraction are single correctly-rounded IEEE ops any
+    engine reproduces, while summing floats across buckets would be
+    reduction-order-dependent — same discipline as q65's exact
+    moments). One counting groupBy over (bucket, epoch flag); bucket
+    cardinality is fixed (10), so the audit is a handful of rows from
+    any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / 100).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("w1"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("w1").cast("long").alias("n_before"),
+        F.sum(1 - F.col("w1")).cast("long").alias("n_after"),
+    )
+    tot = c.agg(
+        F.sum("n_before").alias("__t1"), F.sum("n_after").alias("__t2")
+    )
+    s1 = F.col("n_before").cast("double") / F.col("__t1")
+    s2 = F.col("n_after").cast("double") / F.col("__t2")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_before",
+        "n_after",
+        F.round(s1, 6).alias("share_before"),
+        F.round(s2, 6).alias("share_after"),
+        F.round(F.abs(s1 - s2), 6).alias("abs_shift"),
+    )
