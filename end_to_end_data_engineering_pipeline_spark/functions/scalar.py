@@ -27,6 +27,13 @@ Two concerns:
    BOTH engines (Spark: p1+p2+1; DuckDB: w1+w2). dec2 (15,2) * dec4
    (9,4) twice -> (33,10): safe everywhere, and scale 10 retains
    exactness for price*(1-disc)*(1+tax) (2+2+2 decimal digits).
+
+   Integer bucketing trap (found via e25): DuckDB parses a ``100``
+   divisor next to a DOUBLE as DECIMAL, its ``//`` on that operand
+   pair is PLAIN division, and its double->BIGINT CAST ROUNDS — so
+   ``CAST(value // 100 AS BIGINT)`` buckets 50..99 into 1, not 0.
+   Always write oracle bucketing as ``CAST(FLOOR(x / y) AS BIGINT)``
+   (mirrors Spark's ``F.floor``; both floor, then the cast is exact).
 """
 
 from __future__ import annotations
