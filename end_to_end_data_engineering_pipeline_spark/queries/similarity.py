@@ -1093,3 +1093,90 @@ def sim17_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_lsh(emb, threshold=0.1, n_planes=6)
     return triangle_count(pairs)
+
+
+@query(
+    "sim18_ann_recall_table",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_O_LSH_CTES},
+    {_O_IVF_CTES},
+    brute_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    brute_ranked AS (
+      SELECT query_id, cand_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, cand_id) AS rk
+            FROM brute_scored) t
+      WHERE rk <= 10
+    ),
+    fam AS (
+      SELECT 'lsh' AS family, b.query_id,
+             CAST(COUNT(l.cand_id) AS BIGINT) AS n_hits
+      FROM brute_ranked b LEFT JOIN lsh_ranked l
+        ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+      GROUP BY b.query_id
+      UNION ALL
+      SELECT 'ivf', b.query_id, CAST(COUNT(i.cand_id) AS BIGINT)
+      FROM brute_ranked b LEFT JOIN ivf_ranked i
+        ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+      GROUP BY b.query_id
+    )
+    SELECT family, query_id, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM fam
+    """,
+)
+def sim18_ann_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval AS A TABLE: per (retriever family, query),
+    recall@10 of the LSH and IVF retrievers against the brute-force
+    truth — the measure-don't-guess artifact that turns "retune
+    n_planes/nprobe" from a guess into a read (t31 is this same idea
+    for the lang-id classifier). The whole three-retriever pipeline —
+    truth + both approximations + the recall join — sits under ONE
+    value-hash oracle composed from the families' shared CTE chains,
+    so a drift in ANY retriever's semantics breaks the gate. Cost is
+    the retrievers themselves; the eval join touches |Q| x k rows per
+    family."""
+    from ..operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    brute = cosine_topk_bruteforce(emb, QUERY_IDS, k=10).select(
+        "query_id", "cand_id"
+    )
+    fams = {
+        "lsh": cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6),
+        "ivf": ivf_topk(emb, QUERY_IDS, cents, k=10, nprobe=3),
+    }
+    parts = []
+    for name, ranked in fams.items():
+        r = ranked.select(
+            "query_id", F.col("cand_id").alias("__hit")
+        )
+        joined = brute.join(
+            r,
+            (brute["query_id"] == r["query_id"])
+            & (brute["cand_id"] == r["__hit"]),
+            "left",
+        ).select(brute["query_id"], r["__hit"])
+        parts.append(
+            joined.groupBy("query_id").agg(
+                F.count("__hit").cast("long").alias("n_hits")
+            ).select(
+                F.lit(name).alias("family"),
+                "query_id",
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / 10, 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
