@@ -138,3 +138,42 @@ def skew_report(
         ).alias("cum_share"),
         "rank",
     )
+
+
+def fanout_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-fanout audit: the ``top_n`` keys by OUTPUT rows they would
+    contribute to ``left JOIN right ON key`` (n_left x n_right per
+    key) plus each key's share of the total expansion — the companion
+    to :func:`skew_report` for the multiplicative failure mode: a key
+    modest on EACH side (10k x 10k) still emits 1e8 rows, which no
+    per-side skew audit shows. Read it before running a join whose
+    output size you have not proven.
+
+    Two (key, count) aggregates, one join of count tables (cardinality
+    = distinct keys, not rows), products and totals in exact int64,
+    top-n via orderBy+limit (TakeOrderedAndProject — same
+    billion-key-safe discipline as skew_report)."""
+    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("n_right"))
+    prod = lc.join(rc, key).select(
+        key,
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        (F.col("n_left") * F.col("n_right")).cast("long").alias("out_rows"),
+    )
+    total = prod.agg(F.sum("out_rows").alias("__total"))
+    top = prod.orderBy(F.col("out_rows").desc(), key).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        key,
+        "n_left",
+        "n_right",
+        "out_rows",
+        F.round(
+            F.col("out_rows").cast("double") / F.col("__total"), 6
+        ).alias("share"),
+    )

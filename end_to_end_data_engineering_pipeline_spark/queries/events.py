@@ -1371,3 +1371,43 @@ def e25_drift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s2, 6).alias("share_after"),
         F.round(F.abs(s1 - s2), 6).alias("abs_shift"),
     )
+
+
+@query(
+    "e26_join_fanout_audit",
+    oracle="""
+    WITH lc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left
+      FROM events GROUP BY user_id
+    ),
+    rc AS (
+      SELECT c_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_right
+      FROM customer GROUP BY c_custkey
+    ),
+    prod AS (
+      SELECT lc.user_id, n_left, n_right,
+             CAST(n_left * n_right AS BIGINT) AS out_rows
+      FROM lc JOIN rc USING (user_id)
+    ),
+    tot AS (SELECT SUM(out_rows) AS t FROM prod)
+    SELECT user_id, n_left, n_right, out_rows,
+           ROUND(CAST(out_rows AS DOUBLE) / t, 6) AS share
+    FROM (SELECT * FROM prod ORDER BY out_rows DESC, user_id LIMIT 10) p,
+         tot
+    """,
+)
+def e26_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout audit (operators/partitioning.py:fanout_report):
+    the 10 keys contributing the most OUTPUT rows to an
+    events-to-customer join — the multiplicative failure mode
+    (n_left x n_right) that per-side skew audits (e22) cannot show.
+    Count tables only ever join (cardinality = distinct keys), the
+    products and total are exact int64, and top-n goes through
+    TakeOrderedAndProject."""
+    from ..operators.partitioning import fanout_report
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return fanout_report(ev, cust, "user_id", top_n=10)
