@@ -1048,3 +1048,63 @@ def p16_gdpr_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p17_dynamic_partition_backfill",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE NOT (STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-10'
+               AND user_id % 10 = 0)
+    GROUP BY STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+    """,
+)
+def p17_dynamic_partition_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idempotent single-day BACKFILL via dynamic partition overwrite
+    (spark.sql.sources.partitionOverwriteMode=dynamic — the
+    session-default mode this engine sets, exhibited here end to
+    end): the events table is seeded day-partitioned; one day's batch
+    re-runs with a correction (test users dropped) and its overwrite
+    REPLACES ONLY THE PARTITIONS THE BATCH CONTAINS — every other
+    day's files are untouched (static overwrite mode would truncate
+    the whole table, the classic backfill data-loss trap). The report
+    reads the table back per day, so the oracle — raw events with the
+    correction applied to the one day — pins both the replacement and
+    the non-interference. This is the nightly-rerun shape every
+    batch pipeline needs; at scale the rewrite cost is the corrected
+    day's bytes, never the table's."""
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "d", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    tmp = tempfile.mkdtemp(prefix="p17_backfill_")
+    store = tmp + "/events"
+    try:
+        with fixture_phase():  # seeding the table is the fixture
+            ev.write.partitionBy("d").mode("overwrite").parquet(store)
+        corrected = ev.where(
+            (F.col("d") == "2024-01-10") & (F.col("user_id") % 10 != 0)
+        )
+        corrected.write.partitionBy("d").mode("overwrite").parquet(store)
+        back = spark.read.parquet(store)
+        out = back.groupBy(F.col("d").cast("string").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
