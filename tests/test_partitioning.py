@@ -329,3 +329,24 @@ def test_salted_join_null_keys_and_null_scatter(spark):
     )
     assert got == want
     assert got == [(1, "x", "one"), (2, None, "two")]
+
+
+def test_fanout_report_hand_case(spark):
+    """Products and shares against a hand-computed join: key 1 fans
+    3x4=12, key 2 fans 1x1=1; keys on one side only are absent."""
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        fanout_report,
+    )
+
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] + [(9,)], "k long"
+    )
+    right = spark.createDataFrame([(1,)] * 4 + [(2,)] + [(7,)], "k long")
+    got = {
+        r.k: (r.n_left, r.n_right, r.out_rows, r.share)
+        for r in fanout_report(left, right, "k", top_n=10).collect()
+    }
+    assert got == {
+        1: (3, 4, 12, round(12 / 13, 6)),
+        2: (1, 1, 1, round(1 / 13, 6)),
+    }
