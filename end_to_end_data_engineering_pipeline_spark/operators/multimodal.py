@@ -270,3 +270,40 @@ def decode_media(media: DataFrame) -> DataFrame:
         "a codec library is importable but no real decoder is wired yet; "
         "implement the per-batch decode in place of _decode_stub"
     )
+
+
+def frame_embed_pool(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Frame-level 'encode' + per-media pooling — the video-embedding
+    pipeline shape (sample frames -> encode each -> pool to one media
+    vector), with the encoder DETERMINISTICALLY STUBBED (features are
+    hash32 of the frame content hash per dimension, ints in
+    [-128, 127]) because the container has no codecs: swap the stub
+    for a real model over the same (media_id, frame_md5) contract and
+    nothing else changes. Pooling is SUM (exact int64 — order
+    independent, partial-agg mergeable; mean = e_d / n_frames is one
+    division the caller can do), so the whole pipeline sits under a
+    value-hash oracle (m4).
+
+    Scale: frame rows are (media_id, offset, md5) — the sampler's
+    Arrow batches never carry decoded frames; features are per-row
+    Catalyst expressions; one groupBy on media_id."""
+    from .text import hash32
+
+    frames = frame_sample(media)
+    feats = [
+        (
+            hash32(F.concat(F.col("frame_md5"), F.lit(f"|{d}"))) % 256
+            - 128
+        )
+        .cast("long")
+        .alias(f"__f{d}")
+        for d in range(dim)
+    ]
+    staged = frames.select("media_id", *feats)
+    return staged.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        *[
+            F.sum(f"__f{d}").cast("long").alias(f"e{d}")
+            for d in range(dim)
+        ],
+    )

@@ -1987,3 +1987,63 @@ def t40_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=5,
     )
+
+
+@query(
+    "m4_frame_embedding_pool",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             md5(substring(text, off + 1, 256)) AS fmd5
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(0, length(text), 256)) AS off
+            FROM documents)
+    ),
+    feat AS (
+      SELECT media_id,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|0'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f0,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|1'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f1,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|2'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f2,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|3'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f3,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|4'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f4,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|5'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f5,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|6'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f6,
+             CAST(CAST('0x' || substr(md5(fmd5 || '|7'), 1, 8) AS BIGINT) % 256 - 128 AS BIGINT) AS f7
+      FROM frames
+    )
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(f0) AS BIGINT) AS e0,
+           CAST(SUM(f1) AS BIGINT) AS e1,
+           CAST(SUM(f2) AS BIGINT) AS e2,
+           CAST(SUM(f3) AS BIGINT) AS e3,
+           CAST(SUM(f4) AS BIGINT) AS e4,
+           CAST(SUM(f5) AS BIGINT) AS e5,
+           CAST(SUM(f6) AS BIGINT) AS e6,
+           CAST(SUM(f7) AS BIGINT) AS e7
+    FROM feat GROUP BY media_id
+    """,
+)
+def m4_frame_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-embedding pipeline shape end to end
+    (operators/multimodal.py:frame_embed_pool): frames sampled by the
+    Arrow mapInPandas sampler, each frame 'encoded' by the
+    deterministic stub (hash of its content hash per dimension —
+    container has no codecs; a real model drops onto the same
+    (media_id, frame_md5) contract), SUM-pooled per media in exact
+    int64. The oracle replays the whole chain — byte-offset frame
+    grid, frame md5 (documents are pure ASCII so VARCHAR substring is
+    byte-exact, asserted below), per-dim features, pooling — so the
+    value-hash match covers the sampler's batching too."""
+    from ..operators.multimodal import documents_as_media, frame_embed_pool
+
+    docs = load(spark, sf_dir, "documents")
+    # the oracle's VARCHAR substring == the sampler's byte slices only
+    # for ASCII; fail loudly if the fixture ever grows multibyte text
+    n_multibyte = (
+        docs.where(F.octet_length("text") != F.length("text"))
+        .limit(1)
+        .count()
+    )
+    assert n_multibyte == 0, "documents fixture is no longer ASCII"
+    media = documents_as_media(docs)
+    return frame_embed_pool(media, dim=8)
