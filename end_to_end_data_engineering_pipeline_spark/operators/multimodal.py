@@ -307,3 +307,48 @@ def frame_embed_pool(media: DataFrame, dim: int = 8) -> DataFrame:
             for d in range(dim)
         ],
     )
+
+
+def frame_overlap_pairs(media: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Content-based media near-dup via FRAME fingerprints: pairs of
+    media sharing >= ``min_shared`` identical sampled frames, with
+    set sizes and frame-Jaccard — the video-dedup practice (re-encoded
+    or trimmed copies keep byte-identical frames at matching offsets;
+    whole-file hashing misses them). Exactly the exact-dedup
+    relational shape lifted to frame granularity: the only join is
+    the frame-hash self-join moving (md5, media_id) narrow rows —
+    candidate volume is per-hash count squared, never media², and a
+    boilerplate frame shared by everything is the hot-hash case the
+    LSH band caps already document. Jaccard is exact-int division
+    (|A∩B| / (|A|+|B|-|A∩B|)), value-hash oracled (m5)."""
+    frames = frame_sample(media).select("media_id", "frame_md5").distinct()
+    sizes = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    a = frames.select(
+        F.col("media_id").alias("lo"), F.col("frame_md5").alias("h")
+    )
+    b = frames.select(
+        F.col("media_id").alias("hi"), F.col("frame_md5").alias("h")
+    )
+    shared = (
+        a.join(b, "h")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
+    sa = sizes.select(F.col("media_id").alias("lo"), F.col("n_frames").alias("n_lo"))
+    sb = sizes.select(F.col("media_id").alias("hi"), F.col("n_frames").alias("n_hi"))
+    out = shared.join(sa, "lo").join(sb, "hi")
+    union = F.col("n_lo") + F.col("n_hi") - F.col("shared_frames")
+    return out.select(
+        "lo",
+        "hi",
+        "shared_frames",
+        "n_lo",
+        "n_hi",
+        F.round(
+            F.col("shared_frames").cast("double") / union, 6
+        ).alias("frame_jaccard"),
+    )

@@ -2047,3 +2047,48 @@ def m4_frame_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_multibyte == 0, "documents fixture is no longer ASCII"
     media = documents_as_media(docs)
     return frame_embed_pool(media, dim=8)
+
+
+@query(
+    "m5_media_frame_overlap",
+    oracle="""
+    WITH frames AS (
+      SELECT DISTINCT doc_id AS media_id,
+             md5(substring(text, off + 1, 256)) AS fmd5
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(0, length(text), 256)) AS off
+            FROM documents)
+    ),
+    sizes AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+      FROM frames GROUP BY media_id
+    ),
+    shared AS (
+      SELECT a.media_id AS lo, b.media_id AS hi,
+             CAST(COUNT(*) AS BIGINT) AS shared_frames
+      FROM frames a JOIN frames b
+        ON b.fmd5 = a.fmd5 AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id
+    )
+    SELECT lo, hi, shared_frames,
+           sa.n_frames AS n_lo, sb.n_frames AS n_hi,
+           ROUND(CAST(shared_frames AS DOUBLE)
+                 / (sa.n_frames + sb.n_frames - shared_frames), 6)
+             AS frame_jaccard
+    FROM shared
+    JOIN sizes sa ON sa.media_id = lo
+    JOIN sizes sb ON sb.media_id = hi
+    """,
+)
+def m5_media_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based media near-dup
+    (operators/multimodal.py:frame_overlap_pairs): media pairs
+    sharing byte-identical sampled frames, with frame-Jaccard — the
+    video-dedup practice whole-file hashing misses (trimmed/re-muxed
+    copies keep identical frames). The only join moves (md5,
+    media_id) narrow rows — exact-dedup's shape at frame granularity;
+    the oracle replays sampler grid + hashing + the pair join."""
+    from ..operators.multimodal import documents_as_media, frame_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_overlap_pairs(documents_as_media(docs))
