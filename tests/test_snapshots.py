@@ -812,3 +812,37 @@ def test_plain_append_refuses_pruned_table_flavors(spark, tmp_path):
             spark.createDataFrame([(2, 6)], "id long, k long"),
             mode="append",
         )
+
+def test_partitioned_append_claim_race(spark, tmp_path):
+    """Concurrent partitioned appends serialize by optimistic retry:
+    when a rival claims the next version first, the loser re-resolves
+    and commits on top WITH the rival's partition map merged — the
+    partitioned twin of test_version_claim_is_exclusive."""
+    import json
+    import os
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_manifest,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, 0, "a")], "id long, cell int, v string")
+    snapshot_write_partitioned(spark, t, df0, "cell")
+    # rival claims v1: an (empty-file) partitioned overwrite manifest
+    rival = {
+        "version": 1, "mode": "overwrite", "files": [],
+        "part_col": "cell", "part_type": "int", "partitions": {},
+        "extra": {},
+    }
+    with open(os.path.join(t, "_versions", "v1.json"), "w") as fh:
+        json.dump(rival, fh)
+    df2 = spark.createDataFrame([(2, 1, "b")], "id long, cell int, v string")
+    v = snapshot_write_partitioned(spark, t, df2, "cell", mode="append")
+    assert v == 2  # lost the race for 1, retried on top of the rival
+    m = snapshot_manifest(t, 2)
+    # append chained onto the RIVAL's (empty) live set, not v0's
+    assert set(m["partitions"].values()) == {"1"}
+    out = snapshot_read_partitioned(spark, t, version=2)
+    assert [(r.id, r.cell) for r in out.collect()] == [(2, 1)]
