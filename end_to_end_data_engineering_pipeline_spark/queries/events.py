@@ -1411,3 +1411,95 @@ def e26_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id")
     )
     return fanout_report(ev, cust, "user_id", top_n=10)
+
+
+@query(
+    "e27_hll_union_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    rr AS (
+      SELECT event_type,
+             CAST(hv // 67108864 AS INT) AS register,
+             CASE WHEN hv % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(hv % 67108864)) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, register, MAX(rho) AS max_rho
+      FROM rr GROUP BY event_type, register
+    ),
+    per_type AS (
+      SELECT event_type AS scope,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_set,
+             ROUND(CAST(0.709 AS DOUBLE) * 64 * 64
+                   / (SUM(CAST(1 AS DOUBLE) / (1 << max_rho))
+                      + (64 - COUNT(*))), 6) AS raw_estimate
+      FROM regs GROUP BY event_type
+    ),
+    gregs AS (
+      SELECT register, MAX(max_rho) AS max_rho FROM regs GROUP BY register
+    ),
+    overall AS (
+      SELECT '__all__' AS scope,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_set,
+             ROUND(CAST(0.709 AS DOUBLE) * 64 * 64
+                   / (SUM(CAST(1 AS DOUBLE) / (1 << max_rho))
+                      + (64 - COUNT(*))), 6) AS raw_estimate
+      FROM gregs
+    ),
+    ex AS (
+      SELECT event_type AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      FROM events
+    )
+    SELECT u.scope, u.n_registers_set, u.raw_estimate, ex.exact_distinct
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM overall) u
+    JOIN ex ON ex.scope = u.scope
+    """,
+)
+def e27_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge identity AS AN ORACLED QUERY: the global
+    distinct-user estimate is computed from the PER-TYPE register
+    tables alone (element-wise max across groups — no second scan of
+    the events table for the rollup), alongside each type's estimate
+    and the exact counts. This is the cross-day/cross-group union the
+    100 TB story rests on: store per-partition register tables once,
+    answer any union by maxing 64-row tables. The oracle replays
+    registers, the union max, and the estimate arithmetic — so the
+    merge identity itself sits under the value-hash gate, not just a
+    pytest."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", group_cols=["event_type"])
+    per_type = hll_estimate(regs, group_cols=["event_type"]).select(
+        F.col("event_type").alias("scope"),
+        "n_registers_set",
+        "raw_estimate",
+    )
+    gregs = regs.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    glob = hll_estimate(gregs).select(
+        F.lit("__all__").alias("scope"), "n_registers_set", "raw_estimate"
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").cast("long").alias(
+                    "exact_distinct"
+                )
+            ).select(F.lit("__all__").alias("scope"), "exact_distinct")
+        )
+    )
+    return per_type.unionByName(glob).join(exact, "scope")
