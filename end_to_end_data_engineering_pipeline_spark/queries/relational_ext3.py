@@ -1186,3 +1186,39 @@ def q85_rolling_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dev * dev > var4).cast("long").alias("is_outlier"),
     )
+
+
+@query(
+    "q86_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q86_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-function window surface in one query:
+    NTILE(4) quartile assignment, PERCENT_RANK ((rank-1)/(n-1)) and
+    CUME_DIST (rows<=current / n) per priority group over price —
+    unique-key tiebreak so every rank is layout-deterministic, and
+    both ratios are single exact-int divisions (engine-exact under
+    ROUND 6). One shuffle on the partition key, same as any window."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
