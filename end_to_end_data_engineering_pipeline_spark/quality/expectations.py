@@ -158,3 +158,57 @@ def audit_to_df(spark, audit: dict) -> DataFrame:
         ),
     }
     return spark.createDataFrame([row], schema=QUALITY_RESULTS)
+
+
+@dataclass
+class RowRule:
+    """Row-level twin of :class:`Rule`: a boolean violation predicate
+    instead of an aggregate counter — the building block for
+    dead-letter ROUTING, where bad rows must be diverted with a
+    reason, not just counted."""
+
+    name: str
+    violates: Column
+
+
+def not_null_row(col: str) -> RowRule:
+    return RowRule(f"null:{col}", F.col(col).isNull())
+
+
+def range_row(col: str, lo: float, hi: float) -> RowRule:
+    """Violation when value outside [lo, hi]; nulls are not range
+    violations (same semantics as :func:`range_rule`)."""
+    return RowRule(
+        f"range:{col}", (F.col(col) < lo) | (F.col(col) > hi)
+    )
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[RowRule]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: split ``df`` into (good, quarantined) —
+    quarantined rows carry ``quarantine_reasons``, the array of EVERY
+    rule they violate in declaration order (the attribution an
+    operator needs to fix upstream; a bare reject loses it). The
+    aggregate gate (:class:`Expectations`) answers "is this batch
+    healthy"; this answers "which rows, and why" without failing the
+    batch — the two compose: gate on rates, quarantine the tail.
+
+    One projection computes all predicates per row (same
+    one-pass-over-the-scan shape as the counter gate); both outputs
+    are filters over it — no shuffle, no second scan of the source."""
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(r.violates, F.lit(r.name)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    flagged = df.withColumn("__reasons", reasons)
+    good = flagged.where(F.size("__reasons") == 0).drop("__reasons")
+    bad = flagged.where(F.size("__reasons") > 0).withColumnRenamed(
+        "__reasons", "quarantine_reasons"
+    )
+    return good, bad

@@ -1108,3 +1108,68 @@ def p17_dynamic_partition_backfill(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p18_quarantine_routing",
+    oracle="""
+    WITH flags AS (
+      SELECT l_quantity,
+             CASE WHEN l_quantity < 1 OR l_quantity > 30
+                  THEN 1 ELSE 0 END AS f_qty,
+             CASE WHEN l_discount < 0 OR l_discount > 0.05
+                  THEN 1 ELSE 0 END AS f_disc
+      FROM lineitem
+    ),
+    labeled AS (
+      SELECT l_quantity,
+             CASE WHEN f_qty = 0 AND f_disc = 0 THEN '__good__'
+                  ELSE CONCAT(
+                    CASE WHEN f_qty = 1 THEN 'range:l_quantity' ELSE '' END,
+                    CASE WHEN f_qty = 1 AND f_disc = 1 THEN ';' ELSE '' END,
+                    CASE WHEN f_disc = 1 THEN 'range:l_discount' ELSE '' END)
+             END AS reason_set
+      FROM flags
+    )
+    SELECT reason_set,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM labeled GROUP BY reason_set
+    """,
+)
+def p18_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing with reason attribution
+    (quality/expectations.py:quarantine_split): rows violating
+    (deliberately tight) range rules divert to quarantine carrying
+    the ARRAY of every rule they break, good rows pass untouched —
+    "which rows and why", composing with the aggregate gate's "is the
+    batch healthy". The report re-unions both sides into per
+    reason-set counts, so the oracle pins the routing partition is
+    exact and exhaustive (good + every reason combination sums to the
+    table). One pass over the scan computes all predicates; both
+    outputs are filters over it."""
+    from ..quality.expectations import quarantine_split, range_row
+
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        range_row("l_quantity", 1, 30),
+        range_row("l_discount", 0, 0.05),
+    ]
+    good, bad = quarantine_split(li, rules)
+    g = good.select(
+        F.lit("__good__").alias("reason_set"), F.col("l_quantity")
+    )
+    b = bad.select(
+        F.array_join("quarantine_reasons", ";").alias("reason_set"),
+        F.col("l_quantity"),
+    )
+    return (
+        g.unionByName(b)
+        .groupBy("reason_set")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+        )
+    )

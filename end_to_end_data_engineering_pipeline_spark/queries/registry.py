@@ -60,7 +60,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # fns, q68_conditional_distinct ~ q2/q17, q74_null_ordering ~ q45
 # null semantics, q75_explode_outer ~ q37 posexplode,
 # q78_string_rewrite ~ q46 string advanced, q79_null_conditionals ~
-# q16/q45 — plus the r7-born t35/t36/sim15/sim16/e22/t37/t38/e23/p14/sim17/p15/t40/e24/p16/e25/sim18/e26/p17/m4/m5/e27/q86. The 50 displaced r6-green
+# q16/q45 — plus the r7-born t35/t36/sim15/sim16/e22/t37/t38/e23/p14/sim17/p15/t40/e24/p16/e25/sim18/e26/p17/p18/m4/m5/e27/q86. The 50 displaced r6-green
 # entries (q1, q4, q8, t3, t7, sim1... ) all have fresh r6 evidence
 # and stay pytest-oracled; the headline bench still runs them every
 # round.

@@ -397,3 +397,30 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     assert n2 == 4
     got2 = {r.k: (r.v, r.score) for r in spark.read.parquet(target).collect()}
     assert got2[4] == ("d", None) and got2[2] == ("b2", 9.0)
+
+
+def test_quarantine_split_reasons_and_partition(spark):
+    """Routing is an exact partition: every row lands in exactly one
+    side, reasons list EVERY violated rule in declaration order, and
+    nulls are not range violations (they hit the null rule only)."""
+    from end_to_end_data_engineering_pipeline_spark.quality.expectations import (
+        not_null_row,
+        quarantine_split,
+        range_row,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, None), (4, -5.0)],
+        "id long, v double",
+    )
+    good, bad = quarantine_split(
+        df, [not_null_row("v"), range_row("v", 0, 50)]
+    )
+    assert [r.id for r in good.collect()] == [1]
+    got = {r.id: list(r.quarantine_reasons) for r in bad.collect()}
+    assert got == {
+        2: ["range:v"],
+        3: ["null:v"],  # null is NOT a range violation
+        4: ["range:v"],
+    }
+    assert good.count() + bad.count() == df.count()
