@@ -1318,3 +1318,70 @@ def test_streaming_erasure_requests_apply_like_one_shot(spark, tmp_path):
     assert len(hist) == 1 + n_batches
     # the seed version is still complete (retention contract)
     assert snapshot_read(spark, store, version=0).count() == 200
+
+
+def test_streaming_quarantine_routing_partitions_exactly(spark, tmp_path):
+    """Dead-letter routing at ingest: each micro-batch splits through
+    quarantine_split into good/quarantine sinks. The union of the two
+    sinks must equal everything the stream saw (exact partition — no
+    row lost, none duplicated), and every quarantined row carries its
+    violated-rule attribution."""
+    import time
+
+    from end_to_end_data_engineering_pipeline_spark.quality.expectations import (
+        quarantine_split,
+        range_row,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.ratesource import (
+        rate_event_stream,
+    )
+
+    good_dir = str(tmp_path / "good")
+    bad_dir = str(tmp_path / "bad")
+    seen_dir = str(tmp_path / "seen")
+    n_batches = 3
+    done = {"n": 0}
+
+    ev = rate_event_stream(spark, rows_per_second=300, num_partitions=2)
+
+    def handle(batch_df, _batch_id):
+        if done["n"] >= n_batches or batch_df.isEmpty():
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(seen_dir)
+        good, bad = quarantine_split(
+            batch_df, [range_row("value", 0, 500)]
+        )
+        good.write.mode("append").parquet(good_dir)
+        bad.withColumn(
+            "reason_set", F.array_join("quarantine_reasons", ";")
+        ).drop("quarantine_reasons").write.mode("append").parquet(bad_dir)
+        batch_df.unpersist()
+        done["n"] += 1
+
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and done["n"] < n_batches:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done["n"] == n_batches
+
+    seen = spark.read.parquet(seen_dir)
+    good = spark.read.parquet(good_dir)
+    bad = spark.read.parquet(bad_dir)
+    assert good.count() + bad.count() == seen.count()
+    assert good.where(
+        (F.col("value") < 0) | (F.col("value") > 500)
+    ).count() == 0
+    assert bad.where(F.col("reason_set") != "range:value").count() == 0
+    want_bad = seen.where(
+        (F.col("value") < 0) | (F.col("value") > 500)
+    ).count()
+    assert bad.count() == want_bad and want_bad > 0
