@@ -117,6 +117,17 @@ HEADLINE: list[str] = [
     "p14_time_range_pruned_read",
     "sim17_neardup_triangles",
     "p15_corpus_release",
+    # late-r7 additions: drift/fanout/HLL-union audits, rank windows,
+    # backfill, quarantine routing, frame embed/overlap, ANN recall
+    "e25_drift_table",
+    "e26_join_fanout_audit",
+    "e27_hll_union_rollup",
+    "q86_rank_functions",
+    "p17_dynamic_partition_backfill",
+    "p18_quarantine_routing",
+    "m4_frame_embedding_pool",
+    "m5_media_frame_overlap",
+    "sim18_ann_recall_table",
 ]
 
 
