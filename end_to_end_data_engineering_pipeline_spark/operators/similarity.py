@@ -1088,16 +1088,18 @@ def ivf_partitioned_topk(
     q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
         F.col("id").alias("query_id"), F.col("cid").alias("cell")
     )
-    q = (
-        qbase.select(
-            F.col("id").alias("query_id"),
-            F.col("sv").alias("qsv"),
-            F.col("n2").alias("qn2"),
-        )
-        .join(q_cells, "query_id")
+    # probed cells come from the tiny assignment table directly (its
+    # recompute is one pass over the query set) — no cache() that
+    # would otherwise leak a pinned relation into executor memory
+    # across repeated library calls
+    probed = sorted(
+        {r.cell for r in q_cells.select("cell").distinct().collect()}
     )
-    q = q.cache()
-    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    q = qbase.select(
+        F.col("id").alias("query_id"),
+        F.col("sv").alias("qsv"),
+        F.col("n2").alias("qn2"),
+    ).join(q_cells, "query_id")
     corpus = spark.read.parquet(path).where(F.col("cell").isin(probed))
     return _probe_corpus_topk(q, corpus, k, id_col, vec_col)
 
@@ -1203,13 +1205,16 @@ def versioned_ivf_topk(
     q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
         F.col("id").alias("query_id"), F.col("cid").alias("cell")
     )
+    # probed cells from the tiny assignment table — no leaked cache()
+    # (same rationale as ivf_partitioned_topk)
+    probed = sorted(
+        {r.cell for r in q_cells.select("cell").distinct().collect()}
+    )
     q = qbase.select(
         F.col("id").alias("query_id"),
         F.col("sv").alias("qsv"),
         F.col("n2").alias("qn2"),
     ).join(q_cells, "query_id")
-    q = q.cache()
-    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
     corpus = snapshot_read_partitioned(
         spark, path, values=probed, version=m["version"]
     )

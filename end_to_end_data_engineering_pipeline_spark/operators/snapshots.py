@@ -157,21 +157,278 @@ class SnapshotConflict(RuntimeError):
 
 def _stage_files(spark: SparkSession, path: str, df: DataFrame) -> list[str]:
     """Write df's part files into data/ under unique names; the files
-    are invisible until some manifest references them."""
+    are invisible until some manifest references them.
+
+    Always stages timestamps as TIMESTAMP_MICROS: Spark's default
+    INT96 encoding is deprecated WITHOUT min/max footer statistics, so
+    a rewrite landing on a range-clustered (stats_col) table would
+    otherwise silently lose its pruning stats."""
     os.makedirs(_data_dir(path), exist_ok=True)
     os.makedirs(_vers_dir(path), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f".__snap_stage_{token}")
-    df.write.mode("overwrite").parquet(stage)
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
     names: list[str] = []
     for i, f in enumerate(
         sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
     ):
+        src = os.path.join(stage, f)
+        if _parquet_num_rows(src) == 0:
+            continue  # zero-row part files carry nothing (and would
+            # get null pruning stats); drop them at the stage boundary
         name = f"{token}-{i:05d}.parquet"
-        os.rename(os.path.join(stage, f), os.path.join(_data_dir(path), name))
+        os.rename(src, os.path.join(_data_dir(path), name))
         names.append(name)
     shutil.rmtree(stage, ignore_errors=True)
     return names
+
+
+def _parquet_num_rows(fpath: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(fpath).metadata.num_rows
+
+
+def _stage_partitioned(
+    spark: SparkSession, path: str, df: DataFrame, part_col: str
+) -> tuple[list[str], dict[str, str]]:
+    """Stage ``df`` partitionBy(part_col) into data/ under unique
+    names; returns (names, {name: partition value}). Values must
+    round-trip through their directory-name string — same contract as
+    snapshot_write_partitioned, which this is factored from."""
+    os.makedirs(_data_dir(path), exist_ok=True)
+    os.makedirs(_vers_dir(path), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f".__snap_stage_{token}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    names: list[str] = []
+    parts: dict[str, str] = {}
+    i = 0
+    for d in sorted(os.listdir(stage)):
+        if not d.startswith(f"{part_col}="):
+            continue
+        raw = d.split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__" or "%" in raw:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"partition value {raw!r} does not round-trip through "
+                "a directory name (null or escaped character); use an "
+                "int or plain-string partition column"
+            )
+        for f in sorted(
+            p
+            for p in os.listdir(os.path.join(stage, d))
+            if p.endswith(".parquet")
+        ):
+            src = os.path.join(stage, d, f)
+            if _parquet_num_rows(src) == 0:
+                continue
+            name = f"{token}-{i:05d}.parquet"
+            i += 1
+            os.rename(src, os.path.join(_data_dir(path), name))
+            names.append(name)
+            parts[name] = raw
+    shutil.rmtree(stage, ignore_errors=True)
+    return names, parts
+
+
+def _claim(path: str, version: int, manifest: dict, op: str) -> int:
+    """Atomically claim exactly ``version`` with ``manifest`` (the
+    link-or-EEXIST protocol); raises SnapshotConflict if a concurrent
+    writer got there first. The conflict-surfacing commit tail shared
+    by merge/delete/compact — ops whose retry must RE-READ data, so
+    an automatic manifest-level retry would hide real work."""
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_vers_dir(path), f"v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"version {version} was committed concurrently; re-run the "
+            f"{op} against the new current version"
+        ) from None
+    os.unlink(tmp)
+    return version
+
+
+def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    """The manifest's live rows with a ``__file`` column (BASENAME of
+    the backing data file, comparable to manifest names) — the
+    tagging read behind file-granular copy-on-write. For partitioned
+    manifests the partition column is re-attached per file group (it
+    is not stored in the data files), so CoW predicates may reference
+    it."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    if "part_col" in m:
+        part_col, part_type = m["part_col"], m["part_type"]
+        parts = m["partitions"]
+        by_val: dict[str, list[str]] = {}
+        for f in m["files"]:
+            by_val.setdefault(parts[f], []).append(f)
+        dfs = [
+            spark.read.parquet(
+                *[os.path.join(_data_dir(path), f) for f in fs]
+            )
+            .withColumn("__file", base)
+            .selectExpr(
+                "*", f"CAST('{raw}' AS {part_type}) AS {part_col}"
+            )
+            for raw, fs in sorted(by_val.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    full = [os.path.join(_data_dir(path), f) for f in m["files"]]
+    return spark.read.parquet(*full).withColumn("__file", base)
+
+
+def _cow_commit(
+    spark: SparkSession,
+    path: str,
+    match: DataFrame,
+    keys: list[str],
+    broadcast_match: bool,
+    inserts: DataFrame | None,
+    op: str,
+) -> int:
+    """Shared file-granular copy-on-write core behind
+    :func:`snapshot_merge` (``inserts`` = the update rows) and
+    :func:`snapshot_delete` (``inserts`` = None): semi-join the live
+    rows against ``match`` keys to find TOUCHED files, rewrite only
+    those files' surviving rows (plus inserts), carry every untouched
+    file into the new manifest BY REFERENCE.
+
+    Flavor-aware — the whole point at 100 TB, where the table IS
+    partitioned or range-clustered:
+
+    - ``part_col`` manifests: the rewrite restages through
+      ``partitionBy`` so every new file holds one partition value and
+      the manifest PARTITION MAP IS PRESERVED (untouched entries carry,
+      new files get their staged value) — pruned reads survive the
+      commit. When ``part_col`` is itself a merge/delete key, candidate
+      files are pre-pruned BY MANIFEST to the key set's partitions, so
+      a day-keyed backfill never opens other days' files.
+    - ``stats_col`` manifests: per-file min/max for rewritten files is
+      recomputed from the staged parquet FOOTERS (no data read, same as
+      the original commit) and untouched stats carry forward — range
+      pruning survives. Rewritten files are not re-range-clustered
+      across each other (their stats stay conservative-correct, just
+      possibly less selective); a periodic snapshot_write_sorted
+      overwrite restores clustering, exactly like re-OPTIMIZE.
+    - plain manifests: the original behavior.
+
+    Raises SnapshotConflict on a concurrent commit (the caller re-runs
+    against the new current version)."""
+    from pyspark.sql import functions as F
+
+    base_version = list_versions(path)[-1]
+    m = _manifest(path, base_version)
+    part_col = m.get("part_col")
+    stats_col = m.get("stats_col")
+    if part_col and inserts is not None and part_col not in inserts.columns:
+        raise ValueError(
+            f"merge updates must carry the partition column {part_col!r} "
+            "so rewritten rows land in their partitions"
+        )
+    base_files = list(m["files"])
+
+    # manifest pruning of the CoW itself: a part_col-keyed match set
+    # bounds the candidate files to its partitions (collect cost =
+    # partition fan-out, not rows)
+    cand_files = base_files
+    if part_col and part_col in keys and base_files:
+        vals = {
+            str(r[part_col])
+            for r in match.select(part_col).distinct().collect()
+        }
+        cand_files = [f for f in base_files if m["partitions"][f] in vals]
+
+    touched: set[str] = set()
+    survivors = None
+    if cand_files:
+        cm = dict(m)
+        cm["files"] = cand_files
+        if part_col:
+            cm["partitions"] = {f: m["partitions"][f] for f in cand_files}
+        live = _read_live(spark, path, cm)
+        mk = match.select(*keys)
+        if broadcast_match:
+            mk = F.broadcast(mk)
+        touched = {
+            r["__file"]
+            for r in live.join(mk, list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        if touched:
+            survivors = (
+                live.where(F.col("__file").isin(sorted(touched)))
+                .drop("__file")
+                .join(mk, list(keys), "left_anti")
+            )
+
+    if survivors is not None and inserts is not None:
+        rewrite = survivors.unionByName(inserts)
+    elif survivors is not None:
+        rewrite = survivors
+    else:
+        rewrite = inserts  # may be None (delete touching nothing)
+
+    new_names: list[str] = []
+    new_parts: dict[str, str] = {}
+    if rewrite is not None:
+        if part_col:
+            new_names, new_parts = _stage_partitioned(
+                spark, path, rewrite, part_col
+            )
+        else:
+            new_names = _stage_files(spark, path, rewrite)
+
+    untouched = [f for f in base_files if f not in touched]
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": op,
+        "files": untouched + new_names,
+    }
+    if part_col:
+        manifest["part_col"] = part_col
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = {
+            **{f: m["partitions"][f] for f in untouched},
+            **new_parts,
+        }
+        manifest["extra"] = m.get("extra", {})
+    elif stats_col:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = {
+            **{f: m["stats"][f] for f in untouched},
+            **{
+                f: _file_min_max(
+                    os.path.join(_data_dir(path), f), stats_col
+                )
+                for f in new_names
+            },
+        }
+        manifest["extra"] = m.get("extra", {})
+    return _claim(path, version, manifest, op)
 
 
 def snapshot_merge(
@@ -190,6 +447,12 @@ def snapshot_merge(
     rewrites ~0.1% of files, and every pre-merge version stays
     time-travelable.
 
+    Works on every manifest flavor — partitioned tables keep their
+    partition map (and get manifest-pruned candidate files when
+    ``keys`` includes the partition column), range-clustered tables
+    keep per-file stats (recomputed from staged footers for rewritten
+    files) — see :func:`_cow_commit` for the flavor contract.
+
     Plan shape: one broadcast semi-join against the scan tags touched
     files via ``input_file_name()`` (the distinct file list collected
     driver-side is FILE metadata, bounded by file count, not rows);
@@ -198,75 +461,12 @@ def snapshot_merge(
     and the manifest claim — the caller re-runs the merge (optimistic
     concurrency; an automatic retry would have to silently re-read
     data, hiding the cost)."""
-    from pyspark.sql import functions as F
-
     vs = list_versions(path)
     if not vs:
         return snapshot_write(spark, path, updates, mode="overwrite")
-    base_version = vs[-1]
-    base_manifest = _manifest(path, base_version)
-    if "part_col" in base_manifest:
-        raise ValueError(
-            "snapshot_merge would publish a manifest without the "
-            "partition map and break snapshot_read_partitioned; "
-            "rebuild partitioned tables with snapshot_write_partitioned"
-        )
-    base_files = list(base_manifest["files"])
-    touched: set[str] = set()
-    survivors = None
-    if base_files:  # an empty (zero-row overwrite) base is all-insert
-        full = [os.path.join(_data_dir(path), f) for f in base_files]
-        df = spark.read.parquet(*full).withColumn(
-            "__file", F.input_file_name()
-        )
-        upd_keys = updates.select(*keys)
-        if broadcast_updates:
-            upd_keys = F.broadcast(upd_keys)
-        touched_uris = [
-            r["__file"]
-            for r in df.join(upd_keys, list(keys), "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        ]
-        touched = {os.path.basename(u) for u in touched_uris}
-        if touched:
-            survivors = (
-                df.where(F.col("__file").isin(touched_uris))
-                .drop("__file")
-                .join(
-                    F.broadcast(updates.select(*keys)) if broadcast_updates
-                    else updates.select(*keys),
-                    list(keys),
-                    "left_anti",
-                )
-            )
-    rewrite = (
-        survivors.unionByName(updates) if survivors is not None else updates
+    return _cow_commit(
+        spark, path, updates, keys, broadcast_updates, updates, "merge"
     )
-    new_names = _stage_files(spark, path, rewrite)
-    untouched = [f for f in base_files if f not in touched]
-    version = base_version + 1
-    manifest = {
-        "version": version,
-        "mode": "merge",
-        "files": untouched + new_names,
-    }
-    token = uuid.uuid4().hex[:12]
-    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = os.path.join(_vers_dir(path), f"v{version}.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise SnapshotConflict(
-            f"version {version} was committed concurrently; re-run the "
-            "merge against the new current version"
-        ) from None
-    os.unlink(tmp)
-    return version
 
 
 def snapshot_read(
@@ -429,6 +629,17 @@ def snapshot_compact(
     size. Returns the new version (or the current one unchanged if
     fewer than two small files exist — nothing to combine).
 
+    Flavor-aware: PARTITIONED manifests compact WITHIN each partition
+    value only (never merging files across values — the one-value-
+    per-file invariant is what manifest pruning prunes on), and the
+    partition map carries/extends accordingly; the per-value work
+    loop is bounded by the partition fan-out with a small-file
+    backlog, never by table size. RANGE-CLUSTERED manifests re-sort
+    the small files on the stats column before staging
+    (repartitionByRange), so compacted outputs stay mutually disjoint
+    and per-file min/max (recomputed from staged footers) stays
+    selective.
+
     Conflict rule: like snapshot_merge, a concurrent commit between
     the read and the claim raises SnapshotConflict (compaction is
     cheap to re-run)."""
@@ -436,49 +647,84 @@ def snapshot_compact(
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
-    base_manifest = _manifest(path, base_version)
-    if "part_col" in base_manifest:
-        raise ValueError(
-            "snapshot_compact would merge files across partition values "
-            "and publish a manifest without the partition map; rewrite "
-            "partitioned tables with snapshot_write_partitioned"
-        )
-    base_files = list(base_manifest["files"])
+    m = _manifest(path, base_version)
+    part_col = m.get("part_col")
+    stats_col = m.get("stats_col")
+    base_files = list(m["files"])
     sizes = {
         f: os.path.getsize(os.path.join(_data_dir(path), f))
         for f in base_files
     }
-    small = [f for f in base_files if sizes[f] < small_file_bytes]
-    if len(small) < 2:
-        return base_version
-    keep = [f for f in base_files if f not in set(small)]
-    small_bytes = sum(sizes[f] for f in small)
-    n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
-    merged = spark.read.parquet(
-        *[os.path.join(_data_dir(path), f) for f in small]
-    ).repartition(n_out)
-    new_names = _stage_files(spark, path, merged)
+
+    def _n_out(files: list[str]) -> int:
+        return max(1, -(-sum(sizes[f] for f in files) // target_file_bytes))
+
+    new_names: list[str] = []
+    new_parts: dict[str, str] = {}
+    replaced: set[str] = set()
+    if part_col:
+        by_val: dict[str, list[str]] = {}
+        for f in base_files:
+            if sizes[f] < small_file_bytes:
+                by_val.setdefault(m["partitions"][f], []).append(f)
+        for raw, fs in sorted(by_val.items()):
+            if len(fs) < 2:
+                continue  # nothing to combine within this value
+            merged = spark.read.parquet(
+                *[os.path.join(_data_dir(path), f) for f in fs]
+            ).repartition(_n_out(fs))
+            names = _stage_files(spark, path, merged)
+            new_names.extend(names)
+            new_parts.update({n: raw for n in names})
+            replaced.update(fs)
+        if not replaced:
+            return base_version
+    else:
+        small = [f for f in base_files if sizes[f] < small_file_bytes]
+        if len(small) < 2:
+            return base_version
+        merged = spark.read.parquet(
+            *[os.path.join(_data_dir(path), f) for f in small]
+        )
+        n_out = _n_out(small)
+        merged = (
+            merged.repartitionByRange(n_out, stats_col).sortWithinPartitions(
+                stats_col
+            )
+            if stats_col
+            else merged.repartition(n_out)
+        )
+        new_names = _stage_files(spark, path, merged)
+        replaced = set(small)
+
+    keep = [f for f in base_files if f not in replaced]
     version = base_version + 1
-    manifest = {
+    manifest: dict = {
         "version": version,
         "mode": "compact",
         "files": keep + new_names,
     }
-    token = uuid.uuid4().hex[:12]
-    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = os.path.join(_vers_dir(path), f"v{version}.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise SnapshotConflict(
-            f"version {version} was committed concurrently; re-run "
-            "compaction against the new current version"
-        ) from None
-    os.unlink(tmp)
-    return version
+    if part_col:
+        manifest["part_col"] = part_col
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = {
+            **{f: m["partitions"][f] for f in keep},
+            **new_parts,
+        }
+        manifest["extra"] = m.get("extra", {})
+    elif stats_col:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = {
+            **{f: m["stats"][f] for f in keep},
+            **{
+                f: _file_min_max(
+                    os.path.join(_data_dir(path), f), stats_col
+                )
+                for f in new_names
+            },
+        }
+        manifest["extra"] = m.get("extra", {})
+    return _claim(path, version, manifest, "compaction")
 
 
 def snapshot_manifest(path: str, version: int | None = None) -> dict:
@@ -530,39 +776,8 @@ def snapshot_write_partitioned(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     part_type = df.schema[part_col].dataType.simpleString()
-    os.makedirs(_data_dir(path), exist_ok=True)
-    os.makedirs(_vers_dir(path), exist_ok=True)
+    names, parts = _stage_partitioned(spark, path, df, part_col)
     token = uuid.uuid4().hex[:12]
-    stage = os.path.join(path, f".__snap_stage_{token}")
-    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
-    names: list[str] = []
-    parts: dict[str, str] = {}
-    i = 0
-    for d in sorted(os.listdir(stage)):
-        if not d.startswith(f"{part_col}="):
-            continue
-        raw = d.split("=", 1)[1]
-        if raw == "__HIVE_DEFAULT_PARTITION__" or "%" in raw:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise ValueError(
-                f"partition value {raw!r} does not round-trip through "
-                "a directory name (null or escaped character); use an "
-                "int or plain-string partition column"
-            )
-        for f in sorted(
-            p
-            for p in os.listdir(os.path.join(stage, d))
-            if p.endswith(".parquet")
-        ):
-            name = f"{token}-{i:05d}.parquet"
-            i += 1
-            os.rename(
-                os.path.join(stage, d, f),
-                os.path.join(_data_dir(path), name),
-            )
-            names.append(name)
-            parts[name] = raw
-    shutil.rmtree(stage, ignore_errors=True)
 
     while True:
         prev = current_version(path)
@@ -631,10 +846,23 @@ def snapshot_read_partitioned(
         if wanted is None or raw in wanted:
             by_val.setdefault(raw, []).append(f)
     if not by_val:
-        raise ValueError(
-            f"no files match partition values {sorted(wanted or set())} "
-            f"in version {m['version']}"
+        if not m["files"]:
+            raise ValueError(
+                f"version {m['version']} is empty (zero files) — no "
+                "schema to serve; read another version"
+            )
+        # files exist but none carry a requested value: a legitimate
+        # empty result (e.g. probing an index cell no vector landed
+        # in) — serve the committed schema, zero rows, like
+        # snapshot_read_range's empty-window path
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(
+            os.path.join(_data_dir(path), m["files"][0])
+        ).selectExpr(
+            "*", f"CAST(NULL AS {part_type}) AS {part_col}"
         )
+        return base.where(F.lit(False))
     dfs = [
         spark.read.parquet(
             *[os.path.join(_data_dir(path), f) for f in fs]
@@ -645,6 +873,32 @@ def snapshot_read_partitioned(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _assert_utc_for_ts_stats(
+    spark: SparkSession, df: DataFrame | None, stats_col: str, op: str
+) -> None:
+    """Pruning keys (:func:`_stat_key`, naive-UTC from parquet footer
+    stats) and the read residual (``F.lit(bound)``, interpreted in the
+    SESSION timezone) only agree when the session runs UTC — which
+    session.py pins, but a bare session might not. Refuse loudly for
+    timestamp stats columns rather than silently pruning files that
+    contain matching rows. ``df=None`` skips the dtype check (read
+    side asserts on the bound's type instead)."""
+    if df is not None:
+        from pyspark.sql.types import TimestampType
+
+        if not isinstance(df.schema[stats_col].dataType, TimestampType):
+            return
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"{op} on a timestamp stats column requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}): footer stats "
+            "normalize to naive UTC while the residual literal is "
+            "session-local, so a non-UTC session would prune files "
+            "containing matching rows"
+        )
 
 
 def _stat_key(v) -> float | int | str:
@@ -728,25 +982,16 @@ def snapshot_write_sorted(
     read time."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _assert_utc_for_ts_stats(spark, df, stats_col, "snapshot_write_sorted")
     clustered = (
         df.repartitionByRange(n_files, stats_col)
         if n_files
         else df.repartitionByRange(stats_col)
     ).sortWithinPartitions(stats_col)
-    # Spark's default parquet timestamp encoding is INT96, which the
-    # format deprecated WITHOUT min/max statistics — a ts-clustered
-    # store would silently never prune. Stage the write as
-    # TIMESTAMP_MICROS (stats-bearing, the modern encoding).
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    prev_ts = spark.conf.get(ts_key, None)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
-        names = _stage_files(spark, path, clustered)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset(ts_key)
-        else:
-            spark.conf.set(ts_key, prev_ts)
+    # _stage_files stages timestamps as TIMESTAMP_MICROS (INT96, the
+    # Spark default, is deprecated WITHOUT min/max statistics — a
+    # ts-clustered store would silently never prune).
+    names = _stage_files(spark, path, clustered)
     stats = {
         f: _file_min_max(os.path.join(_data_dir(path), f), stats_col)
         for f in names
@@ -807,6 +1052,12 @@ def snapshot_read_range(
             f"version {m['version']} under {path} was not committed "
             "with snapshot_write_sorted"
         )
+    import datetime as _dt
+
+    if isinstance(lo, _dt.datetime) or isinstance(hi, _dt.datetime):
+        _assert_utc_for_ts_stats(
+            spark, None, m["stats_col"], "snapshot_read_range"
+        )
     lo_k, hi_k = _stat_key(lo), _stat_key(hi)
     stats = m["stats"]
     live = [
@@ -854,70 +1105,20 @@ def snapshot_delete(
     remaining files to prove it. Returns the new version; raises
     SnapshotConflict on a concurrent commit.
 
+    Works on every manifest flavor — partitioned tables keep their
+    partition map (and a delete keyed on the partition column prunes
+    its candidate files by manifest first), range-clustered tables
+    keep per-file stats — see :func:`_cow_commit`.
+
     Plan shape: one (broadcast) semi-join tags touched files via
     input_file_name(); the rewrite anti-joins only those files' rows.
     A delete touching 0.01% of keys rewrites ~0.01% of files."""
     vs = list_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
-    base_version = vs[-1]
-    base_manifest = _manifest(path, base_version)
-    if "part_col" in base_manifest:
-        raise ValueError(
-            "snapshot_delete would publish a manifest without the "
-            "partition map and break snapshot_read_partitioned; "
-            "rebuild partitioned tables with snapshot_write_partitioned"
-        )
-    from pyspark.sql import functions as F
-
-    base_files = list(base_manifest["files"])
-    touched: set[str] = set()
-    new_names: list[str] = []
-    if base_files:
-        full = [os.path.join(_data_dir(path), f) for f in base_files]
-        df = spark.read.parquet(*full).withColumn(
-            "__file", F.input_file_name()
-        )
-        del_keys = delete_keys.select(*keys)
-        if broadcast_keys:
-            del_keys = F.broadcast(del_keys)
-        touched_uris = [
-            r["__file"]
-            for r in df.join(del_keys, list(keys), "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        ]
-        touched = {os.path.basename(u) for u in touched_uris}
-        if touched:
-            survivors = (
-                df.where(F.col("__file").isin(touched_uris))
-                .drop("__file")
-                .join(del_keys, list(keys), "left_anti")
-            )
-            new_names = _stage_files(spark, path, survivors)
-    untouched = [f for f in base_files if f not in touched]
-    version = base_version + 1
-    manifest = {
-        "version": version,
-        "mode": "delete",
-        "files": untouched + new_names,
-    }
-    token = uuid.uuid4().hex[:12]
-    tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = os.path.join(_vers_dir(path), f"v{version}.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise SnapshotConflict(
-            f"version {version} was committed concurrently; re-run the "
-            "delete against the new current version"
-        ) from None
-    os.unlink(tmp)
-    return version
+    return _cow_commit(
+        spark, path, delete_keys, keys, broadcast_keys, None, "delete"
+    )
 
 
 def snapshot_restore(path: str, version: int) -> int:

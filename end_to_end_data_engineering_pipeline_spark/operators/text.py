@@ -584,3 +584,47 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .where(F.col("group_size") < k)
     )
+
+
+def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document curation FLAG SET — the filter-funnel complement
+    to :func:`text_stats`'s scalar score: instead of "how good", it
+    answers "which rules fire", so a corpus release can report the
+    exact overlap structure of its filters (docs failing only
+    `upper`, docs failing `short`+`stop`, ...) and tune each rule
+    against its marginal removal, the way public curation reports
+    (C4, Gopher, RefinedWeb appendix tables) are presented.
+
+    Rules (all integer-space comparisons — engine-stable):
+      short    — fewer than 30 whitespace tokens
+      upper    — uppercase letters > 20% of characters (shoutiness)
+      longword — mean raw-token length > 12 (URL/gibberish runs)
+      stop     — en-stopword count * 25 < token count (low density)
+
+    Emits ``flags`` as a semicolon-joined canonical-order string
+    ('__pass__' when no rule fires) — aggregation-friendly and
+    string-identical in any engine. Pure per-row projection: no
+    shuffle; at 100 TB this is a map stage fused into the scan."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(t)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_upper = F.size(F.regexp_extract_all(t, F.lit("[A-Z]"), 0))
+    en_stops = stopword_count(t, LANG_MARKERS["en"])
+    f_short = n_tok < 30
+    f_upper = n_upper * 5 > F.length(t)
+    f_longword = sum_len > n_tok * 12
+    f_stop = en_stops * 25 < n_tok
+    flags = F.concat_ws(
+        ";",
+        F.when(f_short, F.lit("short")),
+        F.when(f_upper, F.lit("upper")),
+        F.when(f_longword, F.lit("longword")),
+        F.when(f_stop, F.lit("stop")),
+    )
+    return df.withColumn(
+        "flags",
+        F.when(flags == "", F.lit("__pass__")).otherwise(flags),
+    )

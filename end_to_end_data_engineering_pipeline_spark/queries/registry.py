@@ -50,75 +50,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-7 rotation: ALL 50 slots go to never-driver-validated queries
-# (54 existed at r6 close; the judge asked for >=25 of its 27-name
-# list — all 27 are in). Every entry here is pytest-oracled each run
-# (tests/test_oracle_parity.py) and was hash-swept green at sf0.01 —
-# the gate scale — in this session's full-registry verify run before
-# rotation. Six relational stragglers wait for r8, their shapes
-# covered by r1-validated kin: q67_map_roundtrip ~ q14/q37 collection
-# fns, q68_conditional_distinct ~ q2/q17, q74_null_ordering ~ q45
-# null semantics, q75_explode_outer ~ q37 posexplode,
-# q78_string_rewrite ~ q46 string advanced, q79_null_conditionals ~
-# q16/q45 — plus the r7-born t35/t36/sim15/sim16/e22/t37/t38/e23/p14/sim17/p15/t40/e24/p16/e25/sim18/e26/p17/p18/m4/m5/e27/q86. The 50 displaced r6-green
-# entries (q1, q4, q8, t3, t7, sim1... ) all have fresh r6 evidence
-# and stay pytest-oracled; the headline bench still runs them every
-# round.
+# Round-8 rotation (the r7 verdict's exact ask): the 29
+# never-driver-validated oracled queries go first — the r7-born
+# governance family p14-p18, the ANN composites sim15-sim18, the
+# dedup/curation additions t35-t38/t40, the event-side e22-e27,
+# multimodal m4/m5, q86, and the six relational holdouts
+# q67/q68/q74/q75/q78/q79 — then the stalest entries (all
+# r1-validated) fill the remaining slots, so after this round the
+# minimum evidence freshness across the registry rises to r3+.
+# q31_approx_sketches stays out: rows-only by design (no oracle), and
+# the gate prefix is pinned to oracled names. New r8-born queries are
+# appended here as they land (displacing an r1 fill each), keeping
+# the never-validated-first invariant
+# (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    "q73_lateral_topn",
-    "q77_trailing_time_window",
-    "q80_union_by_name",
-    "q81_iqr_outliers",
-    "q82_bloom_semijoin_prefilter",
-    "q83_rolling_percentiles",
-    "q84_null_safe_join",
-    "q85_rolling_anomaly_bands",
-    "e1_tumbling_window_agg",
-    "e2_sliding_window_agg",
-    "e4_json_extraction",
-    "e5_keyed_dedup_keep_first",
-    "e6_value_counts",
-    "e7_latest_event_per_user",
-    "e9_range_join",
-    "e17_scd2_incremental",
-    "e19_attribution",
-    "e21_scd2_asof",
-    "t2_lang_id",
-    "t4_minhash_signatures",
-    "t5_simhash",
-    "t6_ngram_jaccard_pairs",
-    "t8_top_terms_per_lang",
-    "t18_repetition_stats",
-    "t22_hashed_embedding",
-    "t23_hashed_embedding_neardup",
-    "t24_canonical_best_quality",
-    "t25_train_val_test_split",
-    "t26_common_token_fraction",
-    "t27_decontaminated_corpus",
-    "t29_cms_heavy_hitters",
-    "t30_pps_weighted_sample",
-    "t31_langid_confusion",
-    "t33_containment_pairs",
-    "t34_curation_audit",
-    "sim3_embedding_neardup_pairs",
-    "sim10_pq_refine_topk",
-    "sim12_knn_graph",
-    "sim13_embedding_clusters",
-    "m3_content_addressed_store",
-    "p1_flatten_roundtrip",
-    "p2_dim_date_build",
-    "p4_quality_gate_counters",
-    "p8_retention_sweep",
-    "p9_time_travel",
-    "p10_incremental_agg",
-    "p11_snapshot_diff",
-    "p12_zorder_roundtrip",
-    # r7 additions: the bucketed shuffle-free join (broadcast-cliff
-    # fallback) and the partition-pruned IVF store — displacing
-    # q68_conditional_distinct (shape ~ r1-validated q2/q17) and
-    # q75_explode_outer (shape ~ r1-validated q37 posexplode)
-    "p13_bucketed_colocated_join",
-    "sim14_ivf_partitioned_topk",
+    # --- never driver-validated (r7-born + relational holdouts) ---
+    "p14_time_range_pruned_read",
+    "p15_corpus_release",
+    "p16_gdpr_delete_sweep",
+    "p17_dynamic_partition_backfill",
+    "p18_quarantine_routing",
+    "sim15_rrf_hybrid_topk",
+    "sim16_versioned_ivf_topk",
+    "sim17_neardup_triangles",
+    "sim18_ann_recall_table",
+    "t35_incremental_neardup",
+    "t36_temperature_mixture",
+    "t37_dup_span_coverage",
+    "t38_quality_scorer",
+    "t40_k_anonymity_audit",
+    "e22_skew_audit",
+    "e23_hll_distinct_users",
+    "e24_session_trigrams",
+    "e25_drift_table",
+    "e26_join_fanout_audit",
+    "e27_hll_union_rollup",
+    "m4_frame_embedding_pool",
+    "m5_media_frame_overlap",
+    "q86_rank_functions",
+    "q67_map_roundtrip",
+    "q68_conditional_distinct",
+    "q74_null_ordering",
+    "q75_explode_outer",
+    "q78_string_rewrite",
+    "q79_null_conditionals",
+    # --- r8-born (never driver-validated, added this round) ---
+    "p19_partitioned_cow",
+    "p20_streaming_backfill_parity",
+    "t41_stopword_quality_flags",
+    "sim19_ivf_delete_refresh",
+    "e28_watermark_late_audit",
+    # --- stalest fills (r1-validated; the 12 left out have
+    # r1 evidence and shape-kin among the above) ---
+    "q2_group_count_distinct",
+    "q3_null_and_range_audit",
+    "q5_semi_join_exists",
+    "q6_anti_join_not_exists",
+    "q7_left_outer_join_null_handling",
+    "q9_window_lag_running_sum",
+    "q11_cube",
+    "q12_set_ops",
+    "q13_global_topk",
+    "q14_string_functions",
+    "q15_date_functions",
+    "q16_conditional_pivot",
+    "q17_distinct_projection",
+    "q18_having_group_filter",
+    "q19_duplicate_audit",
+    "q22_above_customer_average",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
@@ -135,15 +134,35 @@ VALIDATED_ROUND: dict[str, int] = {
     "e14_transition_matrix": 6,
     "e15_cdc_latest_state": 6,
     "e16_scd2_history": 6,
+    "e17_scd2_incremental": 7,
     "e18_linear_interpolation": 6,
+    "e19_attribution": 7,
+    "e1_tumbling_window_agg": 7,
+    "e21_scd2_asof": 7,
+    "e2_sliding_window_agg": 7,
     "e3_sessionization": 6,
+    "e4_json_extraction": 7,
+    "e5_keyed_dedup_keep_first": 7,
+    "e6_value_counts": 7,
+    "e7_latest_event_per_user": 7,
     "e8_asof_join": 6,
+    "e9_range_join": 7,
     "m1_multimodal_features": 6,
     "m2_frame_sample_offsets": 6,
+    "m3_content_addressed_store": 7,
+    "p10_incremental_agg": 7,
+    "p11_snapshot_diff": 7,
+    "p12_zorder_roundtrip": 7,
+    "p13_bucketed_colocated_join": 7,
+    "p1_flatten_roundtrip": 7,
+    "p2_dim_date_build": 7,
     "p3_sql_model_over_views": 6,
+    "p4_quality_gate_counters": 7,
     "p5_incremental_gold": 6,
     "p6_compaction_roundtrip": 6,
     "p7_schema_evolution_merge": 6,
+    "p8_retention_sweep": 7,
+    "p9_time_travel": 7,
     "q10_rollup": 5,
     "q11_cube": 1,
     "q12_set_ops": 1,
@@ -210,13 +229,26 @@ VALIDATED_ROUND: dict[str, int] = {
     "q70_multiset_ops": 6,
     "q71_forward_fill": 6,
     "q72_group_ols_slope": 6,
+    "q73_lateral_topn": 7,
     "q76_array_set_algebra": 6,
+    "q77_trailing_time_window": 7,
     "q7_left_outer_join_null_handling": 1,
+    "q80_union_by_name": 7,
+    "q81_iqr_outliers": 7,
+    "q82_bloom_semijoin_prefilter": 7,
+    "q83_rolling_percentiles": 7,
+    "q84_null_safe_join": 7,
+    "q85_rolling_anomaly_bands": 7,
     "q8_window_rank_topk_per_group": 6,
     "q9_window_lag_running_sum": 1,
+    "sim10_pq_refine_topk": 7,
     "sim11_sq8_topk": 6,
+    "sim12_knn_graph": 7,
+    "sim13_embedding_clusters": 7,
+    "sim14_ivf_partitioned_topk": 7,
     "sim1_cosine_topk_bruteforce": 6,
     "sim2_cosine_topk_lsh": 6,
+    "sim3_embedding_neardup_pairs": 7,
     "sim4_cosine_topk_ivf": 6,
     "sim5_vector_stats": 5,
     "sim6_label_separation": 6,
@@ -231,13 +263,30 @@ VALIDATED_ROUND: dict[str, int] = {
     "t15_distinctive_terms": 6,
     "t16_sequence_packing": 6,
     "t17_passage_chunking": 5,
+    "t18_repetition_stats": 7,
     "t19_decontamination": 6,
     "t1_text_stats": 6,
     "t20_token_budget_mix": 6,
     "t21_pii_redaction": 6,
+    "t22_hashed_embedding": 7,
+    "t23_hashed_embedding_neardup": 7,
+    "t24_canonical_best_quality": 7,
+    "t25_train_val_test_split": 7,
+    "t26_common_token_fraction": 7,
+    "t27_decontaminated_corpus": 7,
     "t28_chunk_dedup_corpus": 6,
+    "t29_cms_heavy_hitters": 7,
+    "t2_lang_id": 7,
+    "t30_pps_weighted_sample": 7,
+    "t31_langid_confusion": 7,
+    "t33_containment_pairs": 7,
+    "t34_curation_audit": 7,
     "t3_exact_dedup": 6,
+    "t4_minhash_signatures": 7,
+    "t5_simhash": 7,
+    "t6_ngram_jaccard_pairs": 7,
     "t7_minhash_lsh_neardup": 6,
+    "t8_top_terms_per_lang": 7,
     "t9_simhash_neardup": 6,
 }
 

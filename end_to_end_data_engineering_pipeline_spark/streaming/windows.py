@@ -172,6 +172,48 @@ def streaming_upsert_sink(
     )
 
 
+def streaming_partition_backfill_sink(
+    corrected: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    part_col: str,
+    checkpoint: str,
+):
+    """foreachBatch DYNAMIC-PARTITION-OVERWRITE sink — the streaming
+    twin of the batch backfill (p17): each micro-batch REPLACES
+    exactly the target partitions it contains and touches no others,
+    so a re-delivered batch (foreachBatch's at-least-once contract
+    after a failure) lands ONCE — the second delivery overwrites the
+    same partitions with the same rows instead of appending
+    duplicates. Append-mode foreachBatch sinks double-count under
+    replay; partition overwrite makes the sink idempotent per
+    partition, which is exactly-once for corrections that always
+    re-emit a WHOLE partition (a corrected day). Pinned in
+    tests/test_streaming.py by delivering one batch twice."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            batch_df.write.partitionBy(part_col).mode("overwrite").parquet(
+                target_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return (
+        corrected.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+
+
 def stream_static_enrich(
     events: DataFrame, dim: DataFrame, on: str = "user_id"
 ) -> DataFrame:

@@ -471,40 +471,142 @@ class TestPartitionedSnapshots:
         with pytest.raises(ValueError, match="not committed"):
             snapshot_read_partitioned(spark, path2)
 
-    def test_missing_values_raise(self, spark, tmp_path):
-        import pytest
-
+    def test_missing_values_return_empty_with_schema(self, spark, tmp_path):
+        """Probing values no file carries is a legitimate empty result
+        (e.g. an IVF cell no vector landed in) — committed schema,
+        zero rows, like snapshot_read_range's empty window."""
         from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
             snapshot_read_partitioned,
         )
 
         path = str(tmp_path / "t")
         self._write(spark, path, [(1, 0, "a")])
-        with pytest.raises(ValueError, match="no files match"):
-            snapshot_read_partitioned(spark, path, values=[7])
+        out = snapshot_read_partitioned(spark, path, values=[7])
+        assert out.count() == 0
+        assert sorted(c for c, _ in out.dtypes) == ["cell", "id", "val"]
 
-    def test_merge_and_compact_refuse_partitioned_tables(
+    def test_merge_preserves_partition_map_and_carries_untouched(
         self, spark, tmp_path
     ):
-        """A merge/compact commit would drop the partition map (its
-        rewrite mixes partition values into shared files), silently
-        breaking snapshot_read_partitioned — both must refuse."""
+        """Partitioned CoW MERGE (r7 verdict #2): the rewrite restages
+        through partitionBy so the new manifest keeps a complete
+        partition map, untouched partitions' files carry BY REFERENCE
+        (same names), and pruned reads still work on the new
+        version."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")])
+        m0 = _manifest(path, 0)
+        upd = spark.createDataFrame(
+            [(1, 0, "z"), (9, 1, "new")], "id long, cell int, val string"
+        )
+        v = snapshot_merge(spark, path, upd, ["id"])
+        m1 = _manifest(path, v)
+        # full partition map, one value per file
+        assert set(m1["partitions"]) == set(m1["files"])
+        assert set(m1["partitions"].values()) == {"0", "1", "2"}
+        # cell=2 had no matched key: its file carries by reference
+        cell2_v0 = {f for f, c in m0["partitions"].items() if c == "2"}
+        cell2_v1 = {f for f, c in m1["partitions"].items() if c == "2"}
+        assert cell2_v0 == cell2_v1
+        # pruned read of the merged partition sees the upsert
+        out = snapshot_read_partitioned(spark, path, values=[0], version=v)
+        assert [(r.id, r.val) for r in out.collect()] == [(1, "z")]
+        got = {
+            (r.id, r.cell, r.val)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert got == {(1, 0, "z"), (2, 1, "b"), (3, 2, "c"), (9, 1, "new")}
+
+    def test_merge_requires_part_col_in_updates(self, spark, tmp_path):
         import pytest
 
         from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
-            snapshot_compact,
             snapshot_merge,
         )
 
         path = str(tmp_path / "t")
-        self._write(spark, path, [(1, 0, "a"), (2, 1, "b")])
-        upd = spark.createDataFrame(
-            [(1, 0, "z")], "id long, cell int, val string"
-        )
-        with pytest.raises(ValueError, match="partition map"):
+        self._write(spark, path, [(1, 0, "a")])
+        upd = spark.createDataFrame([(1, "z")], "id long, val string")
+        with pytest.raises(ValueError, match="partition column"):
             snapshot_merge(spark, path, upd, ["id"])
-        with pytest.raises(ValueError, match="partition map"):
-            snapshot_compact(spark, path, small_file_bytes=1 << 30)
+
+    def test_part_keyed_delete_prunes_candidate_files(
+        self, spark, tmp_path
+    ):
+        """A delete keyed ON the partition column manifests-prunes its
+        candidate files: only the keyed partitions' files are
+        rewritten (dropped here), every other partition's files carry
+        by reference — the day-keyed retention sweep at 100 TB."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(
+            spark, path, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]
+        )
+        m0 = _manifest(path, 0)
+        v = snapshot_delete(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], "cell int"),
+            ["cell"],
+        )
+        m1 = _manifest(path, v)
+        keep_v0 = {
+            f for f, c in m0["partitions"].items() if c in ("0", "2")
+        }
+        assert keep_v0 <= set(m1["files"])  # carried by reference
+        assert "1" not in set(m1["partitions"].values())
+        got = {
+            (r.id, r.cell)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert got == {(1, 0), (3, 2)}
+
+    def test_partitioned_compact_merges_within_value_only(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE on a partitioned table compacts small files WITHIN
+        each partition value (one-value-per-file is what pruning
+        prunes on) and keeps the map complete."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_compact,
+            snapshot_read_partitioned,
+            snapshot_write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        # two appends -> 2 small files per cell
+        for batch in ([(1, 0, "a"), (2, 1, "b")], [(3, 0, "c"), (4, 1, "d")]):
+            df = spark.createDataFrame(
+                batch, "id long, cell int, val string"
+            ).repartition(1)
+            snapshot_write_partitioned(spark, path, df, "cell", mode="append")
+        m0 = _manifest(path, 1)
+        assert len(m0["files"]) == 4
+        v = snapshot_compact(spark, path, small_file_bytes=1 << 30)
+        m1 = _manifest(path, v)
+        assert len(m1["files"]) == 2  # one per cell
+        assert set(m1["partitions"].values()) == {"0", "1"}
+        assert set(m1["partitions"]) == set(m1["files"])
+        got = {
+            (r.id, r.cell)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert got == {(1, 0), (2, 1), (3, 0), (4, 1)}
+        # pruned read post-compaction opens exactly one file
+        one = snapshot_read_partitioned(spark, path, values=[0])
+        assert len(one.inputFiles()) == 1
 
 
 class TestSortedSnapshots:
@@ -617,6 +719,119 @@ class TestSortedSnapshots:
         with pytest.raises(TypeError, match="unsupported stats value"):
             snapshot_read_range(spark, path, "a", "z")
 
+    def test_delete_and_merge_keep_range_pruning(self, spark, tmp_path):
+        """ADVICE r7 (medium): CoW on a range-clustered table used to
+        publish a manifest WITHOUT stats_col/stats, killing
+        snapshot_read_range on the new current version. Now rewritten
+        files get footer-recomputed stats, untouched stats carry, and
+        range reads keep pruning."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_delete,
+            snapshot_manifest,
+            snapshot_merge,
+            snapshot_read_range,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, 0, 1000, n_files=8)
+        m0 = snapshot_manifest(path)
+        # delete keys living in one file's range
+        v1 = snapshot_delete(
+            spark,
+            path,
+            spark.range(100, 110).select(F.col("id").alias("k")),
+            ["k"],
+        )
+        m1 = snapshot_manifest(path, v1)
+        assert m1["stats_col"] == "k"
+        assert set(m1["stats"]) == set(m1["files"])
+        assert all(v is not None for v in m1["stats"].values())
+        # untouched files carry by reference with their old stats
+        carried = set(m0["files"]) & set(m1["files"])
+        assert carried and all(
+            m1["stats"][f] == m0["stats"][f] for f in carried
+        )
+        # range read on the NEW current version: correct and pruned
+        got = sorted(
+            r.k for r in snapshot_read_range(spark, path, 95, 120).collect()
+        )
+        assert got == [95, 96, 97, 98, 99] + list(range(110, 121))
+        narrow = snapshot_read_range(spark, path, 900, 949)
+        full = snapshot_read_range(spark, path, 0, 999)
+        assert len(narrow.inputFiles()) < len(full.inputFiles())
+        # merge keeps the flavor too
+        upd = spark.range(500, 505).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        v2 = snapshot_merge(spark, path, upd, ["k"])
+        m2 = snapshot_manifest(path, v2)
+        assert m2["stats_col"] == "k" and set(m2["stats"]) == set(m2["files"])
+        assert [
+            (r.k, r.v)
+            for r in snapshot_read_range(spark, path, 500, 504)
+            .orderBy("k")
+            .collect()
+        ] == [(k, k * 7) for k in range(500, 505)]
+
+    def test_sorted_compact_keeps_disjoint_stats(self, spark, tmp_path):
+        """Compaction on a range-clustered table re-sorts the small
+        files (repartitionByRange) so outputs stay mutually disjoint
+        and footer stats stay selective."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_compact,
+            snapshot_manifest,
+            snapshot_read_range,
+        )
+
+        path = str(tmp_path / "t")
+        self._write(spark, path, 0, 500, n_files=8)
+        v = snapshot_compact(
+            spark, path, small_file_bytes=1 << 30, target_file_bytes=1 << 30
+        )
+        m = snapshot_manifest(path, v)
+        assert m["stats_col"] == "k"
+        assert set(m["stats"]) == set(m["files"])
+        assert (
+            sorted(r.k for r in snapshot_read_range(spark, path, 0, 499).collect())
+            == list(range(500))
+        )
+
+    def test_non_utc_session_refused_for_ts_stats(self, spark, tmp_path):
+        """ADVICE r7 (low): footer stats normalize to naive UTC while
+        the read residual literal is session-local — a non-UTC session
+        would silently prune matching rows. Both ends now refuse."""
+        import datetime as dt
+
+        import pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_range,
+            snapshot_write_sorted,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, i)) for i in range(10)],
+            "id long, ts timestamp",
+        )
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            with pytest.raises(ValueError, match="timeZone"):
+                snapshot_write_sorted(spark, path, df, "ts", n_files=2)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            snapshot_write_sorted(spark, path, df, "ts", n_files=2)
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.raises(ValueError, match="timeZone"):
+                snapshot_read_range(
+                    spark,
+                    path,
+                    dt.datetime(2024, 1, 1, 2),
+                    dt.datetime(2024, 1, 1, 5),
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
 
 class TestSnapshotDelete:
     """snapshot_delete: CoW right-to-be-forgotten, erasure proven by
@@ -689,21 +904,37 @@ class TestSnapshotDelete:
         assert set(_manifest(t, 1)["files"]) == m0
         assert _manifest(t, 1)["mode"] == "delete"
 
-    def test_refuses_partitioned_manifest(self, spark, tmp_path):
+    def test_partitioned_delete_keeps_map_and_pruned_reads(
+        self, spark, tmp_path
+    ):
+        """Row-keyed delete on a partitioned table (sim19's shape):
+        only files CONTAINING a matched key are rewritten, the new
+        files keep their partition values, and pruned reads work on
+        the post-delete version."""
         from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
             snapshot_delete,
+            snapshot_read_partitioned,
             snapshot_write_partitioned,
         )
 
         t = str(tmp_path / "t")
         df = spark.createDataFrame(
-            [(1, 0, "a")], "id long, cell int, val string"
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")],
+            "id long, cell int, val string",
         )
         snapshot_write_partitioned(spark, t, df, "cell")
-        with pytest.raises(ValueError, match="partition map"):
-            snapshot_delete(
-                spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
-            )
+        m0 = _manifest(t, 0)
+        v = snapshot_delete(
+            spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+        m1 = _manifest(t, v)
+        assert set(m1["partitions"]) == set(m1["files"])
+        # cell=1 untouched: carried by reference
+        c1_v0 = {f for f, c in m0["partitions"].items() if c == "1"}
+        assert c1_v0 <= set(m1["files"])
+        out = snapshot_read_partitioned(spark, t, values=[0], version=v)
+        assert sorted(r.id for r in out.collect()) == [2]
 
 
 class TestSnapshotRestore:
