@@ -128,6 +128,14 @@ HEADLINE: list[str] = [
     "m4_frame_embedding_pool",
     "m5_media_frame_overlap",
     "sim18_ann_recall_table",
+    # r8/r9-born: partitioned CoW (the most 100-TB-load-bearing new
+    # code — now timing-gated), replay-idempotent backfill, curation
+    # flag set, IVF GDPR delete-refresh, watermark late audit
+    "p19_partitioned_cow",
+    "p20_streaming_backfill_parity",
+    "t41_stopword_quality_flags",
+    "sim19_ivf_delete_refresh",
+    "e28_watermark_late_audit",
 ]
 
 

@@ -78,6 +78,42 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _hive_part_str(v) -> str:
+    """The directory-name string ``partitionBy`` writes for ``v`` —
+    the normalization BOTH sides of a manifest partition-map
+    comparison must share: Python ``str(True)`` is ``'True'`` but the
+    Hive directory (and thus the manifest value) is ``'true'``, so a
+    raw str() on a boolean partition key would silently match
+    nothing."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _micros_ts(spark: SparkSession):
+    """Conf scope pinning spark.sql.parquet.outputTimestampType to
+    TIMESTAMP_MICROS for a staging write (shared by _stage_files and
+    _stage_partitioned so both manifest flavors encode timestamps
+    identically): the INT96 default is deprecated AND footer-stats-
+    free, which would silently lose range pruning on rewrites."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return scope()
+
+
 def snapshot_write(
     spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
 ) -> int:
@@ -167,16 +203,8 @@ def _stage_files(spark: SparkSession, path: str, df: DataFrame) -> list[str]:
     os.makedirs(_vers_dir(path), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f".__snap_stage_{token}")
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    prev_ts = spark.conf.get(ts_key, None)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
+    with _micros_ts(spark):
         df.write.mode("overwrite").parquet(stage)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset(ts_key)
-        else:
-            spark.conf.set(ts_key, prev_ts)
     names: list[str] = []
     for i, f in enumerate(
         sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
@@ -209,7 +237,8 @@ def _stage_partitioned(
     os.makedirs(_vers_dir(path), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f".__snap_stage_{token}")
-    df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    with _micros_ts(spark):
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
     names: list[str] = []
     parts: dict[str, str] = {}
     i = 0
@@ -354,7 +383,7 @@ def _cow_commit(
     cand_files = base_files
     if part_col and part_col in keys and base_files:
         vals = {
-            str(r[part_col])
+            _hive_part_str(r[part_col])
             for r in match.select(part_col).distinct().collect()
         }
         cand_files = [f for f in base_files if m["partitions"][f] in vals]
@@ -408,6 +437,15 @@ def _cow_commit(
         "mode": op,
         "files": untouched + new_names,
     }
+    if not manifest["files"]:
+        # a delete/merge whose survivors are EMPTY (zero-row staged
+        # files are dropped at the stage boundary): record the table
+        # schema in the manifest so the version stays readable as an
+        # empty table instead of refusing with "no schema to serve"
+        if rewrite is not None:
+            manifest["schema"] = rewrite.schema.jsonValue()
+        elif "schema" in m:
+            manifest["schema"] = m["schema"]
     if part_col:
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
@@ -482,8 +520,12 @@ def snapshot_read(
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    files = _manifest(path, v)["files"]
+    m = _manifest(path, v)
+    files = m["files"]
     if not files:
+        empty = _empty_from_manifest(spark, m)
+        if empty is not None:
+            return empty
         raise ValueError(
             f"version {v} is empty (overwrite of zero rows) — no schema "
             "to serve; keep a schema-bearing file or read another version"
@@ -491,6 +533,17 @@ def snapshot_read(
     return spark.read.parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
     )
+
+
+def _empty_from_manifest(spark: SparkSession, m: dict) -> DataFrame | None:
+    """Zero rows with the manifest-recorded schema (committed by
+    _cow_commit when a rewrite leaves no surviving files), or None
+    when the manifest predates schema recording."""
+    if "schema" not in m:
+        return None
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame([], StructType.fromJson(m["schema"]))
 
 
 def snapshot_history(path: str) -> list[dict]:
@@ -839,7 +892,7 @@ def snapshot_read_partitioned(
         )
     part_col, part_type = m["part_col"], m["part_type"]
     parts = m["partitions"]
-    wanted = None if values is None else {str(v) for v in values}
+    wanted = None if values is None else {_hive_part_str(v) for v in values}
     by_val: dict[str, list[str]] = {}
     for f in m["files"]:
         raw = parts[f]
@@ -847,6 +900,9 @@ def snapshot_read_partitioned(
             by_val.setdefault(raw, []).append(f)
     if not by_val:
         if not m["files"]:
+            empty = _empty_from_manifest(spark, m)
+            if empty is not None:
+                return empty
             raise ValueError(
                 f"version {m['version']} is empty (zero files) — no "
                 "schema to serve; read another version"
@@ -1071,6 +1127,9 @@ def snapshot_read_range(
         # schema via an always-false filter
         live = m["files"][:1]
         if not live:
+            empty = _empty_from_manifest(spark, m)
+            if empty is not None:
+                return empty
             raise ValueError(f"version {m['version']} is empty")
         from pyspark.sql import functions as F
 

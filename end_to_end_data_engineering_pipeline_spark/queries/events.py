@@ -1503,3 +1503,89 @@ def e27_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(glob).join(exact, "scope")
+
+
+@query(
+    "e28_watermark_late_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard,
+             CAST('0x' || substr(md5('a|' || CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1800 AS arr_delay
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             MAX(ts) OVER (
+               PARTITION BY shard
+               ORDER BY ts + INTERVAL 1 SECOND * arr_delay, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_src
+      FROM e
+    ),
+    lt AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             CASE WHEN wm_src IS NOT NULL
+                       AND ts < wm_src - INTERVAL 600 SECOND
+                  THEN 1 ELSE 0 END AS is_late
+      FROM w
+    )
+    SELECT event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           ROUND(CAST(SUM(is_late) AS DOUBLE) / COUNT(*), 6) AS late_frac
+    FROM lt
+    GROUP BY event_date
+    """,
+)
+def e28_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-ARRIVAL audit in batch form — per event date,
+    how many events would a 10-minute watermark have dropped? The
+    fixture's ts is already arrival-ordered, so ingestion skew is
+    reconstructed deterministically (hash-derived per-event arrival
+    delay up to 30 min), and the watermark is modeled the way
+    Flink/Kafka consumers actually track it: PER SOURCE SHARD
+    (hash(event_id)%8), each shard's watermark = max event time seen
+    over its STRICTLY EARLIER arrivals minus the 10-min bound — a
+    per-shard running max, no global sort, so the audit scales as a
+    plain repartition-by-shard + window at 100 TB (the streaming
+    global watermark is the min over shards, i.e. looser: this audit
+    upper-bounds the drop). An event is late when its event time is
+    below its shard's watermark AT ITS ARRIVAL. The streaming twin —
+    withWatermark dropping a too-late row from an append-mode
+    windowed count — is pinned in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    eid = F.col("event_id").cast("string")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    e = ev.select(
+        "event_id",
+        "ts",
+        (h(eid) % 8).alias("shard"),
+        (h(F.concat(F.lit("a|"), eid)) % 1800).alias("arr_delay"),
+    ).withColumn(
+        "arrival_ts", F.expr("ts + make_interval(0,0,0,0,0,0, arr_delay)")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arrival_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm_src = F.max("ts").over(w)
+    lt = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.when(
+            wm_src.isNotNull()
+            & (F.col("ts") < wm_src - F.expr("INTERVAL 600 SECONDS")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    return lt.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.round(
+            F.sum("is_late").cast("double") / F.count(F.lit(1)), 6
+        ).alias("late_frac"),
+    )

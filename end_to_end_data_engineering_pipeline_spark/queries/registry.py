@@ -50,74 +50,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-8 rotation (the r7 verdict's exact ask): the 29
-# never-driver-validated oracled queries go first — the r7-born
-# governance family p14-p18, the ANN composites sim15-sim18, the
-# dedup/curation additions t35-t38/t40, the event-side e22-e27,
-# multimodal m4/m5, q86, and the six relational holdouts
-# q67/q68/q74/q75/q78/q79 — then the stalest entries (all
-# r1-validated) fill the remaining slots, so after this round the
-# minimum evidence freshness across the registry rises to r3+.
-# q31_approx_sketches stays out: rows-only by design (no oracle), and
-# the gate prefix is pinned to oracled names. New r8-born queries are
-# appended here as they land (displacing an r1 fill each), keeping
-# the never-validated-first invariant
+# Round-9 rotation: the 3 never-driver-validated r9-born queries go
+# first (t41 flag set, sim19 IVF delete-refresh, e28 watermark late
+# audit), then the evidence ledger's stalest entries fill the
+# remaining 47 slots — all 17 r1-validated relational queries, the 2
+# r2 and 5 r4 holdouts, all 21 r5 entries, and 2 r6 fills — so after
+# this round the minimum evidence freshness across the whole registry
+# rises to r6. q31_approx_sketches stays out: rows-only by design (no
+# oracle), and the gate prefix is pinned to oracled names. New
+# queries are appended here as they land (displacing the freshest
+# fill), keeping the never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    # --- never driver-validated (r7-born + relational holdouts) ---
-    "p14_time_range_pruned_read",
-    "p15_corpus_release",
-    "p16_gdpr_delete_sweep",
-    "p17_dynamic_partition_backfill",
-    "p18_quarantine_routing",
-    "sim15_rrf_hybrid_topk",
-    "sim16_versioned_ivf_topk",
-    "sim17_neardup_triangles",
-    "sim18_ann_recall_table",
-    "t35_incremental_neardup",
-    "t36_temperature_mixture",
-    "t37_dup_span_coverage",
-    "t38_quality_scorer",
-    "t40_k_anonymity_audit",
-    "e22_skew_audit",
-    "e23_hll_distinct_users",
-    "e24_session_trigrams",
-    "e25_drift_table",
-    "e26_join_fanout_audit",
-    "e27_hll_union_rollup",
-    "m4_frame_embedding_pool",
-    "m5_media_frame_overlap",
-    "q86_rank_functions",
-    "q67_map_roundtrip",
-    "q68_conditional_distinct",
-    "q74_null_ordering",
-    "q75_explode_outer",
-    "q78_string_rewrite",
-    "q79_null_conditionals",
-    # --- r8-born (never driver-validated, added this round) ---
-    "p19_partitioned_cow",
-    "p20_streaming_backfill_parity",
+    # --- never driver-validated (r9-born) ---
     "t41_stopword_quality_flags",
     "sim19_ivf_delete_refresh",
     "e28_watermark_late_audit",
-    # --- stalest fills (r1-validated; the 12 left out have
-    # r1 evidence and shape-kin among the above) ---
-    "q2_group_count_distinct",
-    "q3_null_and_range_audit",
-    "q5_semi_join_exists",
-    "q6_anti_join_not_exists",
-    "q7_left_outer_join_null_handling",
-    "q9_window_lag_running_sum",
-    "q11_cube",
-    "q12_set_ops",
-    "q13_global_topk",
-    "q14_string_functions",
-    "q15_date_functions",
-    "q16_conditional_pivot",
-    "q17_distinct_projection",
-    "q18_having_group_filter",
-    "q19_duplicate_audit",
-    "q22_above_customer_average",
+    # --- r1-validated (the last of the r1 evidence tail) ---
+    "q23_regexp_extract",
+    "q24_monthly_rollup",
+    "q25_nation_supplier_balance",
+    "q29_sorted_array_agg",
+    "q32_nested_exists_in",
+    "q33_exists_and_not_exists",
+    "q34_full_outer_join",
+    "q37_posexplode_tokens",
+    "q38_date_arithmetic",
+    "q39_range_frame_window",
+    "q40_dense_report_spine",
+    "q41_window_navigation",
+    "q42_histogram_buckets",
+    "q44_math_functions",
+    "q45_null_semantics",
+    "q46_string_advanced",
+    "q49_rank_distribution",
+    # --- r2-validated ---
+    "q53_late_shipment_priority",
+    "q55_priority_shipping_classes",
+    # --- r4-validated ---
+    "q51_promo_revenue_share",
+    "q52_top_supplier_view",
+    "q57_large_volume_customers",
+    "q59_forecast_revenue",
+    "q61_local_supplier_volume",
+    # --- r5-validated ---
+    "e10_session_window_native",
+    "e12_weekly_cohort_retention",
+    "q10_rollup",
+    "q20_percentiles",
+    "q26_grouping_sets",
+    "q27_pivot",
+    "q28_unpivot",
+    "q36_notin_count_distinct",
+    "q50_disjunctive_join_predicates",
+    "q56_customer_order_distribution",
+    "q58_dormant_account_cohorts",
+    "q62_deterministic_sample",
+    "q63_stratified_sample",
+    "q64_arg_extrema",
+    "q66_fuzzy_name_blocking",
+    "q69_winsorized_stats",
+    "sim5_vector_stats",
+    "sim7_neardup_pairs_lsh",
+    "t10_winnow_fingerprints",
+    "t13_canonical_corpus",
+    "t17_passage_chunking",
+    # --- r6 fills ---
+    "e11_funnel",
+    "e13_inter_event_gaps",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
@@ -139,6 +139,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "e19_attribution": 7,
     "e1_tumbling_window_agg": 7,
     "e21_scd2_asof": 7,
+    "e22_skew_audit": 8,
+    "e23_hll_distinct_users": 8,
+    "e24_session_trigrams": 8,
+    "e25_drift_table": 8,
+    "e26_join_fanout_audit": 8,
+    "e27_hll_union_rollup": 8,
     "e2_sliding_window_agg": 7,
     "e3_sessionization": 6,
     "e4_json_extraction": 7,
@@ -150,11 +156,20 @@ VALIDATED_ROUND: dict[str, int] = {
     "m1_multimodal_features": 6,
     "m2_frame_sample_offsets": 6,
     "m3_content_addressed_store": 7,
+    "m4_frame_embedding_pool": 8,
+    "m5_media_frame_overlap": 8,
     "p10_incremental_agg": 7,
     "p11_snapshot_diff": 7,
     "p12_zorder_roundtrip": 7,
     "p13_bucketed_colocated_join": 7,
+    "p14_time_range_pruned_read": 8,
+    "p15_corpus_release": 8,
+    "p16_gdpr_delete_sweep": 8,
+    "p17_dynamic_partition_backfill": 8,
+    "p18_quarantine_routing": 8,
+    "p19_partitioned_cow": 8,
     "p1_flatten_roundtrip": 7,
+    "p20_streaming_backfill_parity": 8,
     "p2_dim_date_build": 7,
     "p3_sql_model_over_views": 6,
     "p4_quality_gate_counters": 7,
@@ -164,19 +179,19 @@ VALIDATED_ROUND: dict[str, int] = {
     "p8_retention_sweep": 7,
     "p9_time_travel": 7,
     "q10_rollup": 5,
-    "q11_cube": 1,
-    "q12_set_ops": 1,
-    "q13_global_topk": 1,
-    "q14_string_functions": 1,
-    "q15_date_functions": 1,
-    "q16_conditional_pivot": 1,
-    "q17_distinct_projection": 1,
-    "q18_having_group_filter": 1,
-    "q19_duplicate_audit": 1,
-    "q1_pricing_summary": 6,
+    "q11_cube": 8,
+    "q12_set_ops": 8,
+    "q13_global_topk": 8,
+    "q14_string_functions": 8,
+    "q15_date_functions": 8,
+    "q16_conditional_pivot": 8,
+    "q17_distinct_projection": 8,
+    "q18_having_group_filter": 8,
+    "q19_duplicate_audit": 8,
+    "q1_pricing_summary": 8,
     "q20_percentiles": 5,
     "q21_shipping_priority_topk": 6,
-    "q22_above_customer_average": 1,
+    "q22_above_customer_average": 8,
     "q23_regexp_extract": 1,
     "q24_monthly_rollup": 1,
     "q25_nation_supplier_balance": 1,
@@ -184,7 +199,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q27_pivot": 5,
     "q28_unpivot": 5,
     "q29_sorted_array_agg": 1,
-    "q2_group_count_distinct": 1,
+    "q2_group_count_distinct": 8,
     "q30_salted_join_agg": 6,
     "q32_nested_exists_in": 1,
     "q33_exists_and_not_exists": 1,
@@ -194,7 +209,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q37_posexplode_tokens": 1,
     "q38_date_arithmetic": 1,
     "q39_range_frame_window": 1,
-    "q3_null_and_range_audit": 1,
+    "q3_null_and_range_audit": 8,
     "q40_dense_report_spine": 1,
     "q41_window_navigation": 1,
     "q42_histogram_buckets": 1,
@@ -205,7 +220,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q47_nation_trade_volume": 6,
     "q48_market_share": 6,
     "q49_rank_distribution": 1,
-    "q4_star_join_revenue": 6,
+    "q4_star_join_revenue": 8,
     "q50_disjunctive_join_predicates": 5,
     "q51_promo_revenue_share": 4,
     "q52_top_supplier_view": 4,
@@ -216,7 +231,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q57_large_volume_customers": 4,
     "q58_dormant_account_cohorts": 5,
     "q59_forecast_revenue": 4,
-    "q5_semi_join_exists": 1,
+    "q5_semi_join_exists": 8,
     "q60_product_profit": 6,
     "q61_local_supplier_volume": 4,
     "q62_deterministic_sample": 5,
@@ -224,28 +239,39 @@ VALIDATED_ROUND: dict[str, int] = {
     "q64_arg_extrema": 5,
     "q65_exact_moments": 6,
     "q66_fuzzy_name_blocking": 5,
+    "q67_map_roundtrip": 8,
+    "q68_conditional_distinct": 8,
     "q69_winsorized_stats": 5,
-    "q6_anti_join_not_exists": 1,
+    "q6_anti_join_not_exists": 8,
     "q70_multiset_ops": 6,
     "q71_forward_fill": 6,
     "q72_group_ols_slope": 6,
     "q73_lateral_topn": 7,
+    "q74_null_ordering": 8,
+    "q75_explode_outer": 8,
     "q76_array_set_algebra": 6,
     "q77_trailing_time_window": 7,
-    "q7_left_outer_join_null_handling": 1,
+    "q78_string_rewrite": 8,
+    "q79_null_conditionals": 8,
+    "q7_left_outer_join_null_handling": 8,
     "q80_union_by_name": 7,
     "q81_iqr_outliers": 7,
     "q82_bloom_semijoin_prefilter": 7,
     "q83_rolling_percentiles": 7,
     "q84_null_safe_join": 7,
     "q85_rolling_anomaly_bands": 7,
-    "q8_window_rank_topk_per_group": 6,
-    "q9_window_lag_running_sum": 1,
+    "q86_rank_functions": 8,
+    "q8_window_rank_topk_per_group": 8,
+    "q9_window_lag_running_sum": 8,
     "sim10_pq_refine_topk": 7,
     "sim11_sq8_topk": 6,
     "sim12_knn_graph": 7,
     "sim13_embedding_clusters": 7,
     "sim14_ivf_partitioned_topk": 7,
+    "sim15_rrf_hybrid_topk": 8,
+    "sim16_versioned_ivf_topk": 8,
+    "sim17_neardup_triangles": 8,
+    "sim18_ann_recall_table": 8,
     "sim1_cosine_topk_bruteforce": 6,
     "sim2_cosine_topk_lsh": 6,
     "sim3_embedding_neardup_pairs": 7,
@@ -281,7 +307,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "t31_langid_confusion": 7,
     "t33_containment_pairs": 7,
     "t34_curation_audit": 7,
+    "t35_incremental_neardup": 8,
+    "t36_temperature_mixture": 8,
+    "t37_dup_span_coverage": 8,
+    "t38_quality_scorer": 8,
     "t3_exact_dedup": 6,
+    "t40_k_anonymity_audit": 8,
     "t4_minhash_signatures": 7,
     "t5_simhash": 7,
     "t6_ngram_jaccard_pairs": 7,

@@ -203,7 +203,25 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
     return (path, mtime)
 
 
-_O_IVF_CTES = f"""samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
+# IVF probe width shared by the exact-rescore IVF family (sim4 /
+# sim14 / sim15 / sim16 / sim18 / sim19) and their composed oracles.
+# RETUNED 3 -> 4 in round 9 FROM sim18's recall table (the loop the
+# table exists to close): at sf0.1, nprobe=4 buys recall@10
+# 0.36 -> 0.50 for +33% candidates scored (1885 -> 2505 of 2000x?
+# see docs/SCALE.md "ANN retune"), the best recall-per-byte move on
+# the sweep — vs LSH 6 -> 5 planes, which costs 1.9x candidates for
+# +0.04. sim9's IVFPQ keeps its own nprobe: its ADC candidates are
+# ~64x cheaper per row, a different trade.
+_NPROBE = 4
+
+
+def _o_ivf_ctes(cand_pred: str = "", nprobe: int = _NPROBE) -> str:
+    """IVF CTE chain (k-means-1-iter centroids over the vec_id%5
+    sample, cell assignment, ``nprobe``-cell probe, cosine re-rank).
+    ``cand_pred`` narrows the candidate corpus — sim19 appends the
+    GDPR-survivor predicate so the same chain oracles a post-delete
+    index."""
+    return f"""samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
     comp AS (
       SELECT CAST(vec_id % 16 AS INT) AS cid, pos, sv[pos] AS v
       FROM samp CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS pos)
@@ -241,12 +259,12 @@ _O_IVF_CTES = f"""samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
       FROM (SELECT id, cid,
                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) rn
             FROM dists WHERE id IN (0, 1, 2, 3, 4)) t
-      WHERE rn <= 3
+      WHERE rn <= {nprobe}
     ),
     ivf_scored AS (
       SELECT qc.query_id, cc.id AS cand_id, {_O_COS} AS cosine
       FROM qcells qc
-      JOIN corpus_cell cc ON cc.cell = qc.cell AND cc.id <> qc.query_id
+      JOIN corpus_cell cc ON cc.cell = qc.cell AND cc.id <> qc.query_id{cand_pred}
       JOIN normed q ON q.vec_id = qc.query_id
       JOIN normed c ON c.vec_id = cc.id
     )
@@ -258,6 +276,9 @@ _O_IVF_CTES = f"""samp AS (SELECT * FROM normed WHERE vec_id % 5 = 0),
             FROM ivf_scored) t
       WHERE rk <= 10
     )"""
+
+
+_O_IVF_CTES = _o_ivf_ctes()
 
 _O_IVF_TOPK = f"""
     WITH {_O_SCALED},
@@ -283,7 +304,7 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL value-hash oracle (upgraded from rows-only, r5 verdict #4):
     with iters=1 the quantizer is exactly the component-wise rounded
     mean of the vec_id%5 sample grouped by vec_id%16, so the whole
-    pipeline — train, nprobe=3 probe order (squared-L2 with (dist,
+    pipeline — train, _NPROBE-wide probe order (squared-L2 with (dist,
     cid) tiebreak), candidate join, exact fixed-point rescoring — is
     a deterministic SQL expression DuckDB reproduces bit-for-bit."""
     from ..operators.similarity import ivf_topk
@@ -293,7 +314,7 @@ def sim4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # demonstrates the operator; tests/test_similarity.py grades recall
     # with heavier settings
     out = ivf_topk(
-        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=3
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=_NPROBE
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
 
@@ -543,7 +564,7 @@ def sim9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivfpq_topk
 
     out = ivfpq_topk(
-        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, m=8, nprobe=3
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, m=8, nprobe=3  # PQ family: own oracle, not retuned
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
 
@@ -949,7 +970,7 @@ def sim14_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.where(F.col("vec_id").isin(QUERY_IDS)),
             cents,
             k=10,
-            nprobe=3,
+            nprobe=_NPROBE,
         ).withColumn("rk", F.col("rk").cast("long"))
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -995,7 +1016,7 @@ def sim15_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     lsh = cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6)
     ivf = ivf_topk(
-        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=3
+        emb, QUERY_IDS, _centroids_for(spark, sf_dir, emb), k=10, nprobe=_NPROBE
     )
     return rrf_fuse([lsh, ivf], k=10).withColumn(
         "rk", F.col("rk").cast("long")
@@ -1042,7 +1063,7 @@ def sim16_versioned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             store,
             emb.where(F.col("vec_id").isin(QUERY_IDS)),
             k=10,
-            nprobe=3,
+            nprobe=_NPROBE,
             version=v0,
         ).withColumn("rk", F.col("rk").cast("long"))
         out = spark.createDataFrame(out.collect(), out.schema)
@@ -1154,7 +1175,7 @@ def sim18_ann_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fams = {
         "lsh": cosine_topk_lsh(emb, QUERY_IDS, k=10, n_planes=6),
-        "ivf": ivf_topk(emb, QUERY_IDS, cents, k=10, nprobe=3),
+        "ivf": ivf_topk(emb, QUERY_IDS, cents, k=10, nprobe=_NPROBE),
     }
     parts = []
     for name, ranked in fams.items():
@@ -1180,3 +1201,64 @@ def sim18_ann_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "sim19_ivf_delete_refresh",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_o_ivf_ctes(" AND cc.id % 7 <> 5")}
+    SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ivf_ranked
+    """,
+)
+def sim19_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR delete THROUGH the versioned ANN index
+    (operators/snapshots.py:snapshot_delete composed with
+    operators/similarity.py:versioned_ivf_write/-_topk): the index is
+    committed at v0, a keyed right-to-be-forgotten sweep (vec_id %
+    7 = 5) copy-on-writes only the inverted-list files that contain a
+    matched vector (partition map and the manifest-embedded centroids
+    carry to v1 untouched), and the refreshed search at the CURRENT
+    version serves survivors only — no rebuild, no stale tombstone
+    view. The oracle is the shared IVF chain with the survivor
+    predicate on the candidate corpus, so the whole
+    delete-then-search composition sits under one value-hash check
+    (deleted ids vanishing from results is pinned structurally in
+    tests/test_similarity.py; pinned-v0 reads still see them —
+    erasure-from-bytes remains delete + retention + vacuum, as in
+    p16). At 100 TB the delete rewrites ~|matched cells' files|, not
+    the corpus, and the search still prunes cells by manifest."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+    from ..operators.snapshots import snapshot_delete
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    tmp = tempfile.mkdtemp(prefix="sim19_vivf_")
+    store = tmp + "/index"
+    try:
+        with fixture_phase():  # index build; operator = delete+search
+            versioned_ivf_write(spark, emb, cents, store)
+        snapshot_delete(
+            spark,
+            store,
+            emb.where(F.col("vec_id") % 7 == 5).select("vec_id"),
+            ["vec_id"],
+        )
+        out = versioned_ivf_topk(
+            spark,
+            store,
+            emb.where(F.col("vec_id").isin(QUERY_IDS)),
+            k=10,
+            nprobe=_NPROBE,
+        ).withColumn("rk", F.col("rk").cast("long"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

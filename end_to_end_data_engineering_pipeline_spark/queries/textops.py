@@ -1989,6 +1989,58 @@ def t40_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# t41 — curation flag set (operators/text.py:quality_flags)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t41_stopword_quality_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_O_RAW_TOKS}) AS n_tok,
+             CAST(list_sum(list_transform({_O_RAW_TOKS},
+                                          x -> length(x))) AS BIGINT)
+               AS sum_len,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             {_o_stop(LANG_MARKERS["en"])} AS en_stops,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             concat_ws(';',
+               CASE WHEN n_tok < 30 THEN 'short' END,
+               CASE WHEN n_upper * 5 > n_chars THEN 'upper' END,
+               CASE WHEN sum_len > n_tok * 12 THEN 'longword' END,
+               CASE WHEN en_stops * 25 < n_tok THEN 'stop' END) AS flags
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN flags = '' THEN '__pass__' ELSE flags END AS flags
+    FROM f
+    """,
+)
+def t41_stopword_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation FLAG SET (operators/text.py:
+    quality_flags): which of the four C4/Gopher-style rules fire —
+    short (<30 tokens), upper (>20% uppercase), longword (mean raw
+    token length >12), stop (en-stopword density below 1/25) — as a
+    canonical semicolon-joined string ('__pass__' when clean). The
+    filter-funnel complement to t38's scalar score: an aggregation
+    over ``flags`` reports each rule's marginal removal and the
+    overlap structure of the filters, the way public curation
+    appendix tables are presented. All four rules are integer-space
+    comparisons, so the whole flag string is value-hash oracled.
+    Pure per-row projection — a map stage fused into the scan; no
+    shuffle at any scale."""
+    from ..operators.text import quality_flags
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_flags(docs).select("doc_id", "flags")
+
+
 @query(
     "m4_frame_embedding_pool",
     oracle="""

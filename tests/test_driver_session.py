@@ -136,6 +136,12 @@ def test_rotation_policy_maximizes_min_freshness():
     from end_to_end_data_engineering_pipeline_spark.queries import registry
 
     pr = set(registry._PRIORITY)
+    # every prioritized name must be a REGISTERED query — a phantom
+    # here silently shrinks the driver gate (the curation skips
+    # unknown names), which is exactly how r8 shipped a 47-slot
+    # prefix while believing it was 50
+    phantoms = sorted(pr - set(registry.all_queries()))
+    assert phantoms == [], f"_PRIORITY names unregistered queries: {phantoms}"
     oracled = set(registry.all_oracles())
     never = {q for q in oracled if q not in registry.VALIDATED_ROUND}
     assert never <= pr or pr <= never, (

@@ -506,3 +506,68 @@ def test_versioned_ivf_time_travel(spark, sf_dir, tmp_path):
     )
     assert key(latest) == key(ivf_topk(half, even_ids, cents, k=10, nprobe=3))
     assert key(pinned) != key(latest)  # the rebuild really diverged
+
+
+def test_ivf_delete_refresh_serves_survivors(spark, sf_dir, tmp_path):
+    """sim19's contract: a snapshot_delete through the versioned IVF
+    store (1) removes every deleted id from a current-version search,
+    (2) leaves a v0-pinned search byte-identical to the pre-delete
+    index, (3) preserves the manifest centroids (no rebuild), and
+    (4) copy-on-writes only the touched cells' files — untouched
+    inverted-list files carry by reference."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_manifest,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.similarity import (
+        QUERY_IDS,
+        _centroids_for,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    queries = emb.where(F.col("vec_id").isin(QUERY_IDS))
+    store = str(tmp_path / "index")
+
+    v0 = versioned_ivf_write(spark, emb, cents, store)
+    before = versioned_ivf_topk(spark, store, queries, k=10, nprobe=3)
+    collected = before.collect()
+    before_rows = sorted(
+        (r.query_id, r.cand_id, r.cosine, r.rk) for r in collected
+    )
+    # erase one observed hit: touches exactly its cell's file(s), so
+    # the other cells' files must carry by reference even on the tiny
+    # sf0.001 fixture
+    victim = min(r.cand_id for r in collected if r.cand_id not in QUERY_IDS)
+
+    m0 = snapshot_manifest(store, v0)
+    v1 = snapshot_delete(
+        spark,
+        store,
+        emb.where(F.col("vec_id") == victim).select("vec_id"),
+        ["vec_id"],
+    )
+    m1 = snapshot_manifest(store, v1)
+    # centroids carried; some files carried by reference (name identity)
+    assert m1["extra"]["centroids"] == m0["extra"]["centroids"]
+    carried = set(m0["files"]) & set(m1["files"])
+    assert carried, "untouched inverted-list files must carry by name"
+
+    after = versioned_ivf_topk(spark, store, queries, k=10, nprobe=3)
+    after_ids = {r.cand_id for r in after.collect()}
+    assert victim not in after_ids
+    # every previously-returned survivor is still served
+    pinned = versioned_ivf_topk(
+        spark, store, queries, k=10, nprobe=3, version=v0
+    )
+    assert (
+        sorted((r.query_id, r.cand_id, r.cosine, r.rk) for r in pinned.collect())
+        == before_rows
+    )

@@ -1077,3 +1077,64 @@ def test_partitioned_append_claim_race(spark, tmp_path):
     assert set(m["partitions"].values()) == {"1"}
     out = snapshot_read_partitioned(spark, t, version=2)
     assert [(r.id, r.cell) for r in out.collect()] == [(2, 1)]
+
+
+def test_full_table_delete_stays_readable_as_empty(spark, tmp_path):
+    """A delete matching EVERY row commits a files=[] manifest with
+    the table schema recorded, so the current version reads as an
+    empty table (plain and partitioned flavors) instead of refusing —
+    and the pre-delete version still time-travels."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    # plain flavor
+    t = str(tmp_path / "plain")
+    snapshot_write(spark, t, _rows(spark, [(1, "a"), (2, "b")]))
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    v1 = snapshot_delete(spark, t, keys, ["k"])
+    got = snapshot_read(spark, t, v1)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    assert _collect(spark, t, 0) == [(1, "a"), (2, "b")]
+
+    # partitioned flavor (schema keeps the partition column)
+    p = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, day int"
+    )
+    snapshot_write_partitioned(spark, p, df, "day")
+    v1 = snapshot_delete(spark, p, keys, ["k"])
+    got = snapshot_read_partitioned(spark, p, version=v1)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v", "day"}
+
+
+def test_boolean_partition_keyed_delete_matches_hive_dirs(spark, tmp_path):
+    """Partition-keyed candidate pruning must compare Hive-format
+    strings: a boolean partition column writes 'true'/'false'
+    directories, so a delete keyed on it must actually touch the
+    matching files (str(True)='True' would silently match nothing)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    p = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (3, False)], "k long, flag boolean"
+    )
+    snapshot_write_partitioned(spark, p, df, "flag")
+    dels = spark.createDataFrame([(1, True)], "k long, flag boolean")
+    v1 = snapshot_delete(spark, p, dels, ["flag", "k"])
+    got = sorted(
+        (r.k, r.flag)
+        for r in snapshot_read_partitioned(spark, p, version=v1).collect()
+    )
+    assert got == [(2, True), (3, False)]
+    # and value-pruned reads resolve booleans the same way
+    only_false = snapshot_read_partitioned(spark, p, values=[False])
+    assert [r.k for r in only_false.collect()] == [3]

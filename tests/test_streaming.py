@@ -1385,3 +1385,51 @@ def test_streaming_quarantine_routing_partitions_exactly(spark, tmp_path):
         (F.col("value") < 0) | (F.col("value") > 500)
     ).count()
     assert bad.count() == want_bad and want_bad > 0
+
+
+def test_streaming_backfill_sink_replay_idempotent(spark, tmp_path):
+    """p20's streaming half (streaming_partition_backfill_sink): the
+    SAME corrected-day micro-batch delivered TWICE — a fresh
+    checkpoint over the same source replays the file, exactly
+    foreachBatch's at-least-once redelivery after a checkpoint loss —
+    must leave the target equal to a single delivery: the corrected
+    day's partition holds the corrected rows ONCE (overwritten, not
+    appended) and untouched days keep their original rows."""
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        streaming_partition_backfill_sink,
+    )
+
+    target = str(tmp_path / "gold")
+    schema = "day string, k long, v double"
+    # seed: a stale day-1 partition and an untouched day-2 partition
+    spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)], schema
+    ).write.partitionBy("day").mode("overwrite").parquet(target)
+
+    # the corrected WHOLE day-1 partition arrives on the stream
+    src = str(tmp_path / "corrections")
+    corrected = [("d1", 1, 11.0), ("d1", 4, 40.0)]
+    spark.createDataFrame(corrected, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def deliver(ckpt: str) -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_partition_backfill_sink(
+            stream, spark, target, "day", str(tmp_path / ckpt)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    deliver("ckpt1")
+    once = sorted(
+        (r.day, r.k, r.v) for r in spark.read.parquet(target).collect()
+    )
+    assert once == sorted([("d1", 1, 11.0), ("d1", 4, 40.0), ("d2", 3, 30.0)])
+
+    # redelivery: a FRESH checkpoint replays the same source file
+    deliver("ckpt2")
+    twice = sorted(
+        (r.day, r.k, r.v) for r in spark.read.parquet(target).collect()
+    )
+    assert twice == once

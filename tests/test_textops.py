@@ -836,3 +836,37 @@ def test_k_anonymity_violations_hand_case(spark):
         for r in k_anonymity_violations(df, ["lang", "source"], k=5).collect()
     }
     assert got == {("en", "book"): 2, ("sw", "web"): 1}
+
+
+def test_quality_flags_hand_cases(spark):
+    """Each rule fires alone on a crafted doc; a clean doc passes;
+    multiple rules join in canonical short;upper;longword;stop order."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        quality_flags,
+    )
+
+    stopish = "the of and to in is it that was for on are with as"
+    clean = " ".join([stopish] * 3)  # 42 tokens, stopword-dense, lowercase
+    short = stopish  # 14 tokens < 30, stopword-dense -> only 'short'
+    # 42 lowercase tokens but zero stopwords -> only 'stop'
+    nostop = " ".join(["zebra"] * 42)
+    # stop + longword: 42 very long lowercase tokens, no stopwords
+    longw = " ".join(["pneumonoultramicroscopic"] * 42)
+    # upper (+stop): 42 ALL-CAPS tokens -> uppercase>20%, no stopwords
+    upper = " ".join(["ZEBRA"] * 42)
+    rows = [
+        (0, clean),
+        (1, short),
+        (2, nostop),
+        (3, longw),
+        (4, upper),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.flags for r in quality_flags(df).collect()}
+    assert got == {
+        0: "__pass__",
+        1: "short",
+        2: "stop",
+        3: "longword;stop",
+        4: "upper;stop",
+    }
