@@ -304,27 +304,41 @@ def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
 
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     if "part_col" in m:
-        part_col, part_type = m["part_col"], m["part_type"]
-        parts = m["partitions"]
-        by_val: dict[str, list[str]] = {}
-        for f in m["files"]:
-            by_val.setdefault(parts[f], []).append(f)
-        dfs = [
-            spark.read.parquet(
-                *[os.path.join(_data_dir(path), f) for f in fs]
-            )
-            .withColumn("__file", base)
-            .selectExpr(
-                "*", f"CAST('{raw}' AS {part_type}) AS {part_col}"
-            )
-            for raw, fs in sorted(by_val.items())
-        ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        return _attach_partition_col(spark, path, m, m["files"])
     full = [os.path.join(_data_dir(path), f) for f in m["files"]]
     return spark.read.parquet(*full).withColumn("__file", base)
+
+
+def _attach_partition_col(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """ONE scan over ``files`` with the manifest's partition column
+    re-attached via a broadcast (file basename -> value) join — the
+    partition value is manifest metadata, not stored in the data
+    files. The earlier shape (one read + union PER partition value)
+    built a thousand-way union plan on a thousand-partition table;
+    this is a single parquet relation plus a file-count-bounded
+    broadcast hash join, the same plan at 30 partitions or 30k.
+    Returns the rows WITH a ``__file`` basename column (computed at
+    the scan, where input_file_name is defined); callers that don't
+    tag files drop it."""
+    from pyspark.sql import functions as F
+
+    part_col, part_type = m["part_col"], m["part_type"]
+    parts = m["partitions"]
+    base = spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in files]
+    ).withColumn(
+        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    mapping = spark.createDataFrame(
+        [(f, parts[f]) for f in files], "__file string, __praw string"
+    )
+    return (
+        base.join(F.broadcast(mapping), "__file")
+        .withColumn(part_col, F.col("__praw").cast(part_type))
+        .drop("__praw")
+    )
 
 
 def _cow_commit(
@@ -466,6 +480,10 @@ def _cow_commit(
             },
         }
         manifest["extra"] = m.get("extra", {})
+    elif "extra" in m:
+        # plain-flavor manifests carry ``extra`` too — a CoW commit
+        # must never silently drop committed metadata
+        manifest["extra"] = m["extra"]
     return _claim(path, version, manifest, op)
 
 
@@ -777,6 +795,8 @@ def snapshot_compact(
             },
         }
         manifest["extra"] = m.get("extra", {})
+    elif "extra" in m:
+        manifest["extra"] = m["extra"]
     return _claim(path, version, manifest, "compaction")
 
 
@@ -893,12 +913,10 @@ def snapshot_read_partitioned(
     part_col, part_type = m["part_col"], m["part_type"]
     parts = m["partitions"]
     wanted = None if values is None else {_hive_part_str(v) for v in values}
-    by_val: dict[str, list[str]] = {}
-    for f in m["files"]:
-        raw = parts[f]
-        if wanted is None or raw in wanted:
-            by_val.setdefault(raw, []).append(f)
-    if not by_val:
+    live = [
+        f for f in m["files"] if wanted is None or parts[f] in wanted
+    ]
+    if not live:
         if not m["files"]:
             empty = _empty_from_manifest(spark, m)
             if empty is not None:
@@ -919,16 +937,7 @@ def snapshot_read_partitioned(
             "*", f"CAST(NULL AS {part_type}) AS {part_col}"
         )
         return base.where(F.lit(False))
-    dfs = [
-        spark.read.parquet(
-            *[os.path.join(_data_dir(path), f) for f in fs]
-        ).selectExpr("*", f"CAST('{raw}' AS {part_type}) AS {part_col}")
-        for raw, fs in sorted(by_val.items())
-    ]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    return _attach_partition_col(spark, path, m, live).drop("__file")
 
 
 def _assert_utc_for_ts_stats(

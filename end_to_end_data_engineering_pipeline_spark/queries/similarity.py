@@ -207,9 +207,9 @@ def _ivf_memo_key(sf_dir: str) -> tuple[str, int]:
 # sim14 / sim15 / sim16 / sim18 / sim19) and their composed oracles.
 # RETUNED 3 -> 4 in round 9 FROM sim18's recall table (the loop the
 # table exists to close): at sf0.1, nprobe=4 buys recall@10
-# 0.36 -> 0.50 for +33% candidates scored (1885 -> 2505 of 2000x?
-# see docs/SCALE.md "ANN retune"), the best recall-per-byte move on
-# the sweep — vs LSH 6 -> 5 planes, which costs 1.9x candidates for
+# 0.36 -> 0.50 for +33% candidates scored (1885 -> 2505 across the
+# 5 queries; full sweep in docs/SCALE.md "ANN retune"), the best
+# recall-per-byte move on the sweep — vs LSH 6 -> 5 planes, 1.9x for
 # +0.04. sim9's IVFPQ keeps its own nprobe: its ADC candidates are
 # ~64x cheaper per row, a different trade.
 _NPROBE = 4

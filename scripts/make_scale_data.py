@@ -19,6 +19,8 @@ bytes:
   see K x the corpus with the SAME duplicate rate — without this,
   every base near-dup cluster would merge across copies and pair
   counts would grow K^2, an artifact of tiling rather than scale.
+  The marker is ASCII-only: m4's oracle rests on VARCHAR-substring ≡
+  byte-slice equivalence and guards against multibyte text.
 - embeddings keep their vectors but shift label blocks per copy for
   the same reason (label-blocked pair generation stays linear).
 
@@ -110,10 +112,10 @@ def main() -> None:
     copy(
         f"""SELECT doc_id + i*{sd} AS doc_id,
                CASE WHEN i = 0 THEN text
-                    ELSE replace(text, ' ', ' c' || i || '·') END AS text,
+                    ELSE replace(text, ' ', ' c' || i || 'q') END AS text,
                lang, source,
                CAST(length(CASE WHEN i = 0 THEN text
-                    ELSE replace(text, ' ', ' c' || i || '·') END)
+                    ELSE replace(text, ' ', ' c' || i || 'q') END)
                     AS BIGINT) AS n_chars
             FROM {src('documents')}, {copies}""",
         "documents",

@@ -1111,6 +1111,23 @@ def test_full_table_delete_stays_readable_as_empty(spark, tmp_path):
     assert got.count() == 0
     assert set(got.columns) == {"k", "v", "day"}
 
+    # range-clustered flavor: the range read serves the schema too
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_read_range,
+        snapshot_write_sorted,
+    )
+
+    s = str(tmp_path / "sorted")
+    snapshot_write_sorted(
+        spark,
+        s,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, t long"),
+        "t",
+    )
+    v1 = snapshot_delete(spark, s, keys, ["k"])
+    got = snapshot_read_range(spark, s, 0, 100, version=v1)
+    assert got.count() == 0 and set(got.columns) == {"k", "t"}
+
 
 def test_boolean_partition_keyed_delete_matches_hive_dirs(spark, tmp_path):
     """Partition-keyed candidate pruning must compare Hive-format
@@ -1138,3 +1155,29 @@ def test_boolean_partition_keyed_delete_matches_hive_dirs(spark, tmp_path):
     # and value-pruned reads resolve booleans the same way
     only_false = snapshot_read_partitioned(spark, p, values=[False])
     assert [r.k for r in only_false.collect()] == [3]
+
+
+def test_cow_carries_extra_on_plain_manifests(spark, tmp_path):
+    """``extra`` metadata rides through copy-on-write commits on
+    PLAIN manifests too (partitioned/stats flavors already carry it):
+    a CoW delete must never silently drop committed metadata."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a"), (2, "b")]))
+    # annotate the committed manifest (plain snapshot_write has no
+    # extra= hook; a writer/tool may still attach metadata)
+    mp = os.path.join(t, "_versions", "v0.json")
+    m = json.load(open(mp))
+    m["extra"] = {"note": "pinned"}
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+
+    snapshot_delete(
+        spark, t, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert snapshot_manifest(t, 1)["extra"] == {"note": "pinned"}
+    assert _collect(spark, t, 1) == [(2, "b")]
