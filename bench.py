@@ -136,6 +136,8 @@ HEADLINE: list[str] = [
     "t41_stopword_quality_flags",
     "sim19_ivf_delete_refresh",
     "e28_watermark_late_audit",
+    "sim20_ivf_append_increment",
+    "p21_wap_publish",
 ]
 
 

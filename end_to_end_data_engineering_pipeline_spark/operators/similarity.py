@@ -1177,6 +1177,53 @@ def versioned_ivf_write(
     )
 
 
+def versioned_ivf_append(
+    spark: SparkSession,
+    inc: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append an ingest INCREMENT to a committed
+    :func:`versioned_ivf_write` store without rebuilding: the new
+    vectors are cell-assigned under the COMMITTED quantizer (centroids
+    loaded from the current manifest — an increment must never be
+    assigned under different centroids than the lists it joins), then
+    appended through snapshot_write_partitioned(mode='append'), which
+    merges the partition map and re-commits the same centroids
+    atomically. Existing inverted-list files carry by reference; the
+    commit stages only the increment's cells' files.
+
+    This is the ANN half of the daily-ingest story t35's
+    incremental_lsh_pairs tells for MinHash: indexing cost is
+    O(increment), not O(corpus), while a post-append search is
+    IDENTICAL to an index built over base+increment in one shot (same
+    quantizer, same tiebreaks — sim20 pins this under the shared
+    oracle). Retraining the quantizer remains an explicit
+    versioned_ivf_write rebuild, as it must be: new centroids
+    re-partition every vector."""
+    from ..catalog import fan_out
+    from .snapshots import snapshot_manifest, snapshot_write_partitioned
+
+    m = snapshot_manifest(path)
+    centroids = [[int(x) for x in c] for c in m["extra"]["centroids"]]
+    base = with_scaled(fan_out(inc), id_col, vec_col)
+    cells = _assign_cells(base, centroids, nprobe=1).select(
+        F.col("id").alias("__cell_id"), F.col("cid").alias("cell")
+    )
+    out = inc.join(cells, inc[id_col] == F.col("__cell_id")).drop(
+        "__cell_id"
+    )
+    return snapshot_write_partitioned(
+        spark,
+        path,
+        out,
+        "cell",
+        mode="append",
+        extra={"centroids": centroids},
+    )
+
+
 def versioned_ivf_topk(
     spark: SparkSession,
     path: str,

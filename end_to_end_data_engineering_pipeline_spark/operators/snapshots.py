@@ -576,13 +576,96 @@ def snapshot_history(path: str) -> list[dict]:
     ]
 
 
+_TAGS = "_tags"
+
+
+def _tags_dir(path: str) -> str:
+    return os.path.join(path, _TAGS)
+
+
+def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
+    """Point the named tag at ``version`` (default: current) — the
+    mutable half of the write-audit-publish pattern (Iceberg WAP /
+    Databricks "blessed" snapshots): WRITES commit immutable numbered
+    versions as always, an audit inspects the staged version by
+    number, and PUBLICATION is this one metadata operation retargeting
+    the tag consumers read through. Readers of the tag never see an
+    unaudited commit, no matter how many land. Retargeting is an
+    atomic rename (temp + os.rename), so a concurrent reader resolves
+    the old target or the new one, never a torn pointer. Returns the
+    version tagged; raises if it doesn't exist."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    os.makedirs(_tags_dir(path), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_tags_dir(path), f".{name}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v}, fh)
+    os.rename(tmp, os.path.join(_tags_dir(path), f"{name}.json"))
+    return v
+
+
+def snapshot_tags(path: str) -> dict[str, int]:
+    """{tag name: version} for every tag on the table."""
+    d = _tags_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".json") and not n.startswith("."):
+            with open(os.path.join(d, n)) as fh:
+                t = json.load(fh)
+            out[t["name"]] = t["version"]
+    return out
+
+
+def snapshot_resolve_tag(path: str, name: str) -> int:
+    tags = snapshot_tags(path)
+    if name not in tags:
+        raise FileNotFoundError(
+            f"tag {name!r} not found under {path}; have {sorted(tags)}"
+        )
+    return tags[name]
+
+
+def snapshot_delete_tag(path: str, name: str) -> None:
+    """Remove a tag (the versions it pointed at remain; the next
+    vacuum may retire them once unreferenced)."""
+    p = os.path.join(_tags_dir(path), f"{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"tag {name!r} not found under {path}")
+    os.remove(p)
+
+
+def snapshot_read_tag(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """Read THROUGH a tag — resolve once, then read that pinned
+    version with the manifest's own flavor (partitioned manifests get
+    their partition column re-attached). This is the consumer end of
+    write-audit-publish: a dashboard reads 'published' and cannot
+    observe a staged, unaudited commit."""
+    v = snapshot_resolve_tag(path, name)
+    m = _manifest(path, v)
+    if "part_col" in m:
+        return snapshot_read_partitioned(spark, path, version=v)
+    return snapshot_read(spark, path, version=v)
+
+
 def vacuum(
     path: str, keep_last: int = 1, retention_seconds: float = 86400.0
 ) -> list[str]:
-    """Drop all but the newest ``keep_last`` versions and delete every
-    data file no retained manifest references — including orphans from
-    crashed commits (staged files whose manifest never landed). Returns
-    the deleted file names. Retained versions stay byte-identical
+    """Drop all but the newest ``keep_last`` versions — plus every
+    TAGGED version (:func:`snapshot_tag`), which survives regardless
+    of age — and delete every data file no retained manifest
+    references, including orphans from crashed commits (staged files
+    whose manifest never landed). Returns the deleted file names. Retained versions stay byte-identical
     (their files are never touched), so a reader holding an old
     DataFrame over a RETAINED version is unaffected; vacuuming a
     version a reader is actively scanning is the same read-under-
@@ -604,7 +687,13 @@ def vacuum(
         raise ValueError("keep_last must be >= 1")
     cutoff = time.time() - retention_seconds
     vs = list_versions(path)
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    # tagged versions are pinned publications (snapshot_tag — e.g. a
+    # WAP 'published' pointer or a reproducibility tag on an index
+    # build): they survive vacuum regardless of age, like Iceberg's
+    # tag-retained snapshots; delete the tag to release them
+    tagged = {v for v in snapshot_tags(path).values() if v in vs}
+    keep = sorted(set(vs[-keep_last:]) | tagged)
+    drop = [v for v in vs if v not in keep]
     live: set[str] = set()
     for v in keep:
         live.update(_manifest(path, v)["files"])

@@ -1337,3 +1337,80 @@ def p20_streaming_backfill_parity(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p21_wap_publish",
+    oracle="""
+    WITH corrected AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             user_id, LEAST(value, 50.0) AS value
+      FROM events
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM corrected GROUP BY d
+    """,
+)
+def p21_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through snapshot TAGS
+    (operators/snapshots.py:snapshot_tag/snapshot_read_tag — Iceberg
+    WAP): the baseline commits as v0 and is tagged 'published'; a
+    CORRECTED rewrite (outlier values clamped at 50) commits as v1 —
+    staged, invisible to tag readers; an audit checks the staged
+    version (row-count parity with the published one) and only then
+    retargets the tag (one atomic metadata rename). A further BAD
+    commit (v2, most rows dropped) then lands UNAUDITED — and the
+    query's output reads THROUGH the tag, so the value-hash oracle
+    (daily aggregate of the clamped events) pins the whole contract:
+    readers see exactly the audited v1, not the latest commit, or the
+    hash breaks. The audit-rejects path and vacuum's tagged-version
+    retention are pinned in tests/test_snapshots.py. At 100 TB every
+    step is a manifest/pointer operation except the corrected rewrite
+    itself — exactly the nightly gated-publish pipeline shape."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_read,
+        snapshot_read_tag,
+        snapshot_tag,
+        snapshot_write,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p21_wap_")
+    store = tmp + "/silver"
+    try:
+        with fixture_phase():  # baseline seed is the fixture
+            v0 = snapshot_write(spark, store, ev)
+            snapshot_tag(store, "published", v0)
+        corrected = ev.withColumn(
+            "value", F.least(F.col("value"), F.lit(50.0))
+        )
+        v1 = snapshot_write(spark, store, corrected, mode="overwrite")
+        # audit the STAGED version by number; publish only on pass
+        staged_n = snapshot_read(spark, store, v1).count()
+        published_n = snapshot_read_tag(spark, store, "published").count()
+        if staged_n == published_n:
+            snapshot_tag(store, "published", v1)
+        # an unaudited commit after publication must not leak
+        snapshot_write(spark, store, ev.limit(10), mode="overwrite")
+        out = snapshot_read_tag(spark, store, "published").groupBy("d").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -66,6 +66,8 @@ _PRIORITY: list[str] = [
     "t41_stopword_quality_flags",
     "sim19_ivf_delete_refresh",
     "e28_watermark_late_audit",
+    "sim20_ivf_append_increment",
+    "p21_wap_publish",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -115,9 +117,6 @@ _PRIORITY: list[str] = [
     "t10_winnow_fingerprints",
     "t13_canonical_corpus",
     "t17_passage_chunking",
-    # --- r6 fills ---
-    "e11_funnel",
-    "e13_inter_event_gaps",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

@@ -1262,3 +1262,56 @@ def sim19_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "sim20_ivf_append_increment",
+    oracle=_O_IVF_TOPK,
+)
+def sim20_ivf_append_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest (operators/similarity.py:
+    versioned_ivf_append — the IVF half of t35's daily-ingest story):
+    the index is BUILT over two thirds of the corpus, the remaining
+    third arrives later as an ingest increment and is cell-assigned
+    under the COMMITTED quantizer and appended as a new snapshot
+    version — O(increment) indexing, existing inverted-list files
+    carried by reference (pinned in tests/test_similarity.py). The
+    post-append search must be IDENTICAL to a one-shot index over the
+    full corpus: same centroids, same cells, same tiebreaks — so the
+    ORACLE IS SHARED with sim4 (_O_IVF_TOPK), and the hash match pins
+    that incremental maintenance cannot drift the index away from its
+    batch-rebuild twin. At 100 TB this is the nightly embedding-ingest
+    path: assign + append new vectors' cells, rebuild (re-train) only
+    when the quantizer itself degrades."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        versioned_ivf_append,
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    tmp = tempfile.mkdtemp(prefix="sim20_vivf_")
+    store = tmp + "/index"
+    try:
+        with fixture_phase():  # base build; operator = append+search
+            versioned_ivf_write(
+                spark, emb.where(F.col("vec_id") % 3 != 0), cents, store
+            )
+        versioned_ivf_append(
+            spark, emb.where(F.col("vec_id") % 3 == 0), store
+        )
+        out = versioned_ivf_topk(
+            spark,
+            store,
+            emb.where(F.col("vec_id").isin(QUERY_IDS)),
+            k=10,
+            nprobe=_NPROBE,
+        ).withColumn("rk", F.col("rk").cast("long"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

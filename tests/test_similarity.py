@@ -571,3 +571,65 @@ def test_ivf_delete_refresh_serves_survivors(spark, sf_dir, tmp_path):
         sorted((r.query_id, r.cand_id, r.cosine, r.rk) for r in pinned.collect())
         == before_rows
     )
+
+
+def test_ivf_append_increment_matches_one_shot(spark, sf_dir, tmp_path):
+    """sim20's contract: versioned_ivf_append (1) assigns the
+    increment under the COMMITTED centroids, (2) carries every base
+    inverted-list file by reference (name identity), (3) makes the
+    post-append search equal a one-shot build over the full corpus,
+    and (4) leaves the pre-append version pinnable."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        versioned_ivf_append,
+        versioned_ivf_topk,
+        versioned_ivf_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_manifest,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.similarity import (
+        QUERY_IDS,
+        _centroids_for,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids_for(spark, sf_dir, emb)
+    queries = emb.where(F.col("vec_id").isin(QUERY_IDS))
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.cand_id, r.cosine, r.rk) for r in df.collect()
+        )
+
+    inc_store = str(tmp_path / "incremental")
+    v0 = versioned_ivf_write(
+        spark, emb.where(F.col("vec_id") % 3 != 0), cents, inc_store
+    )
+    before = key(versioned_ivf_topk(spark, inc_store, queries, k=10, nprobe=3))
+    m0 = snapshot_manifest(inc_store, v0)
+    v1 = versioned_ivf_append(
+        spark, emb.where(F.col("vec_id") % 3 == 0), inc_store
+    )
+    m1 = snapshot_manifest(inc_store, v1)
+    assert set(m0["files"]) <= set(m1["files"])  # base carried by name
+    assert m1["extra"]["centroids"] == m0["extra"]["centroids"]
+
+    one_shot_store = str(tmp_path / "oneshot")
+    versioned_ivf_write(spark, emb, cents, one_shot_store)
+    assert key(
+        versioned_ivf_topk(spark, inc_store, queries, k=10, nprobe=3)
+    ) == key(
+        versioned_ivf_topk(spark, one_shot_store, queries, k=10, nprobe=3)
+    )
+    # pre-append pin still serves the base-only index
+    assert (
+        key(
+            versioned_ivf_topk(
+                spark, inc_store, queries, k=10, nprobe=3, version=v0
+            )
+        )
+        == before
+    )

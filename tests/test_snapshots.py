@@ -1181,3 +1181,77 @@ def test_cow_carries_extra_on_plain_manifests(spark, tmp_path):
     )
     assert snapshot_manifest(t, 1)["extra"] == {"note": "pinned"}
     assert _collect(spark, t, 1) == [(2, "b")]
+
+
+def test_snapshot_tags_publish_resolve_delete(spark, tmp_path):
+    """Tag CRUD + WAP semantics: readers of a tag never see commits
+    made after the last publication; retargeting is explicit; bad
+    names are rejected; partitioned tables dispatch with their
+    flavor."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete_tag,
+        snapshot_read_tag,
+        snapshot_resolve_tag,
+        snapshot_tag,
+        snapshot_tags,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    assert snapshot_tag(t, "published") == 0  # defaults to current
+    snapshot_write(spark, t, _rows(spark, [(2, "b")]), mode="overwrite")
+    # unpublished commit invisible through the tag
+    assert _collect(spark, t, 0) == [(1, "a")]
+    got = sorted((r.k, r.v) for r in snapshot_read_tag(spark, t, "published").collect())
+    assert got == [(1, "a")]
+    snapshot_tag(t, "published", 1)
+    got = sorted((r.k, r.v) for r in snapshot_read_tag(spark, t, "published").collect())
+    assert got == [(2, "b")]
+    assert snapshot_tags(t) == {"published": 1}
+    snapshot_delete_tag(t, "published")
+    assert snapshot_tags(t) == {}
+    with pytest.raises(FileNotFoundError):
+        snapshot_resolve_tag(t, "published")
+    with pytest.raises(ValueError):
+        snapshot_tag(t, "bad/name")
+    with pytest.raises(FileNotFoundError):
+        snapshot_tag(t, "x", version=99)
+
+    # partitioned flavor dispatch
+    p = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, day int")
+    snapshot_write_partitioned(spark, p, df, "day")
+    snapshot_tag(p, "published")
+    got = sorted(
+        (r.k, r.day) for r in snapshot_read_tag(spark, p, "published").collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_vacuum_protects_tagged_versions(spark, tmp_path):
+    """A tagged version survives vacuum regardless of keep_last (the
+    WAP 'published' pointer, or a reproducibility pin on an index
+    build); deleting the tag releases it to the next vacuum."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete_tag,
+        snapshot_tag,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    snapshot_tag(t, "published", 0)
+    snapshot_write(spark, t, _rows(spark, [(2, "b")]), mode="overwrite")
+    snapshot_write(spark, t, _rows(spark, [(3, "c")]), mode="overwrite")
+
+    vacuum(t, keep_last=1, retention_seconds=0.0)
+    # v0 (tagged) and v2 (newest) retained; v1 gone
+    assert list_versions(t) == [0, 2]
+    assert _collect(spark, t, 0) == [(1, "a")]
+    assert _collect(spark, t, 2) == [(3, "c")]
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=1)
+
+    snapshot_delete_tag(t, "published")
+    vacuum(t, keep_last=1, retention_seconds=0.0)
+    assert list_versions(t) == [2]
