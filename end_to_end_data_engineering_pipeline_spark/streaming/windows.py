@@ -214,6 +214,48 @@ def streaming_partition_backfill_sink(
     )
 
 
+def streaming_snapshot_publish_sink(
+    df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    audit_fn,
+    checkpoint: str,
+    tag: str = "published",
+    mode: str = "overwrite",
+):
+    """foreachBatch WRITE-AUDIT-PUBLISH sink — p21's streaming twin:
+    each micro-batch commits a STAGED snapshot version (invisible to
+    tag readers), ``audit_fn(staged_df) -> bool`` inspects exactly
+    what was committed (re-read from the store, not the in-flight
+    batch — the audit must see what readers would), and only a pass
+    retargets the tag (operators/snapshots.py:snapshot_tag, one
+    atomic pointer rename). A failing batch leaves the staged version
+    in history for the post-mortem while consumers keep reading the
+    last audited state — continuous gated publication, the streaming
+    form of the nightly WAP pipeline. Replay of an audited batch
+    re-commits and re-publishes identical content (idempotent to tag
+    readers). Pinned in tests/test_streaming.py with a failing-audit
+    micro-batch."""
+    from ..operators.snapshots import (
+        snapshot_read,
+        snapshot_tag,
+        snapshot_write,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = snapshot_write(spark, target_path, batch_df, mode=mode)
+        if audit_fn(snapshot_read(spark, target_path, v)):
+            snapshot_tag(target_path, tag, v)
+
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+
+
 def stream_static_enrich(
     events: DataFrame, dim: DataFrame, on: str = "user_id"
 ) -> DataFrame:

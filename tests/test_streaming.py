@@ -1433,3 +1433,58 @@ def test_streaming_backfill_sink_replay_idempotent(spark, tmp_path):
         (r.day, r.k, r.v) for r in spark.read.parquet(target).collect()
     )
     assert twice == once
+
+
+def test_streaming_wap_sink_publishes_only_audited_batches(spark, tmp_path):
+    """p21's streaming twin (streaming_snapshot_publish_sink): a good
+    micro-batch commits AND publishes; a later batch that fails the
+    audit commits as a staged version (kept for the post-mortem) but
+    the tag — what consumers read — still serves the last audited
+    state."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        list_versions,
+        snapshot_read_tag,
+        snapshot_tags,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        streaming_snapshot_publish_sink,
+    )
+
+    target = str(tmp_path / "silver")
+    src = str(tmp_path / "src")
+    schema = "k long, v double"
+
+    def audit(staged):
+        # release rule: no negative values may publish
+        return staged.where(F.col("v") < 0).count() == 0
+
+    def deliver(rows, ckpt):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_snapshot_publish_sink(
+            stream, spark, target, audit, str(tmp_path / ckpt)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    deliver([(1, 10.0), (2, 20.0)], "c1")
+    assert snapshot_tags(target) == {"published": 0}
+    good = sorted(
+        (r.k, r.v)
+        for r in snapshot_read_tag(spark, target, "published").collect()
+    )
+    assert good == [(1, 10.0), (2, 20.0)]
+
+    # bad batch: commits as v1, audit fails, tag stays at v0
+    deliver([(3, -5.0)], "c2")
+    assert list_versions(target) == [0, 1]  # staged version kept
+    assert snapshot_tags(target) == {"published": 0}
+    assert (
+        sorted(
+            (r.k, r.v)
+            for r in snapshot_read_tag(spark, target, "published").collect()
+        )
+        == good
+    )
