@@ -138,6 +138,8 @@ HEADLINE: list[str] = [
     "e28_watermark_late_audit",
     "sim20_ivf_append_increment",
     "p21_wap_publish",
+    "q87_ordered_listagg",
+    "e29_ingest_lag_percentiles",
 ]
 
 

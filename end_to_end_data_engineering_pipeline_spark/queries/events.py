@@ -1589,3 +1589,48 @@ def e28_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_late").cast("double") / F.count(F.lit(1)), 6
         ).alias("late_frac"),
     )
+
+
+@query(
+    "e29_ingest_lag_percentiles",
+    oracle="""
+    WITH lag AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('a|' || CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1800 AS delay_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(delay_s, 0.5), 4) AS p50_delay_s,
+           ROUND(quantile_cont(delay_s, 0.9), 4) AS p90_delay_s,
+           ROUND(quantile_cont(delay_s, 0.99), 4) AS p99_delay_s,
+           CAST(MAX(delay_s) AS BIGINT) AS max_delay_s
+    FROM lag
+    GROUP BY event_type
+    """,
+)
+def e29_ingest_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-lag SLA table — per event type, exact p50/p90/p99 of
+    the event-time → arrival delay (the deterministic reconstructed
+    arrival model shared with e28): the ops artifact that decides a
+    watermark bound — e28 audits how many events a 10-minute bound
+    drops, THIS reports what bound the delay distribution actually
+    needs (p99 here ≈ the bound that drops ~1%). Exact interpolated
+    percentiles over integer delays (the q20 cross-engine recipe), one
+    partial-aggregated shuffle on event_type at any scale."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    eid = F.col("event_id").cast("string")
+    delay = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("a|"), eid)), 1, 8), 16, 10)
+        .cast("long")
+        % 1800
+    ).alias("delay_s")
+    lag = ev.select("event_type", delay)
+    return lag.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(delay_s, 0.5)"), 4).alias("p50_delay_s"),
+        F.round(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_delay_s"),
+        F.round(F.expr("percentile(delay_s, 0.99)"), 4).alias("p99_delay_s"),
+        F.max("delay_s").cast("long").alias("max_delay_s"),
+    )

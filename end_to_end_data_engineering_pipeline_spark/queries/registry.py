@@ -68,6 +68,8 @@ _PRIORITY: list[str] = [
     "e28_watermark_late_audit",
     "sim20_ivf_append_increment",
     "p21_wap_publish",
+    "q87_ordered_listagg",
+    "e29_ingest_lag_percentiles",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -115,8 +117,6 @@ _PRIORITY: list[str] = [
     "sim5_vector_stats",
     "sim7_neardup_pairs_lsh",
     "t10_winnow_fingerprints",
-    "t13_canonical_corpus",
-    "t17_passage_chunking",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

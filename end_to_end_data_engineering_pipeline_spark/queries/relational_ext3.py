@@ -25,7 +25,7 @@ Scale notes (these run at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1221,4 +1221,48 @@ def q86_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q87_ordered_listagg",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY rk) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n_listed,
+           ROUND(MAX(c_acctbal), 2) AS best_balance
+    FROM ranked WHERE rk <= 5
+    GROUP BY c_mktsegment
+    """,
+)
+def q87_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (new in
+    Spark 4.0; ISO/IEC 9075-2:2016): the top-5 customers per market
+    segment by balance, concatenated IN RANK ORDER into one report
+    cell — the classic "denormalize for the dashboard" aggregate that
+    previously needed sort_array(collect_list(struct)) gymnastics.
+    Determinism comes from the total order (balance DESC, custkey):
+    both engines must emit byte-identical ordered strings or the hash
+    breaks. Plan: one window to take top-5 per segment (partial
+    TakeOrdered shapes apply), then a tiny 5-rows-per-group agg —
+    at 100 TB the window is the cost and the listagg is free."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    ranked = c.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 5
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rk)").alias(
+            "top_names"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_listed"),
+        F.round(F.max("c_acctbal"), 2).alias("best_balance"),
     )
