@@ -168,7 +168,12 @@ def snapshot_write(
         else:
             live = []
         version = 0 if prev is None else prev + 1
-        manifest = {"version": version, "mode": mode, "files": live + names}
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": live + names,
+        }
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -449,6 +454,7 @@ def _cow_commit(
     manifest: dict = {
         "version": version,
         "mode": op,
+        "committed_at": time.time(),
         "files": untouched + new_names,
     }
     if not manifest["files"]:
@@ -565,15 +571,48 @@ def _empty_from_manifest(spark: SparkSession, m: dict) -> DataFrame | None:
 
 
 def snapshot_history(path: str) -> list[dict]:
-    """(version, mode, n_files) per committed version, ascending."""
-    return [
-        {
-            "version": v,
-            "mode": _manifest(path, v)["mode"],
-            "n_files": len(_manifest(path, v)["files"]),
-        }
-        for v in list_versions(path)
-    ]
+    """(version, mode, n_files, committed_at) per committed version,
+    ascending (``committed_at`` is None for pre-round-9 manifests)."""
+    out = []
+    for v in list_versions(path):
+        m = _manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+                "committed_at": m.get("committed_at"),
+            }
+        )
+    return out
+
+
+def snapshot_version_asof(path: str, ts) -> int:
+    """The newest version whose commit time is <= ``ts`` — Delta's
+    ``TIMESTAMP AS OF``, resolved against the ``committed_at`` each
+    manifest records at its claim. ``ts`` is a Unix epoch float or a
+    ``datetime`` (naive = local time, matching ``time.time``'s
+    clock). Raises if every commit is newer than ``ts`` or if the
+    store predates commit-time stamping. Pass the result to
+    ``snapshot_read(..., version=...)`` /
+    ``snapshot_read_partitioned`` — resolution is one metadata sweep,
+    no data IO."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    best = None
+    for v in list_versions(path):
+        at = _manifest(path, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version under {path} committed at or before {ts} "
+            "(store empty, all commits newer, or manifests predate "
+            "commit-time stamping)"
+        )
+    return best
 
 
 _TAGS = "_tags"
@@ -862,6 +901,7 @@ def snapshot_compact(
     manifest: dict = {
         "version": version,
         "mode": "compact",
+        "committed_at": time.time(),
         "files": keep + new_names,
     }
     if part_col:
@@ -958,6 +998,7 @@ def snapshot_write_partitioned(
         manifest = {
             "version": version,
             "mode": mode,
+            "committed_at": time.time(),
             "files": live + names,
             "part_col": part_col,
             "part_type": part_type,
@@ -1169,6 +1210,7 @@ def snapshot_write_sorted(
         manifest = {
             "version": version,
             "mode": mode,
+            "committed_at": time.time(),
             "files": live + names,
             "stats_col": stats_col,
             "stats": {**prev_stats, **stats},
@@ -1302,6 +1344,7 @@ def snapshot_restore(path: str, version: int) -> int:
     manifest = dict(source)
     manifest["version"] = new_version
     manifest["mode"] = "restore"
+    manifest["committed_at"] = time.time()  # the restore commits NOW
     manifest["restored_from"] = version
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(_vers_dir(path), f".v{new_version}.json.{token}")

@@ -1255,3 +1255,41 @@ def test_vacuum_protects_tagged_versions(spark, tmp_path):
     snapshot_delete_tag(t, "published")
     vacuum(t, keep_last=1, retention_seconds=0.0)
     assert list_versions(t) == [2]
+
+
+def test_snapshot_version_asof_timestamps(spark, tmp_path):
+    """TIMESTAMP AS OF: each commit records its claim time; the
+    resolver returns the newest version at-or-before the asked
+    instant, raises before the first commit, and a restore counts as
+    committing NOW (so asof just before the restore still resolves
+    the pre-restore state)."""
+    import time as _time
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_restore,
+        snapshot_version_asof,
+    )
+
+    t = str(tmp_path / "t")
+    before_any = _time.time()
+    snapshot_write(spark, t, _rows(spark, [(1, "a")]))
+    after_v0 = _time.time()
+    _time.sleep(0.01)
+    snapshot_write(spark, t, _rows(spark, [(2, "b")]), mode="overwrite")
+    after_v1 = _time.time()
+
+    with pytest.raises(FileNotFoundError):
+        snapshot_version_asof(t, before_any)
+    assert snapshot_version_asof(t, after_v0) == 0
+    assert snapshot_version_asof(t, after_v1) == 1
+    assert _collect(spark, t, snapshot_version_asof(t, after_v0)) == [(1, "a")]
+
+    _time.sleep(0.01)
+    v2 = snapshot_restore(t, 0)
+    assert snapshot_version_asof(t, after_v1) == 1  # restore is later
+    assert snapshot_version_asof(t, _time.time()) == v2
+    hist = snapshot_history(t)
+    assert all(h["committed_at"] is not None for h in hist)
+    assert [h["committed_at"] for h in hist] == sorted(
+        h["committed_at"] for h in hist
+    )
