@@ -165,8 +165,10 @@ def snapshot_write(
                     "tables with snapshot_write_sorted"
                 )
             live = list(pm["files"])
+            prev_schema = pm.get("schema")
         else:
             live = []
+            prev_schema = None
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -174,6 +176,11 @@ def snapshot_write(
             "committed_at": time.time(),
             "files": live + names,
         }
+        if prev_schema is not None:
+            # appending to an evolved table: keep the recorded table
+            # schema (plus any columns this batch adds) so reads keep
+            # null-filling old files
+            manifest["schema"] = _evolved_schema_json(prev_schema, df)
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -311,7 +318,38 @@ def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
     if "part_col" in m:
         return _attach_partition_col(spark, path, m, m["files"])
     full = [os.path.join(_data_dir(path), f) for f in m["files"]]
-    return spark.read.parquet(*full).withColumn("__file", base)
+    return _reader(spark, m).parquet(*full).withColumn("__file", base)
+
+
+def _evolved_schema_json(old_json: dict, df: DataFrame) -> dict:
+    """Previous table schema + ``df``'s columns new to it (ADD-column
+    evolution; existing columns keep their recorded types)."""
+    from pyspark.sql.types import StructType
+
+    old = StructType.fromJson(old_json)
+    have = {f.name for f in old.fields}
+    fields = list(old.fields) + [
+        f for f in df.schema.fields if f.name not in have
+    ]
+    return StructType(fields).jsonValue()
+
+
+def _reader(spark: SparkSession, m: dict, drop: tuple = ()):
+    """spark.read, with the manifest's recorded table schema applied
+    when present (minus ``drop`` columns — the partition column lives
+    in the manifest, not the data files). Applying the EVOLVED schema
+    is what makes ADD-column evolution safe on mixed file sets: a
+    bare read infers from ONE footer, so an old file listed first
+    would silently drop a column newer files carry; with the explicit
+    schema, files missing a column null-fill it at scan time."""
+    if "schema" not in m:
+        return spark.read
+    from pyspark.sql.types import StructType
+
+    s = StructType.fromJson(m["schema"])
+    if drop:
+        s = StructType([f for f in s.fields if f.name not in drop])
+    return spark.read.schema(s)
 
 
 def _attach_partition_col(
@@ -331,7 +369,7 @@ def _attach_partition_col(
 
     part_col, part_type = m["part_col"], m["part_type"]
     parts = m["partitions"]
-    base = spark.read.parquet(
+    base = _reader(spark, m, drop=(part_col,)).parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
     ).withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -433,7 +471,14 @@ def _cow_commit(
             )
 
     if survivors is not None and inserts is not None:
-        rewrite = survivors.unionByName(inserts)
+        # allowMissingColumns = ADD-column schema evolution (Delta
+        # mergeSchema): an update batch carrying a NEW column
+        # null-fills the survivors' rows; an update batch MISSING a
+        # table column null-fills its own. Untouched files keep their
+        # old physical schema — the manifest records the evolved
+        # schema below and the read paths apply it, so old files
+        # null-fill the new column at scan time (no rewrite).
+        rewrite = survivors.unionByName(inserts, allowMissingColumns=True)
     elif survivors is not None:
         rewrite = survivors
     else:
@@ -457,15 +502,36 @@ def _cow_commit(
         "committed_at": time.time(),
         "files": untouched + new_names,
     }
-    if not manifest["files"]:
-        # a delete/merge whose survivors are EMPTY (zero-row staged
-        # files are dropped at the stage boundary): record the table
-        # schema in the manifest so the version stays readable as an
-        # empty table instead of refusing with "no schema to serve"
-        if rewrite is not None:
-            manifest["schema"] = rewrite.schema.jsonValue()
-        elif "schema" in m:
-            manifest["schema"] = m["schema"]
+    # record the table schema in the manifest: (a) a delete/merge
+    # whose survivors are EMPTY stays readable as an empty table, and
+    # (b) ADD-column evolution works — untouched files keep their old
+    # physical schema, and the read paths apply the recorded evolved
+    # schema so old files null-fill new columns at scan time. The
+    # evolved schema = previous table schema + rewrite columns new to
+    # it (an inserts-only batch missing table columns must not NARROW
+    # the table).
+    old_schema = None
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        old_schema = StructType.fromJson(m["schema"])
+    elif base_files:
+        old_schema = spark.read.parquet(
+            os.path.join(_data_dir(path), base_files[0])
+        ).schema
+        if part_col:
+            old_schema = spark.createDataFrame([], old_schema).selectExpr(
+                "*", f"CAST(NULL AS {m['part_type']}) AS {part_col}"
+            ).schema
+    if rewrite is not None:
+        from pyspark.sql.types import StructType
+
+        fields = list(old_schema.fields) if old_schema is not None else []
+        have = {f.name for f in fields}
+        fields += [f for f in rewrite.schema.fields if f.name not in have]
+        manifest["schema"] = StructType(fields).jsonValue()
+    elif old_schema is not None:
+        manifest["schema"] = old_schema.jsonValue()
     if part_col:
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
@@ -554,7 +620,7 @@ def snapshot_read(
             f"version {v} is empty (overwrite of zero rows) — no schema "
             "to serve; keep a schema-bearing file or read another version"
         )
-    return spark.read.parquet(
+    return _reader(spark, m).parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
     )
 
@@ -869,7 +935,7 @@ def snapshot_compact(
         for raw, fs in sorted(by_val.items()):
             if len(fs) < 2:
                 continue  # nothing to combine within this value
-            merged = spark.read.parquet(
+            merged = _reader(spark, m, drop=(part_col,)).parquet(
                 *[os.path.join(_data_dir(path), f) for f in fs]
             ).repartition(_n_out(fs))
             names = _stage_files(spark, path, merged)
@@ -882,7 +948,7 @@ def snapshot_compact(
         small = [f for f in base_files if sizes[f] < small_file_bytes]
         if len(small) < 2:
             return base_version
-        merged = spark.read.parquet(
+        merged = _reader(spark, m).parquet(
             *[os.path.join(_data_dir(path), f) for f in small]
         )
         n_out = _n_out(small)
@@ -926,6 +992,8 @@ def snapshot_compact(
         manifest["extra"] = m.get("extra", {})
     elif "extra" in m:
         manifest["extra"] = m["extra"]
+    if "schema" in m:
+        manifest["schema"] = m["schema"]  # evolution survives compaction
     return _claim(path, version, manifest, "compaction")
 
 
@@ -994,6 +1062,9 @@ def snapshot_write_partitioned(
                 )
             live = list(pm["files"])
             prev_parts = dict(pm.get("partitions", {}))
+            prev_schema = pm.get("schema")
+        else:
+            prev_schema = None
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -1005,6 +1076,8 @@ def snapshot_write_partitioned(
             "partitions": {**prev_parts, **parts},
             "extra": extra or {},
         }
+        if prev_schema is not None:
+            manifest["schema"] = _evolved_schema_json(prev_schema, df)
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -1061,7 +1134,7 @@ def snapshot_read_partitioned(
         # snapshot_read_range's empty-window path
         from pyspark.sql import functions as F
 
-        base = spark.read.parquet(
+        base = _reader(spark, m, drop=(part_col,)).parquet(
             os.path.join(_data_dir(path), m["files"][0])
         ).selectExpr(
             "*", f"CAST(NULL AS {part_type}) AS {part_col}"
@@ -1273,11 +1346,13 @@ def snapshot_read_range(
             raise ValueError(f"version {m['version']} is empty")
         from pyspark.sql import functions as F
 
-        base = spark.read.parquet(os.path.join(_data_dir(path), live[0]))
+        base = _reader(spark, m).parquet(
+            os.path.join(_data_dir(path), live[0])
+        )
         return base.where(F.lit(False))
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(
+    df = _reader(spark, m).parquet(
         *[os.path.join(_data_dir(path), f) for f in live]
     )
     return df.where(F.col(m["stats_col"]).between(F.lit(lo), F.lit(hi)))

@@ -1293,3 +1293,61 @@ def test_snapshot_version_asof_timestamps(spark, tmp_path):
     assert [h["committed_at"] for h in hist] == sorted(
         h["committed_at"] for h in hist
     )
+
+
+def test_cow_merge_add_column_schema_evolution(spark, tmp_path):
+    """ADD-column evolution through snapshot MERGE (Delta mergeSchema):
+    an update batch carrying a NEW column merges; untouched files keep
+    their old bytes but reads null-fill the new column (the manifest
+    records the evolved schema and the read paths apply it); a
+    follow-up merge WITHOUT the column null-fills its own rows; the
+    partitioned flavor evolves the same way."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_merge,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (101, "x")], "k long, v string"
+    ).repartitionByRange(2, "k")
+    snapshot_write(spark, t, base)
+
+    upd = spark.createDataFrame([(1, "A", 9.5)], "k long, v string, score double")
+    v1 = snapshot_merge(spark, t, upd, ["k"])
+    got = {
+        r.k: (r.v, r.score)
+        for r in snapshot_read(spark, t, v1).collect()
+    }
+    assert got == {1: ("A", 9.5), 2: ("b", None), 101: ("x", None)}
+    # untouched high-range file carried by reference despite evolution
+    assert set(_manifest(t, 0)["files"]) & set(_manifest(t, v1)["files"])
+
+    # a later batch WITHOUT the evolved column must not narrow the table
+    upd2 = spark.createDataFrame([(2, "B")], "k long, v string")
+    v2 = snapshot_merge(spark, t, upd2, ["k"])
+    got = {
+        r.k: (r.v, r.score) for r in snapshot_read(spark, t, v2).collect()
+    }
+    assert got == {1: ("A", 9.5), 2: ("B", None), 101: ("x", None)}
+
+    # partitioned flavor
+    p = str(tmp_path / "p")
+    pdf = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, day int"
+    )
+    snapshot_write_partitioned(spark, p, pdf, "day")
+    pupd = spark.createDataFrame(
+        [(1, "A", 10, "extra")], "k long, v string, day int, note string"
+    )
+    pv = snapshot_merge(spark, p, pupd, ["k"])
+    got = {
+        r.k: (r.v, r.day, r.note)
+        for r in snapshot_read_partitioned(spark, p, version=pv).collect()
+    }
+    assert got == {1: ("A", 10, "extra"), 2: ("b", 20, None)}
+    # pruned read on the untouched partition serves the evolved schema
+    only20 = snapshot_read_partitioned(spark, p, values=[20])
+    assert [(r.k, r.note) for r in only20.collect()] == [(2, None)]
