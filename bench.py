@@ -140,6 +140,7 @@ HEADLINE: list[str] = [
     "p21_wap_publish",
     "q87_ordered_listagg",
     "e29_ingest_lag_percentiles",
+    "p22_partitioned_schema_evolution",
 ]
 
 

@@ -1414,3 +1414,86 @@ def p21_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p22_partitioned_schema_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             event_id, user_id, value
+      FROM events
+    ),
+    evolved AS (
+      SELECT d, user_id, value,
+             CASE WHEN d = '2024-01-10' AND user_id % 10 = 0
+                  THEN 'audited' END AS review_status
+      FROM ev
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(review_status) AS BIGINT) AS n_reviewed,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM evolved GROUP BY d
+    """,
+)
+def p22_partitioned_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD-column schema evolution through a PARTITIONED CoW merge
+    under the driver oracle (operators/snapshots.py:_cow_commit +
+    the manifest-recorded evolved schema): events are committed
+    day-partitioned WITHOUT a review_status column; an audit batch for
+    one day's sampled users merges carrying the NEW column; only that
+    day's touched files rewrite (carry-by-reference pinned in
+    tests/test_snapshots.py), every other day's files keep their old
+    physical schema, and the post-merge read null-fills review_status
+    for them because the read path applies the manifest's evolved
+    schema — a bare mixed-footer read would silently drop the column.
+    The oracle derives the same evolved table from raw events with a
+    CASE, so the per-day counts of reviewed rows (COUNT over the new
+    column) hash-pin both the merge and the null-fill. At 100 TB this
+    is how an annotation column lands on a petabyte table: rewrite
+    the touched files, never the table."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_merge,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p22_evo_")
+    store = tmp + "/events"
+    try:
+        with fixture_phase():  # seeding the table is the fixture
+            snapshot_write_partitioned(spark, store, ev, "d")
+        audit = ev.where(
+            (F.col("d") == "2024-01-10") & (F.col("user_id") % 10 == 0)
+        ).withColumn("review_status", F.lit("audited"))
+        v1 = snapshot_merge(spark, store, audit, ["event_id"])
+        out = (
+            snapshot_read_partitioned(spark, store, version=v1)
+            .groupBy("d")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.count("review_status").cast("long").alias("n_reviewed"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(27,4)")), 4
+                )
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

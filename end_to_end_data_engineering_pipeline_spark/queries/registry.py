@@ -50,14 +50,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-9 rotation: the 3 never-driver-validated r9-born queries go
+# Round-9 rotation: the never-driver-validated r9-born queries go
 # first (t41 flag set, sim19 IVF delete-refresh, e28 watermark late
-# audit), then the evidence ledger's stalest entries fill the
-# remaining 47 slots — all 17 r1-validated relational queries, the 2
-# r2 and 5 r4 holdouts, all 21 r5 entries, and 2 r6 fills — so after
-# this round the minimum evidence freshness across the whole registry
-# rises to r6. q31_approx_sketches stays out: rows-only by design (no
-# oracle), and the gate prefix is pinned to oracled names. New
+# audit, sim20 IVF append, p21 WAP tags, q87 listagg, e29 lag
+# percentiles, p22 partitioned evolution), then the evidence ledger's
+# stalest entries fill the remaining slots — all 17 r1-validated
+# relational queries, the 2 r2 and 5 r4 holdouts, and the r5 band up
+# to capacity (t13/t17 stay out this round; min registry freshness
+# after r9 = r5). q31_approx_sketches stays out: rows-only by design
+# (no oracle), and the gate prefix is pinned to oracled names. New
 # queries are appended here as they land (displacing the freshest
 # fill), keeping the never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
@@ -70,6 +71,7 @@ _PRIORITY: list[str] = [
     "p21_wap_publish",
     "q87_ordered_listagg",
     "e29_ingest_lag_percentiles",
+    "p22_partitioned_schema_evolution",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -116,7 +118,6 @@ _PRIORITY: list[str] = [
     "q69_winsorized_stats",
     "sim5_vector_stats",
     "sim7_neardup_pairs_lsh",
-    "t10_winnow_fingerprints",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
