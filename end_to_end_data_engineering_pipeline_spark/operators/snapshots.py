@@ -323,11 +323,22 @@ def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
 
 def _evolved_schema_json(old_json: dict, df: DataFrame) -> dict:
     """Previous table schema + ``df``'s columns new to it (ADD-column
-    evolution; existing columns keep their recorded types)."""
+    evolution ONLY; a type change is refused — mixed physical types
+    across files have no single read schema)."""
     from pyspark.sql.types import StructType
 
     old = StructType.fromJson(old_json)
-    have = {f.name for f in old.fields}
+    have = {f.name: f.dataType for f in old.fields}
+    changed = [
+        f.name
+        for f in df.schema.fields
+        if f.name in have and f.dataType != have[f.name]
+    ]
+    if changed:
+        raise ValueError(
+            f"schema evolution is ADD-column only; batch changes the "
+            f"type of {changed} (rewrite full table to retype)"
+        )
     fields = list(old.fields) + [
         f for f in df.schema.fields if f.name not in have
     ]
@@ -527,7 +538,22 @@ def _cow_commit(
         from pyspark.sql.types import StructType
 
         fields = list(old_schema.fields) if old_schema is not None else []
-        have = {f.name for f in fields}
+        have = {f.name: f.dataType for f in fields}
+        # evolution is ADD-COLUMN ONLY: a type change would stage new
+        # files under the coerced type while untouched files keep the
+        # old physical type, and no single read schema serves both —
+        # refuse loudly instead of committing an unreadable mix
+        changed = [
+            f.name
+            for f in rewrite.schema.fields
+            if f.name in have and f.dataType != have[f.name]
+        ]
+        if changed:
+            raise ValueError(
+                f"schema evolution is ADD-column only; update batch "
+                f"changes the type of {changed} (rewrite full table "
+                "via snapshot_write to retype)"
+            )
         fields += [f for f in rewrite.schema.fields if f.name not in have]
         manifest["schema"] = StructType(fields).jsonValue()
     elif old_schema is not None:

@@ -1351,3 +1351,26 @@ def test_cow_merge_add_column_schema_evolution(spark, tmp_path):
     # pruned read on the untouched partition serves the evolved schema
     only20 = snapshot_read_partitioned(spark, p, values=[20])
     assert [(r.k, r.note) for r in only20.collect()] == [(2, None)]
+
+
+def test_cow_merge_rejects_type_change(spark, tmp_path):
+    """Evolution is ADD-column only: an update batch whose existing
+    column coerces to a different type is refused loudly (mixed
+    physical types across files have no single read schema) and the
+    table's current version remains the pre-merge state."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_write(
+        spark,
+        t,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"),
+    )
+    bad = spark.createDataFrame([(1, 99)], "k long, v long")
+    with pytest.raises(ValueError, match="ADD-column only"):
+        snapshot_merge(spark, t, bad, ["k"])
+    assert list_versions(t) == [0]
+    got = sorted((r.k, r.v) for r in snapshot_read(spark, t).collect())
+    assert got == [(1, 10), (2, 20)]
