@@ -141,6 +141,7 @@ HEADLINE: list[str] = [
     "q87_ordered_listagg",
     "e29_ingest_lag_percentiles",
     "p22_partitioned_schema_evolution",
+    "p23_change_data_feed",
 ]
 
 

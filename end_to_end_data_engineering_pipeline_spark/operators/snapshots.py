@@ -901,6 +901,129 @@ def snapshot_diff(
     )
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Row-level change-data-feed between two committed versions,
+    computed from the MANIFEST FILE DIFF — the Delta CDF / Iceberg
+    incremental-read primitive. Copy-on-write means every commit
+    carries untouched files BY REFERENCE, so all row-level change is
+    confined to files that entered or left the manifest between the
+    two versions: this reads ONLY ``files(from) - files(to)`` (the
+    before-images) and ``files(to) - files(from)`` (the
+    after-images) — O(changed data), never O(table). Contrast
+    :func:`snapshot_diff`, which full-outer joins two complete
+    version reads: correct, but a 100 TB table that changed 0.1%
+    pays a 100 TB diff there and a ~100 GB one here. This is what
+    makes downstream incremental consumption (sync a derived table,
+    feed a search index, audit a compliance delete) affordable at
+    scale.
+
+    Output: the table's columns plus ``_change_type`` in
+    ``{'insert', 'delete', 'update_preimage', 'update_postimage'}``
+    (net change across the version span, keyed by ``keys``: an
+    update emits its pre- and post-image as two rows). Rows whose
+    files were rewritten without a value change — co-located rows a
+    CoW rewrite drags along, or pure compaction — cancel out via a
+    null-safe all-column comparison and are NOT reported, so
+    OPTIMIZE traffic never pollutes the feed.
+
+    Works on plain, partitioned (partition column re-attached from
+    each side's manifest), and range-clustered manifests. ADD-column
+    schema evolution inside the span is handled by reading the
+    before side with the TO manifest's schema (old files null-fill
+    the new columns — same rule as :func:`snapshot_read`)."""
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    for v in (from_version, to_version):
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} not in {vs}")
+    m_from = _manifest(path, from_version)
+    m_to = _manifest(path, to_version)
+    removed = sorted(set(m_from["files"]) - set(m_to["files"]))
+    added = sorted(set(m_to["files"]) - set(m_from["files"]))
+    # serve both sides at the TO schema (ADD-column evolution only;
+    # old files null-fill columns they predate)
+    m_sch = m_to if "schema" in m_to else m_from
+
+    def _side(m_parts: dict, files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        if "part_col" in m_parts:
+            # partition map is per-manifest; schema is the TO one
+            m_eff = dict(m_parts)
+            if "schema" in m_sch:
+                m_eff["schema"] = m_sch["schema"]
+            df = _attach_partition_col(spark, path, m_eff, files)
+            return df.drop("__file")
+        return _reader(spark, m_sch).parquet(
+            *[os.path.join(_data_dir(path), f) for f in files]
+        )
+
+    before = _side(m_from, removed)
+    after = _side(m_to, added)
+    if before is None and after is None:
+        base = _empty_from_manifest(spark, m_sch)
+        if base is None:
+            # manifest predates schema recording: borrow the schema
+            # from any live file (zero-row scan, footer only)
+            base = _side(m_to, m_to["files"][:1]).limit(0)
+        return (
+            base.withColumn("_change_type", F.lit(None).cast("string"))
+            .where(F.lit(False))
+        )
+    if before is None:
+        before = after.where(F.lit(False))
+    if after is None:
+        after = before.where(F.lit(False))
+    cols = after.columns
+    before = before.select(*cols)  # align order across schema evolution
+    val_cols = [c for c in cols if c not in keys]
+    b_r = before.select(
+        *keys,
+        F.lit(True).alias("__in_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in val_cols],
+    )
+    a_r = after.select(
+        *keys,
+        F.lit(True).alias("__in_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in val_cols],
+    )
+    j = b_r.join(a_r, keys, "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))
+
+    def _img(side: str, change: str):
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in val_cols],
+            F.lit(change).alias("_change_type"),
+        )
+
+    # when-chain with no otherwise -> null array -> explode emits
+    # nothing for rows whose files were rewritten without change
+    changes = (
+        F.when(F.col("__in_b").isNull(), F.array(_img("a", "insert")))
+        .when(F.col("__in_a").isNull(), F.array(_img("b", "delete")))
+        .when(
+            ~same,
+            F.array(
+                _img("b", "update_preimage"), _img("a", "update_postimage")
+            ),
+        )
+    )
+    return (
+        j.select(*keys, F.explode(changes).alias("__c"))
+        .select(*keys, "__c.*")
+        .select(*cols, "_change_type")
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,

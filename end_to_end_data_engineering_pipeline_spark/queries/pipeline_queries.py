@@ -1497,3 +1497,106 @@ def p22_partitioned_schema_evolution(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p23_change_data_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS p
+      FROM orders),
+    v2 AS (
+      SELECT k, s,
+             CASE WHEN k % 7 = 0 THEN CAST(p * 2 AS DECIMAL(15,2))
+                  ELSE p END AS p
+      FROM base WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 1000000000 AS k, s, p FROM base WHERE k % 11 = 0),
+    d AS (
+      SELECT COALESCE(b.k, a.k) AS k,
+             b.s AS bs, a.s AS s2,
+             CAST(b.p AS DOUBLE) AS bp, CAST(a.p AS DOUBLE) AS ap,
+             CASE WHEN b.k IS NULL THEN 'insert'
+                  WHEN a.k IS NULL THEN 'delete'
+                  WHEN NOT (b.s IS NOT DISTINCT FROM a.s
+                            AND b.p IS NOT DISTINCT FROM a.p)
+                  THEN 'update' END AS c
+      FROM base b FULL OUTER JOIN v2 a ON a.k = b.k)
+    SELECT k AS o_orderkey, s2 AS o_orderstatus, ap AS price,
+           'insert' AS _change_type FROM d WHERE c = 'insert'
+    UNION ALL
+    SELECT k, bs, bp, 'delete' FROM d WHERE c = 'delete'
+    UNION ALL
+    SELECT k, bs, bp, 'update_preimage' FROM d WHERE c = 'update'
+    UNION ALL
+    SELECT k, s2, ap, 'update_postimage' FROM d WHERE c = 'update'
+    """,
+)
+def p23_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed from the manifest file diff
+    (operators/snapshots.py snapshot_changes — the Delta CDF /
+    Iceberg incremental-read primitive): version 0 seeds orders, a
+    CoW MERGE commits version 1 (%7 keys repriced 2x, %11 keys
+    cloned under fresh keys), a keyed DELETE commits version 2 (%13
+    original keys), and the feed over the 0->2 span must report
+    exactly the NET row-level changes — one insert per surviving
+    clone, one delete per removed key (pre-image = the ORIGINAL
+    price, even where the key was repriced in between), and an
+    update_preimage/update_postimage pair per repriced survivor.
+    Rows that were merely dragged through CoW rewrites (co-located
+    with a touched key) must NOT appear. The operator reads only the
+    files that entered or left the manifest between the versions —
+    O(changed data) where p11's full-version diff is O(table) — so
+    the oracle (a direct base-vs-final-state diff in SQL) checks
+    both the CoW commits and the file-diff consumption path at once.
+    The incremental-consumption analog of the reference's
+    transactional upsert sink (transformation/clean_data.py:222-243):
+    downstream syncs read what changed, never the table."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2
+    from ..operators.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="p23_cdf_")
+    path = tmp + "/t"
+    try:
+        with fixture_phase():  # seed v0; operator = CoW commits + CDF
+            snapshot_write(spark, path, o)
+        upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+        ).unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "price",
+            )
+        )
+        snapshot_merge(spark, path, upd, keys=["o_orderkey"])
+        dele = o.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+        v2 = snapshot_delete(spark, path, dele, keys=["o_orderkey"])
+        out = snapshot_changes(
+            spark, path, ["o_orderkey"], 0, v2
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("price").cast("double").alias("price"),
+            "_change_type",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

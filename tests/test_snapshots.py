@@ -1374,3 +1374,124 @@ def test_cow_merge_rejects_type_change(spark, tmp_path):
     assert list_versions(t) == [0]
     got = sorted((r.k, r.v) for r in snapshot_read(spark, t).collect())
     assert got == [(1, 10), (2, 20)]
+
+
+class TestSnapshotChanges:
+    """snapshot_changes: change-data-feed from the manifest file diff
+    (reads only files that entered/left the manifest — O(changed
+    data), the Delta CDF analog)."""
+
+    def _seed(self, spark, t):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_write,
+        )
+
+        # many small files so CoW rewrites touch a strict subset
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("v"),
+        ).repartition(8, "k")
+        snapshot_write(spark, t, df)
+
+    def test_net_changes_across_merge_and_delete(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+            snapshot_delete,
+            snapshot_merge,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        upd = spark.createDataFrame(
+            [(3, "UPD"), (100, "NEW")], "k long, v string"
+        )
+        snapshot_merge(spark, t, upd, ["k"])
+        v2 = snapshot_delete(
+            spark, t, spark.createDataFrame([(7,)], "k long"), ["k"]
+        )
+        feed = snapshot_changes(spark, t, ["k"], 0, v2)
+        assert feed.columns == ["k", "v", "_change_type"]
+        got = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+        assert got == [
+            (3, "3", "update_preimage"),
+            (3, "UPD", "update_postimage"),
+            (7, "3", "delete"),
+            (100, "NEW", "insert"),
+        ]
+
+    def test_compaction_emits_nothing(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+            snapshot_compact,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        v1 = snapshot_compact(spark, t)
+        assert v1 == 1  # 8 small files actually compacted
+        feed = snapshot_changes(spark, t, ["k"], 0, v1)
+        # every row was rewritten into new files, none changed value
+        assert feed.count() == 0
+
+    def test_same_version_span_is_empty_with_schema(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        feed = snapshot_changes(spark, t, ["k"], 0, 0)
+        assert feed.columns == ["k", "v", "_change_type"]
+        assert feed.count() == 0
+
+    def test_partitioned_feed_reports_partition_column(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+            snapshot_merge,
+            snapshot_write_partitioned,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")],
+            "k long, d string, v string",
+        )
+        snapshot_write_partitioned(spark, t, df, "d")
+        upd = spark.createDataFrame(
+            [(2, "a", "Y2"), (9, "b", "new")], "k long, d string, v string"
+        )
+        v1 = snapshot_merge(spark, t, upd, ["k"])
+        feed = snapshot_changes(spark, t, ["k"], 0, v1)
+        got = sorted(
+            (r.k, r.d, r.v, r._change_type) for r in feed.collect()
+        )
+        assert (2, "a", "y", "update_preimage") in got
+        assert (2, "a", "Y2", "update_postimage") in got
+        assert (9, "b", "new", "insert") in got
+        # partition-b rows other than the insert were untouched
+        assert (3, "b", "z", "update_preimage") not in got
+
+    def test_schema_evolution_span_nullfills_before_side(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+            snapshot_merge,
+        )
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        upd = spark.createDataFrame(
+            [(5, "5mod", "flagged")], "k long, v string, note string"
+        )
+        v1 = snapshot_merge(spark, t, upd, ["k"])
+        feed = snapshot_changes(spark, t, ["k"], 0, v1)
+        assert feed.columns == ["k", "v", "note", "_change_type"]
+        got = {
+            (r.k, r.v, r.note, r._change_type) for r in feed.collect()
+        }
+        # before-image read with the evolved schema: note null-fills
+        assert (5, "1", None, "update_preimage") in got
+        assert (5, "5mod", "flagged", "update_postimage") in got
