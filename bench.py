@@ -142,6 +142,7 @@ HEADLINE: list[str] = [
     "e29_ingest_lag_percentiles",
     "p22_partitioned_schema_evolution",
     "p23_change_data_feed",
+    "p24_incremental_join_view",
 ]
 
 

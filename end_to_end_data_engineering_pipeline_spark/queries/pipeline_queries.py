@@ -1600,3 +1600,80 @@ def p23_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p24_incremental_join_view",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                          * (1 - CAST(l_discount AS DECIMAL(9,4)))), 4)
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def p24_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (operators/merge.py
+    incremental_join_delta composed with incremental_agg_delta /
+    apply_agg_delta): the maintained aggregate is revenue per order
+    status over orders JOIN lineitem. Both tables are split at a date
+    cutoff into an 'old' seed and an appended delta; the seed
+    aggregate is built once, then the join-view delta
+    dV = (dA JOIN B_new) UNION ALL (A_old JOIN dB) — the DBSP-style
+    delta rewrite, disjoint by construction — folds into the
+    aggregate as pure I-rows. The oracle recomputes the view from
+    scratch, so the maintained result must equal a full rebuild to
+    the last cent (all-decimal arithmetic, one ROUND at the end).
+    At 100 TB: each delta join broadcasts the small appended batch
+    against the big table — maintenance is O(|delta| x fan-out) with
+    NO shuffle of either full table, where a rebuild re-shuffles
+    both. The incremental twin of the reference's full-rebuild gold
+    models (dbt/models/analytics/*.sql, rebuilt every DAG run)."""
+    from ..functions import dec2, dec4
+    from ..operators.merge import (
+        apply_agg_delta,
+        incremental_agg_delta,
+        incremental_join_delta,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))).alias(
+            "disc_price"
+        ),
+        "l_shipdate",
+    )
+    a_old = o.where(F.col("o_orderdate") < "1997-01-01").drop("o_orderdate")
+    d_a = o.where(F.col("o_orderdate") >= "1997-01-01").drop("o_orderdate")
+    b_old = li.where(F.col("l_shipdate") < "1997-06-01").drop("l_shipdate")
+    d_b = li.where(F.col("l_shipdate") >= "1997-06-01").drop("l_shipdate")
+    b_new = b_old.unionByName(d_b)
+
+    seed = (
+        a_old.join(b_old, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("disc_price").alias("total"),
+        )
+    )
+    dv = incremental_join_delta(a_old, d_a, b_new, d_b, ["o_orderkey"])
+    sum_t = seed.schema["total"].dataType.simpleString()
+    changes = dv.select(
+        "o_orderstatus",
+        F.lit("I").alias("op"),
+        F.lit(None).cast(sum_t).alias("before"),
+        F.col("disc_price").cast(sum_t).alias("after"),
+    )
+    delta = incremental_agg_delta(changes, ["o_orderstatus"])
+    final = apply_agg_delta(seed, delta, ["o_orderstatus"], "n", "total")
+    return final.select(
+        "o_orderstatus",
+        "n",
+        F.round("total", 4).cast("double").alias("revenue"),
+    )

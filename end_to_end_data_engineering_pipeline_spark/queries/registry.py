@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "e29_ingest_lag_percentiles",
     "p22_partitioned_schema_evolution",
     "p23_change_data_feed",
+    "p24_incremental_join_view",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -117,7 +118,6 @@ _PRIORITY: list[str] = [
     "q64_arg_extrema",
     "q66_fuzzy_name_blocking",
     "q69_winsorized_stats",
-    "sim5_vector_stats",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

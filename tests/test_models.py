@@ -268,3 +268,37 @@ def test_incremental_agg_empties_and_creates_groups(spark):
         for r in apply_agg_delta(agg, delta, ["g"], "n", "total").collect()
     }
     assert out == {"b": (1, 8.0), "c": (4, 100.0), "d": (1, 7.0)}
+
+
+def test_incremental_join_delta_partitions_the_view_delta(spark):
+    """dV = (dA x B_new) + (A_old x dB): disjoint terms, duplicate
+    rows keep their join multiplicity, and seed+delta equals a full
+    rebuild of the inner-join view."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.merge import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+    d_a = spark.createDataFrame([(2, "a2x"), (3, "a3")], "k long, av string")
+    # duplicate key rows on the B side: multiplicity must survive
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2dup")], "k long, bv string"
+    )
+    d_b = spark.createDataFrame([(3, "b3"), (1, "b1x")], "k long, bv string")
+    b_new = b_old.unionByName(d_b)
+    dv = incremental_join_delta(a_old, d_a, b_new, d_b, ["k"])
+    full_new = a_old.unionByName(d_a).join(b_new, ["k"])
+    full_old = a_old.join(b_old, ["k"])
+    # multiset equality: V_old + dV == V_new, via counted tuples
+    def counts(df):
+        return {
+            (r.k, r.av, r.bv, r["count"])
+            for r in df.groupBy("k", "av", "bv").count().collect()
+        }
+
+    merged = full_old.unionByName(dv)
+    assert counts(merged) == counts(full_new)
+    # and the delta really is additive-only (no row of V_old repeated)
+    assert dv.count() == full_new.count() - full_old.count()
