@@ -143,6 +143,7 @@ HEADLINE: list[str] = [
     "p22_partitioned_schema_evolution",
     "p23_change_data_feed",
     "p24_incremental_join_view",
+    "sim21_mmr_diversified_topk",
 ]
 
 

@@ -1314,3 +1314,145 @@ def rrf_fuse(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance diversified top-k
+    (Carbonell & Goldstein 1998): select ``k`` results per query
+    maximizing ``lam * cos(q, d) - mu * max_{s in selected} cos(d, s)``
+    — the curation-side retrieval primitive (diverse few-shot
+    selection, dedup-aware retrieval) that plain top-k lacks: a
+    query whose neighborhood is one tight near-dup cluster gets k
+    copies of the same document from :func:`cosine_topk_bruteforce`,
+    and one representative plus genuinely distinct results from MMR.
+    ``lam`` and ``mu`` are INDEPENDENT params (not mu = 1 - lam):
+    float subtraction would make the oracle's literal and Python's
+    computed value differ in the last ulp.
+
+    Returns (query_id, cand_id, mmr_rank 1..k, cosine = rel to the
+    query). All similarity math is the exact fixed-point cosine the
+    other sim operators share, so every score is engine-reproducible.
+
+    Scale shape: one brute-force scoring pass (broadcast query side,
+    unshuffled corpus scan) narrows to a per-query candidate POOL of
+    ``pool`` rows; everything after — the pool x pool pairwise
+    similarities and the k greedy rounds — is bounded by
+    |queries| x pool^2, independent of corpus size. The greedy
+    rounds run as DataFrame joins with lineage truncated per round
+    (localCheckpoint, same discipline as graph.py's CC loop); at
+    1000 queries x pool 20 that is 400k narrow rows per round. Swap
+    the brute-force pool source for ivf_topk output to keep the
+    corpus pass sublinear too."""
+    from ..catalog import fan_out
+
+    base = with_scaled(fan_out(emb), id_col, vec_col)
+    q = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("sv").alias("qsv"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = base.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        "sv",
+        "n2",
+        cosine_scaled(
+            dot_scaled(F.col("qsv"), F.col("sv")), F.col("qn2"), F.col("n2")
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    pool_df = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= pool)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # bounded: |queries| x pool rows
+    )
+    a = pool_df.select(
+        "query_id",
+        F.col("cand_id").alias("a_id"),
+        F.col("sv").alias("a_sv"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = pool_df.select(
+        "query_id",
+        F.col("cand_id").alias("b_id"),
+        F.col("sv").alias("b_sv"),
+        F.col("n2").alias("b_n2"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            cosine_scaled(
+                dot_scaled(F.col("a_sv"), F.col("b_sv")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # |queries| x pool^2 narrow rows
+    )
+    cands = pool_df.select("query_id", "cand_id", "rel")
+    chosen = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "rel",
+        )
+    )
+    for i in range(2, k + 1):
+        chosen = chosen.localCheckpoint(eager=True)
+        pen = (
+            pairs.join(
+                chosen.select("query_id", F.col("cand_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        rem = cands.join(
+            chosen.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        sc = rem.join(
+            pen,
+            (rem["query_id"] == pen["query_id"])
+            & (rem["cand_id"] == pen["a_id"]),
+        ).select(
+            rem["query_id"],
+            "cand_id",
+            "rel",
+            (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("pen")).alias(
+                "mmr"
+            ),
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), "cand_id"
+        )
+        nxt = (
+            sc.withColumn("rn", F.row_number().over(wi))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(i).cast("long").alias("mmr_rank"),
+                "rel",
+            )
+        )
+        chosen = chosen.unionByName(nxt)
+    return chosen

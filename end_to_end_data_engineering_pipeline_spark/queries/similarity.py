@@ -1315,3 +1315,103 @@ def sim20_ivf_append_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _o_mmr(k: int, pool: int, lam: str, mu: str) -> str:
+    """Unrolled greedy-MMR CTE chain (k fixed selection rounds —
+    greedy argmax is not one SQL aggregate, but k of them are)."""
+    parts = [
+        f"""mscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS rel
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    mpool AS (
+      SELECT query_id, cand_id, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, cand_id) AS rn
+            FROM mscored) t
+      WHERE rn <= {pool}
+    ),
+    mpairs AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             {_O_COS} AS sim
+      FROM mpool a
+      JOIN mpool b ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+      JOIN normed q ON q.vec_id = a.cand_id
+      JOIN normed c ON c.vec_id = b.cand_id
+    ),
+    chosen1 AS (
+      SELECT query_id, cand_id, 1 AS mmr_rank, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, cand_id) AS rn
+            FROM mpool) t
+      WHERE rn = 1
+    )"""
+    ]
+    prev = "chosen1"
+    for i in range(2, k + 1):
+        parts.append(f"""pen{i} AS (
+      SELECT p.query_id, p.a_id, MAX(p.sim) AS pen
+      FROM mpairs p JOIN {prev} ch
+        ON ch.query_id = p.query_id AND ch.cand_id = p.b_id
+      GROUP BY p.query_id, p.a_id
+    ),
+    sel{i} AS (
+      SELECT query_id, cand_id, rel
+      FROM (SELECT c.query_id, c.cand_id, c.rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY {lam} * c.rel - {mu} * p.pen DESC, c.cand_id
+                   ) AS rn
+            FROM mpool c
+            JOIN pen{i} p
+              ON p.query_id = c.query_id AND p.a_id = c.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM {prev} ch2
+                              WHERE ch2.query_id = c.query_id
+                                AND ch2.cand_id = c.cand_id)) t
+      WHERE rn = 1
+    ),
+    chosen{i} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT query_id, cand_id, {i} AS mmr_rank, rel FROM sel{i}
+    )""")
+        prev = f"chosen{i}"
+    return ",\n    ".join(parts) + f"""
+    SELECT query_id, cand_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           rel AS cosine
+    FROM {prev}"""
+
+
+_O_MMR = "WITH " + _O_SCALED + ",\n    " + _o_mmr(5, 20, "0.7", "0.3")
+
+
+@query(
+    "sim21_mmr_diversified_topk",
+    oracle=_O_MMR,
+)
+def sim21_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval
+    (operators/similarity.py mmr_topk): greedy selection of 5 results
+    per query maximizing 0.7*cos(q,d) - 0.3*max_sim-to-already-chosen
+    over a brute-force top-20 candidate pool — the curation-side
+    retrieval primitive plain top-k lacks (a near-dup cluster
+    contributes ONE representative, not k copies). The oracle unrolls
+    the same 5 greedy rounds as SQL CTEs over the shared fixed-point
+    cosine, so selection order, penalty maxima, and every tiebreak
+    must reproduce bit-for-bit. Scale shape: one broadcast scoring
+    pass narrows to |queries| x pool rows; the greedy rounds are
+    bounded by |queries| x pool^2, independent of corpus size."""
+    from ..operators.similarity import mmr_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = mmr_topk(
+        emb, QUERY_IDS, k=5, pool=20, lam=0.7, mu=0.3
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        "mmr_rank",
+        F.col("rel").alias("cosine"),
+    )

@@ -633,3 +633,61 @@ def test_ivf_append_increment_matches_one_shot(spark, sf_dir, tmp_path):
         )
         == before
     )
+
+
+def test_mmr_topk_diversifies_near_dup_cluster(spark):
+    """Plain top-k returns the near-dup cluster k times; MMR picks ONE
+    cluster representative, then genuinely distinct vectors — the
+    whole point of the operator. Hand-built geometry: ids 1-3 are a
+    tight cluster around the query, id 4 is orthogonal, id 5 is a
+    45-degree moderate match."""
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [1.0, 0.010, 0.0, 0.0]),    # cluster
+        (2, [1.0, 0.011, 0.0, 0.0]),    # cluster
+        (3, [1.0, 0.012, 0.0, 0.0]),    # cluster
+        (4, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to everything above
+        (5, [1.0, 1.0, 0.0, 0.0]),      # 45 degrees off the query
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = cosine_topk_bruteforce(emb, [0], k=3).collect()
+    assert {r.cand_id for r in brute} == {1, 2, 3}  # k near-dup copies
+    out = mmr_topk(emb, [0], k=3, pool=5, lam=0.3, mu=0.7)
+    got = {r.mmr_rank: r.cand_id for r in out.collect()}
+    # rank 1 = best cluster member; rank 2 = orthogonal (zero rel but
+    # zero penalty beats the cluster's ~1.0 penalty); rank 3 = the
+    # 45-degree vector; the two remaining near-dups never selected
+    assert got == {1: 1, 2: 4, 3: 5}
+
+
+def test_mmr_rank1_equals_bruteforce_rank1(spark, sf_dir):
+    """MMR's first pick is by construction the plain top-1."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    top1 = {
+        r.query_id: r.cand_id
+        for r in cosine_topk_bruteforce(emb, qids, k=1).collect()
+    }
+    mmr1 = {
+        r.query_id: r.cand_id
+        for r in mmr_topk(emb, qids, k=4, pool=12).where(
+            "mmr_rank = 1"
+        ).collect()
+    }
+    assert mmr1 == top1
+    # and each query yields k DISTINCT candidates
+    out = mmr_topk(emb, qids, k=4, pool=12)
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 4 for r in per_q)
+    assert out.select("query_id", "cand_id").distinct().count() == out.count()
