@@ -144,6 +144,7 @@ HEADLINE: list[str] = [
     "p23_change_data_feed",
     "p24_incremental_join_view",
     "sim21_mmr_diversified_topk",
+    "t42_bpe_merge_step",
 ]
 
 

@@ -628,3 +628,119 @@ def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "flags",
         F.when(flags == "", F.lit("__pass__")).otherwise(flags),
     )
+
+
+def bpe_word_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 20,
+) -> DataFrame:
+    """(word, freq): the distinct-word frequency table BPE training
+    actually iterates over. This is THE scale lever of corpus-level
+    tokenizer training: the corpus is touched exactly once (tokenize +
+    one shuffle to count), and every merge step after that works on
+    VOCABULARY-sized data weighted by freq — at 100 TB the vocab is
+    millions of rows where the corpus is trillions. Words are
+    lowercased a-z runs, length-bounded so per-word unrolling stays
+    O(max_len)."""
+    words = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("word")
+    )
+    return (
+        words.where(
+            (F.length("word") >= min_len) & (F.length("word") <= max_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def bpe_merge_step(wf: DataFrame) -> DataFrame:
+    """ONE training step of byte-pair encoding over a (word, freq)
+    table: count adjacent symbol pairs weighted by freq, pick the
+    most frequent pair (count desc, then lexicographic — the
+    deterministic tiebreak), apply it LEFTMOST-NON-OVERLAPPING to
+    every word, and return the post-merge pair counts
+    (left_sym, right_sym, cnt, merged_left, merged_right).
+
+    Leftmost-non-overlapping is the subtle part: in 'aaa' the pair
+    (a,a) merges once, yielding ['aa','a'] — overlapping matches are
+    only possible when left == right, in which case consecutive
+    match positions form runs and every OTHER position merges. That
+    run-parity rule ((i - run_start) % 2 == 0 over runs of
+    consecutive match positions) is pure window algebra, so the
+    whole step — including the sequential-looking merge application
+    — runs as Catalyst windows and joins, no Python in the loop, and
+    an ANSI-SQL oracle reproduces it bit-for-bit.
+
+    Everything here is vocabulary-scale (see :func:`bpe_word_freq`):
+    the unrolled char table is |vocab| x max_len rows, the windows
+    partition by word, and the corpus never reappears. Iterating
+    this step vocab_size times (with the emitted merged token fed
+    back as a symbol) is exactly the public BPE training loop
+    (Sennrich et al. 2016)."""
+    from pyspark.sql import Window
+
+    chars = wf.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    ).select(
+        "word", "freq", "i", F.expr("substring(word, i, 1)").alias("sym")
+    )
+    wq = Window.partitionBy("word").orderBy("i")
+    seq = chars.withColumn("nxt", F.lead("sym").over(wq))
+    pairs0 = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    top1 = (
+        pairs0.orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(1)
+        .select(F.col("l").alias("mx"), F.col("r").alias("my"))
+    )
+    tagged = seq.crossJoin(F.broadcast(top1))  # 1-row spine
+    wm = Window.partitionBy("word").orderBy("i")
+    matches = tagged.where(
+        (F.col("sym") == F.col("mx")) & (F.col("nxt") == F.col("my"))
+    ).withColumn("grp", F.col("i") - F.row_number().over(wm))
+    runw = Window.partitionBy("word", "grp")
+    kept = (
+        matches.withColumn(
+            "off", F.col("i") - F.min("i").over(runw)
+        )
+        .where(F.col("off") % 2 == 0)
+        .select("word", "i")
+    )
+    k1 = kept.select("word", "i", F.lit(True).alias("m_here"))
+    k2 = kept.select(
+        "word", (F.col("i") + 1).alias("i"), F.lit(True).alias("consumed")
+    )
+    syms = (
+        seq.join(k1, ["word", "i"], "left")
+        .join(k2, ["word", "i"], "left")
+        .where(F.col("consumed").isNull())
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.when(
+                F.col("m_here"), F.concat(F.col("sym"), F.col("nxt"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    seq1 = syms.withColumn("nxt", F.lead("sym").over(wq))
+    return (
+        seq1.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("left_sym"), F.col("nxt").alias("right_sym"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(top1))
+        .withColumnRenamed("mx", "merged_left")
+        .withColumnRenamed("my", "merged_right")
+    )

@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "p23_change_data_feed",
     "p24_incremental_join_view",
     "sim21_mmr_diversified_topk",
+    "t42_bpe_merge_step",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -117,7 +118,6 @@ _PRIORITY: list[str] = [
     "q62_deterministic_sample",
     "q63_stratified_sample",
     "q64_arg_extrema",
-    "q66_fuzzy_name_blocking",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

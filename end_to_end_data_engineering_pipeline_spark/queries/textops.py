@@ -2144,3 +2144,94 @@ def m5_media_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return frame_overlap_pairs(documents_as_media(docs))
+
+
+@query(
+    "t42_bpe_merge_step",
+    oracle="""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+'))
+              AS word
+            FROM documents)
+      WHERE LENGTH(word) BETWEEN 2 AND 20
+      GROUP BY word),
+    chars AS (
+      SELECT word, freq, i, SUBSTRING(word, i, 1) AS sym
+      FROM wf CROSS JOIN (SELECT UNNEST(RANGE(1, 21)) AS i)
+      WHERE i <= LENGTH(word)),
+    seq0 AS (
+      SELECT word, freq, i, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+      FROM chars),
+    pairs0 AS (
+      SELECT sym AS l, nxt AS r, SUM(freq) AS cnt
+      FROM seq0 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    top1 AS (
+      SELECT l AS mx, r AS my FROM pairs0
+      ORDER BY cnt DESC, l, r LIMIT 1),
+    matches AS (
+      SELECT s.word, s.i,
+             s.i - ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.i)
+               AS grp
+      FROM seq0 s, top1 t
+      WHERE s.sym = t.mx AND s.nxt = t.my),
+    kept AS (
+      SELECT word, i FROM (
+        SELECT word, i,
+               i - MIN(i) OVER (PARTITION BY word, grp) AS off
+        FROM matches) t
+      WHERE off % 2 = 0),
+    syms AS (
+      SELECT s.word, s.freq, s.i,
+             CASE WHEN k1.i IS NOT NULL THEN s.sym || s.nxt
+                  ELSE s.sym END AS sym
+      FROM seq0 s
+      LEFT JOIN kept k1 ON k1.word = s.word AND k1.i = s.i
+      LEFT JOIN kept k2 ON k2.word = s.word AND k2.i = s.i - 1
+      WHERE k2.i IS NULL),
+    seq1 AS (
+      SELECT word, freq, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+      FROM syms),
+    pairs1 AS (
+      SELECT sym AS left_sym, nxt AS right_sym,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM seq1 WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+    SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, cnt,
+           t.mx AS merged_left, t.my AS merged_right
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, left_sym,
+                                       right_sym) AS rank
+          FROM pairs1) p
+    CROSS JOIN top1 t
+    WHERE rank <= 20
+    """,
+)
+def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training step of byte-pair encoding at corpus scale
+    (operators/text.py bpe_word_freq + bpe_merge_step — Sennrich et
+    al. 2016): tokenize once into a distinct-word frequency table,
+    count adjacent symbol pairs weighted by freq, merge the top pair
+    leftmost-non-overlapping into every word, and report the top-20
+    post-merge pair counts plus the chosen merge. The corpus is
+    touched exactly once; the merge step itself is vocabulary-scale
+    window algebra (|vocab| x max_word_len rows), which is why BPE
+    training is tractable at 100 TB — and why the sequential-looking
+    'apply the merge left to right' rule had to be re-expressed as
+    run-parity over consecutive match positions so both Catalyst and
+    the SQL oracle compute it relationally."""
+    from ..operators.text import bpe_merge_step, bpe_word_freq
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = bpe_merge_step(bpe_word_freq(docs))
+    w = Window.orderBy(
+        F.col("cnt").desc(), "left_sym", "right_sym"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select(
+            "rank", "left_sym", "right_sym", "cnt",
+            "merged_left", "merged_right",
+        )
+    )

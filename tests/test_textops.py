@@ -870,3 +870,35 @@ def test_quality_flags_hand_cases(spark):
         3: "longword;stop",
         4: "upper;stop",
     }
+
+
+def test_bpe_merge_step_leftmost_non_overlapping(spark):
+    """'aaaa' under top pair (a,a) merges to [aa, aa] — run parity,
+    never the overlapping 3 merges; freq weighting drives the pick."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bpe_merge_step,
+    )
+
+    wf = spark.createDataFrame(
+        [("aaaa", 3), ("aab", 2), ("ba", 1)], "word string, freq long"
+    )
+    got = sorted(tuple(r) for r in bpe_merge_step(wf).collect())
+    assert got == [
+        ("aa", "aa", 3, "a", "a"),
+        ("aa", "b", 2, "a", "a"),
+        ("b", "a", 1, "a", "a"),
+    ]
+
+
+def test_bpe_word_freq_bounds_and_counts(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bpe_word_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The the THE a supercalifragilisticexpialidocious ok ok")],
+        "doc_id long, text string",
+    )
+    got = {r.word: r.freq for r in bpe_word_freq(docs).collect()}
+    # 'a' too short, the 34-char word too long, case-folded counts
+    assert got == {"the": 3, "ok": 2}
