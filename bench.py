@@ -145,6 +145,7 @@ HEADLINE: list[str] = [
     "p24_incremental_join_view",
     "sim21_mmr_diversified_topk",
     "t42_bpe_merge_step",
+    "t43_bigram_novelty_score",
 ]
 
 

@@ -744,3 +744,69 @@ def bpe_merge_step(wf: DataFrame) -> DataFrame:
         .withColumnRenamed("mx", "merged_left")
         .withColumnRenamed("my", "merged_right")
     )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 1,
+) -> DataFrame:
+    """Per-document statistical novelty: the fraction of a document's
+    word bigrams that are RARE in the whole corpus (corpus frequency
+    <= ``rare_max``) — the deterministic analog of the KenLM-style
+    LM-perplexity quality filter every large pretraining pipeline
+    runs (CCNet, Gopher/MassiveText rules): boilerplate and template
+    text repeats corpus-common bigrams (low novelty), gibberish and
+    OCR noise is made of hapax bigrams (novelty ~ 1), and both tails
+    get routed for review. Rational-arithmetic by design — a count
+    ratio rounded once — where a log-probability score would hang
+    engine-reproducibility on libm's last ulp.
+
+    Two-pass shape, both passes one shuffle on the bigram key: the
+    global bigram count table is vocab^2-bounded (far below corpus
+    size), and the count-back join re-uses the same hash partitioning
+    Catalyst already produced for the groupBy (ReusedExchange), so
+    the corpus is shuffled on bigram once, then on ``id_col`` once
+    for the per-doc fold. Returns (id, n_bigrams, n_rare, novelty);
+    documents with fewer than two tokens have no bigrams and are
+    absent."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+        ).alias("pos", "w"),
+    )
+    wq = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(wq))
+        .where(F.col("w2").isNotNull())
+        .select(
+            id_col, F.concat_ws(" ", F.col("w"), F.col("w2")).alias("bigram")
+        )
+    )
+    counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        bg.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt") <= rare_max, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_bigrams"), 6
+            ).alias("novelty"),
+        )
+    )

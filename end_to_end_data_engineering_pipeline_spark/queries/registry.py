@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "p24_incremental_join_view",
     "sim21_mmr_diversified_topk",
     "t42_bpe_merge_step",
+    "t43_bigram_novelty_score",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -117,7 +118,6 @@ _PRIORITY: list[str] = [
     "q58_dormant_account_cohorts",
     "q62_deterministic_sample",
     "q63_stratified_sample",
-    "q64_arg_extrema",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

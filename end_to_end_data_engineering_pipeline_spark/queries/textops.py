@@ -2235,3 +2235,48 @@ def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_left", "merged_right",
         )
     )
+
+
+@query(
+    "t43_bigram_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(ws, 1) AS pos,
+             unnest(ws) AS w
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents) t),
+    bg AS (
+      SELECT doc_id, w || ' ' || w2 AS bigram
+      FROM (SELECT doc_id, w,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks) t
+      WHERE w2 IS NOT NULL),
+    cnts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY bigram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM bg JOIN cnts USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def t43_bigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring via corpus bigram rarity
+    (operators/text.py bigram_novelty): each document's fraction of
+    corpus-hapax bigrams — the deterministic stand-in for the
+    KenLM-perplexity filter in public pretraining pipelines (CCNet's
+    LM scoring, Gopher's repetition/quality rules): boilerplate
+    scores near 0, gibberish near 1. Count-ratio arithmetic only
+    (one division, one round), so the oracle is exact where a
+    log-prob score would depend on libm. Two bigram-keyed passes
+    share one exchange; the per-doc fold is the only other shuffle."""
+    from ..operators.text import bigram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_novelty(docs)

@@ -902,3 +902,23 @@ def test_bpe_word_freq_bounds_and_counts(spark):
     got = {r.word: r.freq for r in bpe_word_freq(docs).collect()}
     # 'a' too short, the 34-char word too long, case-folded counts
     assert got == {"the": 3, "ok": 2}
+
+
+def test_bigram_novelty_hand_case(spark):
+    """'a b a b' repeats (a,b); a doc of unique bigrams scores 1.0;
+    a one-token doc has no bigrams and is absent."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bigram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: ab, ba, ab -> ab cnt 2, ba cnt 1
+            (2, "c d e"),        # cd, de -> both hapax
+            (3, "x"),            # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.n_rare, r.novelty)
+           for r in bigram_novelty(docs).collect()}
+    assert got == {1: (3, 1, round(1 / 3, 6)), 2: (2, 2, 1.0)}
