@@ -146,6 +146,7 @@ HEADLINE: list[str] = [
     "sim21_mmr_diversified_topk",
     "t42_bpe_merge_step",
     "t43_bigram_novelty_score",
+    "e31_point_in_time_features",
 ]
 
 

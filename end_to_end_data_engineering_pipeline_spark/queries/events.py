@@ -1634,3 +1634,87 @@ def e29_ingest_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delay_s, 0.99)"), 4).alias("p99_delay_s"),
         F.max("delay_s").cast("long").alias("max_delay_s"),
     )
+
+
+@query(
+    "e31_point_in_time_features",
+    oracle="""
+    WITH labels AS (
+      SELECT user_id, event_id AS label_id, ts AS label_ts
+      FROM events WHERE event_type = 'purchase'),
+    feats AS (
+      SELECT user_id, ts AS fts, value
+      FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT l.label_id, l.user_id, l.label_ts, f.fts, f.value
+      FROM labels l
+      LEFT JOIN feats f
+        ON f.user_id = l.user_id
+       AND f.fts < l.label_ts
+       AND f.fts >= l.label_ts - INTERVAL 24 HOURS)
+    SELECT label_id, user_id,
+           CAST(COUNT(CASE WHEN fts >= label_ts - INTERVAL 1 HOUR
+                           THEN 1 END) AS BIGINT) AS n_1h,
+           CAST(COUNT(fts) AS BIGINT) AS n_24h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(15,2))), 4) AS DOUBLE)
+             AS sum_value_24h,
+           CAST(date_diff('second', MAX(fts), MAX(label_ts)) AS BIGINT)
+             AS secs_since_last
+    FROM j
+    GROUP BY label_id, user_id
+    """,
+)
+def e31_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    backfill primitive: one feature row per label (purchase) built
+    ONLY from that user's events STRICTLY BEFORE the label timestamp
+    (ties excluded — the leakage rule), over two trailing horizons
+    (1h / 24h counts, 24h decimal spend) plus the as-of recency gap
+    in seconds. Labels with no qualifying history keep zero counts
+    and null aggregates instead of dropping — a silent inner join
+    here is exactly how training-serving skew is born. Plan: one
+    bounded range join shuffled on user_id (the 24h bound keeps
+    per-user state finite at 100 TB), horizons as conditional aggs
+    in a single fold — never one join per horizon. Composes the
+    as-of (e8/e21) and range-join (e9) primitives into the shape ML
+    pipelines actually materialize."""
+    ev = load(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_id"),
+        F.col("ts").alias("label_ts"),
+    )
+    feats = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("fts"),
+        F.col("value").cast("decimal(15,2)").alias("fval"),
+    )
+    j = labels.join(
+        feats,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("fts") < F.col("label_ts"))
+        & (
+            F.col("fts")
+            >= F.col("label_ts") - F.expr("INTERVAL 24 HOURS")
+        ),
+        "left",
+    )
+    return j.groupBy("label_id", "user_id").agg(
+        F.count(
+            F.when(
+                F.col("fts")
+                >= F.col("label_ts") - F.expr("INTERVAL 1 HOUR"),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_1h"),
+        F.count("fts").cast("long").alias("n_24h"),
+        F.round(F.sum("fval"), 4).cast("double").alias("sum_value_24h"),
+        (
+            F.unix_timestamp(F.max("label_ts"))
+            - F.unix_timestamp(F.max("fts"))
+        )
+        .cast("long")
+        .alias("secs_since_last"),
+    )

@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "sim21_mmr_diversified_topk",
     "t42_bpe_merge_step",
     "t43_bigram_novelty_score",
+    "e31_point_in_time_features",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -117,7 +118,6 @@ _PRIORITY: list[str] = [
     "q56_customer_order_distribution",
     "q58_dormant_account_cohorts",
     "q62_deterministic_sample",
-    "q63_stratified_sample",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
