@@ -147,6 +147,7 @@ HEADLINE: list[str] = [
     "t42_bpe_merge_step",
     "t43_bigram_novelty_score",
     "e31_point_in_time_features",
+    "p25_cdf_downstream_sync",
 ]
 
 

@@ -1677,3 +1677,95 @@ def p24_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("total", 4).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "p25_cdf_downstream_sync",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS p
+      FROM orders),
+    final AS (
+      SELECT k, s,
+             CASE WHEN k % 7 = 0 THEN CAST(p * 2 AS DECIMAL(15,2))
+                  ELSE p END AS p
+      FROM base WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 1000000000 AS k, s, p FROM base WHERE k % 11 = 0)
+    SELECT s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(p), 4) AS DOUBLE) AS total_price
+    FROM final GROUP BY s
+    """,
+)
+def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed CONSUMER (operators/snapshots.py
+    snapshot_sync): a downstream replica seeded at version 0 follows
+    the source through a CoW MERGE (%7 repriced, %11 cloned) and a
+    keyed DELETE (%13) by reading the 0->current feed — O(changed
+    data) — and applying it as one keyed MERGE plus one keyed DELETE
+    of its own. The oracle derives the source's final state directly
+    from orders, so the whole produce->consume loop (CoW commits,
+    file-diff feed, downstream apply) must land the replica exactly
+    on the source's current state. Replay idempotency (crash between
+    apply and bookmark persist) is pinned in tests/test_snapshots.py.
+    This is the sync pattern that keeps derived tables affordable at
+    100 TB: cycle cost tracks the source's CHANGE RATE, never its
+    size."""
+    import shutil
+    import tempfile
+
+    from ..functions import dec2
+    from ..operators.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_sync,
+        snapshot_write,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="p25_sync_")
+    src, dst = tmp + "/src", tmp + "/dst"
+    try:
+        with fixture_phase():  # seed source + replica at v0
+            snapshot_write(spark, src, o)
+            snapshot_write(spark, dst, o)
+        upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+        ).unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "price",
+            )
+        )
+        snapshot_merge(spark, src, upd, keys=["o_orderkey"])
+        snapshot_delete(
+            spark,
+            src,
+            o.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+            keys=["o_orderkey"],
+        )
+        snapshot_sync(spark, src, dst, ["o_orderkey"], from_version=0)
+        out = (
+            snapshot_read(spark, dst)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("price"), 4)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1495,3 +1495,64 @@ class TestSnapshotChanges:
         # before-image read with the evolved schema: note null-fills
         assert (5, "1", None, "update_preimage") in got
         assert (5, "5mod", "flagged", "update_postimage") in got
+
+
+class TestSnapshotSync:
+    """snapshot_sync: the CDF consumer — a replica follows the source
+    by applying the file-diff feed; re-applying a span is idempotent
+    (the crash-between-apply-and-bookmark contract)."""
+
+    def test_sync_lands_on_source_state_and_is_idempotent(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            current_version,
+            snapshot_delete,
+            snapshot_merge,
+            snapshot_read,
+            snapshot_sync,
+            snapshot_write,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        base = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("v")
+        ).repartition(6, "k")
+        snapshot_write(spark, src, base)
+        snapshot_write(spark, dst, base)
+        snapshot_merge(
+            spark,
+            src,
+            spark.createDataFrame([(4, "UPD"), (99, "NEW")], "k long, v string"),
+            ["k"],
+        )
+        snapshot_delete(
+            spark, src, spark.createDataFrame([(7,), (8,)], "k long"), ["k"]
+        )
+        bookmark = snapshot_sync(spark, src, dst, ["k"], from_version=0)
+        assert bookmark == current_version(src)
+
+        def state(path):
+            return sorted(
+                (r.k, r.v) for r in snapshot_read(spark, path).collect()
+            )
+
+        assert state(dst) == state(src)
+        # replay the SAME span (crash before bookmark persisted)
+        snapshot_sync(spark, src, dst, ["k"], from_version=0)
+        assert state(dst) == state(src)
+
+    def test_empty_span_commits_nothing(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            current_version,
+            snapshot_sync,
+            snapshot_write,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        snapshot_write(spark, src, df)
+        snapshot_write(spark, dst, df)
+        v = snapshot_sync(spark, src, dst, ["k"], from_version=0)
+        assert v == 0
+        assert current_version(dst) == 0  # no empty commits
