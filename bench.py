@@ -148,6 +148,7 @@ HEADLINE: list[str] = [
     "t43_bigram_novelty_score",
     "e31_point_in_time_features",
     "p25_cdf_downstream_sync",
+    "q88_hierarchy_closure",
 ]
 
 

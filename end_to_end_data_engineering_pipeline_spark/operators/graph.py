@@ -227,3 +227,59 @@ def triangle_count(
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def ancestors_by_doubling(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """(node, root, depth) for every CHILD node of a forest given
+    (child, parent) edges — root resolution and distance-to-root via
+    POINTER DOUBLING: after round r each node's pointer reaches its
+    2^r-th ancestor (or its root, wherever that is closer), so a
+    depth-D hierarchy resolves in ceil(log2(D)) rounds instead of
+    the D rounds of naive parent-chasing. This is the classic
+    parallel list-ranking/shortcutting technique (Wyllie '79;
+    the same jump-pointer idea as large-star CC), and the reason
+    hierarchy flattening — BOM explosion, org rollups, category
+    trees — is affordable as a sequence of Spark joins: at depth
+    1000 the naive plan runs 1000 shuffles, this runs 10.
+
+    Each round is one self-join of the pointer table on the shared
+    key layout plus a localCheckpoint to keep lineage flat (the
+    graph.py CC discipline). A root (a node that is never a child)
+    has no outgoing row, so composition left-joins and keeps
+    already-resolved pointers unchanged — after convergence every
+    row's pointer IS its root and ``depth`` the exact edge count.
+    Forests only: a cycle never terminates at a root (callers
+    validating untrusted edges should bound-check depth <=
+    ``max_depth`` on the result)."""
+    state = edges.select(
+        F.col(child_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        a = state.alias("a")
+        b = state.select(
+            F.col("node").alias("b_node"),
+            F.col("anc").alias("b_anc"),
+            F.col("d").alias("b_d"),
+        ).alias("b")
+        state = (
+            a.join(b, F.col("a.anc") == F.col("b_node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce(F.col("b_anc"), F.col("a.anc")).alias("anc"),
+                (
+                    F.col("a.d") + F.coalesce(F.col("b_d"), F.lit(0))
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+    )

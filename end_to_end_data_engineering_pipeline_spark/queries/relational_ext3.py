@@ -1266,3 +1266,44 @@ def q87_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_listed"),
         F.round(F.max("c_acctbal"), 2).alias("best_balance"),
     )
+
+
+@query(
+    "q88_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 10 AS parent
+      FROM part WHERE p_partkey >= 10),
+    anc AS (
+      SELECT child AS node, parent AS cur, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM anc a JOIN edges e ON e.child = a.cur)
+    SELECT node AS p_partkey, CAST(cur AS BIGINT) AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM anc
+    WHERE cur NOT IN (SELECT child FROM edges)
+    """,
+)
+def q88_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by pointer doubling
+    (operators/graph.py:ancestors_by_doubling): parts form a synthetic
+    forest (parent = partkey // 10, roots are single-digit keys), and
+    every node resolves its ROOT and exact DEPTH in ceil(log2(D))
+    self-joins instead of D parent-chasing rounds — the BOM-explosion
+    / org-rollup / category-tree primitive Spark lacks natively
+    (no recursive CTE), verified against DuckDB's WITH RECURSIVE
+    transitive closure. At a depth-1000 hierarchy the naive plan
+    runs 1000 shuffles; doubling runs 10."""
+    from ..operators.graph import ancestors_by_doubling
+
+    p = load(spark, sf_dir, "part")
+    edges = p.where(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey DIV 10").alias("parent"),
+    )
+    return ancestors_by_doubling(edges).select(
+        F.col("node").alias("p_partkey"),
+        F.col("root").cast("long").alias("root"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -783,3 +783,29 @@ def test_rrf_fuse_matches_fold_model(spark, rankings):
     ]
     for (_, ws), (_, gs, _) in zip(want, got):
         assert abs(gs - ws) < 1e-12
+
+
+def test_ancestors_by_doubling_deep_chain(spark):
+    """A depth-60 chain resolves with 6 doubling rounds' reach (2^6=64)
+    and exact depths; branching forest roots resolve per-tree."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.graph import (
+        ancestors_by_doubling,
+    )
+
+    # chain 0<-1<-2<-...<-60  (parent = k-1), plus a second tree:
+    # 100 <- {101, 102}, 101 <- 103
+    chain = [(k, k - 1) for k in range(1, 61)]
+    tree = [(101, 100), (102, 100), (103, 101)]
+    edges = spark.createDataFrame(chain + tree, "child long, parent long")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in ancestors_by_doubling(edges, max_depth=64).collect()
+    }
+    assert got[60] == (0, 60)
+    assert got[1] == (0, 1)
+    assert got[30] == (0, 30)
+    assert got[101] == (100, 1)
+    assert got[103] == (100, 2)
+    assert len(got) == 63  # every child node, roots excluded
