@@ -149,6 +149,7 @@ HEADLINE: list[str] = [
     "e31_point_in_time_features",
     "p25_cdf_downstream_sync",
     "q88_hierarchy_closure",
+    "m6_media_dedup_clusters",
 ]
 
 

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "e31_point_in_time_features",
     "p25_cdf_downstream_sync",
     "q88_hierarchy_closure",
+    "m6_media_dedup_clusters",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -117,7 +118,6 @@ _PRIORITY: list[str] = [
     "q28_unpivot",
     "q36_notin_count_distinct",
     "q50_disjunctive_join_predicates",
-    "q56_customer_order_distribution",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

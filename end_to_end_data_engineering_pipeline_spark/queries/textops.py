@@ -2280,3 +2280,94 @@ def t43_bigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bigram_novelty(docs)
+
+
+@query(
+    "m6_media_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE frames AS (
+      SELECT DISTINCT doc_id AS media_id,
+             md5(substring(text, off + 1, 256)) AS fmd5
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(0, length(text), 256)) AS off
+            FROM documents)
+    ),
+    sizes AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+      FROM frames GROUP BY media_id
+    ),
+    shared AS (
+      SELECT a.media_id AS lo, b.media_id AS hi,
+             CAST(COUNT(*) AS BIGINT) AS shared_frames
+      FROM frames a JOIN frames b
+        ON b.fmd5 = a.fmd5 AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id
+    ),
+    pairs AS (
+      SELECT lo, hi FROM shared
+      JOIN sizes sa ON sa.media_id = lo
+      JOIN sizes sb ON sb.media_id = hi
+      WHERE CAST(shared_frames AS DOUBLE)
+            / (sa.n_frames + sb.n_frames - shared_frames) >= 0.3
+    ),
+    edges AS (
+      SELECT lo AS src, hi AS dst FROM pairs
+      UNION SELECT hi, lo FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+    ),
+    clusters AS (
+      SELECT node AS media_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT c.media_id, c.cluster_id, s.n_frames,
+           CAST(c.media_id = (
+             SELECT c2.media_id FROM clusters c2
+             JOIN sizes s2 ON s2.media_id = c2.media_id
+             WHERE c2.cluster_id = c.cluster_id
+             ORDER BY s2.n_frames DESC, c2.media_id LIMIT 1
+           ) AS BOOLEAN) AS is_canonical
+    FROM clusters c JOIN sizes s ON s.media_id = c.media_id
+    """,
+)
+def m6_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media dedup: frame-overlap pairs (m5's operator) at
+    frame-Jaccard >= 0.3 close into CLUSTERS via min-label connected
+    components, and each cluster elects one CANONICAL medium (most
+    sampled frames, then min id — 'keep the most complete copy', the
+    video-dedup analog of t24's quality-aware canonical pick). The
+    keep/drop decision is transitive: a trimmed copy and a re-muxed
+    copy of the same master land in ONE cluster with one survivor.
+    Composes multimodal sampling, exact frame hashing, the iterative
+    CC operator, and a window election — all verified against the
+    recursive-CTE closure oracle. Every join moves (md5, media_id)
+    or (media_id, label) narrow rows; frames never re-read."""
+    from ..operators.graph import connected_components
+    from ..operators.multimodal import (
+        documents_as_media,
+        frame_overlap_pairs,
+    )
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    ov = frame_overlap_pairs(media)
+    pairs = ov.where(F.col("frame_jaccard") >= 0.3).select("lo", "hi")
+    cl = connected_components(pairs, src_col="lo", dst_col="hi").select(
+        F.col("node").alias("media_id"), "cluster_id"
+    )
+    sizes = ov.select(
+        F.col("lo").alias("media_id"), F.col("n_lo").alias("n_frames")
+    ).unionByName(
+        ov.select(
+            F.col("hi").alias("media_id"), F.col("n_hi").alias("n_frames")
+        )
+    ).groupBy("media_id").agg(F.max("n_frames").alias("n_frames"))
+    j = cl.join(sizes, "media_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_frames").desc(), "media_id"
+    )
+    return j.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    ).select("media_id", "cluster_id", "n_frames", "is_canonical")
