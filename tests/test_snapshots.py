@@ -1556,3 +1556,30 @@ class TestSnapshotSync:
         v = snapshot_sync(spark, src, dst, ["k"], from_version=0)
         assert v == 0
         assert current_version(dst) == 0  # no empty commits
+
+
+def test_snapshot_changes_on_range_clustered_manifest(spark, tmp_path):
+    """CDF works on the stats_col flavor too: the rewrite restages
+    sorted files, the feed still reports only net row changes."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_merge,
+        snapshot_write_sorted,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write_sorted(spark, t, df, "k")
+    upd = spark.createDataFrame([(5, 999), (200, 1)], "k long, v long")
+    v1 = snapshot_merge(spark, t, upd, ["k"])
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in snapshot_changes(spark, t, ["k"], 0, v1).collect()
+    )
+    assert got == [
+        (5, 10, "update_preimage"),
+        (5, 999, "update_postimage"),
+        (200, 1, "insert"),
+    ]
