@@ -1354,28 +1354,22 @@ def mmr_topk(
     corpus pass sublinear too."""
     from ..catalog import fan_out
 
+    # the candidate pool IS brute-force top-k (same scoring, same
+    # (cosine desc, cand_id) tiebreak — one maintained copy of that
+    # contract); join the scaled vectors back for the pairwise stage
     base = with_scaled(fan_out(emb), id_col, vec_col)
-    q = base.where(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"),
-        F.col("sv").alias("qsv"),
-        F.col("n2").alias("qn2"),
-    )
-    scored = base.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
-        "query_id",
-        F.col("id").alias("cand_id"),
-        "sv",
-        "n2",
-        cosine_scaled(
-            dot_scaled(F.col("qsv"), F.col("sv")), F.col("qn2"), F.col("n2")
-        ).alias("rel"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
     pool_df = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= pool)
-        .drop("rn")
+        cosine_topk_bruteforce(
+            emb, query_ids, k=pool, id_col=id_col, vec_col=vec_col
+        )
+        .select("query_id", "cand_id", F.col("cosine").alias("rel"))
+        .join(
+            base.select(F.col("id").alias("cand_id"), "sv", "n2"),
+            "cand_id",
+        )
         .localCheckpoint(eager=True)  # bounded: |queries| x pool rows
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
     a = pool_df.select(
         "query_id",
         F.col("cand_id").alias("a_id"),

@@ -1618,12 +1618,24 @@ def snapshot_sync(
 
     vs = list_versions(src)
     to_v = vs[-1] if to_version is None else to_version
-    feed = snapshot_changes(spark, src, keys, from_version, to_v)
+    if to_v < from_version:
+        # snapshot_changes(5, 3) would compute the INVERSE diff and
+        # silently roll the replica backwards — a stale pin or a
+        # post-crash replay with a future bookmark must fail loudly
+        raise ValueError(
+            f"sync span runs backwards: from_version={from_version} > "
+            f"to_version={to_v} (bookmark ahead of source?)"
+        )
+    # materialize the feed once: it is change-sized by construction,
+    # and the two emptiness probes + merge + delete below would
+    # otherwise each re-read and re-join the changed files
+    feed = snapshot_changes(
+        spark, src, keys, from_version, to_v
+    ).localCheckpoint(eager=True)
     ups = feed.where(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
     dels = feed.where(F.col("_change_type") == "delete").select(*keys)
-    # bounded actions: both sides are change-sized by construction
     if ups.limit(1).count():
         snapshot_merge(spark, dst, ups, keys)
     if dels.limit(1).count():

@@ -1499,10 +1499,10 @@ def p22_partitioned_schema_evolution(
     return out
 
 
-@query(
-    "p23_change_data_feed",
-    oracle="""
-    WITH base AS (
+# Shared p23/p25 commit history (producer and consumer must test the
+# SAME story): v0 seeds orders, a CoW MERGE reprices %7 keys 2x and
+# clones %11 keys under +1e9 ids, a keyed DELETE removes %13 originals.
+_O_CDF_BASE_V2 = """base AS (
       SELECT o_orderkey AS k, o_orderstatus AS s,
              CAST(o_totalprice AS DECIMAL(15,2)) AS p
       FROM orders),
@@ -1512,7 +1512,40 @@ def p22_partitioned_schema_evolution(
                   ELSE p END AS p
       FROM base WHERE k % 13 <> 0
       UNION ALL
-      SELECT k + 1000000000 AS k, s, p FROM base WHERE k % 11 = 0),
+      SELECT k + 1000000000 AS k, s, p FROM base WHERE k % 11 = 0)"""
+
+
+def _cdf_orders_history(spark: SparkSession, sf_dir: str):
+    """(o, upd, dele) for the shared CDF scenario: the seed
+    projection, the merge batch (%7 repriced, %11 cloned), and the
+    delete keys (%13 originals) — one definition so p23 (the feed)
+    and p25 (the sync) can never drift onto different histories."""
+    from ..functions import dec2
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "price",
+        )
+    )
+    dele = o.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    return o, upd, dele
+
+
+@query(
+    "p23_change_data_feed",
+    oracle=f"""
+    WITH {_O_CDF_BASE_V2},
     d AS (
       SELECT COALESCE(b.k, a.k) AS k,
              b.s AS bs, a.s AS s2,
@@ -1556,7 +1589,6 @@ def p23_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..functions import dec2
     from ..operators.snapshots import (
         snapshot_changes,
         snapshot_delete,
@@ -1564,29 +1596,13 @@ def p23_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        dec2("o_totalprice").alias("price"),
-    )
+    o, upd, dele = _cdf_orders_history(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="p23_cdf_")
     path = tmp + "/t"
     try:
         with fixture_phase():  # seed v0; operator = CoW commits + CDF
             snapshot_write(spark, path, o)
-        upd = o.where(F.col("o_orderkey") % 7 == 0).select(
-            "o_orderkey",
-            "o_orderstatus",
-            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
-        ).unionByName(
-            o.where(F.col("o_orderkey") % 11 == 0).select(
-                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
-                "o_orderstatus",
-                "price",
-            )
-        )
         snapshot_merge(spark, path, upd, keys=["o_orderkey"])
-        dele = o.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
         v2 = snapshot_delete(spark, path, dele, keys=["o_orderkey"])
         out = snapshot_changes(
             spark, path, ["o_orderkey"], 0, v2
@@ -1648,10 +1664,13 @@ def p24_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_shipdate",
     )
-    a_old = o.where(F.col("o_orderdate") < "1997-01-01").drop("o_orderdate")
-    d_a = o.where(F.col("o_orderdate") >= "1997-01-01").drop("o_orderdate")
-    b_old = li.where(F.col("l_shipdate") < "1997-06-01").drop("l_shipdate")
-    d_b = li.where(F.col("l_shipdate") >= "1997-06-01").drop("l_shipdate")
+    # late cutoffs keep the deltas genuinely SMALL (~4-5% of each
+    # table) — the broadcast-the-delta plan this query demonstrates
+    # is only honest when the delta is broadcast-sized
+    a_old = o.where(F.col("o_orderdate") < "2001-04-01").drop("o_orderdate")
+    d_a = o.where(F.col("o_orderdate") >= "2001-04-01").drop("o_orderdate")
+    b_old = li.where(F.col("l_shipdate") < "2001-08-01").drop("l_shipdate")
+    d_b = li.where(F.col("l_shipdate") >= "2001-08-01").drop("l_shipdate")
     b_new = b_old.unionByName(d_b)
 
     seed = (
@@ -1681,22 +1700,12 @@ def p24_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p25_cdf_downstream_sync",
-    oracle="""
-    WITH base AS (
-      SELECT o_orderkey AS k, o_orderstatus AS s,
-             CAST(o_totalprice AS DECIMAL(15,2)) AS p
-      FROM orders),
-    final AS (
-      SELECT k, s,
-             CASE WHEN k % 7 = 0 THEN CAST(p * 2 AS DECIMAL(15,2))
-                  ELSE p END AS p
-      FROM base WHERE k % 13 <> 0
-      UNION ALL
-      SELECT k + 1000000000 AS k, s, p FROM base WHERE k % 11 = 0)
+    oracle=f"""
+    WITH {_O_CDF_BASE_V2}
     SELECT s AS o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(ROUND(SUM(p), 4) AS DOUBLE) AS total_price
-    FROM final GROUP BY s
+    FROM v2 GROUP BY s
     """,
 )
 def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,7 +1725,6 @@ def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..functions import dec2
     from ..operators.snapshots import (
         snapshot_delete,
         snapshot_merge,
@@ -1725,35 +1733,15 @@ def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        dec2("o_totalprice").alias("price"),
-    )
+    o, upd, dele = _cdf_orders_history(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="p25_sync_")
     src, dst = tmp + "/src", tmp + "/dst"
     try:
         with fixture_phase():  # seed source + replica at v0
             snapshot_write(spark, src, o)
             snapshot_write(spark, dst, o)
-        upd = o.where(F.col("o_orderkey") % 7 == 0).select(
-            "o_orderkey",
-            "o_orderstatus",
-            (F.col("price") * 2).cast("decimal(15,2)").alias("price"),
-        ).unionByName(
-            o.where(F.col("o_orderkey") % 11 == 0).select(
-                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
-                "o_orderstatus",
-                "price",
-            )
-        )
         snapshot_merge(spark, src, upd, keys=["o_orderkey"])
-        snapshot_delete(
-            spark,
-            src,
-            o.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
-            keys=["o_orderkey"],
-        )
+        snapshot_delete(spark, src, dele, keys=["o_orderkey"])
         snapshot_sync(spark, src, dst, ["o_orderkey"], from_version=0)
         out = (
             snapshot_read(spark, dst)

@@ -2307,8 +2307,8 @@ def t43_bigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lo, hi FROM shared
       JOIN sizes sa ON sa.media_id = lo
       JOIN sizes sb ON sb.media_id = hi
-      WHERE CAST(shared_frames AS DOUBLE)
-            / (sa.n_frames + sb.n_frames - shared_frames) >= 0.3
+      WHERE ROUND(CAST(shared_frames AS DOUBLE)
+                  / (sa.n_frames + sb.n_frames - shared_frames), 6) >= 0.3
     ),
     edges AS (
       SELECT lo AS src, hi AS dst FROM pairs

@@ -1583,3 +1583,25 @@ def test_snapshot_changes_on_range_clustered_manifest(spark, tmp_path):
         (5, 999, "update_postimage"),
         (200, 1, "insert"),
     ]
+
+
+def test_snapshot_sync_refuses_backwards_span(spark, tmp_path):
+    """A bookmark ahead of the requested to_version must raise, not
+    silently apply the inverse diff and regress the replica."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_sync,
+        snapshot_write,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    snapshot_write(spark, src, df)
+    snapshot_write(spark, dst, df)
+    snapshot_merge(
+        spark, src, spark.createDataFrame([(2, "b")], "k long, v string"), ["k"]
+    )
+    with _pytest.raises(ValueError, match="backwards"):
+        snapshot_sync(spark, src, dst, ["k"], from_version=1, to_version=0)
