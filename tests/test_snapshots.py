@@ -1605,3 +1605,61 @@ def test_snapshot_sync_refuses_backwards_span(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="backwards"):
         snapshot_sync(spark, src, dst, ["k"], from_version=1, to_version=0)
+
+
+def test_snapshot_changes_agrees_with_snapshot_diff(spark, tmp_path):
+    """Cross-operator consistency: over ANY commit history, the net
+    file-diff feed (snapshot_changes) must describe exactly the same
+    row set as the full-version outer-join diff (snapshot_diff) —
+    insert<->added, delete<->removed, update pre/post <-> changed."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        current_version,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_diff,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("v")
+    ).repartition(10, "k")
+    snapshot_write(spark, t, base)
+    # a scripted but irregular history: merge, compact, delete, merge
+    snapshot_merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(3, "x3"), (17, "x17"), (100, "n100")], "k long, v string"
+        ),
+        ["k"],
+    )
+    snapshot_compact(spark, t, small_file_bytes=1 << 30)
+    snapshot_delete(
+        spark, t, spark.createDataFrame([(8,), (100,)], "k long"), ["k"]
+    )
+    snapshot_merge(
+        spark, t, spark.createDataFrame([(3, "y3")], "k long, v string"), ["k"]
+    )
+    vN = current_version(t)
+
+    feed = snapshot_changes(spark, t, ["k"], 0, vN)
+    got_feed = {
+        (r.k, r.v, r._change_type) for r in feed.collect()
+    }
+    diff = snapshot_diff(spark, t, ["k"], 0, vN)
+    expect = set()
+    for r in diff.collect():
+        if r.change == "added":
+            expect.add((r.k, r.v_to, "insert"))
+        elif r.change == "removed":
+            expect.add((r.k, r.v_from, "delete"))
+        else:
+            expect.add((r.k, r.v_from, "update_preimage"))
+            expect.add((r.k, r.v_to, "update_postimage"))
+    assert got_feed == expect
+    # and the compaction between commits added no phantom changes:
+    # key 100 (inserted then deleted) must be absent entirely
+    assert not any(k == 100 for k, _, _ in got_feed)
