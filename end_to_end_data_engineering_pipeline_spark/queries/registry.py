@@ -51,16 +51,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the prefix is exactly 50 registered, oracled names.
 #
 # Round-9 rotation: the never-driver-validated r9-born queries go
-# first (t41 flag set, sim19 IVF delete-refresh, e28 watermark late
-# audit, sim20 IVF append, p21 WAP tags, q87 listagg, e29 lag
-# percentiles, p22 partitioned evolution), then the evidence ledger's
-# stalest entries fill the remaining slots — all 17 r1-validated
-# relational queries, the 2 r2 and 5 r4 holdouts, and the r5 band up
-# to capacity (t13/t17 stay out this round; min registry freshness
-# after r9 = r5). q31_approx_sketches stays out: rows-only by design
-# (no oracle), and the gate prefix is pinned to oracled names. New
-# queries are appended here as they land (displacing the freshest
-# fill), keeping the never-validated-first invariant
+# first — the first wave (t41 flag set, sim19 IVF delete-refresh,
+# e28 watermark late audit, sim20 IVF append, p21 WAP tags, q87
+# listagg, e29 lag percentiles, p22 partitioned evolution) and the
+# second wave (p23 change-data-feed, p24 join-IVM, sim21 MMR, t42
+# BPE step, t43 bigram novelty, e31 point-in-time features, p25 CDF
+# sync, q88 pointer doubling, m6 media dedup clusters) — then the
+# evidence ledger's stalest entries fill the remaining 33 slots:
+# all 17 r1-validated relational queries, the 2 r2 and 5 r4
+# holdouts, and the oldest r5 entries up to capacity (each
+# second-wave landing displaced the freshest r5 fill; min registry
+# freshness after r9 = r5). q31_approx_sketches stays out: rows-only
+# by design (no oracle), and the gate prefix is pinned to oracled
+# names. New queries are appended here as they land, keeping the
+# never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
     # --- never driver-validated (r9-born) ---
