@@ -150,6 +150,7 @@ HEADLINE: list[str] = [
     "p25_cdf_downstream_sync",
     "q88_hierarchy_closure",
     "m6_media_dedup_clusters",
+    "q89_table_profile",
 ]
 
 

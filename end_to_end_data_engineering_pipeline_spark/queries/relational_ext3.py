@@ -1307,3 +1307,93 @@ def q88_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("root").cast("long").alias("root"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+@query(
+    "q89_table_profile",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(15,2)) AS price,
+             CAST(l_discount AS DECIMAL(9,4)) AS disc,
+             STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship,
+             l_returnflag AS flag
+      FROM lineitem)
+    SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(qty) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT qty) AS BIGINT) AS n_distinct,
+           CAST(MIN(qty) AS VARCHAR) AS min_val,
+           CAST(MAX(qty) AS VARCHAR) AS max_val
+    FROM t
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(price),
+           COUNT(DISTINCT price),
+           CAST(MIN(price) AS VARCHAR), CAST(MAX(price) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(disc),
+           COUNT(DISTINCT disc),
+           CAST(MIN(disc) AS VARCHAR), CAST(MAX(disc) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(ship),
+           COUNT(DISTINCT ship), MIN(ship), MAX(ship)
+    FROM t
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(flag),
+           COUNT(DISTINCT flag), MIN(flag), MAX(flag)
+    FROM t
+    """,
+)
+def q89_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler: per column (n_rows, n_null,
+    n_distinct, min, max) in long format — the generic twin of the
+    reference's per-check quality suite (quality_checks/checks.py
+    hand-writes one query per rule; a profiler computes the raw
+    material for EVERY range/null/cardinality rule in one scan). All
+    five columns' aggregates fold in a single groupBy-less pass
+    (Catalyst computes the 25 aggregates side by side); the long
+    format comes from an in-row stack, not five scans — at 100 TB
+    the difference between profiling a table and reading it five
+    times. Values render through exact decimal/ISO-string casts so
+    the DuckDB oracle matches bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(15,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("price"),
+        F.col("l_discount").cast("decimal(9,4)").alias("disc"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    aggs = []
+    for c in ("qty", "price", "disc", "ship", "flag"):
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}_null"),
+            F.countDistinct(c).cast("long").alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    names = {
+        "qty": "l_quantity",
+        "price": "l_extendedprice",
+        "disc": "l_discount",
+        "ship": "l_shipdate",
+        "flag": "l_returnflag",
+    }
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(names[c]).alias("col"),
+                    F.col(f"{c}_rows").alias("n_rows"),
+                    F.col(f"{c}_null").alias("n_null"),
+                    F.col(f"{c}_distinct").alias("n_distinct"),
+                    F.col(f"{c}_min").alias("min_val"),
+                    F.col(f"{c}_max").alias("max_val"),
+                )
+                for c in ("qty", "price", "disc", "ship", "flag")
+            ]
+        )
+    )
+    return one.select(stacked.alias("p")).select("p.*")
