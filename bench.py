@@ -151,6 +151,7 @@ HEADLINE: list[str] = [
     "q88_hierarchy_closure",
     "m6_media_dedup_clusters",
     "q89_table_profile",
+    "e32_stream_stream_attribution",
 ]
 
 

@@ -1718,3 +1718,39 @@ def e31_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since_last"),
     )
+
+
+@query(
+    "e32_stream_stream_attribution",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def e32_stream_stream_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermarked STREAM-STREAM interval join under the value
+    hash gate: this calls streaming/windows.py
+    stream_stream_attribution — the exact function the streaming
+    tests run with rate/file sources — on batch inputs (withWatermark
+    is a no-op outside streaming, the join predicate is identical),
+    so the oracle grades the very code path that attributes each
+    purchase to the same user's views in the preceding hour under
+    bounded state. The event-time-skew bound in the join condition
+    is what lets Spark size and evict stream-stream join state; its
+    batch semantics are just this interval join. Streaming delivery
+    semantics (state eviction, late rows dropping, left-outer
+    emit-on-watermark) are pinned in tests/test_streaming.py."""
+    from ..streaming.windows import stream_stream_attribution
+
+    ev = load(spark, sf_dir, "events")
+    return stream_stream_attribution(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        gap="1 hour",
+    )
