@@ -152,6 +152,7 @@ HEADLINE: list[str] = [
     "m6_media_dedup_clusters",
     "q89_table_profile",
     "e32_stream_stream_attribution",
+    "p26_timestamp_asof_read",
 ]
 
 

@@ -1757,3 +1757,88 @@ def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p26_timestamp_asof_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS p
+      FROM orders),
+    v1 AS (
+      SELECT k, s,
+             CASE WHEN k % 5 = 0 THEN CAST(p * 3 AS DECIMAL(15,2))
+                  ELSE p END AS p
+      FROM base)
+    SELECT 'asof_between' AS stage, s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(p), 4) AS DOUBLE) AS total_price
+    FROM base GROUP BY s
+    UNION ALL
+    SELECT 'asof_now', s, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(p), 4) AS DOUBLE)
+    FROM v1 GROUP BY s
+    """,
+)
+def p26_timestamp_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF under the value-hash gate
+    (operators/snapshots.py:snapshot_version_asof — every manifest
+    records its commit instant; the resolver returns the newest
+    version at-or-before a timestamp): version 0 seeds orders,
+    version 1 reprices every %5 key 3x, and the query reads the
+    table AS OF an instant strictly between the two commits (the
+    resolver must land on v0) and AS OF now (must land on v1),
+    aggregating both under one oracle. The midpoint instant comes
+    from the manifests' own recorded commit times, so the pin holds
+    regardless of wall-clock jitter. This is the audit/debug read
+    pattern ('what did the table say when the report ran?') that
+    time travel by version number alone can't serve — reports
+    record times, not version numbers."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..functions import dec2
+    from ..operators.snapshots import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version_asof,
+        snapshot_write,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec2("o_totalprice").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="p26_asof_")
+    path = tmp + "/t"
+
+    def _agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("price"), 4).cast("double").alias("total_price"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    try:
+        with fixture_phase():  # seed v0
+            snapshot_write(spark, path, o)
+        upd = o.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("price") * 3).cast("decimal(15,2)").alias("price"),
+        )
+        snapshot_merge(spark, path, upd, keys=["o_orderkey"])
+        h = snapshot_history(path)
+        mid = (h[0]["committed_at"] + h[1]["committed_at"]) / 2
+        v_mid = snapshot_version_asof(path, mid)
+        v_now = snapshot_version_asof(path, _time.time())
+        out = _agg(
+            snapshot_read(spark, path, v_mid), "asof_between"
+        ).unionByName(_agg(snapshot_read(spark, path, v_now), "asof_now"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "m6_media_dedup_clusters",
     "q89_table_profile",
     "e32_stream_stream_attribution",
+    "p26_timestamp_asof_read",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "q20_percentiles",
     "q26_grouping_sets",
     "q27_pivot",
-    "q28_unpivot",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
