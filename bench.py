@@ -153,6 +153,7 @@ HEADLINE: list[str] = [
     "q89_table_profile",
     "e32_stream_stream_attribution",
     "p26_timestamp_asof_read",
+    "sim22_filtered_ann_topk",
 ]
 
 

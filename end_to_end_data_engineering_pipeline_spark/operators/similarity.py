@@ -338,21 +338,37 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: score only vectors in the query's nprobe nearest
     cells. Cell assignment is relational (see _cell_distances);
     candidate selection is an equi-join on the cell id — candidates
-    shrink ~n_centroids/nprobe-fold vs brute force."""
+    shrink ~n_centroids/nprobe-fold vs brute force.
+
+    ``corpus_emb`` enables FILTERED SEARCH (the vector-DB feature:
+    top-k among vectors satisfying a metadata predicate, queries
+    drawn from the full set): pass ``emb.where(pred)`` and the
+    predicate travels to the corpus scan as an ordinary pushed
+    filter — pre-filtering, so every returned candidate satisfies
+    it and k results are k qualifying results, not post-filtered
+    leftovers. Cell assignment is per-vector, so filtering before
+    assignment equals filtering after; doing it before lets Catalyst
+    prune at the source."""
     from ..catalog import fan_out
 
     # uncached: base feeds three branches, but each is a narrow map over
     # the scan (query branches isin-pushed); a lazily-returned cache of
     # the scaled corpus would leak and OOM at corpus scale.
     base = with_scaled(fan_out(emb), id_col, vec_col)
-    corpus_cells = _assign_cells(base, centroids, nprobe=1).select(
+    cbase = (
+        base
+        if corpus_emb is None
+        else with_scaled(fan_out(corpus_emb), id_col, vec_col)
+    )
+    corpus_cells = _assign_cells(cbase, centroids, nprobe=1).select(
         "id", F.col("cid").alias("cell")
     )
-    corpus = base.join(corpus_cells, "id")
+    corpus = cbase.join(corpus_cells, "id")
     qbase = base.where(F.col("id").isin(query_ids))
     q_cells = _assign_cells(qbase, centroids, nprobe=nprobe).select(
         F.col("id").alias("query_id"), F.col("cid").alias("cell")

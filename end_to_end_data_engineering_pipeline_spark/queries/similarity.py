@@ -1415,3 +1415,40 @@ def sim21_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank",
         F.col("rel").alias("cosine"),
     )
+
+
+@query(
+    "sim22_filtered_ann_topk",
+    oracle=f"""
+    WITH {_O_SCALED},
+    {_o_ivf_ctes(" AND cc.id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 1)")}
+    SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ivf_ranked
+    """,
+)
+def sim22_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED approximate search — the vector-DB feature every
+    retrieval stack ships (Milvus/Qdrant/pgvector 'metadata
+    filtering'): top-k cosine among corpus vectors satisfying a
+    predicate (odd label), queries drawn from the FULL set. The
+    operator (ivf_topk's corpus_emb) PRE-filters: the predicate
+    travels to the corpus scan as a pushed filter, cell assignment
+    runs on survivors only, and k results are k QUALIFYING results —
+    not the post-filter approach whose k results can shrink to
+    nothing when the predicate is selective. Oracle = the shared IVF
+    chain with the same predicate on the candidate corpus. At 100 TB
+    the filter prunes candidate bytes before any distance math, and
+    combined with the IVF-as-layout path (sim14) it prunes at the
+    manifest level too."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        QUERY_IDS,
+        _centroids_for(spark, sf_dir, emb),
+        k=10,
+        nprobe=_NPROBE,
+        corpus_emb=emb.where(F.col("label") % 2 == 1),
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))

@@ -691,3 +691,30 @@ def test_mmr_rank1_equals_bruteforce_rank1(spark, sf_dir):
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 4 for r in per_q)
     assert out.select("query_id", "cand_id").distinct().count() == out.count()
+
+
+def test_filtered_ann_results_all_satisfy_predicate(spark, sf_dir):
+    """Pre-filtered search: every returned candidate satisfies the
+    predicate, queries come from the full set, and sim1-style
+    unfiltered search would have returned disqualified candidates."""
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_centroids=8, iters=1)
+    filt = ivf_topk(
+        emb, [0, 1], cents, k=5, nprobe=8,
+        corpus_emb=emb.where(F.col("label") % 2 == 1),
+    )
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = filt.collect()
+    assert rows, "filtered search returned nothing"
+    assert all(labels[r.cand_id] % 2 == 1 for r in rows)
+    # unfiltered (same cells, nprobe=all) DOES return even-label hits,
+    # so the filter is doing real work
+    unfilt = ivf_topk(emb, [0, 1], cents, k=5, nprobe=8)
+    assert any(labels[r.cand_id] % 2 == 0 for r in unfilt.collect())
