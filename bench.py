@@ -154,6 +154,7 @@ HEADLINE: list[str] = [
     "e32_stream_stream_attribution",
     "p26_timestamp_asof_read",
     "sim22_filtered_ann_topk",
+    "e33_rfm_segments",
 ]
 
 

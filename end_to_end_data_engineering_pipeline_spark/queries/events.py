@@ -1754,3 +1754,76 @@ def e32_stream_stream_attribution(
         ev.where(F.col("event_type") == "purchase"),
         gap="1 hour",
     )
+
+
+@query(
+    "e33_rfm_segments",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(value AS DECIMAL(15,2))) AS money
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    scored AS (
+      SELECT user_id, freq, money,
+             NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY money DESC, user_id) AS m
+      FROM pu)
+    SELECT CAST(r AS BIGINT) || '-' || CAST(f AS BIGINT) || '-'
+             || CAST(m AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS n_purchases,
+           CAST(ROUND(SUM(money), 4) AS DOUBLE) AS total_value
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def e33_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle-marketing workload:
+    each purchasing user scored into recency/frequency/monetary
+    quartiles (NTILE with a user_id tiebreak, so bucket edges are
+    deterministic), users grouped into 'r-f-m' segments with counts
+    and exact decimal value totals. The quartiles here are global
+    NTILE windows (one sort each over USER-cardinality rows — the
+    purchase fold already reduced the fact table, so the sorts are
+    dimension-sized); at extreme user counts the same segmentation
+    runs on approx-quantile cut points instead, trading exactness
+    for no global sort. One fact-table pass, three window sorts,
+    one small aggregate."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("value").cast("decimal(15,2)")).alias("money"),
+    )
+    scored = pu.select(
+        "user_id",
+        "freq",
+        "money",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("money").desc(), "user_id"))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("freq").cast("long").alias("n_purchases"),
+        F.round(F.sum("money"), 4).cast("double").alias("total_value"),
+    ).select(
+        F.concat_ws(
+            "-",
+            F.col("r").cast("long"),
+            F.col("f").cast("long"),
+            F.col("m").cast("long"),
+        ).alias("segment"),
+        "n_users",
+        "n_purchases",
+        "total_value",
+    )

@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "e32_stream_stream_attribution",
     "p26_timestamp_asof_read",
     "sim22_filtered_ann_topk",
+    "e33_rfm_segments",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "e12_weekly_cohort_retention",
     "q10_rollup",
     "q20_percentiles",
-    "q26_grouping_sets",
 ]
 
 # Evidence ledger: latest round each query was driver-green in
