@@ -1488,3 +1488,75 @@ def test_streaming_wap_sink_publishes_only_audited_batches(spark, tmp_path):
         )
         == good
     )
+
+
+def test_stateful_running_totals_tws_matches_v1(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas twin emits the same
+    final running totals as the applyInPandasWithState operator on
+    identical micro-batched input (RocksDB state store, as the new
+    API requires). Skipped where protobuf is absent (the API's
+    Python state server needs it); the guard itself is always
+    asserted."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_pipeline_spark.streaming.stateful import (
+        StatefulV2Unavailable,
+        running_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        # the guard must fire loudly, not crash a query mid-stream
+        with _pytest.raises(StatefulV2Unavailable, match="protobuf"):
+            running_user_totals_tws(
+                spark.readStream.format("rate").load().selectExpr(
+                    "value AS user_id", "CAST(value AS DOUBLE) AS value"
+                )
+            )
+        _pytest.skip("protobuf runtime absent; guard behavior verified")
+
+    src = str(tmp_path / "tws_src")
+    base = dt.datetime(2026, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(
+        [(1, base, 1, "a", 10.50, "{}"), (2, base, 2, "a", 1.25, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, base, 1, "b", 2.25, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = running_user_totals_tws(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    # same contract the v1 test pins
+    assert final[1] == (2, 12.75)
+    assert final[2] == (1, 1.25)
