@@ -155,6 +155,7 @@ HEADLINE: list[str] = [
     "p26_timestamp_asof_read",
     "sim22_filtered_ann_topk",
     "e33_rfm_segments",
+    "t44_lsh_candidate_audit",
 ]
 
 

@@ -203,12 +203,18 @@ def t6_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_t7_ctes(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+def _o_t7_ctes(
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    where: str = "",
+) -> str:
     """CTE chain mirroring minhash_lsh_pairs: 16-hash signature, 4-band
     keys, band-collision candidates, exact-Jaccard verify — every stage
     deterministic via the shared md5 hash32, so the whole LSH pipeline
     sits under the strict value-hash gate. Ends with a ``pairs`` CTE so
-    downstream oracles (t12 clustering) can build on it."""
+    downstream oracles (t12 clustering) can build on it. ``where``
+    optionally slices the corpus (t44's bounded audit)."""
     rows = n_hashes // bands
     mh = ", ".join(_o_minhash(i) for i in range(n_hashes))
     band_cols = ", ".join(
@@ -223,7 +229,7 @@ def _o_t7_ctes(n_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> st
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
         for b in range(bands)
     )
-    ctes = f"""sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    ctes = f"""sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents{where}),
     hashed AS (SELECT doc_id,
                       list_transform(s, x -> {_o_hash32("x")}) AS hs
                FROM sh),
@@ -2371,3 +2377,86 @@ def m6_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.withColumn(
         "is_canonical", F.row_number().over(w) == 1
     ).select("media_id", "cluster_id", "n_frames", "is_canonical")
+
+
+@query(
+    "t44_lsh_candidate_audit",
+    oracle=f"""
+    WITH {_o_t7_ctes(where=" WHERE doc_id < 1000")},
+    ttok AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    tinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ttok a JOIN ttok b ON b.g = a.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    tsizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    truth AS (
+      SELECT id_a, id_b FROM tinter
+      JOIN tsizes sa ON sa.doc_id = id_a
+      JOIN tsizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_inter * 1000000.0 / (sa.n + sb.n - n_inter))
+            / 1000000.0 >= 0.3),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tp
+           FROM cand JOIN truth USING (id_a, id_b))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           n_tp,
+           ROUND(CAST(n_tp AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall,
+           ROUND(CAST(n_tp AS DOUBLE)
+                 / (SELECT COUNT(*) FROM cand), 6) AS cand_precision
+    FROM tp
+    """,
+)
+def t44_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit of MinHash LSH banding — the text-side
+    mirror of sim18's ANN recall table: on a bounded corpus slice
+    (doc_id < 1000, so the exact truth stays cheap at every sf), the
+    EXACT shingle-Jaccard >= 0.3 pair set (inverted-index join, the
+    scalable exact formulation — never all-pairs) is compared against
+    the LSH band-collision CANDIDATE set. recall = how many true
+    near-dup pairs banding surfaces at all (missed candidates are
+    unrecoverable — verification can only discard); cand_precision =
+    what fraction of surfaced candidates survive exact verification
+    (the wasted-verification dial). These two numbers ARE the
+    bands/rows tuning trade (Leskovec et al., MMDS ch.3), measured
+    rather than assumed — same discipline sim18 applies to
+    n_planes/nprobe. Count-ratio arithmetic, exact oracle."""
+    from ..operators.dedup_fuzzy import lsh_band_table, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    truth = ngram_jaccard_pairs(docs, [], k=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    bt = lsh_band_table(docs)
+    a = bt.select(
+        F.col("id").alias("id_a"), "band_idx", "band_key"
+    )
+    b = bt.select(
+        F.col("id").alias("id_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    tp = cand.join(truth, ["id_a", "id_b"])
+    stats = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(tp.agg(F.count(F.lit(1)).cast("long").alias("n_tp")))
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_tp",
+        F.round(
+            F.col("n_tp").cast("double") / F.col("n_truth"), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_tp").cast("double") / F.col("n_candidates"), 6
+        ).alias("cand_precision"),
+    )
