@@ -156,6 +156,7 @@ HEADLINE: list[str] = [
     "sim22_filtered_ann_topk",
     "e33_rfm_segments",
     "t44_lsh_candidate_audit",
+    "sim23_knn_label_vote",
 ]
 
 

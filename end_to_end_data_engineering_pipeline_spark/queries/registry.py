@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "sim22_filtered_ann_topk",
     "e33_rfm_segments",
     "t44_lsh_candidate_audit",
+    "sim23_knn_label_vote",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     # --- r5-validated ---
     "e10_session_window_native",
     "e12_weekly_cohort_retention",
-    "q10_rollup",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

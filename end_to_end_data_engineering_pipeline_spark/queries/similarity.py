@@ -1452,3 +1452,84 @@ def sim22_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_emb=emb.where(F.col("label") % 2 == 1),
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@query(
+    "sim23_knn_label_vote",
+    oracle=f"""
+    WITH {_O_SCALED},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_O_COS} AS cosine
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 50
+    ),
+    topk AS (
+      SELECT query_id, cand_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored) t
+      WHERE rk <= 10
+    ),
+    votes AS (
+      SELECT t.query_id, e.label AS cand_label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.cand_id
+      GROUP BY t.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, cand_label AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, cand_label)
+                        AS rn
+            FROM votes) t
+      WHERE rn = 1
+    )
+    SELECT CAST(e.label AS BIGINT) AS true_label,
+           CAST(p.pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    GROUP BY e.label, p.pred_label
+    """,
+)
+def sim23_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction with a confusion-matrix
+    output — the standard embedding-quality eval (does neighborhood
+    structure predict labels?): for the first 50 vectors, the top-10
+    exact cosine neighbors vote (count desc, then min label — fully
+    deterministic), and predictions aggregate against true labels.
+    One brute-force scoring pass (broadcast queries), one narrow
+    label join on (query, cand) id rows, two small window/agg steps —
+    vectors never re-read after scoring. The relational formulation
+    of the eval loop every embedding pipeline runs before trusting
+    an index; on real corpora the same query swaps the brute-force
+    pool for ivf_topk output, trading exactness for a cheap sweep."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    topk = cosine_topk_bruteforce(emb, list(range(50)), k=10).select(
+        "query_id", "cand_id"
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk.cand_id == labels.vec_id)
+        .groupBy("query_id", F.col("label").alias("cand_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "cand_label"
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    return (
+        pred.join(labels, pred.query_id == labels.vec_id)
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
