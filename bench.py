@@ -157,6 +157,7 @@ HEADLINE: list[str] = [
     "e33_rfm_segments",
     "t44_lsh_candidate_audit",
     "sim23_knn_label_vote",
+    "q90_revenue_pareto",
 ]
 
 

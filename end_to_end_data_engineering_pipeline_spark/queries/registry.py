@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "e33_rfm_segments",
     "t44_lsh_candidate_audit",
     "sim23_knn_label_vote",
+    "q90_revenue_pareto",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "q61_local_supplier_volume",
     # --- r5-validated ---
     "e10_session_window_native",
-    "e12_weekly_cohort_retention",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

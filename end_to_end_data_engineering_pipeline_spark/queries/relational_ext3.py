@@ -1397,3 +1397,64 @@ def q89_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return one.select(stacked.alias("p")).select("p.*")
+
+
+@query(
+    "q90_revenue_pareto",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS revenue
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM cust),
+    tot AS (SELECT SUM(revenue) AS total FROM cust)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(revenue), 4) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(revenue) AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def q90_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz deciles): customers ranked
+    by lifetime order value into deterministic NTILE deciles
+    (custkey tiebreak), each decile's exact-decimal revenue and its
+    share of the total — the 'top 10% of customers drive X% of
+    revenue' table every commercial analytics stack ships. One fact
+    fold to customer cardinality, one dimension-sized sort, a 1-row
+    total broadcast for the share division (single double division,
+    rounded once, so the oracle matches to the bit)."""
+    cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("revenue")
+    )
+    ranked = cust.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("revenue").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    tot = cust.agg(F.sum("revenue").alias("total"))
+    return (
+        ranked.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue").alias("rev_dec"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev_dec", 4).cast("double").alias("revenue"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
