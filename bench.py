@@ -158,6 +158,7 @@ HEADLINE: list[str] = [
     "t44_lsh_candidate_audit",
     "sim23_knn_label_vote",
     "q90_revenue_pareto",
+    "t45_minhash_estimator_calibration",
 ]
 
 

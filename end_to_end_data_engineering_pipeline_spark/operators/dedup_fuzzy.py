@@ -785,3 +785,18 @@ def ngram_containment_pairs(
     return out.where(
         (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
     )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh, mh0..mh{n-1}): the public signature table — what a
+    deployment persists alongside the band table when it wants to
+    ESTIMATE similarity from signatures (agreement/n_hashes is an
+    unbiased Jaccard estimator) instead of re-reading shingles.
+    Per-row, zero-shuffle (see :func:`_rowwise_sig`)."""
+    return _rowwise_sig(shingled_docs(df, id_col, text_col, k), n_hashes)

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "t44_lsh_candidate_audit",
     "sim23_knn_label_vote",
     "q90_revenue_pareto",
+    "t45_minhash_estimator_calibration",
     # --- r1-validated (the last of the r1 evidence tail) ---
     "q23_regexp_extract",
     "q24_monthly_rollup",
@@ -120,8 +121,6 @@ _PRIORITY: list[str] = [
     "q57_large_volume_customers",
     "q59_forecast_revenue",
     "q61_local_supplier_volume",
-    # --- r5-validated ---
-    "e10_session_window_native",
 ]
 
 # Evidence ledger: latest round each query was driver-green in

@@ -2460,3 +2460,100 @@ def t44_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tp").cast("double") / F.col("n_candidates"), 6
         ).alias("cand_precision"),
     )
+
+
+_T45_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@query(
+    "t45_minhash_estimator_calibration",
+    oracle=f"""
+    WITH {_o_t7_ctes(where=" WHERE doc_id < 1000")},
+    pairsig AS (
+      SELECT c.id_a, c.id_b,
+             CAST({_T45_AGREE_SQL} AS BIGINT) AS agreement
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b),
+    px AS (
+      SELECT c.id_a, c.id_b,
+             CAST(ROUND(len(list_intersect(x.s, y.s)) * 1000000.0
+                        / (len(x.s) + len(y.s)
+                           - len(list_intersect(x.s, y.s))))
+                  AS BIGINT) AS micro
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b)
+    SELECT agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(agreement / 16.0, 6) AS est_jaccard,
+           ROUND(CAST(SUM(micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_exact_jaccard
+    FROM pairsig JOIN px USING (id_a, id_b)
+    GROUP BY agreement
+    """,
+)
+def t45_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash as an ESTIMATOR, calibrated against truth: for every
+    LSH candidate pair (bounded slice, as t44), signature agreement
+    (matching components / 16 — the unbiased Jaccard estimator) is
+    bucketed against the mean EXACT Jaccard of the bucket's pairs.
+    A healthy signature family puts mean_exact_jaccard ~ est_jaccard
+    per bucket; systematic bias here means the hash family or
+    shingle size is wrong BEFORE any dedup decision depends on it —
+    the estimator-calibration discipline t44/sim18 apply to
+    candidate generation, applied to the similarity estimate itself.
+    Exact-integer micro-Jaccard sums (never order-dependent double
+    accumulation) keep the oracle bit-exact."""
+    from ..operators.dedup_fuzzy import (
+        lsh_band_table,
+        minhash_signature_table,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    sig = minhash_signature_table(docs)
+    bt = lsh_band_table(docs)
+    cand = (
+        bt.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+        .join(
+            bt.select(F.col("id").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    j = cand.join(a, "id_a").join(b, "id_b")
+    agreement = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16)
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    micro = F.round(inter * F.lit(1000000.0) / uni).cast("long")
+    scored = j.select(
+        agreement.alias("agreement"), micro.alias("micro")
+    )
+    return scored.groupBy("agreement").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.col("agreement") / F.lit(16.0), 6).alias("est_jaccard"),
+        F.round(
+            F.sum("micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("mean_exact_jaccard"),
+    ).select("agreement", "n_pairs", "est_jaccard", "mean_exact_jaccard")
