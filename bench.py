@@ -241,6 +241,18 @@ def main() -> None:
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_S = 0.3  # absolute growth below this is timing noise
 
+# Queries whose ALGORITHM intentionally changed in round N: their
+# pre-N bench history describes a different plan shape, so the
+# best-of-history anchor restarts at N (the gate exists to catch
+# unintended drift, not to forbid deliberate trade-offs). r10: the
+# r9-verdict #1 fix replaced the three single-partition global
+# windows — e33/q90 moved from NTILE sorts (all users/customers
+# through ONE executor) to broadcast value-quantile cut points, t42
+# from a full-vocabulary rank window to orderBy+limit(20) — each
+# costs ~0.3s more at sf0.1 for plans that survive 100x scale
+# (docs/SCALE.md 'r10 reshapes' has the before/after table).
+RESHAPED_ROUND: dict[str, int] = {"e33": 10, "q90": 10, "t42": 10}
+
 
 def _short(name: str) -> str:
     """A query's leading code ("t34_curation_audit" -> "t34") — the
@@ -265,8 +277,10 @@ def _prior_bench(sf_val) -> dict[str, float]:
     here = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        if not re.search(r"BENCH_r(\d+)\.json$", f):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
             continue
+        rnd = int(m.group(1))
         try:
             d = json.load(open(f))
         except (OSError, json.JSONDecodeError):
@@ -281,6 +295,8 @@ def _prior_bench(sf_val) -> dict[str, float]:
                 # rounds <= r6 recorded full names; normalize so the
                 # best-of-history gate spans the key change
                 key = _short(name)
+                if rnd < RESHAPED_ROUND.get(key, 0):
+                    continue  # pre-reshape numbers: different algorithm
                 if isinstance(t, (int, float)) and (
                     key not in best or t < best[key]
                 ):

@@ -139,7 +139,6 @@ def skew_report(
         "rank",
     )
 
-
 def fanout_report(
     left: DataFrame,
     right: DataFrame,
@@ -177,3 +176,226 @@ def fanout_report(
             F.col("out_rows").cast("double") / F.col("__total"), 6
         ).alias("share"),
     )
+
+def _bucket_expr(prim_d, cuts: list[float], desc: bool):
+    """Deterministic order-segment id from LITERAL cut points: a pure
+    row function, so every job and every plan branch agrees by
+    construction (no reliance on exchange reuse, no checkpoint
+    barrier). Buckets segment the declared global order: all rows of
+    bucket i sort before every row of bucket i+1; rows tied with a cut
+    value collapse into one bucket (the same bound a range partitioner
+    has — equal keys can never straddle a boundary)."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.lit([float(c) for c in cuts])
+    if desc:
+        in_front = F.size(F.filter(arr, lambda c: c > prim_d))
+        # nulls sort LAST under DESC -> the final segment
+        return F.when(prim_d.isNull(), F.lit(len(cuts))).otherwise(
+            F.coalesce(in_front, F.lit(0))
+        )
+    in_front = F.size(F.filter(arr, lambda c: c < prim_d))
+    # nulls sort FIRST under ASC; the comparison is null -> filtered
+    # out -> bucket 0, shared with the smallest keys — a correct
+    # segment (the within-bucket sort places nulls exactly)
+    return F.coalesce(in_front, F.lit(0))
+
+
+def _rank_pieces(
+    df: DataFrame,
+    order: Sequence[tuple],
+    buckets: int,
+) -> tuple:
+    """Shared precompute of :func:`global_rank` /
+    :func:`scalable_ntile`: two bounded-metadata driver jobs.
+
+    Job 1 collects approximate percentile cut points of the primary
+    sort column plus the exact row count (ONE row). Job 2 collects the
+    exact per-bucket histogram under those cuts (<= buckets+1 rows).
+    Both collects are config-bounded, never data-scaled — the same
+    discipline as merge.py's partition-value collects. Because the
+    cuts become LITERALS, cut quality only affects balance, never the
+    answer: the exact per-bucket offsets are measured under the exact
+    same literal buckets every downstream expression uses.
+
+    Why not ``repartitionByRange`` + partition ids: Spark's range
+    partitioner samples with a per-execution RDD-id seed, so two plan
+    branches (or two jobs) over the same child can disagree on
+    boundaries — fine for ORDER BY, fatal for offsets that must
+    describe the exact partitions the local indexes were computed in
+    (verified empirically: repeated `repartitionByRange(...).groupBy(
+    spark_partition_id()).count()` runs disagree)."""
+    prim, prim_desc = order[0]
+    prim_d = prim.cast("double")
+    pcts = [i / buckets for i in range(1, buckets)]
+    row = df.agg(
+        F.percentile_approx(prim_d, F.lit(pcts)).alias("__cuts"),
+        F.count(F.lit(1)).alias("__n"),
+    ).collect()[0]
+    n = int(row["__n"])
+    cuts = sorted({float(c) for c in (row["__cuts"] or []) if c is not None})
+    bucket = _bucket_expr(prim_d, cuts, prim_desc)
+    hist = {
+        int(r["__bucket"]): int(r["count"])
+        for r in df.groupBy(bucket.alias("__bucket")).count().collect()
+    }
+    offs, acc = [], 0
+    for b in range(len(cuts) + 1):
+        offs.append(acc)
+        acc += hist.get(b, 0)
+    return bucket, offs, n
+
+
+def global_rank(
+    df: DataFrame,
+    order: Sequence[tuple],
+    rank_col: str = "rank",
+    buckets: int = 64,
+) -> DataFrame:
+    """Distributed ROW_NUMBER() OVER (ORDER BY ...) — the scale-safe
+    replacement for an unpartitioned window, which drags every row
+    through ONE executor (Spark itself warns 'Moving all data to a
+    single partition').
+
+    ``order`` is a list of (Column, descending: bool) pairs defining a
+    TOTAL order (include a unique tiebreak — required for a
+    deterministic rank anyway).
+
+    Shape: each row gets a deterministic order-segment bucket from
+    literal cut points (:func:`_rank_pieces` — two bounded-metadata
+    jobs), a local index from a window PARTITIONED by bucket (never a
+    global window), and its bucket's exact offset from a literal
+    array lookup. A billion-row rank is one bucket-partitioned
+    shuffle; no executor ever sorts more than the largest bucket
+    (~n/buckets, bounded below by the primary column's largest
+    tie-class — the same bound any range partitioner has)."""
+    bucket, offs, _ = _rank_pieces(df, order, buckets)
+    sort_exprs = [c.desc() if d else c.asc() for c, d in order]
+    local = F.row_number().over(
+        Window.partitionBy("__bucket").orderBy(*sort_exprs)
+    )
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn(
+            rank_col,
+            (
+                F.element_at(F.lit(offs), F.col("__bucket") + F.lit(1))
+                + local
+            ).cast("long"),
+        )
+        .drop("__bucket")
+    )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    k: int,
+    order: Sequence[tuple],
+    bucket_col: str = "ntile",
+    buckets: int = 64,
+) -> DataFrame:
+    """Distributed NTILE(k) OVER (ORDER BY ...) with exact SQL-NTILE
+    semantics (first n%k buckets hold ceil(n/k) rows, the rest
+    floor(n/k)) — bucket ids bit-identical to the window function's,
+    but no single-partition sort: rank comes from the
+    :func:`global_rank` machinery, the tile from the closed-form
+    NTILE formula with n as a literal.
+
+    This is the scale path for quantile segmentation (RFM quartiles,
+    Pareto deciles): at a billion users the global NTILE sort becomes
+    one bucket-partitioned shuffle."""
+    bucket, offs, n = _rank_pieces(df, order, buckets)
+    sort_exprs = [c.desc() if d else c.asc() for c, d in order]
+    local = F.row_number().over(
+        Window.partitionBy("__bucket").orderBy(*sort_exprs)
+    )
+    rank = F.element_at(F.lit(offs), F.col("__bucket") + F.lit(1)) + local
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)
+    in_big = F.floor((rank + F.lit(base)) / F.lit(base + 1))
+    safe = max(base, 1)
+    in_small = F.lit(rem) + F.floor(
+        (rank - F.lit(big) + F.lit(safe - 1)) / F.lit(safe)
+    )
+    tile = F.when(rank <= F.lit(big), in_big).otherwise(in_small)
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn(bucket_col, tile.cast("int"))
+        .drop("__bucket")
+    )
+
+
+def scalable_ntiles(
+    df: DataFrame,
+    k: int,
+    dims: Sequence[tuple],
+    buckets: int = 64,
+) -> DataFrame:
+    """Batched :func:`scalable_ntile` over several orderings of the
+    SAME frame — the RFM shape (recency/frequency/monetary quartiles
+    on one user table). ``dims`` is a list of (bucket_col, order)
+    pairs.
+
+    All dimensions share the two bounded-metadata jobs: one agg
+    collects every dimension's cut points plus the row count, one agg
+    collects every dimension's exact bucket histogram (as
+    per-dimension count arrays — <= dims x (buckets+1) conditional
+    sums, one row out). The main plan then carries one
+    bucket-partitioned window per dimension and literal offset
+    lookups — for D dimensions: 2 metadata jobs + D bucket shuffles,
+    versus D unpartitioned global sorts through one executor."""
+    parsed = []
+    for bucket_col, order in dims:
+        prim, prim_desc = order[0]
+        parsed.append((bucket_col, order, prim.cast("double"), prim_desc))
+    pcts = [i / buckets for i in range(1, buckets)]
+    aggs = [
+        F.percentile_approx(prim_d, F.lit(pcts)).alias(f"__cuts_{i}")
+        for i, (_, _, prim_d, _) in enumerate(parsed)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    bucket_exprs, widths = [], []
+    for i, (_, _, prim_d, prim_desc) in enumerate(parsed):
+        cuts = sorted(
+            {float(c) for c in (row[f"__cuts_{i}"] or []) if c is not None}
+        )
+        bucket_exprs.append(_bucket_expr(prim_d, cuts, prim_desc))
+        widths.append(len(cuts) + 1)
+    hist_aggs = [
+        F.array(
+            *[
+                F.sum((bucket_exprs[i] == F.lit(b)).cast("long"))
+                for b in range(widths[i])
+            ]
+        ).alias(f"__h_{i}")
+        for i in range(len(parsed))
+    ]
+    hrow = df.agg(*hist_aggs).collect()[0] if n else None
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)
+    safe = max(base, 1)
+    out = df
+    for i, (bucket_col, order, _, _) in enumerate(parsed):
+        counts = list(hrow[f"__h_{i}"] or []) if hrow else []
+        offs, acc = [], 0
+        for b in range(widths[i]):
+            offs.append(acc)
+            acc += int(counts[b] or 0) if b < len(counts) else 0
+        sort_exprs = [c.desc() if d else c.asc() for c, d in order]
+        bcol = f"__bucket_{i}"
+        local = F.row_number().over(
+            Window.partitionBy(bcol).orderBy(*sort_exprs)
+        )
+        rank = F.element_at(F.lit(offs), F.col(bcol) + F.lit(1)) + local
+        in_big = F.floor((rank + F.lit(base)) / F.lit(base + 1))
+        in_small = F.lit(rem) + F.floor(
+            (rank - F.lit(big) + F.lit(safe - 1)) / F.lit(safe)
+        )
+        tile = F.when(rank <= F.lit(big), in_big).otherwise(in_small)
+        out = (
+            out.withColumn(bcol, bucket_exprs[i])
+            .withColumn(bucket_col, tile.cast("int"))
+            .drop(bcol)
+        )
+    return out

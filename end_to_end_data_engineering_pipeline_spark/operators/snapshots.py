@@ -458,7 +458,22 @@ def _cow_commit(
 
     touched: set[str] = set()
     survivors = None
-    if cand_files:
+    if (
+        cand_files
+        and inserts is None
+        and part_col
+        and keys == [part_col]
+    ):
+        # METADATA DELETE (Iceberg's partition-aligned fast path): the
+        # delete keys ARE the partition column, and every candidate
+        # file's single partition value is in the delete set — so
+        # every row of every candidate file matches. No semi-join, no
+        # survivor rewrite, no data IO at all: the commit just drops
+        # the files from the manifest. This is what makes a day-keyed
+        # retention sweep on a 100 TB table a constant-time operation
+        # (the only cluster job is the partition-value distinct above).
+        touched = set(cand_files)
+    elif cand_files:
         cm = dict(m)
         cm["files"] = cand_files
         if part_col:
@@ -1599,8 +1614,9 @@ def snapshot_sync(
     to the downstream table ``dst`` — the CONSUMER half of the
     change-data-feed (:func:`snapshot_changes` is the producer): a
     derived table, search index, or replica follows the source by
-    reading O(changed data) per sync cycle and applying it as one
-    keyed MERGE (inserts + update post-images) plus one keyed DELETE,
+    reading O(changed data) per sync cycle and applying it as ONE
+    combined keyed CoW commit (the anti-join evicts update pre-images
+    and deleted rows together; the insert set re-adds post-images),
     never by re-copying the table. ``from_version`` is the version
     the destination last synced (its bookmark); the function returns
     the new bookmark (``to_version`` resolved). Syncing an empty span
@@ -1627,17 +1643,25 @@ def snapshot_sync(
             f"to_version={to_v} (bookmark ahead of source?)"
         )
     # materialize the feed once: it is change-sized by construction,
-    # and the two emptiness probes + merge + delete below would
-    # otherwise each re-read and re-join the changed files
+    # and the emptiness probe + apply below would otherwise each
+    # re-read and re-join the changed files
     feed = snapshot_changes(
         spark, src, keys, from_version, to_v
     ).localCheckpoint(eager=True)
+    if not feed.limit(1).count():
+        return to_v
+    # apply the WHOLE span as ONE CoW commit (r9 ran a merge commit
+    # then a delete commit, each rescanning the destination): the
+    # match set is every changed key — upserted OR deleted — so the
+    # single anti-join evicts old update images and deleted rows
+    # together, and the insert set re-adds the post-images. One
+    # destination scan, one restage, one manifest claim per cycle.
+    # no distinct on the match keys: the CoW's semi/anti joins are
+    # duplicate-tolerant, and the feed is change-sized already — a
+    # dedup shuffle would cost more than the duplicate broadcast rows
+    match = feed.select(*keys)
     ups = feed.where(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
-    dels = feed.where(F.col("_change_type") == "delete").select(*keys)
-    if ups.limit(1).count():
-        snapshot_merge(spark, dst, ups, keys)
-    if dels.limit(1).count():
-        snapshot_delete(spark, dst, dels, keys)
+    _cow_commit(spark, dst, match, keys, True, ups, "sync")
     return to_v

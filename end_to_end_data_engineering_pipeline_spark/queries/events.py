@@ -1764,12 +1764,17 @@ def e32_stream_stream_attribution(
              CAST(COUNT(*) AS BIGINT) AS freq,
              SUM(CAST(value AS DECIMAL(15,2))) AS money
       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    cuts AS (
+      SELECT quantile_cont(epoch_us(last_ts), [0.75, 0.5, 0.25]) AS c_r,
+             quantile_cont(CAST(freq AS DOUBLE), [0.75, 0.5, 0.25]) AS c_f,
+             quantile_cont(CAST(money AS DOUBLE), [0.75, 0.5, 0.25]) AS c_m
+      FROM pu),
     scored AS (
       SELECT user_id, freq, money,
-             NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
-             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
-             NTILE(4) OVER (ORDER BY money DESC, user_id) AS m
-      FROM pu)
+             1 + len(list_filter(c_r, c -> epoch_us(last_ts) < c)) AS r,
+             1 + len(list_filter(c_f, c -> CAST(freq AS DOUBLE) < c)) AS f,
+             1 + len(list_filter(c_m, c -> CAST(money AS DOUBLE) < c)) AS m
+      FROM pu, cuts)
     SELECT CAST(r AS BIGINT) || '-' || CAST(f AS BIGINT) || '-'
              || CAST(m AS BIGINT) AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -1781,15 +1786,25 @@ def e32_stream_stream_attribution(
 def e33_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic lifecycle-marketing workload:
     each purchasing user scored into recency/frequency/monetary
-    quartiles (NTILE with a user_id tiebreak, so bucket edges are
-    deterministic), users grouped into 'r-f-m' segments with counts
-    and exact decimal value totals. The quartiles here are global
-    NTILE windows (one sort each over USER-cardinality rows — the
-    purchase fold already reduced the fact table, so the sorts are
-    dimension-sized); at extreme user counts the same segmentation
-    runs on approx-quantile cut points instead, trading exactness
-    for no global sort. One fact-table pass, three window sorts,
-    one small aggregate."""
+    quartile segments, users grouped into 'r-f-m' segments with
+    counts and exact decimal value totals.
+
+    Segments are VALUE-QUANTILE buckets (the r8/r9-documented
+    cut-points semantics, now implemented): one aggregate computes
+    the exact interpolated quartile boundaries of each dimension
+    (the q20 cross-engine percentile recipe, over epoch_us for the
+    timestamp), a one-row broadcast carries them to every user row,
+    and the segment id is 1 + (boundaries the value sorts below) —
+    ties share a segment by construction (semantically right for
+    RFM: equal spend never splits across segments), segment
+    populations are quarter-sized up to boundary ties. ZERO sorts,
+    zero windows, one job: at a billion purchasing users this is one
+    fact fold + one 3x3-double broadcast + a comparison — nothing
+    single-partition anywhere (the r8 NTILE formulation dragged all
+    users through one executor three times; exact-NTILE-at-scale
+    remains available as operators/partitioning.py scalable_ntile,
+    oracled by q91). The DuckDB oracle computes the same
+    quantile_cont boundaries."""
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
@@ -1798,19 +1813,21 @@ def e33_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.col("value").cast("decimal(15,2)")).alias("money"),
     )
-    scored = pu.select(
+    qs = F.lit([0.75, 0.5, 0.25])
+    cuts = pu.agg(
+        F.percentile(F.unix_micros("last_ts"), qs).alias("c_r"),
+        F.percentile(F.col("freq").cast("double"), qs).alias("c_f"),
+        F.percentile(F.col("money").cast("double"), qs).alias("c_m"),
+    )
+    ts_us = F.unix_micros(F.col("last_ts")).cast("double")
+    seg = lambda arr, v: F.lit(1) + F.size(F.filter(arr, lambda c: v < c))
+    scored = pu.crossJoin(F.broadcast(cuts)).select(
         "user_id",
         "freq",
         "money",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("money").desc(), "user_id"))
-        .alias("m"),
+        seg(F.col("c_r"), ts_us).alias("r"),
+        seg(F.col("c_f"), F.col("freq").cast("double")).alias("f"),
+        seg(F.col("c_m"), F.col("money").cast("double")).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),

@@ -50,78 +50,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-9 rotation: the never-driver-validated r9-born queries go
-# first — the first wave (t41 flag set, sim19 IVF delete-refresh,
-# e28 watermark late audit, sim20 IVF append, p21 WAP tags, q87
-# listagg, e29 lag percentiles, p22 partitioned evolution) and the
-# second wave (p23 change-data-feed, p24 join-IVM, sim21 MMR, t42
-# BPE step, t43 bigram novelty, e31 point-in-time features, p25 CDF
-# sync, q88 pointer doubling, m6 media dedup clusters) — then the
-# evidence ledger's stalest entries fill the remaining 33 slots:
-# all 17 r1-validated relational queries, the 2 r2 and 5 r4
-# holdouts, and the oldest r5 entries up to capacity (each
-# second-wave landing displaced the freshest r5 fill; min registry
-# freshness after r9 = r5). q31_approx_sketches stays out: rows-only
-# by design (no oracle), and the gate prefix is pinned to oracled
-# names. New queries are appended here as they land, keeping the
-# never-validated-first invariant
+# Round-10 rotation: the two never-driver-validated r10-born queries
+# (q91 distributed global rank, q92 exact distributed NTILE — the
+# scale path that replaced the r9 single-partition windows) go
+# first, then the evidence ledger's stalest entries fill the
+# remaining 48 slots: the full r5 band (21 queries — the oldest
+# evidence after the r9 refresh moved 50 entries to 9) and 27 of the
+# r6 band in name order. Min registry freshness after a green r10 =
+# r6 (the r9-verdict #2 target). q31_approx_sketches — rows-only
+# until r10, now carrying a full oracle (exact anchors + accuracy-
+# contract booleans) — rides the never-validated band for its first
+# hash validation. New queries are appended here as they land, keeping
+# the never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    # --- never driver-validated (r9-born) ---
-    "t41_stopword_quality_flags",
-    "sim19_ivf_delete_refresh",
-    "e28_watermark_late_audit",
-    "sim20_ivf_append_increment",
-    "p21_wap_publish",
-    "q87_ordered_listagg",
-    "e29_ingest_lag_percentiles",
-    "p22_partitioned_schema_evolution",
-    "p23_change_data_feed",
-    "p24_incremental_join_view",
-    "sim21_mmr_diversified_topk",
-    "t42_bpe_merge_step",
-    "t43_bigram_novelty_score",
-    "e31_point_in_time_features",
-    "p25_cdf_downstream_sync",
-    "q88_hierarchy_closure",
-    "m6_media_dedup_clusters",
-    "q89_table_profile",
-    "e32_stream_stream_attribution",
-    "p26_timestamp_asof_read",
-    "sim22_filtered_ann_topk",
-    "e33_rfm_segments",
-    "t44_lsh_candidate_audit",
-    "sim23_knn_label_vote",
-    "q90_revenue_pareto",
-    "t45_minhash_estimator_calibration",
-    # --- r1-validated (the last of the r1 evidence tail) ---
-    "q23_regexp_extract",
-    "q24_monthly_rollup",
-    "q25_nation_supplier_balance",
-    "q29_sorted_array_agg",
-    "q32_nested_exists_in",
-    "q33_exists_and_not_exists",
-    "q34_full_outer_join",
-    "q37_posexplode_tokens",
-    "q38_date_arithmetic",
-    "q39_range_frame_window",
-    "q40_dense_report_spine",
-    "q41_window_navigation",
-    "q42_histogram_buckets",
-    "q44_math_functions",
-    "q45_null_semantics",
-    "q46_string_advanced",
-    "q49_rank_distribution",
-    # --- r2-validated ---
-    "q53_late_shipment_priority",
-    "q55_priority_shipping_classes",
-    # --- r4-validated ---
-    "q51_promo_revenue_share",
-    "q52_top_supplier_view",
-    "q57_large_volume_customers",
-    "q59_forecast_revenue",
-    "q61_local_supplier_volume",
+    # --- never driver-validated (r10-born) ---
+    "q91_distributed_global_rank",
+    "q92_distributed_exact_ntile",
+    "q31_approx_sketches",
+    # --- r5-validated (stalest evidence band) ---
+    "e10_session_window_native",
+    "e12_weekly_cohort_retention",
+    "q10_rollup",
+    "q20_percentiles",
+    "q26_grouping_sets",
+    "q27_pivot",
+    "q28_unpivot",
+    "q36_notin_count_distinct",
+    "q50_disjunctive_join_predicates",
+    "q56_customer_order_distribution",
+    "q58_dormant_account_cohorts",
+    "q62_deterministic_sample",
+    "q63_stratified_sample",
+    "q64_arg_extrema",
+    "q66_fuzzy_name_blocking",
+    "q69_winsorized_stats",
+    "sim5_vector_stats",
+    "sim7_neardup_pairs_lsh",
+    "t10_winnow_fingerprints",
+    "t13_canonical_corpus",
+    "t17_passage_chunking",
+    # --- r6-validated (stalest evidence band) ---
+    "e11_funnel",
+    "e13_inter_event_gaps",
+    "e14_transition_matrix",
+    "e15_cdc_latest_state",
+    "e16_scd2_history",
+    "e18_linear_interpolation",
+    "e3_sessionization",
+    "e8_asof_join",
+    "m1_multimodal_features",
+    "m2_frame_sample_offsets",
+    "p3_sql_model_over_views",
+    "p5_incremental_gold",
+    "p6_compaction_roundtrip",
+    "p7_schema_evolution_merge",
+    "q21_shipping_priority_topk",
+    "q30_salted_join_agg",
+    "q35_min_per_group_joinback",
+    "q43_correlated_avg_subquery",
+    "q47_nation_trade_volume",
+    "q48_market_share",
+    "q54_returned_items_topk",
+    "q60_product_profit",
+    "q65_exact_moments",
+    "q70_multiset_ops",
+    "q71_forward_fill",
+    "q72_group_ols_slope",
 ]
+
 
 # Evidence ledger: latest round each query was driver-green in
 # CORRECTNESS_r0N.json (rows+schema matched; hash too for oracled
@@ -148,7 +145,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "e25_drift_table": 8,
     "e26_join_fanout_audit": 8,
     "e27_hll_union_rollup": 8,
+    "e28_watermark_late_audit": 9,
+    "e29_ingest_lag_percentiles": 9,
     "e2_sliding_window_agg": 7,
+    "e31_point_in_time_features": 9,
+    "e32_stream_stream_attribution": 9,
+    "e33_rfm_segments": 9,
     "e3_sessionization": 6,
     "e4_json_extraction": 7,
     "e5_keyed_dedup_keep_first": 7,
@@ -161,6 +163,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "m3_content_addressed_store": 7,
     "m4_frame_embedding_pool": 8,
     "m5_media_frame_overlap": 8,
+    "m6_media_dedup_clusters": 9,
     "p10_incremental_agg": 7,
     "p11_snapshot_diff": 7,
     "p12_zorder_roundtrip": 7,
@@ -173,6 +176,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "p19_partitioned_cow": 8,
     "p1_flatten_roundtrip": 7,
     "p20_streaming_backfill_parity": 8,
+    "p21_wap_publish": 9,
+    "p22_partitioned_schema_evolution": 9,
+    "p23_change_data_feed": 9,
+    "p24_incremental_join_view": 9,
+    "p25_cdf_downstream_sync": 9,
+    "p26_timestamp_asof_read": 9,
     "p2_dim_date_build": 7,
     "p3_sql_model_over_views": 6,
     "p4_quality_gate_counters": 7,
@@ -195,48 +204,48 @@ VALIDATED_ROUND: dict[str, int] = {
     "q20_percentiles": 5,
     "q21_shipping_priority_topk": 6,
     "q22_above_customer_average": 8,
-    "q23_regexp_extract": 1,
-    "q24_monthly_rollup": 1,
-    "q25_nation_supplier_balance": 1,
+    "q23_regexp_extract": 9,
+    "q24_monthly_rollup": 9,
+    "q25_nation_supplier_balance": 9,
     "q26_grouping_sets": 5,
     "q27_pivot": 5,
     "q28_unpivot": 5,
-    "q29_sorted_array_agg": 1,
+    "q29_sorted_array_agg": 9,
     "q2_group_count_distinct": 8,
     "q30_salted_join_agg": 6,
-    "q32_nested_exists_in": 1,
-    "q33_exists_and_not_exists": 1,
-    "q34_full_outer_join": 1,
+    "q32_nested_exists_in": 9,
+    "q33_exists_and_not_exists": 9,
+    "q34_full_outer_join": 9,
     "q35_min_per_group_joinback": 6,
     "q36_notin_count_distinct": 5,
-    "q37_posexplode_tokens": 1,
-    "q38_date_arithmetic": 1,
-    "q39_range_frame_window": 1,
+    "q37_posexplode_tokens": 9,
+    "q38_date_arithmetic": 9,
+    "q39_range_frame_window": 9,
     "q3_null_and_range_audit": 8,
-    "q40_dense_report_spine": 1,
-    "q41_window_navigation": 1,
-    "q42_histogram_buckets": 1,
+    "q40_dense_report_spine": 9,
+    "q41_window_navigation": 9,
+    "q42_histogram_buckets": 9,
     "q43_correlated_avg_subquery": 6,
-    "q44_math_functions": 1,
-    "q45_null_semantics": 1,
-    "q46_string_advanced": 1,
+    "q44_math_functions": 9,
+    "q45_null_semantics": 9,
+    "q46_string_advanced": 9,
     "q47_nation_trade_volume": 6,
     "q48_market_share": 6,
-    "q49_rank_distribution": 1,
+    "q49_rank_distribution": 9,
     "q4_star_join_revenue": 8,
     "q50_disjunctive_join_predicates": 5,
-    "q51_promo_revenue_share": 4,
-    "q52_top_supplier_view": 4,
-    "q53_late_shipment_priority": 2,
+    "q51_promo_revenue_share": 9,
+    "q52_top_supplier_view": 9,
+    "q53_late_shipment_priority": 9,
     "q54_returned_items_topk": 6,
-    "q55_priority_shipping_classes": 2,
+    "q55_priority_shipping_classes": 9,
     "q56_customer_order_distribution": 5,
-    "q57_large_volume_customers": 4,
+    "q57_large_volume_customers": 9,
     "q58_dormant_account_cohorts": 5,
-    "q59_forecast_revenue": 4,
+    "q59_forecast_revenue": 9,
     "q5_semi_join_exists": 8,
     "q60_product_profit": 6,
-    "q61_local_supplier_volume": 4,
+    "q61_local_supplier_volume": 9,
     "q62_deterministic_sample": 5,
     "q63_stratified_sample": 5,
     "q64_arg_extrema": 5,
@@ -264,7 +273,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "q84_null_safe_join": 7,
     "q85_rolling_anomaly_bands": 7,
     "q86_rank_functions": 8,
+    "q87_ordered_listagg": 9,
+    "q88_hierarchy_closure": 9,
+    "q89_table_profile": 9,
     "q8_window_rank_topk_per_group": 8,
+    "q90_revenue_pareto": 9,
     "q9_window_lag_running_sum": 8,
     "sim10_pq_refine_topk": 7,
     "sim11_sq8_topk": 6,
@@ -275,7 +288,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim16_versioned_ivf_topk": 8,
     "sim17_neardup_triangles": 8,
     "sim18_ann_recall_table": 8,
+    "sim19_ivf_delete_refresh": 9,
     "sim1_cosine_topk_bruteforce": 6,
+    "sim20_ivf_append_increment": 9,
+    "sim21_mmr_diversified_topk": 9,
+    "sim22_filtered_ann_topk": 9,
+    "sim23_knn_label_vote": 9,
     "sim2_cosine_topk_lsh": 6,
     "sim3_embedding_neardup_pairs": 7,
     "sim4_cosine_topk_ivf": 6,
@@ -316,6 +334,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "t38_quality_scorer": 8,
     "t3_exact_dedup": 6,
     "t40_k_anonymity_audit": 8,
+    "t41_stopword_quality_flags": 9,
+    "t42_bpe_merge_step": 9,
+    "t43_bigram_novelty_score": 9,
+    "t44_lsh_candidate_audit": 9,
+    "t45_minhash_estimator_calibration": 9,
     "t4_minhash_signatures": 7,
     "t5_simhash": 7,
     "t6_ngram_jaccard_pairs": 7,
@@ -323,6 +346,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "t8_top_terms_per_lang": 7,
     "t9_simhash_neardup": 6,
 }
+
 
 
 def _curated(d: dict) -> dict:

@@ -920,18 +920,61 @@ def q30_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q31_approx_sketches")  # rows-only: HLL/KLL sketch outputs are
-# engine-specific by design; the exact twins are q2 (countDistinct)
-# and q20 (percentile)
+@query(
+    "q31_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS approx_cd_in_bound,
+           TRUE AS approx_median_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q31_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketch surface: approx_count_distinct (HLL++) and
-    percentile_approx (KLL-ish) — the constant-memory counterparts of
-    q2/q20 for 100 TB interactive profiling."""
+    percentile_approx (GK quantile summaries) — the constant-memory
+    counterparts of q2/q20 for 100 TB interactive profiling.
+
+    Fully oracled since r10 (it was the registry's last rows-only
+    entry): raw sketch values are engine-specific by design, so the
+    output carries EXACT anchors (count, exact distinct, exact
+    interpolated median — all hash-checked cross-engine) plus two
+    booleans asserting each sketch lands inside its accuracy
+    contract: HLL++ at default rsd=0.05 within 15% (3 sigma) of the
+    exact distinct count, and percentile_approx(accuracy=1000),
+    whose rank-error guarantee is n/1000, between the exact 0.45 and
+    0.55 quantiles (50x slack on the guarantee). The booleans are
+    deterministic for fixed data, so the oracle pins them TRUE — a
+    broken sketch (or a Spark regression in either algorithm) flips
+    a bit and fails the value hash."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.count(F.lit(1)).alias("n"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_median"
+        ),
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+            "__approx_median"
+        ),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        "exact_median",
+        (
+            F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.15)
+        ).alias("approx_cd_in_bound"),
+        F.col("__approx_median")
+        .between(F.col("__p45"), F.col("__p55"))
+        .alias("approx_median_in_bound"),
     )
 
 

@@ -1406,10 +1406,16 @@ def q89_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS revenue
       FROM orders GROUP BY o_custkey),
+    cuts AS (
+      SELECT quantile_cont(CAST(revenue AS DOUBLE),
+                           [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1])
+               AS c
+      FROM cust),
     ranked AS (
       SELECT o_custkey, revenue,
-             NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
-      FROM cust),
+             1 + len(list_filter(c, x -> CAST(revenue AS DOUBLE) < x))
+               AS decile
+      FROM cust, cuts),
     tot AS (SELECT SUM(revenue) AS total FROM cust)
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -1421,23 +1427,42 @@ def q89_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q90_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration (Pareto/Lorenz deciles): customers ranked
-    by lifetime order value into deterministic NTILE deciles
-    (custkey tiebreak), each decile's exact-decimal revenue and its
-    share of the total — the 'top 10% of customers drive X% of
-    revenue' table every commercial analytics stack ships. One fact
-    fold to customer cardinality, one dimension-sized sort, a 1-row
-    total broadcast for the share division (single double division,
-    rounded once, so the oracle matches to the bit)."""
+    """Revenue concentration (Pareto/Lorenz deciles): customers
+    bucketed by lifetime order value into revenue-quantile deciles,
+    each decile's exact-decimal revenue and its share of the total —
+    the 'top 10% of customers drive X% of revenue' table every
+    commercial analytics stack ships.
+
+    Deciles are VALUE-QUANTILE buckets (the r8/r9-documented
+    cut-points semantics, now implemented): one aggregate computes
+    the nine exact interpolated decile boundaries (the q20
+    cross-engine percentile recipe), a one-row broadcast carries
+    them to every customer row, and decile = 1 + (boundaries the
+    revenue sorts below) — equal revenues share a decile by
+    construction. ZERO sorts, zero windows, one job: at a billion
+    customers this is one fact fold + a 9-double broadcast + a
+    comparison — nothing single-partition anywhere (the r8 NTILE
+    formulation dragged every customer through one executor;
+    exact-NTILE-at-scale remains available as
+    operators/partitioning.py scalable_ntile, oracled by q91). The
+    1-row total broadcast drives the share division (single double
+    division, rounded once, so the oracle matches to the bit)."""
     cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("revenue")
     )
-    ranked = cust.select(
+    cuts = cust.agg(
+        F.percentile(
+            F.col("revenue").cast("double"),
+            F.lit([0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]),
+        ).alias("c")
+    )
+    rev_d = F.col("revenue").cast("double")
+    ranked = cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "revenue",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("revenue").desc(), "o_custkey"))
-        .alias("decile"),
+        (
+            F.lit(1) + F.size(F.filter(F.col("c"), lambda x: rev_d < x))
+        ).alias("decile"),
     )
     tot = cust.agg(F.sum("revenue").alias("total"))
     return (
@@ -1457,4 +1482,88 @@ def q90_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("revenue_share"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q91/q92 — the exact-rank scale path, oracled against the window twins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q91_distributed_global_rank",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+             AS rank,
+           c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    """,
+)
+def q91_distributed_global_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-table exact global rank WITHOUT an unpartitioned window:
+    :func:`operators.partitioning.global_rank` buckets rows by literal
+    percentile cut points (two bounded-metadata jobs), ranks inside
+    each bucket with a PARTITIONED window, and adds the bucket's exact
+    literal offset — so a billion-row ROW_NUMBER() OVER (ORDER BY ...)
+    is one bucket shuffle instead of one executor sorting everything.
+    Oracled against the window function itself: every rank of every
+    customer must match DuckDB's ROW_NUMBER bit-for-bit, which pins
+    both the bucket/offset algebra and the tie-break determinism."""
+    from ..operators.partitioning import global_rank
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    return global_rank(
+        cust,
+        [(F.col("c_acctbal"), True), (F.col("c_custkey"), False)],
+        rank_col="rank",
+    ).select("rank", "c_custkey", "c_acctbal")
+
+
+@query(
+    "q92_distributed_exact_ntile",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_mktsegment,
+             NTILE(7) OVER (ORDER BY c_acctbal DESC, c_custkey) AS tile
+      FROM customer)
+    SELECT CAST(tile AS BIGINT) AS tile, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+    FROM t GROUP BY tile, c_mktsegment
+    """,
+)
+def q92_distributed_exact_ntile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact SQL-NTILE at scale:
+    :func:`operators.partitioning.scalable_ntile` reproduces
+    NTILE(7)'s row-count tiles (first n%7 tiles hold ceil(n/7) rows)
+    bit-identically from the distributed-rank machinery — no global
+    sort. k=7 deliberately doesn't divide the row count, so the
+    uneven-tile boundary arithmetic is what the oracle checks; the
+    tile x segment breakdown makes every tile edge visible in the
+    hash."""
+    from ..operators.partitioning import scalable_ntile
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    tiled = scalable_ntile(
+        cust,
+        7,
+        [(F.col("c_acctbal"), True), (F.col("c_custkey"), False)],
+        bucket_col="tile",
+    )
+    return tiled.groupBy(
+        F.col("tile").cast("long").alias("tile"), "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("c_custkey").cast("long").alias("min_custkey"),
     )

@@ -2230,12 +2230,27 @@ def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = bpe_merge_step(bpe_word_freq(docs))
-    w = Window.orderBy(
-        F.col("cnt").desc(), "left_sym", "right_sym"
-    )
+    # Top-20 selection FIRST via orderBy+limit (TakeOrderedAndProject:
+    # per-partition heaps + a 20-row merge — the
+    # partitioning.py:skew_report discipline), then rank only the 20
+    # survivors. On a real corpus the pair table is vocabulary-scale
+    # (~1e8 rows); ranking it with a global row_number window would
+    # drag all of it through one executor. The limit's output is ONE
+    # partition in sorted order by contract (TakeOrderedAndProject /
+    # CollectLimit), so the sequential monotonically_increasing_id
+    # over it IS the rank — the corpus is touched once, no WindowExec
+    # anywhere, no second pass (the oracle parity test pins the
+    # contract at two scale factors).
+    sort_exprs = [
+        F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym")
+    ]
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
+        pairs.orderBy(*sort_exprs)
+        .limit(20)
+        .withColumn(
+            "rank",
+            (F.monotonically_increasing_id() + F.lit(1)).cast("long"),
+        )
         .select(
             "rank", "left_sym", "right_sym", "cnt",
             "merged_left", "merged_right",

@@ -350,3 +350,205 @@ def test_fanout_report_hand_case(spark):
         1: (3, 4, 12, round(12 / 13, 6)),
         2: (1, 1, 1, round(1 / 13, 6)),
     }
+
+
+# ---------------------------------------------------------------------------
+# global_rank / scalable_ntile(s): the distributed exact-rank machinery
+# (r10). Every case is checked against Spark's own window function —
+# the semantics oracle — on shapes chosen to break bucket arithmetic:
+# heavy ties on the primary column (buckets can't split equal keys),
+# nulls under both directions, n smaller than k, empty input.
+# ---------------------------------------------------------------------------
+
+
+def _rank_ref(df, sort_exprs, name="ref"):
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        name, F.row_number().over(Window.orderBy(*sort_exprs)).cast("long")
+    )
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).repartition(8)
+
+
+def test_global_rank_matches_row_number(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+    )
+
+    rows = [(i, (i * 2654435761) % 10007, i % 5) for i in range(4003)]
+    df = _mk(spark, rows, "id long, v long, tie long")
+    order = [(F.col("v"), True), (F.col("id"), False)]
+    got = global_rank(df, order, rank_col="rk")
+    ref = _rank_ref(df, [F.col("v").desc(), F.col("id")], "rk2")
+    assert (
+        got.join(ref.select("id", "rk2"), "id")
+        .where(F.col("rk") != F.col("rk2"))
+        .count()
+        == 0
+    )
+
+
+def test_global_rank_is_permutation_across_runs(spark):
+    """Rank must be a permutation of 1..n on EVERY run — this is the
+    property a nondeterministic bucket/offset mismatch (the
+    repartitionByRange+partition-id design rejected in r10) breaks."""
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+    )
+
+    rows = [(i, (i * 40503) % 997) for i in range(3001)]
+    df = _mk(spark, rows, "id long, v long")
+    order = [(F.col("v"), False), (F.col("id"), False)]
+    for _ in range(3):
+        agg = (
+            global_rank(df, order, rank_col="rk")
+            .agg(
+                F.countDistinct("rk").alias("d"),
+                F.max("rk").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert agg.d == agg.n == agg.mx == 3001
+
+
+def test_global_rank_nulls_both_directions(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+    )
+
+    rows = [(i, None if i % 7 == 0 else (i * 31) % 200) for i in range(1501)]
+    df = _mk(spark, rows, "id long, v long")
+    for desc in (True, False):
+        sort = [
+            F.col("v").desc() if desc else F.col("v").asc(),
+            F.col("id"),
+        ]
+        got = global_rank(
+            df, [(F.col("v"), desc), (F.col("id"), False)], rank_col="rk"
+        )
+        ref = _rank_ref(df, sort, "rk2")
+        assert (
+            got.join(ref.select("id", "rk2"), "id")
+            .where(F.col("rk") != F.col("rk2"))
+            .count()
+            == 0
+        )
+
+
+def test_scalable_ntile_matches_ntile_heavy_ties(spark):
+    """70% of rows share one primary value — all of them land in one
+    bucket (equal keys can never straddle a cut), and the NTILE
+    arithmetic must still split them exactly by the id tiebreak."""
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        scalable_ntile,
+    )
+    from pyspark.sql import Window
+
+    rows = [(i, 1 if i % 10 < 7 else (i % 10)) for i in range(2003)]
+    df = _mk(spark, rows, "id long, v long")
+    for k in (4, 7, 10, 3000):  # 3000 > n: every row its own tile
+        got = scalable_ntile(
+            df, k, [(F.col("v"), True), (F.col("id"), False)],
+            bucket_col="b",
+        )
+        ref = df.withColumn(
+            "b2",
+            F.ntile(k).over(Window.orderBy(F.col("v").desc(), F.col("id"))),
+        )
+        assert (
+            got.join(ref.select("id", "b2"), "id")
+            .where(F.col("b") != F.col("b2"))
+            .count()
+            == 0
+        ), f"k={k}"
+
+
+def test_scalable_ntiles_batched_matches_per_dim(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        scalable_ntiles,
+    )
+    from pyspark.sql import Window
+
+    rows = [
+        (i, (i * 13) % 50, (i * 7) % 3, float((i * 19) % 400) / 4)
+        for i in range(1201)
+    ]
+    df = _mk(spark, rows, "id long, a long, b long, c double")
+    got = scalable_ntiles(
+        df,
+        4,
+        [
+            ("qa", [(F.col("a"), True), (F.col("id"), False)]),
+            ("qb", [(F.col("b"), False), (F.col("id"), False)]),
+            ("qc", [(F.col("c"), True), (F.col("id"), False)]),
+        ],
+    )
+    ref = (
+        df.withColumn(
+            "qa2",
+            F.ntile(4).over(Window.orderBy(F.col("a").desc(), F.col("id"))),
+        )
+        .withColumn(
+            "qb2",
+            F.ntile(4).over(Window.orderBy(F.col("b").asc(), F.col("id"))),
+        )
+        .withColumn(
+            "qc2",
+            F.ntile(4).over(Window.orderBy(F.col("c").desc(), F.col("id"))),
+        )
+    )
+    joined = got.join(ref.select("id", "qa2", "qb2", "qc2"), "id")
+    assert (
+        joined.where(
+            (F.col("qa") != F.col("qa2"))
+            | (F.col("qb") != F.col("qb2"))
+            | (F.col("qc") != F.col("qc2"))
+        ).count()
+        == 0
+    )
+
+
+def test_global_rank_empty_and_tiny(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+        scalable_ntile,
+    )
+
+    df = spark.createDataFrame([], "id long, v long")
+    order = [(F.col("v"), True), (F.col("id"), False)]
+    assert global_rank(df, order).count() == 0
+    assert scalable_ntile(df, 4, order, bucket_col="b").count() == 0
+    two = spark.createDataFrame([(1, 5), (2, 3)], "id long, v long")
+    got = {
+        r.id: (r.rk, r.b)
+        for r in scalable_ntile(
+            global_rank(two, order, rank_col="rk"), 4, order, bucket_col="b"
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (2, 2)}
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    """The whole point: the physical plan must not contain a window
+    with an empty partition spec (Spark's 'moving all data to a single
+    partition' shape)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+    )
+
+    rows = [(i, (i * 17) % 300) for i in range(2001)]
+    df = _mk(spark, rows, "id long, v long")
+    got = global_rank(
+        df, [(F.col("v"), True), (F.col("id"), False)], rank_col="rk"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert win_lines, "rank must come from a window operator"
+    for line in win_lines:
+        # every window spec must open with the __bucket partition key —
+        # an empty partition spec is the single-partition shape
+        assert "windowspecdefinition(__bucket" in line, line
