@@ -241,18 +241,24 @@ class CodecsUnavailableError(NotImplementedError):
     serving hash-derived dimensions."""
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode entry point: binary content -> decoded frame/sample
-    features. Requires actual codec libraries (PIL for images, soundfile
-    or torchaudio for audio, av/ffmpeg for video), which this container
-    does not ship — so this raises :class:`CodecsUnavailableError`
-    unless one is importable. The Spark-side plumbing a real decoder
-    needs (binary column handling, Arrow batch shape, typed metadata
-    schema, decode-skip on null) is implemented and tested via
-    :func:`extract_features` over ``_decode_stub``; swapping the stub
-    for a real per-batch decoder is the ONLY change required once
-    codecs exist."""
-    for mod in ("PIL", "soundfile", "torchaudio", "av"):
+def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
+    """REAL decode entry point, routed by modality.
+
+    - ``kind='audio'``: SERVED — PCM WAV rows decode through the
+      stdlib ``wave`` codec (:func:`decode_wav_features`, below): a
+      genuine RIFF container parse, not ``_decode_stub``'s hash fake.
+    - ``kind='image'`` / ``'video'``: still require PIL / av /
+      torchaudio, which this container does not ship — raises
+      :class:`CodecsUnavailableError` unless one becomes importable.
+      The Spark-side plumbing those decoders need (binary column
+      handling, Arrow batch shape, typed metadata schema, decode-skip
+      on null) is implemented and tested via :func:`extract_features`
+      over ``_decode_stub`` and, for a REAL byte format, via the WAV
+      path; swapping in the per-batch image decoder is the only
+      change required once codecs exist."""
+    if kind == "audio":
+        return decode_wav_features(media)
+    for mod in ("PIL", "torchvision", "av"):
         try:
             __import__(mod)
             break
@@ -260,15 +266,18 @@ def decode_media(media: DataFrame) -> DataFrame:
             continue
     else:
         raise CodecsUnavailableError(
-            "decode_media needs a real codec library (PIL / soundfile / "
-            "torchaudio / av); none is installed in this environment. "
-            "extract_features provides the tested Spark plumbing over a "
-            "deterministic stub (columns are named fake_* for a reason) "
-            "— do NOT treat its output as decoded media."
+            f"decode_media(kind={kind!r}) needs a real codec library "
+            "(PIL / torchvision / av); none is installed in this "
+            "environment. Audio (PCM WAV) decodes for real via "
+            "decode_media(kind='audio'); extract_features provides the "
+            "tested Spark plumbing over a deterministic stub (columns "
+            "are named fake_* for a reason) — do NOT treat its output "
+            "as decoded media."
         )
     raise CodecsUnavailableError(
-        "a codec library is importable but no real decoder is wired yet; "
-        "implement the per-batch decode in place of _decode_stub"
+        "an image codec library is importable but no real decoder is "
+        "wired yet; implement the per-batch decode in place of "
+        "_decode_stub"
     )
 
 
@@ -352,3 +361,124 @@ def frame_overlap_pairs(media: DataFrame, min_shared: int = 1) -> DataFrame:
             F.col("shared_frames").cast("double") / union, 6
         ).alias("frame_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM via the stdlib `wave` codec
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_samples long, "
+    "peak long, sum_sq long, zero_crossings long"
+)
+
+
+def synth_wav(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 2048,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """(media_id, content): a GENUINE RIFF/WAVE container per id —
+    mono 16-bit PCM written by the stdlib ``wave`` encoder — whose
+    samples are the deterministic formula
+    ``x_i = ((media_id*31 + i*17) % 65536) - 32768``. Because the
+    payload is an analytic function of (id, i), every decoded feature
+    has a closed-form SQL oracle (m7), which is what lets a REAL
+    byte-level codec round-trip sit under the driver's value-hash
+    gate. Arrow-batched; bytes never pass through Python row objects."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    ids = fan_out(ids.select(F.col(id_col).alias("media_id")))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                x = ((int(mid) * 31 + i * 17) % 65536) - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(x.astype("<i2").tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL decode: parse each row's RIFF/WAVE container with the
+    stdlib ``wave`` codec (header fields from the fmt chunk, PCM
+    frames from the data chunk) and emit integer-exact waveform
+    features — peak = max |sample|, sum_sq = sum of squared samples
+    (int64: RMS derives as sqrt(sum_sq/n) OUTSIDE, in whichever
+    engine, so the float op is symmetric), zero_crossings = strict
+    sign changes. This retires the r6-r9 'decode is a guarded stub'
+    gap for the audio modality: the bytes go through an actual
+    container format, not ``_decode_stub``'s hash fake. Image/video
+    decode still raises :class:`CodecsUnavailableError` (no PIL/av in
+    the environment). Null content yields null features (decode-skip
+    path, same contract as extract_features)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    media = fan_out(media)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    nch = w.getnchannels()
+                    rate = w.getframerate()
+                    nfr = w.getnframes()
+                    if w.getsampwidth() != 2:
+                        raise CodecsUnavailableError(
+                            "only 16-bit PCM WAV is wired; got width "
+                            f"{w.getsampwidth()}"
+                        )
+                    x = np.frombuffer(
+                        w.readframes(nfr), dtype="<i2"
+                    ).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        nch,
+                        rate,
+                        int(x.size),
+                        int(np.max(np.abs(x))) if x.size else None,
+                        int(np.sum(x * x)),
+                        int(np.sum(x[:-1] * x[1:] < 0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_samples",
+                    "peak",
+                    "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=WAV_FEATURE_SCHEMA)

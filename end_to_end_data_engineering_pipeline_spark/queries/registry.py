@@ -50,13 +50,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-10 rotation: the two never-driver-validated r10-born queries
+# Round-10 rotation: the never-driver-validated r10-born queries
 # (q91 distributed global rank, q92 exact distributed NTILE — the
-# scale path that replaced the r9 single-partition windows) go
-# first, then the evidence ledger's stalest entries fill the
-# remaining 48 slots: the full r5 band (21 queries — the oldest
-# evidence after the r9 refresh moved 50 entries to 9) and 27 of the
-# r6 band in name order. Min registry freshness after a green r10 =
+# scale path that replaced the r9 single-partition windows — q31
+# under its first full oracle, and m7 real WAV decode) go first,
+# then the evidence ledger's stalest entries fill the remaining
+# slots: the full r5 band (21 queries — the oldest evidence after
+# the r9 refresh moved 50 entries to 9) and the r6 band in name
+# order up to capacity. Min registry freshness after a green r10 =
 # r6 (the r9-verdict #2 target). q31_approx_sketches — rows-only
 # until r10, now carrying a full oracle (exact anchors + accuracy-
 # contract booleans) — rides the never-validated band for its first
@@ -68,6 +69,7 @@ _PRIORITY: list[str] = [
     "q91_distributed_global_rank",
     "q92_distributed_exact_ntile",
     "q31_approx_sketches",
+    "m7_wav_decode_features",
     # --- r5-validated (stalest evidence band) ---
     "e10_session_window_native",
     "e12_weekly_cohort_retention",
@@ -116,7 +118,6 @@ _PRIORITY: list[str] = [
     "q65_exact_moments",
     "q70_multiset_ops",
     "q71_forward_fill",
-    "q72_group_ols_slope",
 ]
 
 

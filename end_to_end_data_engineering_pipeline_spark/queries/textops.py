@@ -2572,3 +2572,65 @@ def t45_minhash_estimator_calibration(
             6,
         ).alias("mean_exact_jaccard"),
     ).select("agreement", "n_pairs", "est_jaccard", "mean_exact_jaccard")
+
+
+@query(
+    "m7_wav_decode_features",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+    samp AS (
+      SELECT media_id, t.i AS i,
+             ((media_id * 31 + t.i * 17) % 65536) - 32768 AS x
+      FROM ids, generate_series(0, 2047) AS t(i)),
+    nxt AS (
+      SELECT media_id, x,
+             LEAD(x) OVER (PARTITION BY media_id ORDER BY i) AS x1
+      FROM samp)
+    SELECT media_id,
+           1 AS n_channels,
+           16000 AS sample_rate,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+           CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN x * x1 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(x * x) AS DOUBLE) / 2048), 6) AS rms
+    FROM nxt GROUP BY media_id
+    """,
+)
+def m7_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under the value-hash gate — the query that
+    retires the audio half of the long-standing 'decode is a guarded
+    stub' gap: each id synthesizes a GENUINE RIFF/WAVE container
+    (mono 16-bit PCM written by the stdlib ``wave`` encoder, samples
+    = the analytic formula ((id*31 + i*17) % 65536) - 32768), the
+    bytes round-trip through :func:`operators.multimodal.
+    decode_wav_features` (a real container parse: fmt-chunk header
+    fields + PCM frame extraction, Arrow-batched mapInPandas), and
+    the decoded waveform's integer-exact features (peak, sum of
+    squared samples, strict zero crossings) are checked against the
+    oracle computing the SAME formula in pure SQL. RMS derives from
+    the int64 sum_sq by one symmetric double sqrt. A header
+    mis-parse, an endianness slip, or a dropped frame changes the
+    integers and fails the hash — this is codec-level verification,
+    not plumbing-shape verification. Image/video decode still raises
+    CodecsUnavailableError (no PIL/av in the container)."""
+    from ..operators.multimodal import decode_wav_features, synth_wav
+
+    ids = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select(F.col("doc_id").alias("media_id"))
+    feats = decode_wav_features(synth_wav(ids))
+    return feats.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "peak",
+        "sum_sq",
+        "zero_crossings",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    )
