@@ -810,3 +810,105 @@ def bigram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def bpe_train(wf: DataFrame, rounds: int = 3) -> DataFrame:
+    """The BPE TRAINING LOOP (Sennrich et al. 2016) — ``rounds``
+    greedy iterations of :func:`bpe_merge_step`'s algebra with the
+    learned token fed back as a symbol: per round, count adjacent
+    symbol pairs weighted by word freq, merge the top pair
+    (count desc, lexicographic tiebreak) leftmost-non-overlapping
+    into every word, re-densify positions, repeat. Returns the merge
+    table with per-round evidence: (round, merged_left, merged_right,
+    pair_cnt, n_tokens_after) where n_tokens_after is the WEIGHTED
+    corpus token count (sum of freq over symbol occurrences) — a
+    whole-vocabulary checksum that any mis-applied merge shifts.
+
+    Scale: every round is vocabulary-sized window algebra
+    (:func:`bpe_word_freq` folded the corpus once, before this);
+    rounds chain through an eager localCheckpoint each (the
+    connected-components lineage discipline), so training V merges is
+    V bounded-size jobs, never V-deep lazy plans. The sequential
+    'apply left to right' rule stays the run-parity window rewrite —
+    no Python in the loop, and a generated multi-round SQL oracle
+    reproduces the whole loop bit-for-bit (t46)."""
+    from pyspark.sql import Window
+
+    chars = wf.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    ).select(
+        "word", "freq", "i", F.expr("substring(word, i, 1)").alias("sym")
+    )
+    wq = Window.partitionBy("word").orderBy("i")
+    seq = chars.withColumn("nxt", F.lead("sym").over(wq))
+    out = None
+    for r in range(1, rounds + 1):
+        pairs = (
+            seq.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top1 = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.col("l").alias("mx"),
+                F.col("r").alias("my"),
+                F.col("cnt").alias("pair_cnt"),
+            )
+        )
+        tagged = seq.crossJoin(F.broadcast(top1))  # 1-row spine
+        matches = tagged.where(
+            (F.col("sym") == F.col("mx")) & (F.col("nxt") == F.col("my"))
+        ).withColumn("grp", F.col("i") - F.row_number().over(wq))
+        runw = Window.partitionBy("word", "grp")
+        kept = (
+            matches.withColumn("off", F.col("i") - F.min("i").over(runw))
+            .where(F.col("off") % 2 == 0)
+            .select("word", "i")
+        )
+        k1 = kept.select("word", "i", F.lit(True).alias("m_here"))
+        k2 = kept.select(
+            "word", (F.col("i") + 1).alias("i"), F.lit(True).alias("consumed")
+        )
+        merged = (
+            seq.join(k1, ["word", "i"], "left")
+            .join(k2, ["word", "i"], "left")
+            .where(F.col("consumed").isNull())
+            .select(
+                "word",
+                "freq",
+                "i",
+                F.when(
+                    F.col("m_here"), F.concat(F.col("sym"), F.col("nxt"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        # re-densify positions so round r+1's adjacency/run arithmetic
+        # (i+1 consumption, consecutive-i runs) stays valid
+        resyms = merged.withColumn(
+            "i", F.row_number().over(Window.partitionBy("word").orderBy("i"))
+        )
+        seq = resyms.withColumn(
+            "nxt", F.lead("sym").over(wq)
+        ).localCheckpoint(eager=True)
+        metrics = (
+            top1.crossJoin(
+                seq.agg(
+                    F.sum("freq").cast("long").alias("n_tokens_after")
+                )
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("mx").alias("merged_left"),
+                F.col("my").alias("merged_right"),
+                F.col("pair_cnt"),
+                "n_tokens_after",
+            )
+        )
+        out = metrics if out is None else out.unionByName(metrics)
+    return out

@@ -53,7 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-10 rotation: the never-driver-validated r10-born queries
 # (q91 distributed global rank, q92 exact distributed NTILE — the
 # scale path that replaced the r9 single-partition windows — q31
-# under its first full oracle, and m7 real WAV decode) go first,
+# under its first full oracle, m7 real WAV decode, t46 BPE training
+# loop) go first,
 # then the evidence ledger's stalest entries fill the remaining
 # slots: the full r5 band (21 queries — the oldest evidence after
 # the r9 refresh moved 50 entries to 9) and the r6 band in name
@@ -70,6 +71,7 @@ _PRIORITY: list[str] = [
     "q92_distributed_exact_ntile",
     "q31_approx_sketches",
     "m7_wav_decode_features",
+    "t46_bpe_train_loop",
     # --- r5-validated (stalest evidence band) ---
     "e10_session_window_native",
     "e12_weekly_cohort_retention",
@@ -117,7 +119,6 @@ _PRIORITY: list[str] = [
     "q60_product_profit",
     "q65_exact_moments",
     "q70_multiset_ops",
-    "q71_forward_fill",
 ]
 
 

@@ -2634,3 +2634,102 @@ def m7_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
         ).alias("rms"),
     )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One round of the BPE training loop as DuckDB CTEs: pair counts
+    over seq{r-1}, greedy top-1, run-parity leftmost-non-overlap
+    application, position re-densification — the exact algebra of
+    operators/text.py:bpe_train, generated per round so the t46
+    oracle replays the WHOLE loop, not just one step."""
+    p = r - 1
+    return f""",
+    pairs{r} AS (
+      SELECT sym AS l, nxt AS r, SUM(freq) AS cnt
+      FROM seq{p} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    top{r} AS (
+      SELECT l AS mx, r AS my, CAST(cnt AS BIGINT) AS pair_cnt
+      FROM pairs{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    matches{r} AS (
+      SELECT s.word, s.i,
+             s.i - ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.i)
+               AS grp
+      FROM seq{p} s, top{r} t
+      WHERE s.sym = t.mx AND s.nxt = t.my),
+    kept{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i,
+               i - MIN(i) OVER (PARTITION BY word, grp) AS off
+        FROM matches{r}) t
+      WHERE off % 2 = 0),
+    merged{r} AS (
+      SELECT s.word, s.freq, s.i,
+             CASE WHEN k1.i IS NOT NULL THEN s.sym || s.nxt
+                  ELSE s.sym END AS sym
+      FROM seq{p} s
+      LEFT JOIN kept{r} k1 ON k1.word = s.word AND k1.i = s.i
+      LEFT JOIN kept{r} k2 ON k2.word = s.word AND k2.i = s.i - 1
+      WHERE k2.i IS NULL),
+    resyms{r} AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS i, sym
+      FROM merged{r}),
+    seq{r} AS (
+      SELECT word, freq, i, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+      FROM resyms{r})"""
+
+
+_T46_ROUNDS = 3
+
+_T46_SQL = (
+    """
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+'))
+              AS word
+            FROM documents)
+      WHERE LENGTH(word) BETWEEN 2 AND 20
+      GROUP BY word),
+    chars AS (
+      SELECT word, freq, i, SUBSTRING(word, i, 1) AS sym
+      FROM wf CROSS JOIN (SELECT UNNEST(RANGE(1, 21)) AS i)
+      WHERE i <= LENGTH(word)),
+    seq0 AS (
+      SELECT word, freq, i, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+      FROM chars)"""
+    + "".join(_bpe_round_sql(r) for r in range(1, _T46_ROUNDS + 1))
+    + "".join(
+        f"""
+    {"SELECT" if r == 1 else "UNION ALL SELECT"}
+      CAST({r} AS BIGINT) AS round, t.mx AS merged_left,
+      t.my AS merged_right, t.pair_cnt,
+      (SELECT CAST(SUM(freq) AS BIGINT) FROM resyms{r})
+        AS n_tokens_after
+    FROM top{r} t"""
+        for r in range(1, _T46_ROUNDS + 1)
+    )
+)
+
+
+@query("t46_bpe_train_loop", oracle=_T46_SQL)
+def t46_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE TRAINING LOOP (operators/text.py:bpe_train), three
+    greedy rounds end-to-end under one oracle — the inference-side
+    completion of t42's single step: each round learns the top pair
+    and feeds the merged token back as a symbol for the next. The
+    output is the learned merge table with per-round pair counts AND
+    the weighted corpus token count after each application — a
+    vocabulary-wide checksum: a merge applied to one word too few (or
+    an overlap handled wrong) shifts n_tokens_after and fails the
+    hash. The oracle is GENERATED (one CTE block per round), so the
+    SQL replays the identical greedy loop rather than trusting the
+    engine's round 1 and assuming induction. Corpus touched once;
+    every round is vocabulary-scale window algebra chained through
+    eager checkpoints (V merges = V bounded jobs, the CC lineage
+    discipline)."""
+    from ..operators.text import bpe_train, bpe_word_freq
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(bpe_word_freq(docs), rounds=_T46_ROUNDS)
