@@ -159,6 +159,13 @@ HEADLINE: list[str] = [
     "sim23_knn_label_vote",
     "q90_revenue_pareto",
     "t45_minhash_estimator_calibration",
+    # r10-born: the exact-rank scale path, the re-oracled sketch
+    # audit, real WAV decode, and the BPE training loop
+    "q91_distributed_global_rank",
+    "q92_distributed_exact_ntile",
+    "q31_approx_sketches",
+    "m7_wav_decode_features",
+    "t46_bpe_train_loop",
 ]
 
 
