@@ -303,26 +303,9 @@ def scalable_ntile(
 
     This is the scale path for quantile segmentation (RFM quartiles,
     Pareto deciles): at a billion users the global NTILE sort becomes
-    one bucket-partitioned shuffle."""
-    bucket, offs, n = _rank_pieces(df, order, buckets)
-    sort_exprs = [c.desc() if d else c.asc() for c, d in order]
-    local = F.row_number().over(
-        Window.partitionBy("__bucket").orderBy(*sort_exprs)
-    )
-    rank = F.element_at(F.lit(offs), F.col("__bucket") + F.lit(1)) + local
-    base, rem = divmod(n, k)
-    big = rem * (base + 1)
-    in_big = F.floor((rank + F.lit(base)) / F.lit(base + 1))
-    safe = max(base, 1)
-    in_small = F.lit(rem) + F.floor(
-        (rank - F.lit(big) + F.lit(safe - 1)) / F.lit(safe)
-    )
-    tile = F.when(rank <= F.lit(big), in_big).otherwise(in_small)
-    return (
-        df.withColumn("__bucket", bucket)
-        .withColumn(bucket_col, tile.cast("int"))
-        .drop("__bucket")
-    )
+    one bucket-partitioned shuffle. One-dimension wrapper over
+    :func:`scalable_ntiles` (one formula, one test surface)."""
+    return scalable_ntiles(df, k, [(bucket_col, order)], buckets)
 
 
 def scalable_ntiles(

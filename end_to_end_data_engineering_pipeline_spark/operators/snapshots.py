@@ -403,6 +403,7 @@ def _cow_commit(
     broadcast_match: bool,
     inserts: DataFrame | None,
     op: str,
+    partition_scope: bool = False,
 ) -> int:
     """Shared file-granular copy-on-write core behind
     :func:`snapshot_merge` (``inserts`` = the update rows) and
@@ -447,9 +448,16 @@ def _cow_commit(
 
     # manifest pruning of the CoW itself: a part_col-keyed match set
     # bounds the candidate files to its partitions (collect cost =
-    # partition fan-out, not rows)
+    # partition fan-out, not rows). With ``partition_scope`` the same
+    # pruning applies on the CALLER'S assertion (Delta's
+    # merge-with-partition-predicate idiom) even when part_col is not
+    # a join key — see snapshot_merge.
     cand_files = base_files
-    if part_col and part_col in keys and base_files:
+    scope_by_partition = part_col and base_files and (
+        part_col in keys
+        or (partition_scope and part_col in match.columns)
+    )
+    if scope_by_partition:
         vals = {
             _hive_part_str(r[part_col])
             for r in match.select(part_col).distinct().collect()
@@ -606,6 +614,7 @@ def snapshot_merge(
     updates: DataFrame,
     keys: list[str],
     broadcast_updates: bool = True,
+    partition_scope: bool = False,
 ) -> int:
     """Keyed MERGE (upsert) committed as a new snapshot version, with
     FILE-GRANULAR COPY-ON-WRITE: only data files that actually contain
@@ -625,7 +634,17 @@ def snapshot_merge(
     Plan shape: one broadcast semi-join against the scan tags touched
     files via ``input_file_name()`` (the distinct file list collected
     driver-side is FILE metadata, bounded by file count, not rows);
-    the rewrite then anti-joins only the touched files' rows. Raises
+    the rewrite then anti-joins only the touched files' rows.
+
+    ``partition_scope=True`` is Delta's merge-with-partition-predicate
+    idiom: the CALLER asserts that a matched key can only live in the
+    partition its update row carries, so BOTH the tag scan and the
+    rewrite prune to the update batch's partition values at the
+    MANIFEST level — a one-day correction batch on a 10-year table
+    opens one day's files instead of scanning all of them to discover
+    that fact. The assertion is the caller's contract exactly as in
+    Delta/Iceberg: a matching key living in a DIFFERENT partition is
+    NOT updated (pytest-pinned). Default off. Raises
     ``SnapshotConflict`` if another writer commits between the read
     and the manifest claim — the caller re-runs the merge (optimistic
     concurrency; an automatic retry would have to silently re-read
@@ -634,7 +653,14 @@ def snapshot_merge(
     if not vs:
         return snapshot_write(spark, path, updates, mode="overwrite")
     return _cow_commit(
-        spark, path, updates, keys, broadcast_updates, updates, "merge"
+        spark,
+        path,
+        updates,
+        keys,
+        broadcast_updates,
+        updates,
+        "merge",
+        partition_scope=partition_scope,
     )
 
 

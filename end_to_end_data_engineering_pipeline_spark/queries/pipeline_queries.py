@@ -1208,12 +1208,15 @@ def p19_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE + DELETE on a PARTITIONED snapshot table
     (operators/snapshots.py:_cow_commit — the r7 verdict's #2 ask):
     events are committed day-partitioned (manifest partition map),
-    then one day's rows are CORRECTED via a row-keyed merge (only
-    files containing a matched event_id are rewritten, restaged
-    through partitionBy so the new manifest keeps a complete
-    partition map) and one day is RETIRED via a PARTITION-KEYED
-    delete (candidate files pre-pruned by manifest to that day —
-    no other day's files are even opened, let alone rewritten).
+    then one day's rows are CORRECTED via a PARTITION-SCOPED
+    row-keyed merge (the batch asserts its keys live in the day it
+    carries, so the tag scan itself manifest-prunes to that day's
+    files; only files containing a matched event_id rewrite,
+    restaged through partitionBy so the new manifest keeps a
+    complete partition map) and one day is RETIRED via a
+    PARTITION-KEYED delete — a pure METADATA commit since r10: every
+    candidate file's partition value is in the delete set, so the
+    manifest just drops them (no semi-join, no restage, no data IO).
     The report aggregates BOTH the original version and the
     post-CoW current version per day under one oracle, pinning
     simultaneously that (a) the CoW applied exactly the requested
@@ -1253,7 +1256,10 @@ def p19_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = ev.where(
             (F.col("d") == "2024-01-10") & (F.col("user_id") % 10 == 0)
         ).withColumn("value", F.lit(-1.0))
-        snapshot_merge(spark, store, upd, ["event_id"])
+        # partition-scoped: the correction batch carries the same day
+        # it corrects, so the tag scan opens ONE day's files (Delta's
+        # merge-with-partition-predicate idiom; contract pytest-pinned)
+        snapshot_merge(spark, store, upd, ["event_id"], partition_scope=True)
         v2 = snapshot_delete(
             spark,
             store,

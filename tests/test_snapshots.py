@@ -1663,3 +1663,96 @@ def test_snapshot_changes_agrees_with_snapshot_diff(spark, tmp_path):
     # and the compaction between commits added no phantom changes:
     # key 100 (inserted then deleted) must be absent entirely
     assert not any(k == 100 for k, _, _ in got_feed)
+
+
+class TestPartitionScopedMerge:
+    """snapshot_merge(partition_scope=True): Delta's
+    merge-with-partition-predicate idiom — the tag scan and rewrite
+    prune to the update batch's partitions on the caller's assertion."""
+
+    def _seed(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_write_partitioned,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(k, "d1" if k < 10 else "d2", float(k)) for k in range(20)],
+            "k long, d string, v double",
+        ).repartition(4)
+        snapshot_write_partitioned(spark, t, base, "d")
+        return t
+
+    def test_scoped_merge_matches_unscoped_result(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            current_version,
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        t = self._seed(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(3, "d1", -1.0), (7, "d1", -2.0)], "k long, d string, v double"
+        )
+        snapshot_merge(spark, t, upd, ["k"], partition_scope=True)
+        got = sorted(
+            (r.k, r.d, r.v)
+            for r in snapshot_read_partitioned(spark, t).collect()
+        )
+        want = sorted(
+            (k, "d1" if k < 10 else "d2",
+             -1.0 if k == 3 else -2.0 if k == 7 else float(k))
+            for k in range(20)
+        )
+        assert got == want
+        # the untouched partition's files carried BY REFERENCE
+        m0 = _manifest(t, 0)
+        m1 = _manifest(t, current_version(t))
+        d2_before = {f for f, p in m0["partitions"].items() if p == "d2"}
+        d2_after = {f for f, p in m1["partitions"].items() if p == "d2"}
+        assert d2_before == d2_after
+
+    def test_scoped_merge_skips_out_of_partition_keys(self, spark, tmp_path):
+        """The contract, pinned: a matching key living OUTSIDE the
+        update row's partition is not touched under partition_scope
+        (and IS touched without it)."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        t = self._seed(spark, tmp_path)
+        # key 15 lives in d2; the update claims d1
+        upd = spark.createDataFrame(
+            [(15, "d1", -9.0)], "k long, d string, v double"
+        )
+        snapshot_merge(spark, t, upd, ["k"], partition_scope=True)
+        # the d2 row survived untouched; the update row was INSERTED
+        # into d1 (merge semantics: unmatched-within-scope = insert)
+        d2_rows = [
+            (r.k, r.d, r.v)
+            for r in snapshot_read_partitioned(spark, t).collect()
+            if r.k == 15
+        ]
+        assert sorted(d2_rows) == [(15, "d1", -9.0), (15, "d2", 15.0)]
+
+    def test_unscoped_merge_does_update_across_partitions(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        t = self._seed(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(15, "d1", -9.0)], "k long, d string, v double"
+        )
+        snapshot_merge(spark, t, upd, ["k"])  # no scope: full tag scan
+        d15 = [
+            (r.k, r.d, r.v)
+            for r in snapshot_read_partitioned(spark, t).collect()
+            if r.k == 15
+        ]
+        assert d15 == [(15, "d1", -9.0)]
