@@ -1757,6 +1757,42 @@ def e32_stream_stream_attribution(
 
 
 @query(
+    "e34_attribution_left_outer",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def e34_attribution_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LEFT-OUTER stream-stream interval join under the value
+    hash — e32's completeness half: purchases with NO qualifying
+    view in the preceding hour must ALSO emit (null view columns).
+    Same streaming/windows.py function, how='left_outer', so the
+    oracle grades exactly the code path whose streaming delivery
+    contract (outer rows emit only once the watermark proves no
+    match can still arrive; state evicts at watermark + gap) is
+    pinned in tests/test_streaming.py:336. At scale the unmatched
+    long tail IS the interesting output — the un-attributed
+    conversions a marketing pipeline alerts on — and the outer join
+    costs the same bounded state as the inner one."""
+    from ..streaming.windows import stream_stream_attribution
+
+    ev = load(spark, sf_dir, "events")
+    return stream_stream_attribution(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        gap="1 hour",
+        how="left_outer",
+    )
+
+
+@query(
     "e33_rfm_segments",
     oracle="""
     WITH pu AS (

@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (q91 distributed global rank, q92 exact distributed NTILE — the
 # scale path that replaced the r9 single-partition windows — q31
 # under its first full oracle, m7 real WAV decode, t46 BPE training
-# loop) go first,
+# loop, e34 left-outer attribution) go first,
 # then the evidence ledger's stalest entries fill the remaining
 # slots: the full r5 band (21 queries — the oldest evidence after
 # the r9 refresh moved 50 entries to 9) and the r6 band in name
@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "q31_approx_sketches",
     "m7_wav_decode_features",
     "t46_bpe_train_loop",
+    "e34_attribution_left_outer",
     # --- r5-validated (stalest evidence band) ---
     "e10_session_window_native",
     "e12_weekly_cohort_retention",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "q54_returned_items_topk",
     "q60_product_profit",
     "q65_exact_moments",
-    "q70_multiset_ops",
 ]
 
 

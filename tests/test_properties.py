@@ -809,3 +809,55 @@ def test_ancestors_by_doubling_deep_chain(spark):
     assert got[101] == (100, 1)
     assert got[103] == (100, 2)
     assert len(got) == 63  # every child node, roots excluded
+
+
+@settings(
+    derandomize=True,
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),  # heavy ties + nulls
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(1, 9),
+    desc=st.booleans(),
+)
+def test_global_rank_and_ntile_match_window_functions(spark, rows, k, desc):
+    """Property (r10): for ANY value multiset (duplicates, nulls,
+    empty), any direction, any k — global_rank equals ROW_NUMBER and
+    scalable_ntile equals NTILE over the same total order. This is
+    the cross-implementation oracle for the literal-bucket rank
+    machinery on shapes a fixed fixture can't enumerate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.partitioning import (
+        global_rank,
+        scalable_ntile,
+    )
+
+    data = [(i, v) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long").repartition(5)
+    order = [(F.col("v"), desc), (F.col("id"), False)]
+    sort = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+    got = scalable_ntile(
+        global_rank(df, order, rank_col="rk"), k, order, bucket_col="b"
+    )
+    ref = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(*sort)).cast("long").alias("rk2"),
+        F.ntile(k).over(Window.orderBy(*sort)).alias("b2"),
+    )
+    bad = (
+        got.join(ref, "id")
+        .where((F.col("rk") != F.col("rk2")) | (F.col("b") != F.col("b2")))
+        .count()
+    )
+    assert bad == 0
