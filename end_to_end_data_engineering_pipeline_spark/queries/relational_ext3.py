@@ -1567,3 +1567,96 @@ def q92_distributed_exact_ntile(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.min("c_custkey").cast("long").alias("min_custkey"),
     )
+
+
+@query(
+    "q93_corrupt_record_routing",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey AS k,
+             '{"k": ' || CAST(o_orderkey AS VARCHAR)
+               || ', "status": "' || o_orderstatus
+               || '", "total": "'
+               || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
+               || '"}' AS payload
+      FROM orders WHERE o_orderkey < 2000),
+    corrupted AS (
+      SELECT k,
+             CASE WHEN k % 37 = 0
+                  THEN SUBSTRING(payload, 1, LENGTH(payload) - 2)
+                  ELSE payload END AS payload
+      FROM raw),
+    parsed AS (
+      SELECT k, payload, json_valid(payload) AS ok,
+             CASE WHEN json_valid(payload)
+                  THEN json_extract_string(payload, '$.status') END
+               AS status,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract_string(payload, '$.total')
+                            AS DECIMAL(15,2)) END AS total
+      FROM corrupted)
+    SELECT COALESCE(status, '__corrupt__') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CASE WHEN ok THEN total END), 4) AS DOUBLE)
+             AS sum_total,
+           CAST(MIN(k) AS BIGINT) AS min_key
+    FROM parsed
+    GROUP BY COALESCE(status, '__corrupt__')
+    """,
+)
+def q93_corrupt_record_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-payload tolerance at the ingest edge (the reference's
+    REST ingestion stores raw JSON first — reference
+    ingestion/fetch_data.py — and a real feed always contains broken
+    payloads): JSON payloads are built deterministically from orders
+    (decimal-string totals so both engines render identical text), a
+    formula-chosen subset is truncated mid-object, and the parse
+    routes every row instead of failing the batch — from_json returns
+    a null struct for malformed input (PERMISSIVE semantics), so
+    corrupt rows quarantine under '__corrupt__' with their count and
+    min key while good rows aggregate by parsed status. The oracle
+    replays the same corruption and routing via json_valid /
+    json_extract. At 100 TB this is the pattern that keeps one
+    poisoned payload from killing a billion-row ingest job; the
+    quarantine row feeds the p18-style audit sink."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    payload = F.concat(
+        F.lit('{"k": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "status": "'),
+        F.col("o_orderstatus"),
+        F.lit('", "total": "'),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        F.lit('"}'),
+    )
+    corrupted = o.select(
+        F.col("o_orderkey").alias("k"), payload.alias("payload")
+    ).select(
+        "k",
+        F.when(
+            F.col("k") % 37 == 0,
+            F.substring(
+                F.col("payload"), 1, F.length("payload") - F.lit(2)
+            ),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    parsed = corrupted.select(
+        "k",
+        F.from_json(
+            "payload", "k long, status string, total decimal(15,2)"
+        ).alias("p"),
+    )
+    routed = parsed.select(
+        "k",
+        F.coalesce(F.col("p.status"), F.lit("__corrupt__")).alias("status"),
+        F.col("p.total").alias("total"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("total"), 4).cast("double").alias("sum_total"),
+        F.min("k").cast("long").alias("min_key"),
+    )
