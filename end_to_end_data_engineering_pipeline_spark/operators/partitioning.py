@@ -139,6 +139,7 @@ def skew_report(
         "rank",
     )
 
+
 def fanout_report(
     left: DataFrame,
     right: DataFrame,
@@ -176,6 +177,7 @@ def fanout_report(
             F.col("out_rows").cast("double") / F.col("__total"), 6
         ).alias("share"),
     )
+
 
 def _bucket_expr(prim_d, cuts: list[float], desc: bool):
     """Deterministic order-segment id from LITERAL cut points: a pure
@@ -320,13 +322,18 @@ def scalable_ntiles(
     pairs.
 
     All dimensions share the two bounded-metadata jobs: one agg
-    collects every dimension's cut points plus the row count, one agg
-    collects every dimension's exact bucket histogram (as
-    per-dimension count arrays — <= dims x (buckets+1) conditional
-    sums, one row out). The main plan then carries one
-    bucket-partitioned window per dimension and literal offset
-    lookups — for D dimensions: 2 metadata jobs + D bucket shuffles,
-    versus D unpartitioned global sorts through one executor."""
+    collects every dimension's cut points plus the row count; one
+    explode-shaped count collects every dimension's exact bucket
+    histogram (<= dims x (buckets+1) rows out). The histogram
+    deliberately evaluates each bucket expression ONCE per row in the
+    projection under the explode — inlining it into per-bucket
+    conditional sums re-evaluates the cut-point array filter
+    buckets-squared times per row (measured 6x on q92 before the
+    explode shape; higher-order functions run interpreted, outside
+    codegen). The main plan then carries one bucket-partitioned
+    window per dimension and literal offset lookups — for D
+    dimensions: 2 metadata jobs + D bucket shuffles, versus D
+    unpartitioned global sorts through one executor."""
     parsed = []
     for bucket_col, order in dims:
         prim, prim_desc = order[0]
@@ -345,26 +352,34 @@ def scalable_ntiles(
         )
         bucket_exprs.append(_bucket_expr(prim_d, cuts, prim_desc))
         widths.append(len(cuts) + 1)
-    hist_aggs = [
-        F.array(
-            *[
-                F.sum((bucket_exprs[i] == F.lit(b)).cast("long"))
-                for b in range(widths[i])
-            ]
-        ).alias(f"__h_{i}")
-        for i in range(len(parsed))
-    ]
-    hrow = df.agg(*hist_aggs).collect()[0] if n else None
+    hist: dict[tuple[int, int], int] = {}
+    if n:
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("d"),
+                            bucket_exprs[i].cast("int").alias("b"),
+                        )
+                        for i in range(len(parsed))
+                    ]
+                )
+            ).alias("x")
+        ).select("x.d", "x.b")
+        hist = {
+            (int(r["d"]), int(r["b"])): int(r["count"])
+            for r in pairs.groupBy("d", "b").count().collect()
+        }
     base, rem = divmod(n, k)
     big = rem * (base + 1)
     safe = max(base, 1)
     out = df
     for i, (bucket_col, order, _, _) in enumerate(parsed):
-        counts = list(hrow[f"__h_{i}"] or []) if hrow else []
         offs, acc = [], 0
         for b in range(widths[i]):
             offs.append(acc)
-            acc += int(counts[b] or 0) if b < len(counts) else 0
+            acc += hist.get((i, b), 0)
         sort_exprs = [c.desc() if d else c.asc() for c, d in order]
         bcol = f"__bucket_{i}"
         local = F.row_number().over(
