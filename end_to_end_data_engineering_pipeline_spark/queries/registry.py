@@ -54,8 +54,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (q91 distributed global rank, q92 exact distributed NTILE — the
 # scale path that replaced the r9 single-partition windows — q31
 # under its first full oracle, m7 real WAV decode, t46 BPE training
-# loop, e34 left-outer attribution, q93 corrupt-record routing) go
-# first,
+# loop, e34 left-outer attribution, q93 corrupt-record routing, t47
+# empirical LSH S-curve) go first,
 # then the evidence ledger's stalest entries fill the remaining
 # slots: the full r5 band (21 queries — the oldest evidence after
 # the r9 refresh moved 50 entries to 9) and the r6 band in name
@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "t46_bpe_train_loop",
     "e34_attribution_left_outer",
     "q93_corrupt_record_routing",
+    "t47_lsh_s_curve",
     # --- r5-validated (stalest evidence band) ---
     "e10_session_window_native",
     "e12_weekly_cohort_retention",
@@ -119,7 +120,6 @@ _PRIORITY: list[str] = [
     "q47_nation_trade_volume",
     "q48_market_share",
     "q54_returned_items_topk",
-    "q60_product_profit",
 ]
 
 

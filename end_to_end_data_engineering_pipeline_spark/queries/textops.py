@@ -208,13 +208,16 @@ def _o_t7_ctes(
     bands: int = 4,
     threshold: float = 0.3,
     where: str = "",
+    source: str = "documents",
 ) -> str:
     """CTE chain mirroring minhash_lsh_pairs: 16-hash signature, 4-band
     keys, band-collision candidates, exact-Jaccard verify — every stage
     deterministic via the shared md5 hash32, so the whole LSH pipeline
     sits under the strict value-hash gate. Ends with a ``pairs`` CTE so
     downstream oracles (t12 clustering) can build on it. ``where``
-    optionally slices the corpus (t44's bounded audit)."""
+    optionally slices the corpus (t44's bounded audit); ``source``
+    swaps the relation the chain hashes (t47 feeds a synthesized
+    original+variant corpus — any (doc_id, text) CTE works)."""
     rows = n_hashes // bands
     mh = ", ".join(_o_minhash(i) for i in range(n_hashes))
     band_cols = ", ".join(
@@ -229,7 +232,7 @@ def _o_t7_ctes(
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
         for b in range(bands)
     )
-    ctes = f"""sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents{where}),
+    ctes = f"""sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM {source}{where}),
     hashed AS (SELECT doc_id,
                       list_transform(s, x -> {_o_hash32("x")}) AS hs
                FROM sh),
@@ -2733,3 +2736,152 @@ def t46_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_train(bpe_word_freq(docs), rounds=_T46_ROUNDS)
+
+
+_T47_DIALS = (3, 4, 6, 10, 16, 25, 50)
+
+_T47_SQL = f"""
+    WITH dials(n) AS (VALUES (3), (4), (6), (10), (16), (25), (50)),
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    toksed AS (SELECT doc_id, {_O_TOKS} AS toks FROM base),
+    variants AS (
+      SELECT doc_id + n * 1000000 AS doc_id,
+             array_to_string(
+               list_transform(
+                 toks,
+                 (t, i) -> CASE WHEN (i - 1) % n = 0
+                                THEN 'qzqzq' ELSE t END),
+               ' ') AS text
+      FROM toksed, dials),
+    docs_src AS (
+      SELECT doc_id, text FROM base
+      UNION ALL SELECT doc_id, text FROM variants),
+    {_o_t7_ctes(source="docs_src", threshold=0.0)},
+    collide AS (
+      SELECT DISTINCT a.doc_id AS id, b.doc_id // 1000000 AS n
+      FROM stacked a JOIN stacked b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+        AND b.doc_id % 1000000 = a.doc_id),
+    jac AS (
+      SELECT x.doc_id AS id, y.doc_id // 1000000 AS n,
+             CAST(ROUND(len(list_intersect(x.s, y.s)) * 1000000.0
+                        / (len(x.s) + len(y.s)
+                           - len(list_intersect(x.s, y.s))))
+                  AS BIGINT) AS micro
+      FROM sh x JOIN sh y
+        ON y.doc_id % 1000000 = x.doc_id
+       AND x.doc_id < 1000000 AND y.doc_id >= 1000000)
+    SELECT CAST(j.n AS BIGINT) AS dial_n,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(j.micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_jaccard,
+           CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS catch_rate
+    FROM jac j LEFT JOIN collide c ON c.id = j.id AND c.n = j.n
+    GROUP BY j.n
+    """
+
+
+@query("t47_lsh_s_curve", oracle=_T47_SQL)
+def t47_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMPIRICAL LSH S-curve — the measurement t44 could not make:
+    the fixture's true near-dups are all j≈1 clones, so banding recall
+    at moderate similarity was argued from theory (docs/SCALE.md, LSH
+    dial decision). This query MANUFACTURES mid-band pairs at
+    controlled similarity: for each document and each dial n in
+    {3,4,6,10,16,25,50}, a variant replaces every n-th whitespace token of
+    the normalized text with a junk token, the original+variant corpus
+    runs through the EXACT production MinHash/band machinery
+    (operators/dedup_fuzzy.py, same 16-hash/4-band dials, same md5
+    hash32), and each dial reports its mean exact shingle-Jaccard and
+    the fraction of (original, variant) pairs that band-collide —
+    catch probability as a function of similarity, measured on the
+    production hash family rather than assumed from
+    1-(1-j^r)^b. Everything is deterministic (mutation is a pure
+    token-index function, identical in both engines), so the whole
+    curve sits under the value hash. At 100 TB the synthesized corpus
+    is 6x the audited slice — bounded by the slice, not the table."""
+    from ..operators.dedup_fuzzy import lsh_band_table, shingled_docs
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    base = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    ).select("doc_id", "text")
+    toks = whitespace_tokens(normalize_text(F.col("text")))
+    def _mut(n):
+        return lambda t, i: F.when(
+            i % F.lit(n) == 0, F.lit("qzqzq")
+        ).otherwise(t)
+
+    variants = None
+    for n in _T47_DIALS:
+        v = base.select(
+            (F.col("doc_id") + F.lit(n * 1000000)).alias("doc_id"),
+            F.array_join(F.transform(toks, _mut(n)), " ").alias("text"),
+        )
+        variants = v if variants is None else variants.unionByName(v)
+    src = base.unionByName(variants)
+    bt = lsh_band_table(src)
+    a = bt.where(F.col("id") < 1000000).select(
+        F.col("id").alias("id_a"), "band_idx", "band_key"
+    )
+    b = bt.where(F.col("id") >= 1000000).select(
+        F.col("id").alias("id_b"), "band_idx", "band_key"
+    )
+    collide = (
+        a.join(
+            b,
+            (a.band_idx == b.band_idx)
+            & (a.band_key == b.band_key)
+            & (F.col("id_b") % 1000000 == F.col("id_a")),
+        )
+        .select(
+            F.col("id_a").alias("id"),
+            F.floor(F.col("id_b") / F.lit(1000000)).cast("long").alias("n"),
+        )
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    sh = shingled_docs(src)
+    x = sh.where(F.col("id") < 1000000).select(
+        F.col("id").alias("id"), F.col("sh").alias("s_x")
+    )
+    y = sh.where(F.col("id") >= 1000000).select(
+        F.col("id").alias("yid"), F.col("sh").alias("s_y")
+    )
+    inter = F.size(F.array_intersect("s_x", "s_y"))
+    uni = F.size("s_x") + F.size("s_y") - inter
+    jac = (
+        x.join(y, F.col("yid") % 1000000 == F.col("id"))
+        .select(
+            "id",
+            F.floor(F.col("yid") / F.lit(1000000)).cast("long").alias("n"),
+            F.round(inter * F.lit(1000000.0) / uni)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return (
+        jac.join(collide, ["id", "n"], "left")
+        .groupBy(F.col("n").cast("long").alias("dial_n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("micro").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("mean_jaccard"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+            F.round(
+                F.sum(F.coalesce(F.col("caught"), F.lit(0)))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("catch_rate"),
+        )
+    )
