@@ -166,6 +166,9 @@ HEADLINE: list[str] = [
     "q31_approx_sketches",
     "m7_wav_decode_features",
     "t46_bpe_train_loop",
+    "e34_attribution_left_outer",
+    "q93_corrupt_record_routing",
+    "t47_lsh_s_curve",
 ]
 
 
