@@ -2826,16 +2826,20 @@ def t47_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = base.unionByName(variants)
     bt = lsh_band_table(src)
     a = bt.where(F.col("id") < 1000000).select(
-        F.col("id").alias("id_a"), "band_idx", "band_key"
+        F.col("id").alias("id_a"),
+        F.col("band_idx").alias("bi_a"),
+        F.col("band_key").alias("bk_a"),
     )
     b = bt.where(F.col("id") >= 1000000).select(
-        F.col("id").alias("id_b"), "band_idx", "band_key"
+        F.col("id").alias("id_b"),
+        F.col("band_idx").alias("bi_b"),
+        F.col("band_key").alias("bk_b"),
     )
     collide = (
         a.join(
             b,
-            (a.band_idx == b.band_idx)
-            & (a.band_key == b.band_key)
+            (F.col("bi_a") == F.col("bi_b"))
+            & (F.col("bk_a") == F.col("bk_b"))
             & (F.col("id_b") % 1000000 == F.col("id_a")),
         )
         .select(
