@@ -169,6 +169,9 @@ HEADLINE: list[str] = [
     "e34_attribution_left_outer",
     "q93_corrupt_record_routing",
     "t47_lsh_s_curve",
+    # r11-born: real BMP image decode (the m7 strategy on the image
+    # modality — struct header parse + stride/row-order/channel math)
+    "m8_bmp_decode_features",
 ]
 
 

@@ -140,6 +140,45 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def pin_result(df: DataFrame, max_rows: int = 10_000) -> DataFrame:
+    """Materialize an AGGREGATE-SIZED result as a driver-local
+    DataFrame so its lineage detaches from scratch inputs (the
+    mutation-style queries stage state in a tempdir, compute a small
+    summary, and must rmtree the tempdir before returning — a lazy
+    plan would re-scan deleted files when the driver collects it).
+
+    This is the ONLY sanctioned collect-to-driver in the query layer,
+    and it is guarded: the probe reads ``max_rows + 1`` rows and
+    raises if the result exceeds the cap, so a future edit that turns
+    a pinned result data-sized (e.g. dropping a groupBy) fails loudly
+    at the pin instead of silently OOM-ing the driver at 100 TB. Do
+    NOT raise the cap to accommodate a big result — restructure the
+    query so the pinned frame stays aggregate-sized."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"pin_result: result exceeds max_rows={max_rows} — this "
+            "helper pins SMALL aggregate results on the driver; a "
+            "data-sized frame here means the query lost its reducing "
+            "step (or needs a real sink, not a driver pin)"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def pin_dataset(df: DataFrame) -> DataFrame:
+    """Distributed pin for DATA-SIZED results: eager localCheckpoint
+    materializes the partitions on the EXECUTORS and truncates
+    lineage, so scratch inputs (a mutation query's tempdir table) can
+    be deleted before return without the data ever flowing through
+    the driver. Use this when the pinned frame scales with the table
+    (a full-table merge readback, a CDF feed); use :func:`pin_result`
+    for aggregate-sized summaries, where its row cap is the guard
+    against accidentally data-sized plans. At 100 TB the checkpoint
+    is executor-storage-sized per node — same footprint class as any
+    shuffle — where a driver collect would simply OOM."""
+    return df.localCheckpoint(eager=True)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view named after itself."""
     for name in TABLES:

@@ -247,18 +247,27 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
     - ``kind='audio'``: SERVED — PCM WAV rows decode through the
       stdlib ``wave`` codec (:func:`decode_wav_features`, below): a
       genuine RIFF container parse, not ``_decode_stub``'s hash fake.
-    - ``kind='image'`` / ``'video'``: still require PIL / av /
-      torchaudio, which this container does not ship — raises
+    - ``kind='image'``: SERVED for uncompressed 24-bit BMP —
+      :func:`decode_bmp_features` parses the real container (file +
+      DIB headers via ``struct``, bottom-up padded BGR pixel rows)
+      with no codec library. Compressed formats (PNG/JPEG) raise
+      :class:`CodecsUnavailableError` from inside the decoder, per
+      row, naming PIL.
+    - ``kind='video'``: still requires av / torchvision, which this
+      container does not ship — raises
       :class:`CodecsUnavailableError` unless one becomes importable.
-      The Spark-side plumbing those decoders need (binary column
+      The Spark-side plumbing a video decoder needs (binary column
       handling, Arrow batch shape, typed metadata schema, decode-skip
-      on null) is implemented and tested via :func:`extract_features`
-      over ``_decode_stub`` and, for a REAL byte format, via the WAV
-      path; swapping in the per-batch image decoder is the only
+      on null, frame sampling) is implemented and tested via
+      :func:`extract_features` / :func:`sample_frame_offsets` over
+      ``_decode_stub`` and, for REAL byte formats, via the WAV and
+      BMP paths; swapping in the per-batch frame decoder is the only
       change required once codecs exist."""
     if kind == "audio":
         return decode_wav_features(media)
-    for mod in ("PIL", "torchvision", "av"):
+    if kind == "image":
+        return decode_bmp_features(media)
+    for mod in ("av", "torchvision"):
         try:
             __import__(mod)
             break
@@ -267,16 +276,17 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
     else:
         raise CodecsUnavailableError(
             f"decode_media(kind={kind!r}) needs a real codec library "
-            "(PIL / torchvision / av); none is installed in this "
-            "environment. Audio (PCM WAV) decodes for real via "
-            "decode_media(kind='audio'); extract_features provides the "
-            "tested Spark plumbing over a deterministic stub (columns "
-            "are named fake_* for a reason) — do NOT treat its output "
-            "as decoded media."
+            "(av / torchvision); none is installed in this "
+            "environment. Audio (PCM WAV) and image (uncompressed "
+            "BMP) decode for real via decode_media(kind='audio'|"
+            "'image'); extract_features provides the tested Spark "
+            "plumbing over a deterministic stub (columns are named "
+            "fake_* for a reason) — do NOT treat its output as "
+            "decoded media."
         )
     raise CodecsUnavailableError(
-        "an image codec library is importable but no real decoder is "
-        "wired yet; implement the per-batch decode in place of "
+        "a video codec library is importable but no real decoder is "
+        "wired yet; implement the per-batch frame decode in place of "
         "_decode_stub"
     )
 
@@ -482,3 +492,184 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: uncompressed BMP (BITMAPINFOHEADER, 24-bit) via
+# stdlib struct — the m7/WAV strategy applied to the image modality.
+# The container is genuine (a BM file header, a 40-byte DIB header,
+# bottom-up BGR pixel rows each padded to a 4-byte boundary — any
+# image viewer opens these files); only COMPRESSED formats (PNG/JPEG)
+# still need PIL and stay behind CodecsUnavailableError.
+# ---------------------------------------------------------------------------
+
+BMP_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, sum_r long, sum_g long, "
+    "sum_b long, peak long, pos_weighted long"
+)
+
+
+def synth_bmp(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    width: int = 30,
+    height: int = 20,
+) -> DataFrame:
+    """(media_id, content): a GENUINE 24-bit uncompressed BMP per id,
+    written with stdlib ``struct`` — BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes (the
+    default width=30 makes the raw row 90 bytes, forcing 2 pad bytes,
+    so a decoder that forgets stride padding CANNOT pass). Pixels are
+    the analytic formula (top-down coordinates, y=0 the top row):
+
+        r = (id*7  + y*13 + x*5)  % 256
+        g = (id*11 + y*3  + x*17) % 256
+        b = (id*23 + y*19 + x*29) % 256
+
+    so every decoded feature has a closed-form SQL oracle (m8) —
+    the same discipline that put the WAV codec under the value hash.
+    Arrow-batched; bytes never pass through Python row objects."""
+    import struct
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    ids = fan_out(ids.select(F.col(id_col).alias("media_id")))
+    row_raw = width * 3
+    stride = (row_raw + 3) & ~3
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHI"  # BITMAPFILEHEADER: magic, file size, res, res, offset
+        "IiiHHIIiiII",  # BITMAPINFOHEADER
+        b"BM",
+        14 + 40 + img_size,
+        0,
+        0,
+        14 + 40,
+        40,
+        width,
+        height,  # positive height = bottom-up row order
+        1,
+        24,
+        0,  # BI_RGB: uncompressed
+        img_size,
+        2835,
+        2835,
+        0,
+        0,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(height, dtype=np.int64)[:, None]
+        x = np.arange(width, dtype=np.int64)[None, :]
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                r = (mid * 7 + y * 13 + x * 5) % 256
+                g = (mid * 11 + y * 3 + x * 17) % 256
+                b = (mid * 23 + y * 19 + x * 29) % 256
+                bgr = np.stack([b, g, r], axis=-1).astype(np.uint8)
+                rows = np.zeros((height, stride), dtype=np.uint8)
+                rows[:, :row_raw] = bgr.reshape(height, row_raw)
+                # bottom-up: last image row is stored first
+                blobs.append(header + rows[::-1].tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse each row's BMP container with stdlib
+    ``struct`` (magic check, pixel-array offset from the file header,
+    dimensions/bpp/compression from the DIB header) and emit
+    integer-exact pixel features:
+
+    - ``sum_r/sum_g/sum_b``: per-channel pixel sums (int64),
+    - ``peak``: max value over all channels,
+    - ``pos_weighted``: SUM((y*width + x) * (r + 2g + 3b)) over
+      top-down coordinates — a spatial checksum that fails if the
+      decoder mis-handles the bottom-up row order, the 4-byte row
+      stride, or BGR channel order (channel weights 1/2/3 make an
+      R<->B swap change the value), the three classic BMP bugs.
+
+    Handles any 24-bit uncompressed BMP with a BITMAPINFOHEADER-or-
+    later DIB header and positive (bottom-up) height. Compressed or
+    non-24-bit content (PNG/JPEG/RLE/paletted) raises
+    :class:`CodecsUnavailableError` naming the library that would be
+    needed — real codecs remain out of scope for this container.
+    Null content yields null features (decode-skip path, same
+    contract as extract_features/decode_wav_features)."""
+    import struct
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    media = fan_out(media)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                buf = bytes(blob)
+                if buf[:2] != b"BM":
+                    raise CodecsUnavailableError(
+                        "decode_bmp_features got non-BMP content "
+                        f"(magic {buf[:2]!r}); compressed image formats "
+                        "(PNG/JPEG) need PIL, which this environment "
+                        "does not ship"
+                    )
+                (offset,) = struct.unpack_from("<I", buf, 10)
+                hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+                planes, bpp, comp = struct.unpack_from("<HHI", buf, 26)
+                if hdr_size < 40 or bpp != 24 or comp != 0 or h <= 0:
+                    raise CodecsUnavailableError(
+                        f"only 24-bit uncompressed bottom-up BMP is "
+                        f"wired (got header={hdr_size} bpp={bpp} "
+                        f"compression={comp} height={h})"
+                    )
+                stride = (w * 3 + 3) & ~3
+                px = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)[:, : w * 3]
+                # bottom-up storage -> top-down coords; BGR -> R,G,B
+                px = px[::-1].reshape(h, w, 3).astype(np.int64)
+                b, g, r = px[..., 0], px[..., 1], px[..., 2]
+                pos = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(b.sum()),
+                        int(px.max()),
+                        int((pos * (r + 2 * g + 3 * b)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "peak",
+                    "pos_weighted",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=BMP_FEATURE_SCHEMA)

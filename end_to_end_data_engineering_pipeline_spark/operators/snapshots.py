@@ -1660,6 +1660,17 @@ def snapshot_sync(
 
     vs = list_versions(src)
     to_v = vs[-1] if to_version is None else to_version
+    if not list_versions(dst):
+        # first sync of a fresh replica: there is no destination
+        # manifest for _cow_commit to diff against (its
+        # list_versions(dst)[-1] would raise IndexError), and the
+        # change feed over (from_version..to_v] cannot contain the
+        # rows that were ALREADY live at from_version — so materialize
+        # the replica's claimed baseline src@from_version once, then
+        # fall through to the normal incremental apply. This is the
+        # one unavoidable full-base copy every replica pays exactly
+        # once; every later cycle is back to O(change rate).
+        snapshot_write(spark, dst, snapshot_read(spark, src, from_version))
     if to_v < from_version:
         # snapshot_changes(5, 3) would compute the INVERSE diff and
         # silently roll the replica backwards — a stale pin or a
@@ -1689,5 +1700,14 @@ def snapshot_sync(
     ups = feed.where(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
+    if not list_versions(dst):
+        # first sync of a fresh replica: there is no destination
+        # manifest for _cow_commit to diff against (list_versions(dst)
+        # is empty and the commit's [-1] would raise) — bootstrap the
+        # replica with the span's post-images exactly as the r9 path's
+        # 'if not vs: snapshot_write' branch in snapshot_merge did.
+        # Deletes in the span are no-ops on an empty table.
+        snapshot_write(spark, dst, ups)
+        return to_v
     _cow_commit(spark, dst, match, keys, True, ups, "sync")
     return to_v

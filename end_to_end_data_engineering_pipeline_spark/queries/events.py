@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin_result
 from .benchmeta import fixture_phase
 from .registry import query
 
@@ -656,7 +656,7 @@ def e15_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_expr(F.col("price"), "sum_price"),
         )
         # materialize before the staged table is deleted
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -823,7 +823,7 @@ def e17_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # materialize before the staged table is deleted
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load, register_views
+from ..catalog import load, pin_dataset, pin_result, register_views
 from ..functions import iso_dow
 from .benchmeta import fixture_phase
 from .registry import query
@@ -323,7 +323,7 @@ def p6_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum_expr(dec2("l_extendedprice"), "sum_price"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -375,7 +375,7 @@ def p7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(path).select(
             "o_orderkey", "o_custkey", "status"
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_dataset(out)  # data-sized: executor-side pin
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -436,7 +436,7 @@ def p8_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("d").alias("n_days"),
             F.min("d").cast("string").alias("earliest_kept"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -513,7 +513,7 @@ def p9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in (0, 1, 2)
         ]
         out = parts[0].unionByName(parts[1]).unionByName(parts[2])
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -668,7 +668,7 @@ def p11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_from").cast("double").alias("price_from"),
             F.col("price_to").cast("double").alias("price_to"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_dataset(out)  # data-sized: executor-side pin
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -726,7 +726,7 @@ def p12_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_suppkey").cast("bigint")).alias("sum_supp"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -782,7 +782,7 @@ def p13_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum_expr(dec2("o_totalprice"), "revenue"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
@@ -845,7 +845,7 @@ def p14_time_range_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -986,7 +986,7 @@ def p15_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("corpus_digest"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1044,7 +1044,7 @@ def p16_gdpr_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1104,7 +1104,7 @@ def p17_dynamic_partition_backfill(
             .cast("double")
             .alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1273,7 +1273,7 @@ def p19_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             snapshot_read_partitioned(spark, store, version=v2), "after_cow"
         )
         out = base.unionByName(after)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1339,7 +1339,7 @@ def p20_streaming_backfill_parity(
             .cast("double")
             .alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1416,7 +1416,7 @@ def p21_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1499,7 +1499,7 @@ def p22_partitioned_schema_evolution(
                 .alias("total_value"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1618,7 +1618,7 @@ def p23_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").cast("double").alias("price"),
             "_change_type",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_dataset(out)  # data-sized: executor-side pin
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1759,7 +1759,7 @@ def p25_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_price"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1844,7 +1844,7 @@ def p26_timestamp_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _agg(
             snapshot_read(spark, path, v_mid), "asof_between"
         ).unionByName(_agg(snapshot_read(spark, path, v_now), "asof_now"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

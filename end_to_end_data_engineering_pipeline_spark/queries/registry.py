@@ -50,76 +50,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from CORRECTNESS_r0*.json); tests/test_driver_session.py pins that
 # the prefix is exactly 50 registered, oracled names.
 #
-# Round-10 rotation: the never-driver-validated r10-born queries
-# (q91 distributed global rank, q92 exact distributed NTILE — the
-# scale path that replaced the r9 single-partition windows — q31
-# under its first full oracle, m7 real WAV decode, t46 BPE training
-# loop, e34 left-outer attribution, q93 corrupt-record routing, t47
-# empirical LSH S-curve) go first,
-# then the evidence ledger's stalest entries fill the remaining
-# slots: the full r5 band (21 queries — the oldest evidence after
-# the r9 refresh moved 50 entries to 9) and the r6 band in name
-# order up to capacity. Min registry freshness after a green r10 =
-# r6 (the r9-verdict #2 target). q31_approx_sketches — rows-only
-# until r10, now carrying a full oracle (exact anchors + accuracy-
-# contract booleans) — rides the never-validated band for its first
-# hash validation. New queries are appended here as they land, keeping
-# the never-validated-first invariant
+# RESHAPE RULE (since r11, r10 advice #4): an algorithmic reshape of
+# an already-validated query is treated like a NEW query for rotation
+# purposes — its VALIDATED_ROUND entry is dropped so the driver
+# re-validates the new plan shape (the old credit described a
+# different implementation). bench.py's RESHAPED_ROUND is the timing
+# half of the same discontinuity.
+#
+# Round-11 rotation: never-driver-validated first — the r10-reshaped
+# e33 (broadcast RFM cut points) and q90 (broadcast Pareto cut
+# points) whose current plans shipped in r10 but were only validated
+# in their r9 forms, the r11-reshaped t42 (row_number over the 20
+# survivors instead of the CollectLimit ordering contract) and q93
+# (corrupt routing on the truncation-destroyed field, robust to
+# partial-result JSON parsing), and the r11-born m8 (REAL BMP image
+# decode under the value hash) — then the full r6 band (26 queries,
+# the stalest evidence after the r10 refresh moved 50 entries to 10)
+# and the first 19 of the r7 band in name order. Min registry
+# freshness after a green r11 = r7 (the r10-verdict #2 target). New
+# queries are appended here as they land, keeping the
+# never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    # --- never driver-validated (r10-born) ---
-    "q91_distributed_global_rank",
-    "q92_distributed_exact_ntile",
-    "q31_approx_sketches",
-    "m7_wav_decode_features",
-    "t46_bpe_train_loop",
-    "e34_attribution_left_outer",
+    # --- never driver-validated: the r10/r11 reshapes (rotation
+    # policy treats a reshape as a NEW query — r10 advice #4: the
+    # current e33/q90 plans shipped in r10 but were never driver-
+    # validated; t42 re-ranked and q93 re-routed in r11) and the
+    # r11-born real BMP image decode ---
+    "e33_rfm_segments",
+    "q90_revenue_pareto",
+    "t42_bpe_merge_step",
     "q93_corrupt_record_routing",
-    "t47_lsh_s_curve",
-    # --- r5-validated (stalest evidence band) ---
-    "e10_session_window_native",
-    "e12_weekly_cohort_retention",
-    "q10_rollup",
-    "q20_percentiles",
-    "q26_grouping_sets",
-    "q27_pivot",
-    "q28_unpivot",
-    "q36_notin_count_distinct",
-    "q50_disjunctive_join_predicates",
-    "q56_customer_order_distribution",
-    "q58_dormant_account_cohorts",
-    "q62_deterministic_sample",
-    "q63_stratified_sample",
-    "q64_arg_extrema",
-    "q66_fuzzy_name_blocking",
-    "q69_winsorized_stats",
-    "sim5_vector_stats",
-    "sim7_neardup_pairs_lsh",
-    "t10_winnow_fingerprints",
-    "t13_canonical_corpus",
-    "t17_passage_chunking",
-    # --- r6-validated (stalest evidence band) ---
-    "e11_funnel",
-    "e13_inter_event_gaps",
-    "e14_transition_matrix",
-    "e15_cdc_latest_state",
-    "e16_scd2_history",
-    "e18_linear_interpolation",
-    "e3_sessionization",
-    "e8_asof_join",
-    "m1_multimodal_features",
-    "m2_frame_sample_offsets",
-    "p3_sql_model_over_views",
-    "p5_incremental_gold",
-    "p6_compaction_roundtrip",
-    "p7_schema_evolution_merge",
-    "q21_shipping_priority_topk",
-    "q30_salted_join_agg",
-    "q35_min_per_group_joinback",
-    "q43_correlated_avg_subquery",
-    "q47_nation_trade_volume",
-    "q48_market_share",
-    "q54_returned_items_topk",
+    "m8_bmp_decode_features",
+    # --- r6-validated (stalest evidence band, 26 queries) ---
+    "q60_product_profit",
+    "q65_exact_moments",
+    "q70_multiset_ops",
+    "q71_forward_fill",
+    "q72_group_ols_slope",
+    "q76_array_set_algebra",
+    "sim11_sq8_topk",
+    "sim1_cosine_topk_bruteforce",
+    "sim2_cosine_topk_lsh",
+    "sim4_cosine_topk_ivf",
+    "sim6_label_separation",
+    "sim8_pq_adc_topk",
+    "sim9_ivfpq_topk",
+    "t11_winnow_overlap_pairs",
+    "t12_neardup_clusters",
+    "t14_curation_filter",
+    "t15_distinctive_terms",
+    "t16_sequence_packing",
+    "t19_decontamination",
+    "t1_text_stats",
+    "t20_token_budget_mix",
+    "t21_pii_redaction",
+    "t28_chunk_dedup_corpus",
+    "t3_exact_dedup",
+    "t7_minhash_lsh_neardup",
+    "t9_simhash_neardup",
+    # --- r7-validated (next-stalest, first 19 in name order) ---
+    "e17_scd2_incremental",
+    "e19_attribution",
+    "e1_tumbling_window_agg",
+    "e21_scd2_asof",
+    "e2_sliding_window_agg",
+    "e4_json_extraction",
+    "e5_keyed_dedup_keep_first",
+    "e6_value_counts",
+    "e7_latest_event_per_user",
+    "e9_range_join",
+    "m3_content_addressed_store",
+    "p10_incremental_agg",
+    "p11_snapshot_diff",
+    "p12_zorder_roundtrip",
+    "p13_bucketed_colocated_join",
+    "p1_flatten_roundtrip",
+    "p2_dim_date_build",
+    "p4_quality_gate_counters",
+    "p8_retention_sweep",
 ]
 
 
@@ -130,15 +139,15 @@ _PRIORITY: list[str] = [
 # NEVER been driver-validated; the rotation policy above sends
 # them (then the stalest entries) through the 50-slot prefix.
 VALIDATED_ROUND: dict[str, int] = {
-    "e10_session_window_native": 5,
-    "e11_funnel": 6,
-    "e12_weekly_cohort_retention": 5,
-    "e13_inter_event_gaps": 6,
-    "e14_transition_matrix": 6,
-    "e15_cdc_latest_state": 6,
-    "e16_scd2_history": 6,
+    "e10_session_window_native": 10,
+    "e11_funnel": 10,
+    "e12_weekly_cohort_retention": 10,
+    "e13_inter_event_gaps": 10,
+    "e14_transition_matrix": 10,
+    "e15_cdc_latest_state": 10,
+    "e16_scd2_history": 10,
     "e17_scd2_incremental": 7,
-    "e18_linear_interpolation": 6,
+    "e18_linear_interpolation": 10,
     "e19_attribution": 7,
     "e1_tumbling_window_agg": 7,
     "e21_scd2_asof": 7,
@@ -153,20 +162,21 @@ VALIDATED_ROUND: dict[str, int] = {
     "e2_sliding_window_agg": 7,
     "e31_point_in_time_features": 9,
     "e32_stream_stream_attribution": 9,
-    "e33_rfm_segments": 9,
-    "e3_sessionization": 6,
+    "e34_attribution_left_outer": 10,
+    "e3_sessionization": 10,
     "e4_json_extraction": 7,
     "e5_keyed_dedup_keep_first": 7,
     "e6_value_counts": 7,
     "e7_latest_event_per_user": 7,
-    "e8_asof_join": 6,
+    "e8_asof_join": 10,
     "e9_range_join": 7,
-    "m1_multimodal_features": 6,
-    "m2_frame_sample_offsets": 6,
+    "m1_multimodal_features": 10,
+    "m2_frame_sample_offsets": 10,
     "m3_content_addressed_store": 7,
     "m4_frame_embedding_pool": 8,
     "m5_media_frame_overlap": 8,
     "m6_media_dedup_clusters": 9,
+    "m7_wav_decode_features": 10,
     "p10_incremental_agg": 7,
     "p11_snapshot_diff": 7,
     "p12_zorder_roundtrip": 7,
@@ -186,14 +196,14 @@ VALIDATED_ROUND: dict[str, int] = {
     "p25_cdf_downstream_sync": 9,
     "p26_timestamp_asof_read": 9,
     "p2_dim_date_build": 7,
-    "p3_sql_model_over_views": 6,
+    "p3_sql_model_over_views": 10,
     "p4_quality_gate_counters": 7,
-    "p5_incremental_gold": 6,
-    "p6_compaction_roundtrip": 6,
-    "p7_schema_evolution_merge": 6,
+    "p5_incremental_gold": 10,
+    "p6_compaction_roundtrip": 10,
+    "p7_schema_evolution_merge": 10,
     "p8_retention_sweep": 7,
     "p9_time_travel": 7,
-    "q10_rollup": 5,
+    "q10_rollup": 10,
     "q11_cube": 8,
     "q12_set_ops": 8,
     "q13_global_topk": 8,
@@ -204,23 +214,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "q18_having_group_filter": 8,
     "q19_duplicate_audit": 8,
     "q1_pricing_summary": 8,
-    "q20_percentiles": 5,
-    "q21_shipping_priority_topk": 6,
+    "q20_percentiles": 10,
+    "q21_shipping_priority_topk": 10,
     "q22_above_customer_average": 8,
     "q23_regexp_extract": 9,
     "q24_monthly_rollup": 9,
     "q25_nation_supplier_balance": 9,
-    "q26_grouping_sets": 5,
-    "q27_pivot": 5,
-    "q28_unpivot": 5,
+    "q26_grouping_sets": 10,
+    "q27_pivot": 10,
+    "q28_unpivot": 10,
     "q29_sorted_array_agg": 9,
     "q2_group_count_distinct": 8,
-    "q30_salted_join_agg": 6,
+    "q30_salted_join_agg": 10,
+    "q31_approx_sketches": 10,
     "q32_nested_exists_in": 9,
     "q33_exists_and_not_exists": 9,
     "q34_full_outer_join": 9,
-    "q35_min_per_group_joinback": 6,
-    "q36_notin_count_distinct": 5,
+    "q35_min_per_group_joinback": 10,
+    "q36_notin_count_distinct": 10,
     "q37_posexplode_tokens": 9,
     "q38_date_arithmetic": 9,
     "q39_range_frame_window": 9,
@@ -228,35 +239,35 @@ VALIDATED_ROUND: dict[str, int] = {
     "q40_dense_report_spine": 9,
     "q41_window_navigation": 9,
     "q42_histogram_buckets": 9,
-    "q43_correlated_avg_subquery": 6,
+    "q43_correlated_avg_subquery": 10,
     "q44_math_functions": 9,
     "q45_null_semantics": 9,
     "q46_string_advanced": 9,
-    "q47_nation_trade_volume": 6,
-    "q48_market_share": 6,
+    "q47_nation_trade_volume": 10,
+    "q48_market_share": 10,
     "q49_rank_distribution": 9,
     "q4_star_join_revenue": 8,
-    "q50_disjunctive_join_predicates": 5,
+    "q50_disjunctive_join_predicates": 10,
     "q51_promo_revenue_share": 9,
     "q52_top_supplier_view": 9,
     "q53_late_shipment_priority": 9,
-    "q54_returned_items_topk": 6,
+    "q54_returned_items_topk": 10,
     "q55_priority_shipping_classes": 9,
-    "q56_customer_order_distribution": 5,
+    "q56_customer_order_distribution": 10,
     "q57_large_volume_customers": 9,
-    "q58_dormant_account_cohorts": 5,
+    "q58_dormant_account_cohorts": 10,
     "q59_forecast_revenue": 9,
     "q5_semi_join_exists": 8,
     "q60_product_profit": 6,
     "q61_local_supplier_volume": 9,
-    "q62_deterministic_sample": 5,
-    "q63_stratified_sample": 5,
-    "q64_arg_extrema": 5,
+    "q62_deterministic_sample": 10,
+    "q63_stratified_sample": 10,
+    "q64_arg_extrema": 10,
     "q65_exact_moments": 6,
-    "q66_fuzzy_name_blocking": 5,
+    "q66_fuzzy_name_blocking": 10,
     "q67_map_roundtrip": 8,
     "q68_conditional_distinct": 8,
-    "q69_winsorized_stats": 5,
+    "q69_winsorized_stats": 10,
     "q6_anti_join_not_exists": 8,
     "q70_multiset_ops": 6,
     "q71_forward_fill": 6,
@@ -280,7 +291,8 @@ VALIDATED_ROUND: dict[str, int] = {
     "q88_hierarchy_closure": 9,
     "q89_table_profile": 9,
     "q8_window_rank_topk_per_group": 8,
-    "q90_revenue_pareto": 9,
+    "q91_distributed_global_rank": 10,
+    "q92_distributed_exact_ntile": 10,
     "q9_window_lag_running_sum": 8,
     "sim10_pq_refine_topk": 7,
     "sim11_sq8_topk": 6,
@@ -300,19 +312,19 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim2_cosine_topk_lsh": 6,
     "sim3_embedding_neardup_pairs": 7,
     "sim4_cosine_topk_ivf": 6,
-    "sim5_vector_stats": 5,
+    "sim5_vector_stats": 10,
     "sim6_label_separation": 6,
-    "sim7_neardup_pairs_lsh": 5,
+    "sim7_neardup_pairs_lsh": 10,
     "sim8_pq_adc_topk": 6,
     "sim9_ivfpq_topk": 6,
-    "t10_winnow_fingerprints": 5,
+    "t10_winnow_fingerprints": 10,
     "t11_winnow_overlap_pairs": 6,
     "t12_neardup_clusters": 6,
-    "t13_canonical_corpus": 5,
+    "t13_canonical_corpus": 10,
     "t14_curation_filter": 6,
     "t15_distinctive_terms": 6,
     "t16_sequence_packing": 6,
-    "t17_passage_chunking": 5,
+    "t17_passage_chunking": 10,
     "t18_repetition_stats": 7,
     "t19_decontamination": 6,
     "t1_text_stats": 6,
@@ -338,10 +350,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "t3_exact_dedup": 6,
     "t40_k_anonymity_audit": 8,
     "t41_stopword_quality_flags": 9,
-    "t42_bpe_merge_step": 9,
     "t43_bigram_novelty_score": 9,
     "t44_lsh_candidate_audit": 9,
     "t45_minhash_estimator_calibration": 9,
+    "t46_bpe_train_loop": 10,
+    "t47_lsh_s_curve": 10,
     "t4_minhash_signatures": 7,
     "t5_simhash": 7,
     "t6_ngram_jaccard_pairs": 7,

@@ -1650,10 +1650,23 @@ def q93_corrupt_record_routing(
             "payload", "k long, status string, total decimal(15,2)"
         ).alias("p"),
     )
+    # Route on the field the truncation destroys (`total` is the LAST
+    # key in the payload and always present in valid rows), not on
+    # `status`: with spark.sql.json.enablePartialResults=true (the
+    # default on newer engines) from_json keeps the fields it parsed
+    # BEFORE the malformed tail, so a truncated payload can carry a
+    # real status while only `total` is nulled — routing on status
+    # would then diverge from the oracle's json_valid. `p IS NULL OR
+    # p.total IS NULL` is correct under BOTH parse semantics.
+    is_corrupt = F.col("p").isNull() | F.col("p.total").isNull()
     routed = parsed.select(
         "k",
-        F.coalesce(F.col("p.status"), F.lit("__corrupt__")).alias("status"),
-        F.col("p.total").alias("total"),
+        F.when(is_corrupt, F.lit("__corrupt__"))
+        .otherwise(F.col("p.status"))
+        .alias("status"),
+        F.when(is_corrupt, F.lit(None).cast("decimal(15,2)"))
+        .otherwise(F.col("p.total"))
+        .alias("total"),
     )
     return routed.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, load
+from ..catalog import fan_out, load, pin_result
 from ..operators.similarity import (
     SCALE,
     cosine_scaled,
@@ -972,7 +972,7 @@ def sim14_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             nprobe=_NPROBE,
         ).withColumn("rk", F.col("rk").cast("long"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1066,7 +1066,7 @@ def sim16_versioned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             nprobe=_NPROBE,
             version=v0,
         ).withColumn("rk", F.col("rk").cast("long"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1258,7 +1258,7 @@ def sim19_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             nprobe=_NPROBE,
         ).withColumn("rk", F.col("rk").cast("long"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1311,7 +1311,7 @@ def sim20_ivf_append_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             nprobe=_NPROBE,
         ).withColumn("rk", F.col("rk").cast("long"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_result(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -2238,12 +2238,13 @@ def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning.py:skew_report discipline), then rank only the 20
     # survivors. On a real corpus the pair table is vocabulary-scale
     # (~1e8 rows); ranking it with a global row_number window would
-    # drag all of it through one executor. The limit's output is ONE
-    # partition in sorted order by contract (TakeOrderedAndProject /
-    # CollectLimit), so the sequential monotonically_increasing_id
-    # over it IS the rank — the corpus is touched once, no WindowExec
-    # anywhere, no second pass (the oracle parity test pins the
-    # contract at two scale factors).
+    # drag all of it through one executor. The rank over the SURVIVORS
+    # is an unpartitioned row_number window — but its input is 20 rows
+    # by construction, so the single-partition sort is free, and
+    # unlike monotonically_increasing_id over the limit's output it
+    # depends only on the window API contract, not on
+    # TakeOrderedAndProject emitting one partition in sorted order
+    # (a physical-plan detail AQE is allowed to change).
     sort_exprs = [
         F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym")
     ]
@@ -2252,7 +2253,7 @@ def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn(
             "rank",
-            (F.monotonically_increasing_id() + F.lit(1)).cast("long"),
+            F.row_number().over(Window.orderBy(*sort_exprs)).cast("long"),
         )
         .select(
             "rank", "left_sym", "right_sym", "cnt",
@@ -2636,6 +2637,65 @@ def m7_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
         ).alias("rms"),
+    )
+
+
+@query(
+    "m8_bmp_decode_features",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT media_id, y.i AS y, x.i AS x,
+             (media_id * 7 + y.i * 13 + x.i * 5) % 256 AS r,
+             (media_id * 11 + y.i * 3 + x.i * 17) % 256 AS g,
+             (media_id * 23 + y.i * 19 + x.i * 29) % 256 AS b
+      FROM ids,
+           generate_series(0, 19) AS y(i),
+           generate_series(0, 29) AS x(i))
+    SELECT media_id,
+           30 AS width,
+           20 AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS peak,
+           CAST(SUM((y * 30 + x) * (r + 2 * g + 3 * b)) AS BIGINT)
+             AS pos_weighted
+    FROM px GROUP BY media_id
+    """,
+)
+def m8_bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the value-hash gate — the m7/WAV
+    strategy applied to the image modality, retiring the LAST decode
+    stub except video: each id synthesizes a GENUINE 24-bit
+    uncompressed BMP (stdlib struct: file header + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to the 4-byte stride — width 30 forces
+    2 real pad bytes per row), the bytes round-trip through
+    :func:`operators.multimodal.decode_bmp_features` (a real
+    container parse: header offsets, stride arithmetic, row-order
+    flip, channel un-swizzle; Arrow-batched mapInPandas), and the
+    decoded integer pixel features are checked against the oracle
+    computing the same analytic pixel formula in pure SQL. The
+    pos_weighted spatial checksum makes the three classic BMP decoder
+    bugs (ignored stride padding, forgotten bottom-up order, BGR/RGB
+    swap) each flip the hash — codec-level verification, not
+    plumbing-shape verification. Video decode alone still raises
+    CodecsUnavailableError (no av/torchvision in the container)."""
+    from ..operators.multimodal import decode_bmp_features, synth_bmp
+
+    ids = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select(F.col("doc_id").alias("media_id"))
+    return decode_bmp_features(synth_bmp(ids)).select(
+        "media_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "peak",
+        "pos_weighted",
     )
 
 

@@ -112,10 +112,11 @@ def test_chunk_reassemble_roundtrip(spark):
 
 def test_decode_media_fails_loudly_without_codecs(spark):
     """The decode stub must be impossible to mistake for a decoder
-    (r6 verdict #7): the real-decode entry point raises
-    CodecsUnavailableError in this codec-less container, naming the
-    stub and the fake_* columns, instead of silently returning
-    hash-derived dimensions."""
+    (r6 verdict #7): since r11 only VIDEO remains codec-gated — the
+    entry point raises CodecsUnavailableError eagerly for it in this
+    codec-less container — and a compressed image payload (non-BMP
+    magic) fails loudly per row inside the real BMP decoder instead
+    of silently returning hash-derived dimensions."""
     import pytest
 
     from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
@@ -124,10 +125,18 @@ def test_decode_media_fails_loudly_without_codecs(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"xx"))], "media_id long, kind string, content binary"
+        [(1, "video", bytearray(b"xx"))], "media_id long, kind string, content binary"
     )
     with pytest.raises(CodecsUnavailableError):
-        decode_media(df)
+        decode_media(df, kind="video")
+    # image decode is REAL for BMP; a PNG payload routes to the BMP
+    # parser and fails at execution naming the missing codec library
+    png = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="PIL|non-BMP"):
+        decode_media(png, kind="image").collect()
     # and it is a NotImplementedError subtype, so generic guards catch it
     assert issubclass(CodecsUnavailableError, NotImplementedError)
 
@@ -180,3 +189,76 @@ def test_wav_decode_null_content_skips(spark):
     )
     row = decode_wav_features(df).collect()[0]
     assert row.media_id == 1 and row.n_samples is None and row.peak is None
+
+
+def test_bmp_roundtrip_decodes_real_container(spark):
+    """The image decode path is REAL (r11): bytes written as a genuine
+    24-bit uncompressed BMP (file header + BITMAPINFOHEADER + padded
+    bottom-up BGR rows) parse back through decode_bmp_features with
+    features matching a NumPy reference computed directly from the
+    synthesis formula — including the pos_weighted spatial checksum,
+    which a stride/row-order/channel-order mistake cannot fake."""
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_bmp_features,
+        decode_media,
+        synth_bmp,
+    )
+
+    ids = spark.createDataFrame([(3,), (17,)], "media_id long")
+    got = {
+        r.media_id: r
+        for r in decode_bmp_features(synth_bmp(ids)).collect()
+    }
+    W, H = 30, 20
+    y = np.arange(H, dtype=np.int64)[:, None]
+    x = np.arange(W, dtype=np.int64)[None, :]
+    for mid in (3, 17):
+        r_ = (mid * 7 + y * 13 + x * 5) % 256
+        g = (mid * 11 + y * 3 + x * 17) % 256
+        b = (mid * 23 + y * 19 + x * 29) % 256
+        pos = y * W + x
+        row = got[mid]
+        assert (row.width, row.height) == (W, H)
+        assert row.sum_r == int(r_.sum())
+        assert row.sum_g == int(g.sum())
+        assert row.sum_b == int(b.sum())
+        assert row.peak == int(max(r_.max(), g.max(), b.max()))
+        assert row.pos_weighted == int((pos * (r_ + 2 * g + 3 * b)).sum())
+    # decode_media routes image to the real decoder
+    assert decode_media(synth_bmp(ids), kind="image").count() == 2
+
+
+def test_bmp_container_is_genuine_and_padded(spark):
+    """The synthesized bytes are a spec-valid BMP: correct magic,
+    pixel offset 54, declared file size matches the blob, and the
+    stride is padded (width 30 -> 90 raw bytes -> 92 stored), so the
+    decoder's stride arithmetic is exercised by every row."""
+    import struct
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        synth_bmp,
+    )
+
+    ids = spark.createDataFrame([(7,)], "media_id long")
+    blob = bytes(synth_bmp(ids).collect()[0].content)
+    assert blob[:2] == b"BM"
+    (fsize,) = struct.unpack_from("<I", blob, 2)
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    hdr, w, h = struct.unpack_from("<Iii", blob, 14)
+    _, bpp, comp = struct.unpack_from("<HHI", blob, 26)
+    assert (offset, hdr, w, h, bpp, comp) == (54, 40, 30, 20, 24, 0)
+    assert fsize == len(blob) == 54 + 92 * 20  # 92 = 90 raw + 2 pad
+
+
+def test_bmp_decode_null_content_skips(spark):
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_bmp_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "media_id long, content binary"
+    )
+    row = decode_bmp_features(df).collect()[0]
+    assert row.media_id == 1 and row.width is None and row.peak is None

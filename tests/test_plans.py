@@ -426,3 +426,29 @@ def test_e22_skew_audit_uses_takeordered_not_global_window(spark, sf_dir):
     the top_n survivors, never the full distinct-key stream."""
     plan = _plan(spark, sf_dir, "e22_skew_audit")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pin_result_caps_driver_sized_results(spark):
+    """pin_result is the query layer's only sanctioned driver collect
+    (mutation-style queries pin their aggregate summary so scratch
+    tempdirs can be deleted before return): it must round-trip a
+    small frame exactly — schema included — and raise loudly when a
+    future edit makes the pinned result data-sized, instead of
+    shipping an unbounded collect to the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import pin_result
+
+    small = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    pinned = pin_result(small, max_rows=10)
+    assert pinned.schema == small.schema
+    assert sorted((r.k, r.v) for r in pinned.collect()) == [
+        (i, 2 * i) for i in range(5)
+    ]
+    # lineage is detached: the pin is a LocalRelation, not the range scan
+    assert "Range" not in pinned._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(ValueError, match="max_rows"):
+        pin_result(spark.range(0, 100), max_rows=99)

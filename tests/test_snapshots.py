@@ -1557,6 +1557,56 @@ class TestSnapshotSync:
         assert v == 0
         assert current_version(dst) == 0  # no empty commits
 
+    def test_first_sync_bootstraps_fresh_destination(self, spark, tmp_path):
+        """A never-written replica (no manifest at dst) must bootstrap
+        by materializing src@from_version instead of raising
+        IndexError in _cow_commit's list_versions(dst)[-1], then apply
+        the span incrementally — so after the first sync the replica
+        equals the source exactly, deletes included."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            current_version,
+            snapshot_delete,
+            snapshot_merge,
+            snapshot_read,
+            snapshot_sync,
+            snapshot_write,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        snapshot_write(spark, src, base)
+        snapshot_merge(
+            spark,
+            src,
+            spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"),
+            ["k"],
+        )
+        snapshot_delete(
+            spark, src, spark.createDataFrame([(3,)], "k long"), ["k"]
+        )
+        # dst has NO versions at all — from_version=0 covers the whole
+        # history, so the feed's post-images equal src's live state
+        bookmark = snapshot_sync(spark, src, dst, ["k"], from_version=0)
+        assert bookmark == current_version(src)
+
+        def state(path):
+            return sorted(
+                (r.k, r.v) for r in snapshot_read(spark, path).collect()
+            )
+
+        assert state(dst) == state(src)
+        # the next cycle goes through the normal CoW path
+        snapshot_merge(
+            spark,
+            src,
+            spark.createDataFrame([(5, "e")], "k long, v string"),
+            ["k"],
+        )
+        snapshot_sync(spark, src, dst, ["k"], from_version=bookmark)
+        assert state(dst) == state(src)
+
 
 def test_snapshot_changes_on_range_clustered_manifest(spark, tmp_path):
     """CDF works on the stats_col flavor too: the rewrite restages
