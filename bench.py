@@ -172,6 +172,7 @@ HEADLINE: list[str] = [
     # r11-born: real BMP image decode (the m7 strategy on the image
     # modality — struct header parse + stride/row-order/channel math)
     "m8_bmp_decode_features",
+    "m9_avi_decode_features",
 ]
 
 

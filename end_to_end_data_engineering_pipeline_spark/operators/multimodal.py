@@ -4,10 +4,15 @@ metadata (charter §2.12).
 Design: media rows are ``(media_id, kind, content: binary, meta:
 struct)``; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so bytes never round-trip
-through Python row objects. The actual codec step is STUBBED — the
-image/audio libraries are not in this container — behind
+through Python row objects. UNCOMPRESSED container decode is REAL and
+stdlib-only: PCM WAV through the ``wave`` codec (r10), 24-bit BMP
+through ``struct`` header+pixel parsing (r11), and DIB-framed AVI
+through a RIFF chunk walk (r11) — each verified bit-exact against a
+pure-SQL oracle (m7/m8/m9). Only COMPRESSED codecs (PNG/JPEG/H.264),
+whose libraries are not in this container, remain behind
 ``_decode_stub``: a clearly-marked deterministic fake that derives
-pseudo-pixels from the content hash. The Spark-side plumbing (schema,
+pseudo-pixels from the content hash, plus the loud
+``CodecsUnavailableError`` guard. The Spark-side plumbing (schema,
 batch iteration, partitioning, output contract) is real and tested.
 
 Scale notes: binary payloads dominate row size — operators here are
@@ -253,42 +258,24 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
       with no codec library. Compressed formats (PNG/JPEG) raise
       :class:`CodecsUnavailableError` from inside the decoder, per
       row, naming PIL.
-    - ``kind='video'``: still requires av / torchvision, which this
-      container does not ship — raises
-      :class:`CodecsUnavailableError` unless one becomes importable.
-      The Spark-side plumbing a video decoder needs (binary column
-      handling, Arrow batch shape, typed metadata schema, decode-skip
-      on null, frame sampling) is implemented and tested via
-      :func:`extract_features` / :func:`sample_frame_offsets` over
-      ``_decode_stub`` and, for REAL byte formats, via the WAV and
-      BMP paths; swapping in the per-batch frame decoder is the only
-      change required once codecs exist."""
+    - ``kind='video'``: SERVED for DIB-framed AVI —
+      :func:`decode_avi_features` demuxes the real RIFF container
+      (chunk-tree walk to strf + movi, per-frame stride/row-order/
+      channel decode) with no codec library. Compressed codecs
+      (H.264/VP9/MJPEG) raise :class:`CodecsUnavailableError` from
+      inside the decoder, per row, naming av.
+
+    Every modality now has a REAL stdlib byte-level decode path; the
+    ``CodecsUnavailableError`` guard is scoped to COMPRESSED formats
+    only, which genuinely require external codec libraries this
+    container does not ship."""
     if kind == "audio":
         return decode_wav_features(media)
     if kind == "image":
         return decode_bmp_features(media)
-    for mod in ("av", "torchvision"):
-        try:
-            __import__(mod)
-            break
-        except ImportError:
-            continue
-    else:
-        raise CodecsUnavailableError(
-            f"decode_media(kind={kind!r}) needs a real codec library "
-            "(av / torchvision); none is installed in this "
-            "environment. Audio (PCM WAV) and image (uncompressed "
-            "BMP) decode for real via decode_media(kind='audio'|"
-            "'image'); extract_features provides the tested Spark "
-            "plumbing over a deterministic stub (columns are named "
-            "fake_* for a reason) — do NOT treat its output as "
-            "decoded media."
-        )
-    raise CodecsUnavailableError(
-        "a video codec library is importable but no real decoder is "
-        "wired yet; implement the per-batch frame decode in place of "
-        "_decode_stub"
-    )
+    if kind == "video":
+        return decode_avi_features(media)
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def frame_embed_pool(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -673,3 +660,240 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=BMP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: RIFF/AVI with uncompressed DIB frames via stdlib
+# struct — the m7/m8 strategy applied to the video modality. The
+# container is genuine (RIFF 'AVI ' with an hdrl LIST carrying avih +
+# strl/strh('vids','DIB ')/strf headers and a movi LIST of '00db'
+# frame chunks — any AVI demuxer opens these files); only COMPRESSED
+# codecs (H.264/VP9/MJPEG) still need av and stay behind
+# CodecsUnavailableError.
+# ---------------------------------------------------------------------------
+
+AVI_FEATURE_SCHEMA = (
+    "media_id long, n_frames int, width int, height int, "
+    "sum_all long, peak long, time_weighted long"
+)
+
+
+def synth_avi(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    width: int = 18,
+    height: int = 12,
+    n_frames: int = 3,
+    fps: int = 10,
+) -> DataFrame:
+    """(media_id, content): a GENUINE AVI container per id, written
+    with stdlib ``struct`` — RIFF('AVI '){ LIST(hdrl){ avih,
+    LIST(strl){ strh(vids/DIB), strf(BITMAPINFOHEADER) } },
+    LIST(movi){ '00db' x n_frames } } — each frame an uncompressed
+    bottom-up BGR DIB with 4-byte row stride (width 18 -> 54 raw
+    bytes -> 2 pad bytes, so stride handling is exercised per frame).
+    Pixels are the analytic formula (t = frame index, top-down y/x):
+
+        r = (id*7  + t*41 + y*13 + x*5)  % 256
+        g = (id*11 + t*43 + y*3  + x*17) % 256
+        b = (id*23 + t*47 + y*19 + x*29) % 256
+
+    so every decoded feature has a closed-form SQL oracle (m9) — the
+    discipline that put the WAV (m7) and BMP (m8) codecs under the
+    value hash, now completing the modality set. Arrow-batched."""
+    import struct
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    ids = fan_out(ids.select(F.col(id_col).alias("media_id")))
+    row_raw = width * 3
+    stride = (row_raw + 3) & ~3
+    frame_size = stride * height
+
+    def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def _list(listtype: bytes, payload: bytes) -> bytes:
+        return _chunk(b"LIST", listtype + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        n_frames,
+        0,
+        1,  # one stream
+        frame_size,
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"DIB ",
+        0, 0, 0, 0,
+        1,  # dwScale
+        fps,  # dwRate
+        0,
+        n_frames,
+        frame_size,
+        0xFFFFFFFF,  # quality: default
+        0,
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(height, dtype=np.int64)[:, None]
+        x = np.arange(width, dtype=np.int64)[None, :]
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                frames = b""
+                for t in range(n_frames):
+                    r = (mid * 7 + t * 41 + y * 13 + x * 5) % 256
+                    g = (mid * 11 + t * 43 + y * 3 + x * 17) % 256
+                    b_ = (mid * 23 + t * 47 + y * 19 + x * 29) % 256
+                    bgr = np.stack([b_, g, r], axis=-1).astype(np.uint8)
+                    rows = np.zeros((height, stride), dtype=np.uint8)
+                    rows[:, :row_raw] = bgr.reshape(height, row_raw)
+                    frames += _chunk(b"00db", rows[::-1].tobytes())
+                movi = _list(b"movi", frames)
+                riff_payload = b"AVI " + hdrl + movi
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", len(riff_payload))
+                    + riff_payload
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """REAL video decode: demux each row's RIFF/AVI container with
+    stdlib ``struct`` — verify the RIFF('AVI ') signature, walk the
+    chunk tree to the strf BITMAPINFOHEADER (dimensions / bpp /
+    compression) and the movi LIST, decode every '00db' uncompressed
+    DIB frame (bottom-up row flip, 4-byte stride strip, BGR
+    un-swizzle) — and emit integer-exact spatiotemporal features:
+
+    - ``n_frames``: decoded '00db' chunk count,
+    - ``sum_all``: total pixel value over frames x pixels x channels,
+    - ``peak``: max channel value over the whole clip,
+    - ``time_weighted``: SUM((t*H*W + y*W + x) * (r + 2g + 3b)) — a
+      checksum over FRAME ORDER as well as the m8 spatial/channel
+      axes: swapping two frames, flipping a row, or swapping R/B
+      each changes the value.
+
+    Only 24-bit uncompressed DIB streams are wired; a compressed
+    fourcc or non-AVI magic raises :class:`CodecsUnavailableError`
+    naming the library a real codec would need. Null content yields
+    null features (decode-skip contract)."""
+    import struct
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    media = fan_out(media)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    out.append((mid, None, None, None, None, None, None))
+                    continue
+                buf = bytes(blob)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                    raise CodecsUnavailableError(
+                        "decode_avi_features got non-AVI content "
+                        f"(magic {buf[:4]!r}/{buf[8:12]!r}); compressed "
+                        "video needs av/torchvision, which this "
+                        "environment does not ship"
+                    )
+
+                # walk the chunk tree: collect strf + '00db' frames
+                strf = None
+                frames = []
+
+                def walk(lo: int, hi: int) -> None:
+                    nonlocal strf
+                    pos = lo
+                    while pos + 8 <= hi:
+                        fourcc = buf[pos : pos + 4]
+                        (size,) = struct.unpack_from("<I", buf, pos + 4)
+                        body = pos + 8
+                        if fourcc == b"LIST":
+                            walk(body + 4, body + size)
+                        elif fourcc == b"strf":
+                            strf = struct.unpack_from("<IiiHHI", buf, body)
+                        elif fourcc in (b"00db", b"00dc"):
+                            frames.append(buf[body : body + size])
+                        pos = body + size + (size & 1)  # word align
+
+                walk(12, len(buf))
+                if strf is None or not frames:
+                    raise CodecsUnavailableError(
+                        "AVI container missing strf header or frame "
+                        "chunks — not a DIB-framed AVI this decoder "
+                        "understands"
+                    )
+                _, w, h, _, bpp, comp = strf
+                if bpp != 24 or comp != 0 or h <= 0:
+                    raise CodecsUnavailableError(
+                        f"only 24-bit uncompressed bottom-up DIB frames "
+                        f"are wired (got bpp={bpp} compression={comp} "
+                        f"height={h}); compressed codecs need av"
+                    )
+                stride = (w * 3 + 3) & ~3
+                pos = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                total = 0
+                peak = 0
+                tw = 0
+                for t, fr in enumerate(frames):
+                    px = np.frombuffer(
+                        fr, dtype=np.uint8, count=stride * h
+                    ).reshape(h, stride)[:, : w * 3]
+                    px = px[::-1].reshape(h, w, 3).astype(np.int64)
+                    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+                    total += int(px.sum())
+                    peak = max(peak, int(px.max()))
+                    tw += int(
+                        ((t * h * w + pos) * (r + 2 * g + 3 * b)).sum()
+                    )
+                out.append((mid, len(frames), w, h, total, peak, tw))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "sum_all",
+                    "peak",
+                    "time_weighted",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=AVI_FEATURE_SCHEMA)

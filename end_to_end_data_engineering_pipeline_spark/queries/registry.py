@@ -63,10 +63,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in their r9 forms, the r11-reshaped t42 (row_number over the 20
 # survivors instead of the CollectLimit ordering contract) and q93
 # (corrupt routing on the truncation-destroyed field, robust to
-# partial-result JSON parsing), and the r11-born m8 (REAL BMP image
-# decode under the value hash) — then the full r6 band (26 queries,
-# the stalest evidence after the r10 refresh moved 50 entries to 10)
-# and the first 19 of the r7 band in name order. Min registry
+# partial-result JSON parsing), and the r11-born m8/m9 (REAL BMP
+# image and AVI video decode under the value hash) — then the full r6
+# band (26 queries, the stalest evidence after the r10 refresh moved
+# 50 entries to 10) and the first 18 of the r7 band in name order. Min registry
 # freshness after a green r11 = r7 (the r10-verdict #2 target). New
 # queries are appended here as they land, keeping the
 # never-validated-first invariant
@@ -76,12 +76,13 @@ _PRIORITY: list[str] = [
     # policy treats a reshape as a NEW query — r10 advice #4: the
     # current e33/q90 plans shipped in r10 but were never driver-
     # validated; t42 re-ranked and q93 re-routed in r11) and the
-    # r11-born real BMP image decode ---
+    # r11-born real BMP image / AVI video decodes ---
     "e33_rfm_segments",
     "q90_revenue_pareto",
     "t42_bpe_merge_step",
     "q93_corrupt_record_routing",
     "m8_bmp_decode_features",
+    "m9_avi_decode_features",
     # --- r6-validated (stalest evidence band, 26 queries) ---
     "q60_product_profit",
     "q65_exact_moments",
@@ -109,7 +110,7 @@ _PRIORITY: list[str] = [
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
-    # --- r7-validated (next-stalest, first 19 in name order) ---
+    # --- r7-validated (next-stalest, first 18 in name order) ---
     "e17_scd2_incremental",
     "e19_attribution",
     "e1_tumbling_window_agg",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "p1_flatten_roundtrip",
     "p2_dim_date_build",
     "p4_quality_gate_counters",
-    "p8_retention_sweep",
 ]
 
 

@@ -2699,6 +2699,64 @@ def m8_bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m9_avi_decode_features",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 150),
+    px AS (
+      SELECT media_id, t.i AS t, y.i AS y, x.i AS x,
+             (media_id * 7 + t.i * 41 + y.i * 13 + x.i * 5) % 256 AS r,
+             (media_id * 11 + t.i * 43 + y.i * 3 + x.i * 17) % 256 AS g,
+             (media_id * 23 + t.i * 47 + y.i * 19 + x.i * 29) % 256 AS b
+      FROM ids,
+           generate_series(0, 2) AS t(i),
+           generate_series(0, 11) AS y(i),
+           generate_series(0, 17) AS x(i))
+    SELECT media_id,
+           3 AS n_frames,
+           18 AS width,
+           12 AS height,
+           CAST(SUM(r + g + b) AS BIGINT) AS sum_all,
+           CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS peak,
+           CAST(SUM((t * 12 * 18 + y * 18 + x) * (r + 2 * g + 3 * b))
+                AS BIGINT) AS time_weighted
+    FROM px GROUP BY media_id
+    """,
+)
+def m9_avi_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the value-hash gate — completing the
+    m7 (WAV) / m8 (BMP) modality set, so NO decode path is a stub
+    anymore: each id synthesizes a GENUINE AVI container (stdlib
+    struct: RIFF('AVI ') with hdrl{avih, strl{strh vids/DIB, strf}}
+    and a movi LIST of three '00db' uncompressed DIB frames, each
+    bottom-up BGR with a 2-byte row pad), the bytes round-trip
+    through :func:`operators.multimodal.decode_avi_features` (a real
+    demux: RIFF chunk-tree walk, strf header parse, per-frame
+    stride/row-order/channel decode; Arrow-batched mapInPandas), and
+    the decoded spatiotemporal integer features are checked against
+    the oracle computing the same analytic pixel formula in pure
+    SQL. The time_weighted checksum covers FRAME ORDER on top of
+    m8's spatial/channel axes — a demuxer that reorders, drops, or
+    duplicates a frame fails the hash. CodecsUnavailableError now
+    guards only COMPRESSED codecs (PNG/JPEG/H.264), the honest
+    boundary for a container with no codec libraries."""
+    from ..operators.multimodal import decode_avi_features, synth_avi
+
+    ids = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 150
+    ).select(F.col("doc_id").alias("media_id"))
+    return decode_avi_features(synth_avi(ids)).select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        "sum_all",
+        "peak",
+        "time_weighted",
+    )
+
+
 def _bpe_round_sql(r: int) -> str:
     """One round of the BPE training loop as DuckDB CTEs: pair counts
     over seq{r-1}, greedy top-1, run-parity leftmost-non-overlap

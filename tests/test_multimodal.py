@@ -112,11 +112,12 @@ def test_chunk_reassemble_roundtrip(spark):
 
 def test_decode_media_fails_loudly_without_codecs(spark):
     """The decode stub must be impossible to mistake for a decoder
-    (r6 verdict #7): since r11 only VIDEO remains codec-gated — the
-    entry point raises CodecsUnavailableError eagerly for it in this
-    codec-less container — and a compressed image payload (non-BMP
-    magic) fails loudly per row inside the real BMP decoder instead
-    of silently returning hash-derived dimensions."""
+    (r6 verdict #7): since r11 every modality has a REAL uncompressed
+    decode path (WAV/BMP/AVI), so the guard's remaining job is
+    COMPRESSED content — a PNG payload routed to the image decoder
+    and an MP4 payload routed to the video demuxer must each fail
+    loudly per row, naming the codec library they'd need, instead of
+    silently returning hash-derived dimensions."""
     import pytest
 
     from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
@@ -124,19 +125,20 @@ def test_decode_media_fails_loudly_without_codecs(spark):
         decode_media,
     )
 
-    df = spark.createDataFrame(
-        [(1, "video", bytearray(b"xx"))], "media_id long, kind string, content binary"
-    )
-    with pytest.raises(CodecsUnavailableError):
-        decode_media(df, kind="video")
-    # image decode is REAL for BMP; a PNG payload routes to the BMP
-    # parser and fails at execution naming the missing codec library
     png = spark.createDataFrame(
         [(1, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))],
         "media_id long, content binary",
     )
     with pytest.raises(Exception, match="PIL|non-BMP"):
         decode_media(png, kind="image").collect()
+    mp4 = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42----"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="av|non-AVI"):
+        decode_media(mp4, kind="video").collect()
+    with pytest.raises(ValueError, match="unknown media kind"):
+        decode_media(png, kind="hologram")
     # and it is a NotImplementedError subtype, so generic guards catch it
     assert issubclass(CodecsUnavailableError, NotImplementedError)
 
@@ -262,3 +264,93 @@ def test_bmp_decode_null_content_skips(spark):
     )
     row = decode_bmp_features(df).collect()[0]
     assert row.media_id == 1 and row.width is None and row.peak is None
+
+
+def test_avi_roundtrip_decodes_real_container(spark):
+    """The video decode path is REAL (r11): bytes written as a genuine
+    RIFF/AVI container (hdrl headers + movi LIST of uncompressed DIB
+    frame chunks) demux back through decode_avi_features with
+    spatiotemporal features matching a NumPy reference computed
+    directly from the synthesis formula — including the time_weighted
+    checksum, which a frame-order/stride/row-order/channel mistake
+    cannot fake."""
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_avi_features,
+        decode_media,
+        synth_avi,
+    )
+
+    ids = spark.createDataFrame([(3,), (17,)], "media_id long")
+    got = {
+        r.media_id: r
+        for r in decode_avi_features(synth_avi(ids)).collect()
+    }
+    W, H, NF = 18, 12, 3
+    y = np.arange(H, dtype=np.int64)[:, None]
+    x = np.arange(W, dtype=np.int64)[None, :]
+    pos = y * W + x
+    for mid in (3, 17):
+        total = peak = tw = 0
+        for t in range(NF):
+            r_ = (mid * 7 + t * 41 + y * 13 + x * 5) % 256
+            g = (mid * 11 + t * 43 + y * 3 + x * 17) % 256
+            b = (mid * 23 + t * 47 + y * 19 + x * 29) % 256
+            total += int((r_ + g + b).sum())
+            peak = max(peak, int(max(r_.max(), g.max(), b.max())))
+            tw += int(((t * H * W + pos) * (r_ + 2 * g + 3 * b)).sum())
+        row = got[mid]
+        assert (row.n_frames, row.width, row.height) == (NF, W, H)
+        assert row.sum_all == total
+        assert row.peak == peak
+        assert row.time_weighted == tw
+    # decode_media routes video to the real demuxer now
+    assert decode_media(synth_avi(ids), kind="video").count() == 2
+
+
+def test_avi_container_is_genuine(spark):
+    """The synthesized bytes are a spec-valid AVI: RIFF('AVI ')
+    signature, declared RIFF size matches the blob, an hdrl LIST with
+    avih/strh/strf in order, a movi LIST whose '00db' chunks each
+    carry exactly one stride-padded DIB frame."""
+    import struct
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        synth_avi,
+    )
+
+    ids = spark.createDataFrame([(7,)], "media_id long")
+    blob = bytes(synth_avi(ids).collect()[0].content)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    assert riff_size + 8 == len(blob)
+    assert blob[12:16] == b"LIST" and blob[20:24] == b"hdrl"
+    assert blob[24:28] == b"avih"
+    # count the movi frame chunks: 3 frames x (12 rows x 56B stride)
+    n_frames = blob.count(b"00db")
+    assert n_frames == 3
+    stride = (18 * 3 + 3) & ~3
+    assert stride == 56
+    i = blob.index(b"00db")
+    (fsz,) = struct.unpack_from("<I", blob, i + 4)
+    assert fsz == stride * 12
+
+
+def test_avi_decode_rejects_compressed_and_skips_null(spark):
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_avi_features,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42----"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="av|non-AVI"):
+        decode_avi_features(bad).collect()
+    row = decode_avi_features(
+        spark.createDataFrame([(1, None)], "media_id long, content binary")
+    ).collect()[0]
+    assert row.media_id == 1 and row.n_frames is None and row.peak is None
