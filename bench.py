@@ -173,6 +173,7 @@ HEADLINE: list[str] = [
     # modality — struct header parse + stride/row-order/channel math)
     "m8_bmp_decode_features",
     "m9_avi_decode_features",
+    "t48_bpe_encode_corpus",
 ]
 
 

@@ -813,6 +813,36 @@ def bigram_novelty(
 
 
 def bpe_train(wf: DataFrame, rounds: int = 3) -> DataFrame:
+    """See :func:`_bpe_iterate` — returns the merge-table metrics."""
+    metrics, _ = _bpe_iterate(wf, rounds)
+    return metrics
+
+
+def bpe_token_counts(wf: DataFrame, rounds: int = 3) -> DataFrame:
+    """ENCODE with the learned vocabulary: run the same ``rounds``
+    greedy merges as :func:`bpe_train` and return, per distinct word,
+    its post-merge token count and segmentation — the tokenizer-APPLY
+    half of the BPE pipeline (training learns the merges; this is
+    what a data pipeline actually runs over every document batch to
+    budget context windows). Output: (word, freq, n_bpe,
+    segmentation) with segmentation = the final symbols joined by
+    '·' in position order.
+
+    Scale: identical cost shape to training — everything after
+    :func:`bpe_word_freq`'s single corpus fold is vocabulary-sized;
+    re-attaching counts to documents is a broadcast-or-shuffle join
+    on the word column at corpus scale (t48 composes it)."""
+    _, seq = _bpe_iterate(wf, rounds)
+    return seq.groupBy("word").agg(
+        F.max("freq").cast("long").alias("freq"),
+        F.count(F.lit(1)).cast("long").alias("n_bpe"),
+        F.concat_ws(
+            "·", F.array_sort(F.collect_list(F.struct("i", "sym"))).sym
+        ).alias("segmentation"),
+    )
+
+
+def _bpe_iterate(wf: DataFrame, rounds: int = 3):
     """The BPE TRAINING LOOP (Sennrich et al. 2016) — ``rounds``
     greedy iterations of :func:`bpe_merge_step`'s algebra with the
     learned token fed back as a symbol: per round, count adjacent
@@ -831,7 +861,12 @@ def bpe_train(wf: DataFrame, rounds: int = 3) -> DataFrame:
     V bounded-size jobs, never V-deep lazy plans. The sequential
     'apply left to right' rule stays the run-parity window rewrite —
     no Python in the loop, and a generated multi-round SQL oracle
-    reproduces the whole loop bit-for-bit (t46)."""
+    reproduces the whole loop bit-for-bit (t46).
+
+    Returns ``(metrics, final_seq)``: the per-round merge table AND
+    the post-merge per-word symbol table (word, freq, i, sym, nxt) —
+    training reads the first, encoding (:func:`bpe_token_counts`)
+    the second."""
     from pyspark.sql import Window
 
     chars = wf.select(
@@ -911,4 +946,4 @@ def bpe_train(wf: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
         out = metrics if out is None else out.unionByName(metrics)
-    return out
+    return out, seq

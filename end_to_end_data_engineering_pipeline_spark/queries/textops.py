@@ -2803,7 +2803,10 @@ def _bpe_round_sql(r: int) -> str:
 
 _T46_ROUNDS = 3
 
-_T46_SQL = (
+# Shared by t46 (training metrics) and t48 (corpus encode): the
+# word-frequency fold, per-word char unroll, and the generated
+# three-round greedy merge chain.
+_BPE_LOOP_SQL = (
     """
     WITH wf AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -2821,6 +2824,10 @@ _T46_SQL = (
              LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
       FROM chars)"""
     + "".join(_bpe_round_sql(r) for r in range(1, _T46_ROUNDS + 1))
+)
+
+_T46_SQL = (
+    _BPE_LOOP_SQL
     + "".join(
         f"""
     {"SELECT" if r == 1 else "UNION ALL SELECT"}
@@ -2854,6 +2861,75 @@ def t46_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_train(bpe_word_freq(docs), rounds=_T46_ROUNDS)
+
+
+_T48_SQL = (
+    _BPE_LOOP_SQL
+    + f""",
+    wtok AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe
+      FROM resyms{_T46_ROUNDS} GROUP BY word),
+    docwords AS (
+      SELECT lang, word FROM (
+        SELECT lang,
+               UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+'))
+                 AS word
+        FROM documents)
+      WHERE LENGTH(word) BETWEEN 2 AND 20)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 6)
+             AS tokens_per_word
+    FROM docwords JOIN wtok USING (word)
+    GROUP BY lang"""
+)
+
+
+@query("t48_bpe_encode_corpus", oracle=_T48_SQL)
+def t48_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale — the half of the BPE pipeline
+    t46's training leaves open, and the op a training-data pipeline
+    runs on every batch (token counting under the REAL learned
+    vocabulary, for context budgeting and mixture weighting, not the
+    whitespace proxy): train the same three greedy merges, ENCODE
+    every distinct word with them (operators/text.py:
+    bpe_token_counts — the final symbol table the training loop
+    already carries), then re-attach per-word token counts to the
+    corpus occurrences and report per language: occurrence count,
+    distinct vocabulary, total BPE tokens, tokens/word. The oracle
+    replays the identical loop (the t46 generated CTE chain) plus the
+    encode join in pure SQL, so a single mis-merged word shifts
+    n_bpe_tokens and fails the hash. Scale: corpus folded once to the
+    vocab table, merges are vocabulary-sized, and the re-attach is a
+    word-keyed join (broadcastable vocab at real scale) feeding a
+    low-cardinality aggregate."""
+    from ..operators.text import bpe_token_counts, bpe_word_freq
+
+    docs = load(spark, sf_dir, "documents")
+    toks = bpe_token_counts(bpe_word_freq(docs), rounds=_T46_ROUNDS)
+    words = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("word"),
+        )
+        .where(F.length("word").between(2, 20))
+    )
+    return (
+        words.join(toks.select("word", "n_bpe"), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.countDistinct("word").cast("long").alias("n_distinct_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
+    )
 
 
 _T47_DIALS = (3, 4, 6, 10, 16, 25, 50)
