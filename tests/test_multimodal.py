@@ -354,3 +354,61 @@ def test_avi_decode_rejects_compressed_and_skips_null(spark):
         spark.createDataFrame([(1, None)], "media_id long, content binary")
     ).collect()[0]
     assert row.media_id == 1 and row.n_frames is None and row.peak is None
+
+
+def test_bmp_roundtrip_all_stride_pads(spark):
+    """Every stride-pad value (width*3 mod 4 -> pad 0/1/2/3) and a
+    1-row image round-trip exactly: the decoder's stride arithmetic
+    has no geometry it silently mishandles."""
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_bmp_features,
+        synth_bmp,
+    )
+
+    ids = spark.createDataFrame([(11,)], "media_id long")
+    for w, h in ((4, 3), (5, 3), (6, 3), (7, 3), (3, 1)):
+        pad = (-(w * 3)) % 4
+        assert pad == ((w * 3 + 3) & ~3) - w * 3
+        row = decode_bmp_features(synth_bmp(ids, width=w, height=h)).collect()[0]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        r_ = (11 * 7 + y * 13 + x * 5) % 256
+        g = (11 * 11 + y * 3 + x * 17) % 256
+        b = (11 * 23 + y * 19 + x * 29) % 256
+        assert (row.width, row.height) == (w, h)
+        assert row.sum_r == int(r_.sum()) and row.sum_b == int(b.sum())
+        assert row.pos_weighted == int(
+            ((y * w + x) * (r_ + 2 * g + 3 * b)).sum()
+        ), f"pos_weighted mismatch at width={w} (pad={pad})"
+
+
+def test_avi_roundtrip_geometry_edges(spark):
+    """Single-frame clips, many-frame clips, and every stride-pad
+    geometry demux exactly (frame chunk boundaries stay word-aligned
+    for odd raw sizes too)."""
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_avi_features,
+        synth_avi,
+    )
+
+    ids = spark.createDataFrame([(5,)], "media_id long")
+    for w, h, nf in ((4, 2, 1), (5, 2, 4), (7, 1, 2), (6, 3, 5)):
+        row = decode_avi_features(
+            synth_avi(ids, width=w, height=h, n_frames=nf)
+        ).collect()[0]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        total = tw = 0
+        for t in range(nf):
+            r_ = (5 * 7 + t * 41 + y * 13 + x * 5) % 256
+            g = (5 * 11 + t * 43 + y * 3 + x * 17) % 256
+            b = (5 * 23 + t * 47 + y * 19 + x * 29) % 256
+            total += int((r_ + g + b).sum())
+            tw += int(((t * h * w + y * w + x) * (r_ + 2 * g + 3 * b)).sum())
+        assert (row.n_frames, row.width, row.height) == (nf, w, h)
+        assert row.sum_all == total
+        assert row.time_weighted == tw, f"frame/stride bug at {(w,h,nf)}"
