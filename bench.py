@@ -174,6 +174,7 @@ HEADLINE: list[str] = [
     "m8_bmp_decode_features",
     "m9_avi_decode_features",
     "t48_bpe_encode_corpus",
+    "p27_bloom_point_lookup",
 ]
 
 

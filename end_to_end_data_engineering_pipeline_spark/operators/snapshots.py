@@ -156,13 +156,14 @@ def snapshot_write(
         prev = current_version(path)
         if mode == "append" and prev is not None:
             pm = _manifest(path, prev)
-            if "part_col" in pm or "stats_col" in pm:
+            if "part_col" in pm or "stats_col" in pm or "bloom" in pm:
                 raise ValueError(
                     "plain append would publish a manifest without the "
-                    "partition map / file stats and silently downgrade "
-                    "pruned reads; append partitioned tables with "
-                    "snapshot_write_partitioned and range-clustered "
-                    "tables with snapshot_write_sorted"
+                    "partition map / file stats / bloom bitmaps and "
+                    "silently downgrade pruned reads; append partitioned "
+                    "tables with snapshot_write_partitioned, "
+                    "range-clustered tables with snapshot_write_sorted, "
+                    "and bloom-indexed tables with snapshot_write_bloom"
                 )
             live = list(pm["files"])
             prev_schema = pm.get("schema")
@@ -605,6 +606,28 @@ def _cow_commit(
         # plain-flavor manifests carry ``extra`` too — a CoW commit
         # must never silently drop committed metadata
         manifest["extra"] = m["extra"]
+    if "bloom" in m:
+        # bloom-indexed table: untouched files keep their bitmaps by
+        # reference, rewritten files get fresh ones (same one-pass
+        # build as the original commit) — a MERGE/DELETE must never
+        # silently drop the point-lookup index
+        b = m["bloom"]
+        manifest["bloom"] = {
+            "col": b["col"],
+            "type": b["type"],
+            "m": b["m"],
+            "k": b["k"],
+            "files": {
+                **{
+                    f: b["files"][f]
+                    for f in untouched
+                    if f in b["files"]
+                },
+                **_files_bloom(
+                    spark, path, new_names, b["col"], b["m"], b["k"]
+                ),
+            },
+        }
     return _claim(path, version, manifest, op)
 
 
@@ -1711,3 +1734,242 @@ def snapshot_sync(
         return to_v
     _cow_commit(spark, dst, match, keys, True, ups, "sync")
     return to_v
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter data skipping (the Delta bloom-filter-index / Iceberg
+# bloom write-property feature): per-file bloom bitmaps over a
+# HIGH-CARDINALITY column live in the manifest, so an equality lookup
+# opens only the files whose bloom admits the probe value. min/max
+# stats (snapshot_write_sorted) prune RANGES on a clustered column;
+# blooms prune POINT LOOKUPS on any column regardless of layout — the
+# "find this user/event/doc id in a 100 TB table without a partition
+# key" path. False positives only cost extra file reads; false
+# negatives are impossible by construction (same hash family, built
+# and probed by the SAME Spark expression).
+# ---------------------------------------------------------------------------
+
+
+def _files_bloom(
+    spark: SparkSession,
+    path: str,
+    names: list[str],
+    col: str,
+    m_bits: int,
+    k: int,
+) -> dict[str, str]:
+    """Per-file bloom bitmaps (base64) for committed data files, in
+    ONE job: read the files, derive each row's k bit positions with
+    xxhash64(col, seed) pmod m, and collect the DISTINCT positions per
+    file — bounded by m_bits per file, so the driver result is
+    metadata-sized no matter the row count."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    if not names:
+        return {}
+    full = [os.path.join(_data_dir(path), n) for n in names]
+    df = spark.read.parquet(*full).select(
+        F.element_at(
+            F.split(F.input_file_name(), "/"), -1
+        ).alias("__file"),
+        F.col(col).alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("__v"), F.lit(seed)), F.lit(m_bits))
+            for seed in range(k)
+        ]
+    )
+    rows = (
+        df.select("__file", F.explode(pos).alias("__p"))
+        .groupBy("__file")
+        .agg(F.collect_set("__p").alias("__ps"))
+        .collect()
+    )
+    out: dict[str, str] = {}
+    for r in rows:
+        bits = bytearray((m_bits + 7) // 8)
+        for p in r["__ps"]:
+            bits[p >> 3] |= 1 << (p & 7)
+        out[r["__file"]] = base64.b64encode(bytes(bits)).decode("ascii")
+    # files with zero non-null values never appear in `rows`: record
+    # an all-zeros bloom so probes skip them outright
+    import base64 as _b
+
+    empty = _b.b64encode(bytes((m_bits + 7) // 8)).decode("ascii")
+    for n in names:
+        out.setdefault(n, empty)
+    return out
+
+
+def snapshot_write_bloom(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    bloom_col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` with a per-file BLOOM FILTER over ``bloom_col``
+    recorded in the manifest. Same commit protocol as
+    :func:`snapshot_write`; the extra cost is one pass over the staged
+    files to build the bitmaps (write-amortized, like any index).
+    Appends carry previous files' blooms by reference and must keep
+    the same (col, m, k) — a changed hash family would poison probes.
+
+    Sizing: a bitmap is m_bits/8 bytes per file in the manifest
+    (default 1 KB). With n distinct values per file, the false-positive
+    rate is ~(1 - e^(-k*n/m))^k — at 128 MB files and one value per
+    ~100 bytes that wants m sized to the file's distinct count; m is a
+    dial, and an undersized bloom only degrades pruning, never
+    correctness."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if bloom_col not in df.columns:
+        raise ValueError(f"bloom_col {bloom_col!r} not in {df.columns}")
+    bloom_type = df.schema[bloom_col].dataType.simpleString()
+    os.makedirs(_data_dir(path), exist_ok=True)
+    os.makedirs(_vers_dir(path), exist_ok=True)
+    names = _stage_files(spark, path, df)
+    blooms = _files_bloom(spark, path, names, bloom_col, m_bits, k)
+    while True:
+        prev = current_version(path)
+        live: list[str] = []
+        prev_blooms: dict[str, str] = {}
+        prev_schema = None
+        if mode == "append" and prev is not None:
+            pm = _manifest(path, prev)
+            if "part_col" in pm or "stats_col" in pm:
+                raise ValueError(
+                    "bloom append onto a partitioned/range-clustered "
+                    "manifest is not wired; use the flavor's own writer"
+                )
+            b = pm.get("bloom")
+            if b and (
+                b["col"] != bloom_col or b["m"] != m_bits or b["k"] != k
+            ):
+                raise ValueError(
+                    f"bloom family mismatch: table has "
+                    f"({b['col']},{b['m']},{b['k']}), append asked "
+                    f"({bloom_col},{m_bits},{k})"
+                )
+            live = list(pm["files"])
+            prev_blooms = dict(b["files"]) if b else {}
+            if not b:
+                raise ValueError(
+                    "appending a bloom commit onto a bloom-less table "
+                    "would leave old files unprobeable; rewrite with "
+                    "mode='overwrite' or use snapshot_write"
+                )
+            prev_schema = pm.get("schema")
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": live + names,
+            "bloom": {
+                "col": bloom_col,
+                # the column's Spark type: the probe literal must hash
+                # AS THIS TYPE or xxhash64 diverges (int32 vs int64
+                # hash differently) and probes silently miss files
+                "type": bloom_type,
+                "m": m_bits,
+                "k": k,
+                "files": {**prev_blooms, **blooms},
+            },
+        }
+        if prev_schema is not None:
+            manifest["schema"] = _evolved_schema_json(prev_schema, df)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_vers_dir(path), f"v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        return version
+
+
+def bloom_prune_files(
+    spark: SparkSession, path: str, value, version: int | None = None
+) -> tuple[list[int], list[str], int]:
+    """(probe bit positions, admitted files, total live files) for an
+    equality probe against the manifest's bloom column. The probe's k
+    positions come from the SAME Spark expression that built the
+    bitmaps (one metadata-sized local job — no file is opened), so
+    engine-side hash parity is guaranteed by construction."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    v = vs[-1] if version is None else version
+    m = _manifest(path, v)
+    b = m.get("bloom")
+    if b is None:
+        raise ValueError(f"{path} v{v} carries no bloom metadata")
+    lit = F.lit(value).cast(b["type"])  # hash as the BUILT column type
+    probe = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(lit, F.lit(seed)), F.lit(b["m"])
+                ).alias(f"p{seed}")
+                for seed in range(b["k"])
+            ]
+        )
+        .collect()[0]
+    )
+    positions = [probe[f"p{seed}"] for seed in range(b["k"])]
+    admitted = []
+    for f in m["files"]:
+        enc = b["files"].get(f)
+        if enc is None:
+            admitted.append(f)  # no bitmap recorded: conservatively live
+            continue
+        bits = base64.b64decode(enc)
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in positions):
+            admitted.append(f)
+    return positions, admitted, len(m["files"])
+
+
+def snapshot_read_point(
+    spark: SparkSession,
+    path: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Equality point lookup through the bloom index: open ONLY the
+    files whose bitmap admits the probe value, then apply the exact
+    filter (blooms admit false positives, so the predicate still
+    runs — correctness never depends on the index). At 100 TB this is
+    the needle-in-haystack path: a manifest scan plus a handful of
+    file reads instead of a full table scan, on a column the layout
+    was never organized around."""
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    v = vs[-1] if version is None else version
+    m = _manifest(path, v)
+    col = m["bloom"]["col"]
+    _, admitted, _ = bloom_prune_files(spark, path, value, v)
+    if not admitted:
+        base = _empty_from_manifest(spark, m)
+        if base is None:
+            base = _reader(spark, m).parquet(
+                os.path.join(_data_dir(path), m["files"][0])
+            ).limit(0)
+        return base.where(F.lit(False))
+    df = _reader(spark, m).parquet(
+        *[os.path.join(_data_dir(path), f) for f in admitted]
+    )
+    return df.where(F.col(col) == F.lit(value))

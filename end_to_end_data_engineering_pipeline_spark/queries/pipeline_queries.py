@@ -1848,3 +1848,72 @@ def p26_timestamp_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p27_bloom_point_lookup",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(event_id) AS BIGINT) AS min_event
+    FROM events
+    WHERE user_id IN (3, 11, 42, 503, 99999999)
+    GROUP BY user_id
+    """,
+)
+def p27_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookups through the manifest BLOOM
+    index (operators/snapshots.py:snapshot_write_bloom /
+    snapshot_read_point — the Delta bloom-filter-index feature):
+    events are committed across 16 files with per-file bloom bitmaps
+    over user_id (a column the layout is NOT organized around — no
+    partition, no sort), then five user lookups (one deliberately
+    absent) read ONLY the files whose bitmap admits the probe, with
+    the exact equality filter applied on top (false positives cost a
+    file read, never a wrong row; false negatives are impossible —
+    the probe hashes through the same Spark expression, cast to the
+    recorded column type, that built the bitmaps). The oracle is the
+    plain IN-filter over events: index pruning must be invisible in
+    the result. At 100 TB this is the 'find this user's events
+    without a user-partitioned copy' path — a manifest scan plus a
+    handful of file opens instead of a full table scan. Pruning
+    actually engaging (admitted < total) is pinned in
+    tests/test_snapshots.py, not here, so the oracle stays pure SQL."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ..operators.snapshots import (
+        snapshot_read_point,
+        snapshot_write_bloom,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="p27_bloom_")
+    store = tmp + "/events"
+    try:
+        with fixture_phase():  # building the indexed table is staging
+            snapshot_write_bloom(
+                spark, store, ev.repartition(16), "user_id",
+                m_bits=1 << 15, k=3,
+            )
+        hits = [
+            snapshot_read_point(spark, store, uid)
+            for uid in (3, 11, 42, 503, 99999999)
+        ]
+        out = (
+            reduce(lambda a, b: a.unionByName(b), hits)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("event_type").cast("long").alias("n_types"),
+                F.min("event_id").cast("long").alias("min_event"),
+            )
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1806,3 +1806,90 @@ class TestPartitionScopedMerge:
             if r.k == 15
         ]
         assert d15 == [(15, "d1", -9.0)]
+
+
+class TestBloomDataSkipping:
+    """Per-file bloom bitmaps in the manifest: point lookups open only
+    admitted files; false negatives impossible (same Spark hash
+    expression builds and probes); CoW carries/recomputes bitmaps."""
+
+    def test_point_lookup_prunes_and_matches_full_scan(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            bloom_prune_files,
+            snapshot_read,
+            snapshot_read_point,
+            snapshot_write_bloom,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+        ).repartition(8)  # 8 files, ~500 distinct keys each
+        snapshot_write_bloom(spark, t, df, "k", m_bits=8192, k=3)
+        full = snapshot_read(spark, t)
+        pruned_any = False
+        for probe in (7, 1234, 3999, 99999):  # last one absent
+            got = sorted(
+                (r.k, r.v) for r in snapshot_read_point(spark, t, probe).collect()
+            )
+            want = sorted(
+                (r.k, r.v)
+                for r in full.where(F.col("k") == probe).collect()
+            )
+            assert got == want  # no false negatives, exact filter applied
+            _, admitted, total = bloom_prune_files(spark, t, probe)
+            assert total == 8
+            if len(admitted) < total:
+                pruned_any = True
+        # with 500 distinct keys per file against m=8192/k=3, the
+        # per-file false-positive rate is ~0.4% — at least one of the
+        # four probes must skip files (probability of no pruning at
+        # all is astronomically small; a hash-parity bug shows as
+        # admitted == total for every probe)
+        assert pruned_any
+
+    def test_append_carries_blooms_and_guards_family(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            bloom_prune_files,
+            snapshot_read_point,
+            snapshot_write,
+            snapshot_write_bloom,
+        )
+
+        t = str(tmp_path / "t")
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b = spark.createDataFrame([(3, "c")], "k long, v string")
+        snapshot_write_bloom(spark, t, a, "k")
+        snapshot_write_bloom(spark, t, b, "k")  # append carries v0 blooms
+        assert [r.v for r in snapshot_read_point(spark, t, 3).collect()] == ["c"]
+        _, admitted, total = bloom_prune_files(spark, t, 3)
+        assert len(admitted) < total  # old files skipped for the new key
+        with _pytest.raises(ValueError, match="family mismatch"):
+            snapshot_write_bloom(spark, t, b, "k", m_bits=1024)
+        with _pytest.raises(ValueError, match="bloom"):
+            snapshot_write(spark, t, b)  # plain append refused
+
+    def test_cow_merge_recomputes_rewritten_blooms(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            current_version,
+            snapshot_merge,
+            snapshot_read_point,
+            snapshot_write_bloom,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("old").alias("v")
+        ).repartition(4)
+        snapshot_write_bloom(spark, t, df, "k")
+        upd = spark.createDataFrame([(5, "new"), (2000, "ins")], "k long, v string")
+        snapshot_merge(spark, t, upd, ["k"])
+        m = _manifest(t, current_version(t))
+        assert set(m["bloom"]["files"]) == set(m["files"])  # no gaps
+        assert [r.v for r in snapshot_read_point(spark, t, 5).collect()] == ["new"]
+        assert [r.v for r in snapshot_read_point(spark, t, 2000).collect()] == ["ins"]
+        # a value that never existed still returns empty through the index
+        assert snapshot_read_point(spark, t, 777777).count() == 0
