@@ -175,6 +175,7 @@ HEADLINE: list[str] = [
     "m9_avi_decode_features",
     "t48_bpe_encode_corpus",
     "p27_bloom_point_lookup",
+    "t49_inverted_index_search",
 ]
 
 

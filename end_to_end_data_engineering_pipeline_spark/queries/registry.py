@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # partial-result JSON parsing), and the r11-born m8/m9 (REAL BMP
 # image and AVI video decode under the value hash) — then the full r6
 # band (26 queries, the stalest evidence after the r10 refresh moved
-# 50 entries to 10) and the first 16 of the r7 band in name order. Min registry
+# 50 entries to 10) and the first 15 of the r7 band in name order. Min registry
 # freshness after a green r11 = r7 (the r10-verdict #2 target). New
 # queries are appended here as they land, keeping the
 # never-validated-first invariant
@@ -77,7 +77,7 @@ _PRIORITY: list[str] = [
     # current e33/q90 plans shipped in r10 but were never driver-
     # validated; t42 re-ranked and q93 re-routed in r11) and the
     # r11-born real BMP/AVI decodes, the BPE corpus encoder, and
-    # the bloom point-lookup index ---
+    # the bloom point-lookup and inverted-index search paths ---
     "e33_rfm_segments",
     "q90_revenue_pareto",
     "t42_bpe_merge_step",
@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "m9_avi_decode_features",
     "t48_bpe_encode_corpus",
     "p27_bloom_point_lookup",
+    "t49_inverted_index_search",
     # --- r6-validated (stalest evidence band, 26 queries) ---
     "q60_product_profit",
     "q65_exact_moments",
@@ -113,7 +114,7 @@ _PRIORITY: list[str] = [
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
-    # --- r7-validated (next-stalest, first 16 in name order) ---
+    # --- r7-validated (next-stalest, first 15 in name order) ---
     "e17_scd2_incremental",
     "e19_attribution",
     "e1_tumbling_window_agg",
@@ -129,7 +130,6 @@ _PRIORITY: list[str] = [
     "p11_snapshot_diff",
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
-    "p1_flatten_roundtrip",
 ]
 
 

@@ -3083,3 +3083,87 @@ def t47_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("catch_rate"),
         )
     )
+
+
+_T49_TERMS = ("window", "merge", "customer")
+
+_T49_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE LENGTH(w) >= 2 GROUP BY w, doc_id),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ((n.n_docs * 1000000) // dfreq.df)) AS score,
+             COUNT(*) AS n_terms
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+      WHERE tf.w IN {str(tuple(_T49_TERMS))}
+      GROUP BY tf.doc_id),
+    top AS (
+      SELECT doc_id, CAST(score AS BIGINT) AS score
+      FROM scored WHERE n_terms = {len(_T49_TERMS)}
+      ORDER BY score DESC, doc_id LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, score
+    FROM top
+    """
+
+
+@query("t49_inverted_index_search", oracle=_T49_SQL)
+def t49_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive corpus search through an inverted index — the
+    'find documents containing ALL of [terms], best first' path a
+    curation/decontamination workflow runs interactively: postings =
+    per-(term, doc) term frequencies (one tokenize + one shuffle —
+    the same fold every t-family query starts from), document
+    frequency per term, and an EXACT integer tf-idf score
+    (tf x (N_docs*1e6 DIV df) — floor division, so Spark and DuckDB
+    agree bit-for-bit; float idf logs differ in ulps across engines).
+    Only docs matching every query term survive (n_terms = k), top-20
+    by (score desc, doc_id) selected via TakeOrderedAndProject, then
+    ranked with a 20-row window (the t42 discipline — no global
+    sort). At 100 TB the postings table IS the index: build it once
+    as a snapshot table bucketed by term, and each query is a k-way
+    semi-join on term keys over posting-list-sized data, never a
+    corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).where(F.length("w") >= 2)
+    tf = toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.where(F.col("w").isin(*_T49_TERMS))
+        .join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.expr("(n_docs * 1000000) div df")
+            ).cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(_T49_TERMS))
+    )
+    sort_exprs = [F.col("score").desc(), F.col("doc_id")]
+    return (
+        scored.orderBy(*sort_exprs)
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(*sort_exprs)).cast("long"),
+        )
+        .select("rank", "doc_id", "score")
+    )
