@@ -179,6 +179,28 @@ HEADLINE: list[str] = [
 ]
 
 
+def _prime_page_cache(sf_dir: str) -> None:
+    """Pull the timed scale factor's parquet BYTES into the OS page
+    cache before sampling. The JVM warm pass below runs at sf0.001,
+    so it never touches SF_DIR's files — and this sandbox's host
+    reclaims the page cache between runs (SCALE.md drift watch: three
+    rounds of transient t7/t12/t34 flags, each cleared by a warm
+    re-run). Timing the engine, not the host's eviction policy, means
+    starting every run from the same cache state; ~200 MB at sf0.1,
+    one sequential read."""
+    import glob
+
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        paths = [f] if os.path.isfile(f) else glob.glob(
+            os.path.join(f, "**", "*"), recursive=True
+        )
+        for p in paths:
+            if os.path.isfile(p):
+                with open(p, "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+
 def main() -> None:
     qs = all_queries()
     names = HEADLINE or sorted(qs)
@@ -193,6 +215,7 @@ def main() -> None:
     for name in names:
         qs[name](spark, warm_dir).count()
     spark.catalog.clearCache()
+    _prime_page_cache(SF_DIR)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     # round-robin passes, not consecutive per-query reps: a transient
