@@ -1205,6 +1205,21 @@ def snapshot_compact(
         manifest["extra"] = m.get("extra", {})
     elif "extra" in m:
         manifest["extra"] = m["extra"]
+    if "bloom" in m:
+        # point-lookup index survives OPTIMIZE: kept files' bitmaps
+        # carry by reference, compacted outputs get fresh ones (the
+        # union of their inputs' bits would be correct but looser —
+        # recompute is one pass over files being rewritten anyway)
+        b = m["bloom"]
+        manifest["bloom"] = {
+            **{k: b[k] for k in ("col", "type", "m", "k")},
+            "files": {
+                **{f: b["files"][f] for f in keep if f in b["files"]},
+                **_files_bloom(
+                    spark, path, new_names, b["col"], b["m"], b["k"]
+                ),
+            },
+        }
     if "schema" in m:
         manifest["schema"] = m["schema"]  # evolution survives compaction
     return _claim(path, version, manifest, "compaction")

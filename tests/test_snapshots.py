@@ -1893,3 +1893,31 @@ class TestBloomDataSkipping:
         assert [r.v for r in snapshot_read_point(spark, t, 2000).collect()] == ["ins"]
         # a value that never existed still returns empty through the index
         assert snapshot_read_point(spark, t, 777777).count() == 0
+
+    def test_compact_and_restore_preserve_bloom(self, spark, tmp_path):
+        """OPTIMIZE rebuilds the manifest — the point-lookup index
+        must survive it (fresh bitmaps for compacted outputs), and a
+        RESTORE carries the whole manifest verbatim."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            current_version,
+            snapshot_compact,
+            snapshot_read_point,
+            snapshot_restore,
+            snapshot_write_bloom,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(6)
+        v0 = snapshot_write_bloom(spark, t, df, "k")
+        v1 = snapshot_compact(spark, t, small_file_bytes=1 << 30)
+        assert v1 == v0 + 1
+        m = _manifest(t, v1)
+        assert set(m["bloom"]["files"]) == set(m["files"])
+        assert [r.v for r in snapshot_read_point(spark, t, 123).collect()] == [369]
+        snapshot_restore(t, v0)
+        m2 = _manifest(t, current_version(t))
+        assert set(m2["bloom"]["files"]) == set(m2["files"])
+        assert [r.v for r in snapshot_read_point(spark, t, 123).collect()] == [369]
