@@ -452,3 +452,57 @@ def test_pin_result_caps_driver_sized_results(spark):
     assert "Range" not in pinned._jdf.queryExecution().optimizedPlan().toString()
     with pytest.raises(ValueError, match="max_rows"):
         pin_result(spark.range(0, 100), max_rows=99)
+
+
+def test_t49_topk_via_takeordered_no_global_sort(spark, sf_dir):
+    """The search's top-20 must flow through TakeOrderedAndProject
+    (per-partition heaps); the only window sorts the 20 survivors.
+    The doc-count side must broadcast, never shuffle the postings."""
+    plan = _plan(spark, sf_dir, "t49_inverted_index_search")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_t48_encode_join_no_corpus_resort(spark, sf_dir):
+    """The encode re-attach is a word-keyed join feeding one
+    low-cardinality aggregate — no global Sort node may appear over
+    corpus-sized data (the BPE loop's windows are word-partitioned)."""
+    plan = _plan(spark, sf_dir, "t48_bpe_encode_corpus")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # every Sort in the plan is window machinery partitioned by word
+    # (or the 1-row top1 pick); a global corpus sort would show as a
+    # Sort directly under a rangepartitioning Exchange
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_p27_point_read_opens_fewer_files(spark, sf_dir, tmp_path):
+    """The bloom path's 100-TB claim, pinned at plan level: the
+    point-read DataFrame's scan lists ONLY admitted files (file list
+    resolved before the plan exists), so pruning is structural, not a
+    runtime filter."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        bloom_prune_files,
+        snapshot_read_point,
+        snapshot_write_bloom,
+    )
+
+    t = str(tmp_path / "t")
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id")
+        .repartition(12)
+    )
+    snapshot_write_bloom(spark, t, df, "user_id", m_bits=1 << 15, k=3)
+    _, admitted, total = bloom_prune_files(spark, t, 3)
+    got = snapshot_read_point(spark, t, 3)
+    # the scan's input files == the admitted list, not the full table
+    n_inputs = len(got.inputFiles())
+    assert n_inputs == len(admitted) <= total
+    # and the result is still exact
+    want = df.where(F.col("user_id") == 3).count()
+    assert got.count() == want
