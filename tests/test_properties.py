@@ -861,3 +861,78 @@ def test_global_rank_and_ntile_match_window_functions(spark, rows, k, desc):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom point lookups vs dict model through a full op sequence
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    derandomize=True,
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=10),
+    upd=st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=6),
+    dele=st.lists(KEYS, max_size=3),
+    probes=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=5),
+)
+def test_bloom_point_reads_match_dict_model(
+    spark, tmp_path_factory, base, upd, dele, probes
+):
+    """snapshot_read_point through write_bloom -> merge -> delete ->
+    compact must equal the dict fold for EVERY probe — present keys,
+    deleted keys, and never-present keys alike. This is the
+    no-false-negatives contract under the operations that rewrite
+    files and therefore recompute bitmaps."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read_point,
+        snapshot_write_bloom,
+    )
+
+    t = str(tmp_path_factory.mktemp("bloomsnap") / "t")
+    model: dict[int, str] = {}
+    for k, v in base:
+        model[k] = v
+    snapshot_write_bloom(
+        spark,
+        t,
+        spark.createDataFrame(sorted(model.items()), "k long, v string"),
+        "k",
+        m_bits=256,  # deliberately small: force false positives
+        k=2,
+    )
+    if upd:
+        dd: dict[int, str] = {}
+        for k, v in upd:
+            dd[k] = v
+        snapshot_merge(
+            spark,
+            t,
+            spark.createDataFrame(sorted(dd.items()), "k long, v string"),
+            ["k"],
+        )
+        model.update(dd)
+    if dele:
+        ks = sorted(set(dele))
+        snapshot_delete(
+            spark,
+            t,
+            spark.createDataFrame([(k,) for k in ks], "k long"),
+            ["k"],
+        )
+        for k in ks:
+            model.pop(k, None)
+    snapshot_compact(spark, t, small_file_bytes=1 << 30)
+    for p in probes:
+        got = sorted(
+            (r.k, r.v) for r in snapshot_read_point(spark, t, p).collect()
+        )
+        want = [(p, model[p])] if p in model else []
+        assert got == want, f"probe {p}: {got} != {want}"
