@@ -176,6 +176,7 @@ HEADLINE: list[str] = [
     "t48_bpe_encode_corpus",
     "p27_bloom_point_lookup",
     "t49_inverted_index_search",
+    "t50_persisted_postings_search",
 ]
 
 

@@ -3167,3 +3167,137 @@ def t49_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "doc_id", "score")
     )
+
+
+_T50_QUERIES = {"qa": ("scan", "sort", "table"), "qb": ("stream", "batch")}
+
+
+def _t50_one_sql(qid: str, terms: tuple) -> str:
+    return f"""
+    sc_{qid} AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ((n.n_docs * 1000000) // dfreq.df)) AS score,
+             COUNT(*) AS n_terms
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+      WHERE tf.w IN {str(tuple(terms)) if len(terms) > 1 else f"('{terms[0]}')"}
+      GROUP BY tf.doc_id),
+    top_{qid} AS (
+      SELECT doc_id, CAST(score AS BIGINT) AS score
+      FROM sc_{qid} WHERE n_terms = {len(terms)}
+      ORDER BY score DESC, doc_id LIMIT 10),
+    r_{qid} AS (
+      SELECT '{qid}' AS query_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank,
+             doc_id, score
+      FROM top_{qid})"""
+
+
+_T50_SQL = (
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE LENGTH(w) >= 2 GROUP BY w, doc_id),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),"""
+    + ",".join(_t50_one_sql(q, t) for q, t in _T50_QUERIES.items())
+    + """
+    SELECT * FROM r_qa UNION ALL SELECT * FROM r_qb
+    """
+)
+
+
+@query("t50_persisted_postings_search", oracle=_T50_SQL)
+def t50_persisted_postings_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index/query SPLIT behind t49, made physical: the postings
+    (term, doc, tf), document frequencies, and corpus size are built
+    ONCE and committed as snapshot tables (the fixture — the corpus
+    is tokenized exactly once), then TWO conjunctive queries are
+    served purely from the PERSISTED index: the term predicate pushes
+    down into the postings parquet scan (PushedFilters on w — at
+    100 TB each query reads posting-list-sized data, never the
+    corpus), scores are the same exact integer tf-idf as t49, and
+    each query's top-10 flows through TakeOrderedAndProject before a
+    10-row ranking window. Build once / query many is what makes
+    interactive corpus search affordable: the build cost amortizes
+    over every future query, exactly as p27's bloom index amortizes
+    point lookups. The oracle recomputes the index inline — the
+    persisted tables must be indistinguishable from the inline
+    computation."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ..operators.snapshots import snapshot_read, snapshot_write
+    from .benchmeta import fixture_phase
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="t50_idx_")
+    try:
+        with fixture_phase():  # the one-time index build
+            toks = docs.select(
+                "doc_id",
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z]+")
+                ).alias("w"),
+            ).where(F.length("w") >= 2)
+            tf = toks.groupBy("w", "doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("tf")
+            )
+            snapshot_write(spark, tmp + "/postings", tf)
+            snapshot_write(
+                spark,
+                tmp + "/dfreq",
+                tf.groupBy("w").agg(
+                    F.count(F.lit(1)).cast("long").alias("df")
+                ),
+            )
+            snapshot_write(
+                spark,
+                tmp + "/meta",
+                docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+            )
+        postings = snapshot_read(spark, tmp + "/postings")
+        dfreq = snapshot_read(spark, tmp + "/dfreq")
+        n_docs = snapshot_read(spark, tmp + "/meta")
+        outs = []
+        for qid, terms in _T50_QUERIES.items():
+            scored = (
+                postings.where(F.col("w").isin(*terms))
+                .join(dfreq.where(F.col("w").isin(*terms)), "w")
+                .crossJoin(F.broadcast(n_docs))
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(
+                        F.col("tf") * F.expr("(n_docs * 1000000) div df")
+                    ).cast("long").alias("score"),
+                    F.count(F.lit(1)).alias("n_terms"),
+                )
+                .where(F.col("n_terms") == len(terms))
+            )
+            se = [F.col("score").desc(), F.col("doc_id")]
+            outs.append(
+                scored.orderBy(*se)
+                .limit(10)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(Window.orderBy(*se)).cast("long"),
+                )
+                .select(
+                    F.lit(qid).alias("query_id"), "rank", "doc_id", "score"
+                )
+            )
+        out = reduce(lambda a, b: a.unionByName(b), outs)
+        from ..catalog import pin_result
+
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
