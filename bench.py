@@ -177,6 +177,7 @@ HEADLINE: list[str] = [
     "p27_bloom_point_lookup",
     "t49_inverted_index_search",
     "t50_persisted_postings_search",
+    "p28_bloom_fpr_audit",
 ]
 
 

@@ -1917,3 +1917,138 @@ def p27_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_P28_SQL = """
+    WITH ev AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS f,
+             user_id
+      FROM events),
+    dials(m) AS (VALUES (1024), (4096), (16384)),
+    seeds(s) AS (VALUES (0), (1), (2)),
+    fpos AS (
+      SELECT DISTINCT d.m, ev.f,
+             CAST(('0x' || substr(md5(CAST(ev.user_id AS VARCHAR)
+                                       || ':' || CAST(sd.s AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % d.m AS pos
+      FROM ev, dials d, seeds sd),
+    nf AS (
+      SELECT f, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vals
+      FROM ev GROUP BY f),
+    probes(p) AS (SELECT -t.i FROM generate_series(1, 100) AS t(i)),
+    ppos AS (
+      SELECT d.m, pr.p, sd.s,
+             CAST(('0x' || substr(md5(CAST(pr.p AS VARCHAR)
+                                       || ':' || CAST(sd.s AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % d.m AS pos
+      FROM probes pr, dials d, seeds sd),
+    hits AS (
+      SELECT DISTINCT pp.m, fp.f, pp.p, pp.s
+      FROM ppos pp JOIN fpos fp ON fp.m = pp.m AND fp.pos = pp.pos),
+    admitted AS (
+      SELECT m, f, p FROM hits GROUP BY m, f, p HAVING COUNT(*) = 3),
+    measured AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_admitted
+      FROM admitted GROUP BY m),
+    expected AS (
+      SELECT d.m,
+             SUM(POWER(1 - EXP(-3.0 * nf.n_vals / d.m), 3)) * 100
+               AS exp_adm
+      FROM dials d, nf GROUP BY d.m)
+    SELECT d.m,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST(100 AS BIGINT) AS n_probes,
+           COALESCE(me.n_admitted, 0) AS n_admitted,
+           (COALESCE(me.n_admitted, 0) <= 3 * ex.exp_adm + 5
+            AND COALESCE(me.n_admitted, 0) + 5 >= ex.exp_adm / 3)
+             AS fpr_within_3x
+    FROM dials d
+    LEFT JOIN measured me ON me.m = d.m
+    JOIN expected ex ON ex.m = d.m
+    """
+
+
+@query("p28_bloom_fpr_audit", oracle=_P28_SQL)
+def p28_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the p27 bloom dial — the t44/t45/q31
+    discipline applied to the point-lookup index: simulate per-file
+    bloom membership RELATIONALLY on the SQL-twinned hash32 family
+    (first 8 md5 hex digits — identical in both engines, unlike
+    production xxhash64, which has no DuckDB twin), probe 100 absent
+    keys against 8 hash-assigned files at three m dials, and report
+    the MEASURED admission count per dial next to an
+    accuracy-contract boolean: measured within 3x of the analytic
+    sum over files of (1 - e^(-k*n_f/m))^k x probes. An undersized
+    bitmap (m=1024 here) admits ~half the probes; the production
+    default's regime (m=16384) admits almost none — the table IS the
+    sizing guidance for snapshot_write_bloom's m_bits, measured, not
+    asserted. Exact integer counts carry the hash; the analytic
+    bound enters only through wide-margin booleans (the q31
+    convention), so cross-engine float ulps cannot flip the gate."""
+    from ..operators.text import hash32
+
+    ev = load(spark, sf_dir, "events").select(
+        (hash32(F.col("event_id").cast("string")) % 8).alias("f"),
+        "user_id",
+    )
+    dials = spark.createDataFrame([(1024,), (4096,), (16384,)], "m long")
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "s long")
+    pos_of = lambda val_col, s_col, m_col: (
+        hash32(F.concat(val_col.cast("string"), F.lit(":"), s_col.cast("string")))
+        % m_col
+    )
+    fpos = (
+        ev.crossJoin(F.broadcast(dials))
+        .crossJoin(F.broadcast(seeds))
+        .select("m", "f", pos_of(F.col("user_id"), F.col("s"), F.col("m")).alias("pos"))
+        .distinct()
+    )
+    nf = ev.groupBy("f").agg(
+        F.countDistinct("user_id").cast("long").alias("n_vals")
+    )
+    probes = spark.range(1, 101).select((-F.col("id")).alias("p"))
+    ppos = (
+        probes.crossJoin(F.broadcast(dials))
+        .crossJoin(F.broadcast(seeds))
+        .select("m", "p", "s", pos_of(F.col("p"), F.col("s"), F.col("m")).alias("pos"))
+    )
+    hits = (
+        ppos.join(fpos, ["m", "pos"])
+        .select("m", "f", "p", "s")
+        .distinct()
+    )
+    measured = (
+        hits.groupBy("m", "f", "p")
+        .agg(F.count(F.lit(1)).alias("n_seeds"))
+        .where(F.col("n_seeds") == 3)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_admitted"))
+    )
+    expected = (
+        dials.crossJoin(nf)
+        .groupBy("m")
+        .agg(
+            (F.sum(
+                F.pow(
+                    F.lit(1.0)
+                    - F.exp(F.lit(-3.0) * F.col("n_vals") / F.col("m")),
+                    F.lit(3.0),
+                )
+            ) * F.lit(100)).alias("exp_adm")
+        )
+    )
+    return (
+        dials.join(measured, "m", "left")
+        .join(expected, "m")
+        .select(
+            "m",
+            F.lit(8).cast("long").alias("n_files"),
+            F.lit(100).cast("long").alias("n_probes"),
+            F.coalesce(F.col("n_admitted"), F.lit(0)).cast("long").alias("n_admitted"),
+            (
+                (F.coalesce(F.col("n_admitted"), F.lit(0)) <= F.col("exp_adm") * 3 + 5)
+                & (F.coalesce(F.col("n_admitted"), F.lit(0)) + 5 >= F.col("exp_adm") / 3)
+            ).alias("fpr_within_3x"),
+        )
+    )

@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # partial-result JSON parsing), and the r11-born m8/m9 (REAL BMP
 # image and AVI video decode under the value hash) — then the full r6
 # band (26 queries, the stalest evidence after the r10 refresh moved
-# 50 entries to 10) and the first 14 of the r7 band in name order. Min registry
+# 50 entries to 10) and the first 13 of the r7 band in name order. Min registry
 # freshness after a green r11 = r7 (the r10-verdict #2 target). New
 # queries are appended here as they land, keeping the
 # never-validated-first invariant
@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "p27_bloom_point_lookup",
     "t49_inverted_index_search",
     "t50_persisted_postings_search",
+    "p28_bloom_fpr_audit",
     # --- r6-validated (stalest evidence band, 26 queries) ---
     "q60_product_profit",
     "q65_exact_moments",
@@ -115,7 +116,7 @@ _PRIORITY: list[str] = [
     "t3_exact_dedup",
     "t7_minhash_lsh_neardup",
     "t9_simhash_neardup",
-    # --- r7-validated (next-stalest, first 14 in name order) ---
+    # --- r7-validated (next-stalest, first 13 in name order) ---
     "e17_scd2_incremental",
     "e19_attribution",
     "e1_tumbling_window_agg",
@@ -129,7 +130,6 @@ _PRIORITY: list[str] = [
     "m3_content_addressed_store",
     "p10_incremental_agg",
     "p11_snapshot_diff",
-    "p12_zorder_roundtrip",
 ]
 
 
