@@ -616,13 +616,26 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
                 (offset,) = struct.unpack_from("<I", buf, 10)
                 hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
                 planes, bpp, comp = struct.unpack_from("<HHI", buf, 26)
-                if hdr_size < 40 or bpp != 24 or comp != 0 or h <= 0:
+                if (
+                    hdr_size < 40 or bpp != 24 or comp != 0
+                    or h <= 0 or w <= 0
+                ):
                     raise CodecsUnavailableError(
                         f"only 24-bit uncompressed bottom-up BMP is "
                         f"wired (got header={hdr_size} bpp={bpp} "
-                        f"compression={comp} height={h})"
+                        f"compression={comp} width={w} height={h})"
                     )
                 stride = (w * 3 + 3) & ~3
+                if len(buf) < offset + stride * h:
+                    # a truncated pixel array would otherwise surface
+                    # as a raw numpy frombuffer/reshape ValueError —
+                    # keep the decoder's loud-contract instead
+                    raise CodecsUnavailableError(
+                        f"BMP pixel array truncated: need "
+                        f"{offset + stride * h} bytes "
+                        f"(offset={offset} stride={stride} h={h}), "
+                        f"got {len(buf)}"
+                    )
                 px = np.frombuffer(
                     buf, dtype=np.uint8, count=stride * h, offset=offset
                 ).reshape(h, stride)[:, : w * 3]
@@ -830,12 +843,18 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                         "environment does not ship"
                     )
 
-                # walk the chunk tree: collect strf + '00db' frames
+                # walk the chunk tree: collect the VIDEO stream's strf
+                # + '00db' frames. A multi-stream AVI interleaves strl
+                # LISTs (video then audio); keeping the LAST strf seen
+                # would overwrite BITMAPINFOHEADER with WAVEFORMATEX
+                # bytes misparsed as geometry — so capture only the
+                # strf that follows a 'vids' strh, and only the first.
                 strf = None
+                last_strh_type = None
                 frames = []
 
                 def walk(lo: int, hi: int) -> None:
-                    nonlocal strf
+                    nonlocal strf, last_strh_type
                     pos = lo
                     while pos + 8 <= hi:
                         fourcc = buf[pos : pos + 4]
@@ -843,8 +862,13 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                         body = pos + 8
                         if fourcc == b"LIST":
                             walk(body + 4, body + size)
+                        elif fourcc == b"strh":
+                            last_strh_type = buf[body : body + 4]
                         elif fourcc == b"strf":
-                            strf = struct.unpack_from("<IiiHHI", buf, body)
+                            if strf is None and last_strh_type == b"vids":
+                                strf = struct.unpack_from(
+                                    "<IiiHHI", buf, body
+                                )
                         elif fourcc in (b"00db", b"00dc"):
                             frames.append(buf[body : body + size])
                         pos = body + size + (size & 1)  # word align
@@ -852,18 +876,31 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                 walk(12, len(buf))
                 if strf is None or not frames:
                     raise CodecsUnavailableError(
-                        "AVI container missing strf header or frame "
-                        "chunks — not a DIB-framed AVI this decoder "
-                        "understands"
+                        "AVI container missing a vids-stream strf "
+                        "header or frame chunks — not a DIB-framed AVI "
+                        "this decoder understands"
                     )
                 _, w, h, _, bpp, comp = strf
-                if bpp != 24 or comp != 0 or h <= 0:
+                if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
                     raise CodecsUnavailableError(
                         f"only 24-bit uncompressed bottom-up DIB frames "
                         f"are wired (got bpp={bpp} compression={comp} "
-                        f"height={h}); compressed codecs need av"
+                        f"width={w} height={h}); compressed codecs "
+                        "need av"
                     )
                 stride = (w * 3 + 3) & ~3
+                short = [
+                    (t, len(fr))
+                    for t, fr in enumerate(frames)
+                    if len(fr) < stride * h
+                ]
+                if short:
+                    t0, got = short[0]
+                    raise CodecsUnavailableError(
+                        f"AVI frame chunk {t0} truncated: need "
+                        f"{stride * h} bytes (stride={stride} h={h}), "
+                        f"got {got}"
+                    )
                 pos = (
                     np.arange(h, dtype=np.int64)[:, None] * w
                     + np.arange(w, dtype=np.int64)[None, :]

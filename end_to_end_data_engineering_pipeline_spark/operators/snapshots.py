@@ -1698,6 +1698,16 @@ def snapshot_sync(
 
     vs = list_versions(src)
     to_v = vs[-1] if to_version is None else to_version
+    if to_v < from_version:
+        # snapshot_changes(5, 3) would compute the INVERSE diff and
+        # silently roll the replica backwards — a stale pin or a
+        # post-crash replay with a future bookmark must fail loudly.
+        # Validated BEFORE the fresh-replica bootstrap below: an
+        # invalid span must not leave a committed baseline behind.
+        raise ValueError(
+            f"sync span runs backwards: from_version={from_version} > "
+            f"to_version={to_v} (bookmark ahead of source?)"
+        )
     if not list_versions(dst):
         # first sync of a fresh replica: there is no destination
         # manifest for _cow_commit to diff against (its
@@ -1709,14 +1719,6 @@ def snapshot_sync(
         # one unavoidable full-base copy every replica pays exactly
         # once; every later cycle is back to O(change rate).
         snapshot_write(spark, dst, snapshot_read(spark, src, from_version))
-    if to_v < from_version:
-        # snapshot_changes(5, 3) would compute the INVERSE diff and
-        # silently roll the replica backwards — a stale pin or a
-        # post-crash replay with a future bookmark must fail loudly
-        raise ValueError(
-            f"sync span runs backwards: from_version={from_version} > "
-            f"to_version={to_v} (bookmark ahead of source?)"
-        )
     # materialize the feed once: it is change-sized by construction,
     # and the emptiness probe + apply below would otherwise each
     # re-read and re-join the changed files
@@ -1738,15 +1740,8 @@ def snapshot_sync(
     ups = feed.where(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
-    if not list_versions(dst):
-        # first sync of a fresh replica: there is no destination
-        # manifest for _cow_commit to diff against (list_versions(dst)
-        # is empty and the commit's [-1] would raise) — bootstrap the
-        # replica with the span's post-images exactly as the r9 path's
-        # 'if not vs: snapshot_write' branch in snapshot_merge did.
-        # Deletes in the span are no-ops on an empty table.
-        snapshot_write(spark, dst, ups)
-        return to_v
+    # the fresh-replica bootstrap above guarantees dst has a manifest
+    # by this point, so _cow_commit's list_versions(dst)[-1] is safe
     _cow_commit(spark, dst, match, keys, True, ups, "sync")
     return to_v
 
@@ -1931,10 +1926,22 @@ def bloom_prune_files(
     b = m.get("bloom")
     if b is None:
         raise ValueError(f"{path} v{v} carries no bloom metadata")
-    lit = F.lit(value).cast(b["type"])  # hash as the BUILT column type
+    # hash as the BUILT column type; try_cast (not cast) so an
+    # un-castable probe is a deterministic NULL we can detect rather
+    # than an ANSI planning-time NumberFormatException — when the cast
+    # succeeds try_cast's value is identical, so hash parity with the
+    # build side holds
+    lit = F.lit(value).try_cast(b["type"])
     probe = (
         spark.range(1)
         .select(
+            # probe the cast alongside the positions in the SAME local
+            # job: an un-castable probe (a string literal on a long
+            # column) would make xxhash64 hash null and admit an
+            # arbitrary file set — the exact filter keeps results
+            # correct, but the index silently stops pruning. Fail
+            # loudly instead.
+            F.isnull(lit).alias("__cast_null"),
             *[
                 F.pmod(
                     F.xxhash64(lit, F.lit(seed)), F.lit(b["m"])
@@ -1944,6 +1951,12 @@ def bloom_prune_files(
         )
         .collect()[0]
     )
+    if probe["__cast_null"]:
+        raise TypeError(
+            f"bloom probe {value!r} does not cast to the indexed "
+            f"column type {b['type']!r} (cast evaluates to NULL); "
+            "pass a probe of the built column's type"
+        )
     positions = [probe[f"p{seed}"] for seed in range(b["k"])]
     admitted = []
     for f in m["files"]:

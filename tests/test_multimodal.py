@@ -412,3 +412,101 @@ def test_avi_roundtrip_geometry_edges(spark):
         assert (row.n_frames, row.width, row.height) == (nf, w, h)
         assert row.sum_all == total
         assert row.time_weighted == tw, f"frame/stride bug at {(w,h,nf)}"
+
+
+def test_avi_second_stream_strf_not_misparsed(spark):
+    """A two-stream AVI (video strl then audio strl) must decode from
+    the VIDEO stream's strf: the r11 walk kept the LAST strf seen, so
+    an audio WAVEFORMATEX would overwrite BITMAPINFOHEADER and be
+    misparsed as geometry (r11 advice #3). Splice an auds strl into a
+    synth_avi container and pin feature equality with the one-stream
+    decode."""
+    import struct
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_avi_features,
+        synth_avi,
+    )
+
+    ids = spark.createDataFrame([(3,)], "media_id long")
+    blob = bytes(synth_avi(ids).collect()[0].content)
+
+    def _chunk(fourcc, payload):
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    audio_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"auds", b"\x01\x00\x00\x00",
+        0, 0, 0, 0, 1, 8000, 0, 100, 16000, 0xFFFFFFFF, 0,
+        0, 0, 0, 0,
+    )
+    # WAVEFORMATEX (+ pad to 20B so the old misparse wouldn't even
+    # struct.error — it would read garbage geometry)
+    audio_strf = struct.pack("<HHIIHHI", 1, 1, 8000, 16000, 2, 16, 0)
+    audio_strl = _chunk(
+        b"LIST",
+        b"strl" + _chunk(b"strh", audio_strh) + _chunk(b"strf", audio_strf),
+    )
+    assert blob[12:16] == b"LIST" and blob[20:24] == b"hdrl"
+    (hsize,) = struct.unpack_from("<I", blob, 16)
+    hdrl_end = 20 + hsize
+    two = bytearray(blob[:hdrl_end] + audio_strl + blob[hdrl_end:])
+    struct.pack_into("<I", two, 16, hsize + len(audio_strl))
+    struct.pack_into("<I", two, 4, len(two) - 8)
+
+    df = spark.createDataFrame(
+        [(3, bytearray(blob)), (4, bytearray(bytes(two)))],
+        "media_id long, content binary",
+    )
+    rows = {
+        r.media_id: r for r in decode_avi_features(df).collect()
+    }
+    one, dual = rows[3], rows[4]
+    assert (dual.width, dual.height, dual.n_frames) == (
+        one.width, one.height, one.n_frames
+    )
+    assert (dual.sum_all, dual.peak, dual.time_weighted) == (
+        one.sum_all, one.peak, one.time_weighted
+    )
+
+
+def test_truncated_media_fails_loudly(spark):
+    """Truncated payloads hit the decoders' loud contract, not a raw
+    numpy frombuffer/reshape ValueError (r11 advice #4): a short BMP
+    pixel array, a short AVI frame chunk, and a negative-width BMP
+    header each raise the decoder's own error naming the defect."""
+    import struct
+
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_avi_features,
+        decode_bmp_features,
+        synth_avi,
+        synth_bmp,
+    )
+
+    ids = spark.createDataFrame([(9,)], "media_id long")
+    bmp = bytes(synth_bmp(ids).collect()[0].content)
+    avi = bytes(synth_avi(ids).collect()[0].content)
+
+    short_bmp = spark.createDataFrame(
+        [(9, bytearray(bmp[:-10]))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_bmp_features(short_bmp).collect()
+
+    short_avi = spark.createDataFrame(
+        [(9, bytearray(avi[:-10]))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_avi_features(short_avi).collect()
+
+    # negative width: valid magic + header, w = -4
+    neg = bytearray(bmp)
+    struct.pack_into("<i", neg, 18, -4)
+    neg_bmp = spark.createDataFrame(
+        [(9, neg)], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="width=-4"):
+        decode_bmp_features(neg_bmp).collect()

@@ -1921,3 +1921,57 @@ class TestBloomDataSkipping:
         m2 = _manifest(t, current_version(t))
         assert set(m2["bloom"]["files"]) == set(m2["files"])
         assert [r.v for r in snapshot_read_point(spark, t, 123).collect()] == [369]
+
+
+def test_snapshot_sync_backwards_span_fresh_replica_no_baseline(
+    spark, tmp_path
+):
+    """An invalid (backwards) span against a FRESH replica must raise
+    BEFORE the first-sync bootstrap commits anything: the failed call
+    leaves zero committed versions behind (r11 advice #1 — the old
+    ordering bootstrapped src@from_version into dst, then raised)."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        list_versions,
+        snapshot_merge,
+        snapshot_sync,
+        snapshot_write,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark, src, spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(2, "b")], "k long, v string"), ["k"],
+    )
+    with _pytest.raises(ValueError, match="backwards"):
+        snapshot_sync(spark, src, dst, ["k"], from_version=1, to_version=0)
+    assert list_versions(dst) == []
+
+
+def test_bloom_probe_uncastable_type_raises(spark, tmp_path):
+    """A probe literal that cannot cast to the indexed column's type
+    must fail loudly (r11 advice #2): under Spark's lenient cast it
+    becomes NULL, xxhash64 hashes null, and the bloom silently admits
+    an arbitrary file set — correctness survives via the exact filter
+    but the index stops pruning without anyone noticing."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        bloom_prune_files,
+        snapshot_write_bloom,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write_bloom(spark, t, df, "k")
+    with _pytest.raises(TypeError, match="cast"):
+        bloom_prune_files(spark, t, "not-a-number")
+    # a castable probe still works
+    _, admitted, total = bloom_prune_files(spark, t, 7)
+    assert 1 <= len(admitted) <= total
