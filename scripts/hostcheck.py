@@ -10,6 +10,11 @@ contended and timings are not comparable to clean-round numbers.
 Recorded anchors (median iters/proc, this VM):
   r11 2026-08-15 21:05 UTC: 77.4M with 3-5% steal (contended evening;
   identical-code bench runs spanned 1.03x-1.21x vs r10 that day)
+
+Since r12, bench.py embeds a 3s version of this probe (steal% +
+M iters/sec/proc) before and after its timed passes in the output
+line's "h" field — see docs/SCALE.md §Round-12 for the triage rule.
+This standalone 20s script remains for ad-hoc host checks.
 """
 
 from __future__ import annotations

@@ -22,28 +22,45 @@ def test_prior_bench_loads_best_of_history():
     # the repo carries several clean sf0.1 benches; the loader must
     # find per-query medians in them
     assert prior and all(isinstance(v, float) for v in prior.values())
-    # best-of-history: each baseline is the MIN across every clean
-    # round, so no single round's number may undercut it
+    # best-of-history under the protocol filter (r11 advice #5):
+    # contaminated rounds are never anchor material, and a key's
+    # anchor is the min over CURRENT-protocol rounds when any exist,
+    # else the min over legacy cold-start rounds
     import glob
     import json
     import os
 
     import re
 
+    best_cur: dict[str, float] = {}
+    best_old: dict[str, float] = {}
     for f in glob.glob(os.path.join(_here, "BENCH_r*.json")):
         d = json.load(open(f))
         rnd = int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
+        parsed = d.get("parsed") or {}
         if d.get("rc") == 0 and d.get("sf") == 0.1:
-            for name, t in (d.get("parsed") or {}).get("queries", {}).items():
+            if rnd in bench.CONTAMINATED_ROUNDS:
+                continue
+            proto = parsed.get("pv", 2 if rnd >= 11 else 1)
+            best = (
+                best_cur if proto == bench.BENCH_PROTOCOL else best_old
+            )
+            for name, t in parsed.get("queries", {}).items():
                 # rounds <= r6 recorded full names; the loader
                 # normalizes to the short serialization key
                 key = bench._short(name)
                 if rnd < bench.RESHAPED_ROUND.get(key, 0):
                     # intentional algorithm change: pre-reshape
                     # history is not a baseline (bench.RESHAPED_ROUND)
-                    assert key not in prior or prior[key] >= 0
                     continue
-                assert prior[key] <= t
+                if key not in best or t < best[key]:
+                    best[key] = t
+    assert prior == {**best_old, **best_cur}
+    # the r11 driver run was taken under measured host steal
+    # (CONTAMINATED_ROUNDS): keys whose ONLY history is that run must
+    # have no anchor at all — they re-anchor from the first clean run
+    for key in ("p27", "t49", "t50", "p28", "m8", "m9", "t48"):
+        assert key not in prior
 
 
 def test_prior_bench_ignores_other_sf():
