@@ -178,6 +178,9 @@ HEADLINE: list[str] = [
     "t49_inverted_index_search",
     "t50_persisted_postings_search",
     "p28_bloom_fpr_audit",
+    # r12-born: partition-spec evolution (metadata-only repartitioning
+    # commit + per-spec pruned reads)
+    "p29_partition_evolution",
 ]
 
 

@@ -156,7 +156,12 @@ def snapshot_write(
         prev = current_version(path)
         if mode == "append" and prev is not None:
             pm = _manifest(path, prev)
-            if "part_col" in pm or "stats_col" in pm or "bloom" in pm:
+            if (
+                "part_col" in pm
+                or "specs" in pm
+                or "stats_col" in pm
+                or "bloom" in pm
+            ):
                 raise ValueError(
                     "plain append would publish a manifest without the "
                     "partition map / file stats / bloom bitmaps and "
@@ -365,7 +370,12 @@ def _reader(spark: SparkSession, m: dict, drop: tuple = ()):
 
 
 def _attach_partition_col(
-    spark: SparkSession, path: str, m: dict, files: list[str]
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    col: str | None = None,
+    ctype: str | None = None,
 ) -> DataFrame:
     """ONE scan over ``files`` with the manifest's partition column
     re-attached via a broadcast (file basename -> value) join — the
@@ -376,10 +386,16 @@ def _attach_partition_col(
     broadcast hash join, the same plan at 30 partitions or 30k.
     Returns the rows WITH a ``__file`` basename column (computed at
     the scan, where input_file_name is defined); callers that don't
-    tag files drop it."""
+    tag files drop it.
+
+    ``col``/``ctype`` override the manifest's single-spec
+    ``part_col``/``part_type`` for evolved manifests, where each
+    spec group attaches its OWN column (the files must all belong to
+    that spec — :func:`_read_evolved_files` groups them)."""
     from pyspark.sql import functions as F
 
-    part_col, part_type = m["part_col"], m["part_type"]
+    part_col = col if col is not None else m["part_col"]
+    part_type = ctype if ctype is not None else m["part_type"]
     parts = m["partitions"]
     base = _reader(spark, m, drop=(part_col,)).parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
@@ -394,6 +410,53 @@ def _attach_partition_col(
         .withColumn(part_col, F.col("__praw").cast(part_type))
         .drop("__praw")
     )
+
+
+def _read_evolved_files(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    col: str | None = None,
+    wanted: set[str] | None = None,
+    keep_file: bool = False,
+) -> DataFrame | None:
+    """Union read over a MIXED-SPEC (partition-evolved) manifest's
+    ``files``: group by each file's recorded spec, manifest-prune the
+    group whose spec column is ``col`` to the ``wanted`` value
+    strings, attach each group's own partition column from the
+    manifest, and unionByName the groups (plan fan-out = spec count —
+    2 or 3 — never partition count). Groups whose spec is NOT ``col``
+    cannot prune from the manifest; they are admitted in full and the
+    caller applies the exact residual filter (Iceberg's evolved-spec
+    read semantics: old files scan with a residual predicate, new
+    files prune on their spec). Returns None when pruning admits no
+    files."""
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        groups.setdefault(int(m["file_specs"][f]), []).append(f)
+    parts: list[DataFrame] = []
+    for sid in sorted(groups):
+        spec = m["specs"][sid]
+        fs = groups[sid]
+        if wanted is not None and spec["col"] == col:
+            fs = [f for f in fs if m["partitions"][f] in wanted]
+        if not fs:
+            continue
+        g = _attach_partition_col(
+            spark, path, m, fs, col=spec["col"], ctype=spec["type"]
+        )
+        parts.append(g if keep_file else g.drop("__file"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        # allowMissingColumns: a spec column introduced AT evolution
+        # time is absent from pre-evolution files' data — null-fill
+        # it, the same ADD-column rule the schema-evolution reader
+        # applies (old rows genuinely lack the value)
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def _cow_commit(
@@ -438,6 +501,14 @@ def _cow_commit(
 
     base_version = list_versions(path)[-1]
     m = _manifest(path, base_version)
+    if "specs" in m:
+        raise ValueError(
+            "copy-on-write on a mixed-partition-spec manifest would "
+            "need per-spec restaging of every touched file group; run "
+            "snapshot_compact first — it migrates all files to the "
+            "current default spec and returns the table to "
+            "single-spec, then merge/delete work as usual"
+        )
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
     if part_col and inserts is not None and part_col not in inserts.columns:
@@ -701,6 +772,14 @@ def snapshot_read(
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
     m = _manifest(path, v)
+    if "specs" in m:
+        raise ValueError(
+            f"version {v} has evolved partition specs "
+            f"{[s['col'] for s in m['specs']]}: each file group "
+            "carries a different manifest-attached column, which a "
+            "plain scan would silently drop — read with "
+            "snapshot_read_partitioned"
+        )
     files = m["files"]
     if not files:
         empty = _empty_from_manifest(spark, m)
@@ -848,7 +927,7 @@ def snapshot_read_tag(
     observe a staged, unaudited commit."""
     v = snapshot_resolve_tag(path, name)
     m = _manifest(path, v)
-    if "part_col" in m:
+    if "part_col" in m or "specs" in m:
         return snapshot_read_partitioned(spark, path, version=v)
     return snapshot_read(spark, path, version=v)
 
@@ -1018,6 +1097,13 @@ def snapshot_changes(
     def _side(m_parts: dict, files: list[str]) -> DataFrame | None:
         if not files:
             return None
+        if "specs" in m_parts:
+            # evolved manifest: union the spec groups (partition
+            # metadata per-manifest, schema from the TO side)
+            m_eff = dict(m_parts)
+            if "schema" in m_sch:
+                m_eff["schema"] = m_sch["schema"]
+            return _read_evolved_files(spark, path, m_eff, files)
         if "part_col" in m_parts:
             # partition map is per-manifest; schema is the TO one
             m_eff = dict(m_parts)
@@ -1126,6 +1212,32 @@ def snapshot_compact(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
+    if "specs" in m:
+        # SPEC MIGRATION: a partition-evolved manifest compacts by
+        # rewriting EVERY live row under the current default spec and
+        # committing a single-spec manifest — Iceberg's lazy-migration
+        # story (evolution is metadata-only at write time; compaction
+        # pays the rewrite when maintenance chooses to). This restores
+        # the table to the shape merge/delete require. The rewrite is
+        # the whole point — no small-file heuristics apply here.
+        spec = m["specs"][m["default_spec"]]
+        full = _read_evolved_files(spark, path, m, m["files"])
+        if full is None:
+            return base_version  # zero files: nothing to migrate
+        names, parts = _stage_partitioned(spark, path, full, spec["col"])
+        manifest = {
+            "version": base_version + 1,
+            "mode": "compact",
+            "committed_at": time.time(),
+            "files": names,
+            "part_col": spec["col"],
+            "part_type": spec["type"],
+            "partitions": parts,
+            "extra": m.get("extra", {}),
+        }
+        if "schema" in m:
+            manifest["schema"] = m["schema"]
+        return _claim(path, base_version + 1, manifest, "compaction")
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
     base_files = list(m["files"])
@@ -1249,6 +1361,7 @@ def snapshot_write_partitioned(
     part_col: str,
     mode: str = "overwrite",
     extra: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Commit ``df`` as a new version whose MANIFEST carries file→
     partition-value metadata — Iceberg's file-level pruning stats,
@@ -1270,7 +1383,23 @@ def snapshot_write_partitioned(
     and simple strings do; nulls and escaped characters are rejected).
     Same crash-safe stage/claim protocol as :func:`snapshot_write`;
     ``mode='append'`` merges the previous version's partition map and
-    requires the same ``part_col``."""
+    requires the same ``part_col`` — unless ``evolve=True``.
+
+    PARTITION EVOLUTION (``evolve=True``, Iceberg's spec evolution):
+    an append may partition by a DIFFERENT column without rewriting a
+    single old file. The manifest migrates to a multi-spec layout —
+    ``specs`` (the list of partition specs ever used), ``file_specs``
+    (each file's spec id), ``default_spec`` (where new data lands) —
+    and each file keeps its one-value-per-file invariant under ITS
+    OWN spec. Reads union the spec groups and prune per spec
+    (:func:`snapshot_read_partitioned` with ``col=``); merge/delete
+    refuse on mixed-spec manifests and :func:`snapshot_compact`
+    migrates everything back to the default spec. At 100 TB this is
+    the only affordable way to change a table's partitioning: the
+    10-year day-partitioned history stays as-is, new data lands under
+    the new spec, and old files migrate lazily through compaction —
+    never as one big rewrite. Appending under a column that already
+    has a spec (evolving BACK) needs no flag and reuses its spec id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     part_type = df.schema[part_col].dataType.simpleString()
@@ -1279,31 +1408,97 @@ def snapshot_write_partitioned(
 
     while True:
         prev = current_version(path)
-        live: list[str] = []
-        prev_parts: dict[str, str] = {}
+        prev_schema = None
+        manifest: dict = {
+            "mode": mode,
+            "committed_at": time.time(),
+            "extra": extra or {},
+        }
         if mode == "append" and prev is not None:
             pm = _manifest(path, prev)
-            if pm.get("part_col") != part_col:
+            prev_schema = pm.get("schema")
+            if "specs" in pm:
+                # already-evolved table: land under the matching spec
+                # (latest-append wins the default), or add a new one
+                specs = [dict(s) for s in pm["specs"]]
+                sid = next(
+                    (
+                        i
+                        for i, s in enumerate(specs)
+                        if s["col"] == part_col
+                    ),
+                    None,
+                )
+                if sid is not None and specs[sid]["type"] != part_type:
+                    raise ValueError(
+                        f"partition column {part_col!r} was committed "
+                        f"as {specs[sid]['type']} but this batch casts "
+                        f"it {part_type}; retype is not evolution"
+                    )
+                if sid is None:
+                    if not evolve:
+                        raise ValueError(
+                            f"append part_col {part_col!r} is not a "
+                            f"committed spec "
+                            f"{[s['col'] for s in specs]}; pass "
+                            "evolve=True to add a partition spec"
+                        )
+                    specs.append({"col": part_col, "type": part_type})
+                    sid = len(specs) - 1
+                manifest.update(
+                    files=list(pm["files"]) + names,
+                    specs=specs,
+                    file_specs={
+                        **pm["file_specs"],
+                        **{n: sid for n in names},
+                    },
+                    partitions={**pm.get("partitions", {}), **parts},
+                    default_spec=sid,
+                )
+            elif pm.get("part_col") == part_col:
+                # single-spec append: the legacy manifest shape
+                manifest.update(
+                    files=list(pm["files"]) + names,
+                    part_col=part_col,
+                    part_type=part_type,
+                    partitions={**pm.get("partitions", {}), **parts},
+                )
+            elif "part_col" in pm:
+                if not evolve:
+                    raise ValueError(
+                        f"append part_col {part_col!r} != committed "
+                        f"{pm.get('part_col')!r}; pass evolve=True to "
+                        "evolve the partition spec without rewriting "
+                        "old files"
+                    )
+                # first evolution: migrate the manifest to multi-spec
+                manifest.update(
+                    files=list(pm["files"]) + names,
+                    specs=[
+                        {"col": pm["part_col"], "type": pm["part_type"]},
+                        {"col": part_col, "type": part_type},
+                    ],
+                    file_specs={
+                        **{f: 0 for f in pm["files"]},
+                        **{n: 1 for n in names},
+                    },
+                    partitions={**pm.get("partitions", {}), **parts},
+                    default_spec=1,
+                )
+            else:
                 raise ValueError(
                     f"append part_col {part_col!r} != committed "
                     f"{pm.get('part_col')!r}"
                 )
-            live = list(pm["files"])
-            prev_parts = dict(pm.get("partitions", {}))
-            prev_schema = pm.get("schema")
         else:
-            prev_schema = None
+            manifest.update(
+                files=names,
+                part_col=part_col,
+                part_type=part_type,
+                partitions=parts,
+            )
         version = 0 if prev is None else prev + 1
-        manifest = {
-            "version": version,
-            "mode": mode,
-            "committed_at": time.time(),
-            "files": live + names,
-            "part_col": part_col,
-            "part_type": part_type,
-            "partitions": {**prev_parts, **parts},
-            "extra": extra or {},
-        }
+        manifest["version"] = version
         if prev_schema is not None:
             manifest["schema"] = _evolved_schema_json(prev_schema, df)
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
@@ -1324,6 +1519,7 @@ def snapshot_read_partitioned(
     path: str,
     values: list | None = None,
     version: int | None = None,
+    col: str | None = None,
 ) -> DataFrame:
     """Read a partitioned snapshot version pruned BY MANIFEST to the
     requested partition values (``values=None`` reads all). The file
@@ -1334,12 +1530,68 @@ def snapshot_read_partitioned(
     which files this read touches. The partition column is re-attached
     per file group as a cast literal (one bounded union per distinct
     requested value — partition cardinality is index fan-out, not data
-    size)."""
+    size).
+
+    On a partition-EVOLVED manifest (``evolve=True`` appends — see
+    :func:`snapshot_write_partitioned`) ``col`` names which spec the
+    ``values`` filter prunes on: files under that spec prune by
+    manifest lookup, files under OTHER specs are admitted in full and
+    the exact residual filter keeps the result content-identical to
+    filtering the logical table — both prune paths are pytest-pinned
+    via inputFiles. ``col`` is optional on single-spec manifests
+    (validated against the committed spec when given)."""
+    from pyspark.sql import functions as F
+
     m = snapshot_manifest(path, version)
+    if "specs" in m:
+        if values is not None and col is None:
+            raise ValueError(
+                "this table has evolved partition specs "
+                f"{[s['col'] for s in m['specs']]}; pass col= to say "
+                "which column the values filter targets"
+            )
+        if col is not None and all(s["col"] != col for s in m["specs"]):
+            raise ValueError(
+                f"col {col!r} is not a partition spec of this table; "
+                f"specs: {[s['col'] for s in m['specs']]}"
+            )
+        wanted = (
+            None
+            if values is None
+            else {_hive_part_str(v) for v in values}
+        )
+        out = _read_evolved_files(
+            spark, path, m, m["files"], col=col, wanted=wanted
+        )
+        if out is None:
+            # nothing admitted: serve the committed schema, zero rows
+            if not m["files"]:
+                empty = _empty_from_manifest(spark, m)
+                if empty is not None:
+                    return empty
+                raise ValueError(
+                    f"version {m['version']} is empty (zero files) — "
+                    "no schema to serve; read another version"
+                )
+            out = _read_evolved_files(
+                spark, path, m, m["files"][:1]
+            ).where(F.lit(False))
+            # the probe file's spec col may differ from ``col`` —
+            # both are attached across the full union, and a
+            # single-file group already carries every column
+        if values is not None:
+            # exact residual: other-spec files cannot manifest-prune
+            out = out.where(F.col(col).isin(list(values)))
+        return out
     if "part_col" not in m:
         raise ValueError(
             f"version {m['version']} under {path} was not committed "
             "with snapshot_write_partitioned"
+        )
+    if col is not None and col != m["part_col"]:
+        raise ValueError(
+            f"col {col!r} != the committed partition spec "
+            f"{m['part_col']!r}"
         )
     part_col, part_type = m["part_col"], m["part_type"]
     parts = m["partitions"]

@@ -2052,3 +2052,125 @@ def p28_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_within_3x"),
         )
     )
+
+
+@query(
+    "p29_partition_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             event_type, user_id, value
+      FROM events
+    )
+    SELECT 'by_day' AS probe, d AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM ev WHERE d IN ('2024-01-05', '2024-01-10') GROUP BY d
+    UNION ALL
+    SELECT 'by_type' AS probe, event_type AS key,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+    FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    UNION ALL
+    SELECT 'full' AS probe, '*' AS key,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+    FROM ev
+    """,
+)
+def p29_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION under the driver oracle
+    (operators/snapshots.py:snapshot_write_partitioned(evolve=True) —
+    Iceberg's spec evolution over the manifest table): the first half
+    of the month is committed day-partitioned (spec A); the second
+    half appends partitioned by event_type (spec B) as a
+    METADATA-ONLY commit — zero old files rewritten (carry-by-
+    reference and both inputFiles prune paths are pinned in
+    tests/test_snapshots.py::TestPartitionEvolution). Three probes
+    hash-pin the read semantics:
+
+    - by_day: a spec-A filter — A-files prune by manifest, B-files
+      scan with the exact residual (zero matches there by
+      construction, which the hash would catch if the residual leaked
+      rows);
+    - by_type: a spec-B filter — the mirror image, with the residual
+      REQUIRED for correctness (first-half click/purchase rows live
+      in day-partitioned files the manifest cannot prune);
+    - full: the union read, content-neutral vs the raw table.
+
+    At 100 TB this is how a table's partitioning changes direction:
+    the 10-year day-partitioned history stays untouched, new data
+    lands under the new spec, reads stay correct throughout, and old
+    files migrate lazily through snapshot_compact — never as one big
+    rewrite."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p29_evo_")
+    store = tmp + "/events"
+
+    def _agg(df: DataFrame, probe: str, key) -> DataFrame:
+        gb = df.groupBy(key) if key is not None else df.groupBy()
+        out = gb.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        key_col = (
+            F.col(key).cast("string") if key is not None else F.lit("*")
+        )
+        return out.select(
+            F.lit(probe).alias("probe"),
+            key_col.alias("key"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+
+    try:
+        with fixture_phase():  # seeding spec A is the fixture
+            snapshot_write_partitioned(
+                spark, store, ev.where(F.col("d") < "2024-01-16"), "d"
+            )
+        # the operator under test: the evolution commit + pruned reads
+        snapshot_write_partitioned(
+            spark,
+            store,
+            ev.where(F.col("d") >= "2024-01-16"),
+            "event_type",
+            mode="append",
+            evolve=True,
+        )
+        by_day = snapshot_read_partitioned(
+            spark, store, values=["2024-01-05", "2024-01-10"], col="d"
+        )
+        by_type = snapshot_read_partitioned(
+            spark, store, values=["click", "purchase"], col="event_type"
+        )
+        full = snapshot_read_partitioned(spark, store)
+        out = (
+            _agg(by_day, "by_day", "d")
+            .unionByName(_agg(by_type, "by_type", "event_type"))
+            .unionByName(_agg(full, "full", None))
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

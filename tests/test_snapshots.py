@@ -1975,3 +1975,222 @@ def test_bloom_probe_uncastable_type_raises(spark, tmp_path):
     # a castable probe still works
     _, admitted, total = bloom_prune_files(spark, t, 7)
     assert 1 <= len(admitted) <= total
+
+
+class TestPartitionEvolution:
+    """snapshot_write_partitioned(evolve=True): Iceberg-style
+    partition-spec evolution — new commits partition by a different
+    column WITHOUT rewriting old files; reads union the spec groups
+    and prune per spec; merge/delete refuse on mixed specs until
+    snapshot_compact migrates everything to the default spec."""
+
+    def _seed(self, spark, path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_write_partitioned,
+        )
+
+        # spec A = cell (int); both batches carry both candidate
+        # partition columns as ordinary data
+        a = spark.createDataFrame(
+            [(1, 0, "x", 10), (2, 1, "y", 20), (3, 0, "y", 30)],
+            "id long, cell int, tag string, v long",
+        ).repartition(1)
+        v0 = snapshot_write_partitioned(spark, path, a, "cell")
+        b = spark.createDataFrame(
+            [(4, 0, "x", 40), (5, 1, "z", 50)],
+            "id long, cell int, tag string, v long",
+        ).repartition(1)
+        v1 = snapshot_write_partitioned(
+            spark, path, b, "tag", mode="append", evolve=True
+        )
+        return v0, v1
+
+    def test_evolve_requires_flag_and_keeps_old_files(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        a = spark.createDataFrame(
+            [(1, 0, "x", 10)], "id long, cell int, tag string, v long"
+        )
+        snapshot_write_partitioned(spark, path, a, "cell")
+        m0 = _manifest(path, 0)
+        with _pytest.raises(ValueError, match="evolve=True"):
+            snapshot_write_partitioned(
+                spark, path, a, "tag", mode="append"
+            )
+        snapshot_write_partitioned(
+            spark, path, a, "tag", mode="append", evolve=True
+        )
+        m1 = _manifest(path, 1)
+        # metadata-only evolution: every v0 file carries BY REFERENCE
+        assert set(m0["files"]) <= set(m1["files"])
+        assert [s["col"] for s in m1["specs"]] == ["cell", "tag"]
+        assert m1["default_spec"] == 1
+        assert all(
+            m1["file_specs"][f] == 0 for f in m0["files"]
+        )
+
+    def test_union_read_is_content_neutral(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        got = {
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert got == {
+            (1, 0, "x", 10),
+            (2, 1, "y", 20),
+            (3, 0, "y", 30),
+            (4, 0, "x", 40),
+            (5, 1, "z", 50),
+        }
+
+    def test_both_prune_paths_engage(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        m = _manifest(path, 1)
+        a_files = {f for f, s in m["file_specs"].items() if s == 0}
+        b_files = {f for f, s in m["file_specs"].items() if s == 1}
+        assert a_files and b_files
+
+        # filter on spec A (cell=0): A-group prunes by manifest —
+        # cell=1 A-files never open; B-files admitted (residual)
+        byA = snapshot_read_partitioned(spark, path, values=[0], col="cell")
+        opened = {f.rsplit("/", 1)[-1] for f in byA.inputFiles()}
+        assert opened == {
+            f for f in a_files if m["partitions"][f] == "0"
+        } | b_files
+        assert {(r.id, r.cell) for r in byA.collect()} == {
+            (1, 0), (3, 0), (4, 0)
+        }
+
+        # filter on spec B (tag='x'): B-group prunes by manifest;
+        # A-files admitted + residual-filtered exactly
+        byB = snapshot_read_partitioned(
+            spark, path, values=["x"], col="tag"
+        )
+        opened = {f.rsplit("/", 1)[-1] for f in byB.inputFiles()}
+        assert opened == a_files | {
+            f for f in b_files if m["partitions"][f] == "x"
+        }
+        assert {(r.id, r.tag) for r in byB.collect()} == {
+            (1, "x"), (4, "x")
+        }
+
+    def test_values_require_col_and_col_must_be_a_spec(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        with _pytest.raises(ValueError, match="pass col="):
+            snapshot_read_partitioned(spark, path, values=[0])
+        with _pytest.raises(ValueError, match="not a partition spec"):
+            snapshot_read_partitioned(
+                spark, path, values=[10], col="v"
+            )
+
+    def test_plain_read_and_cow_refuse_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_delete,
+            snapshot_merge,
+            snapshot_read,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        with _pytest.raises(ValueError, match="snapshot_read_partitioned"):
+            snapshot_read(spark, path)
+        upd = spark.createDataFrame(
+            [(1, 0, "x", 99)], "id long, cell int, tag string, v long"
+        )
+        with _pytest.raises(ValueError, match="snapshot_compact"):
+            snapshot_merge(spark, path, upd, ["id"])
+        with _pytest.raises(ValueError, match="snapshot_compact"):
+            snapshot_delete(spark, path, upd.select("id"), ["id"])
+
+    def test_compact_migrates_to_default_spec_then_merge_works(
+        self, spark, tmp_path
+    ):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_compact,
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        v = snapshot_compact(spark, path)
+        m = _manifest(path, v)
+        # single-spec again, under the default (latest) spec
+        assert "specs" not in m and m["part_col"] == "tag"
+        assert set(m["partitions"].values()) == {"x", "y", "z"}
+        got = {
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert (1, 0, "x", 10) in got and len(got) == 5
+        # CoW works again post-migration
+        upd = spark.createDataFrame(
+            [(1, 0, "x", 99)], "id long, cell int, tag string, v long"
+        )
+        v2 = snapshot_merge(spark, path, upd, ["id"])
+        got = {
+            (r.id, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v2
+            ).collect()
+        }
+        assert (1, 99) in got and len(got) == 5
+
+    def test_evolve_back_to_existing_spec_reuses_id(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_read_partitioned,
+            snapshot_write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        c = spark.createDataFrame(
+            [(6, 1, "w", 60)], "id long, cell int, tag string, v long"
+        )
+        # appending under spec A again needs NO flag: the spec exists
+        snapshot_write_partitioned(spark, path, c, "cell", mode="append")
+        m = _manifest(path, 2)
+        assert [s["col"] for s in m["specs"]] == ["cell", "tag"]
+        assert m["default_spec"] == 0
+        assert snapshot_read_partitioned(spark, path).count() == 6
+
+    def test_changes_feed_spans_evolution(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_changes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        feed = snapshot_changes(spark, path, ["id"], 0, 1)
+        got = {
+            (r.id, r._change_type) for r in feed.collect()
+        }
+        assert got == {(4, "insert"), (5, "insert")}
