@@ -179,8 +179,12 @@ HEADLINE: list[str] = [
     "t50_persisted_postings_search",
     "p28_bloom_fpr_audit",
     # r12-born: partition-spec evolution (metadata-only repartitioning
-    # commit + per-spec pruned reads)
+    # commit + per-spec pruned reads), incremental postings
+    # maintenance, and the OR/phrase search surface
     "p29_partition_evolution",
+    "t51_postings_increment",
+    "t52_disjunctive_search",
+    "t53_phrase_search",
 ]
 
 

@@ -506,3 +506,69 @@ def test_p27_point_read_opens_fewer_files(spark, sf_dir, tmp_path):
     # and the result is still exact
     want = df.where(F.col("user_id") == 3).count()
     assert got.count() == want
+
+
+def test_t52_t53_term_predicates_push_into_persisted_scan(
+    spark, sf_dir, tmp_path
+):
+    """The search surface's 100-TB claim: a disjunctive query reads
+    ONLY its terms' posting lists and a phrase query ONLY its two
+    terms' position lists — the isin/equality predicates must reach
+    the persisted parquet scan as PushedFilters, and top-k must flow
+    through TakeOrderedAndProject (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.textops import (
+        _tokenize_tf,
+        search_disjunctive,
+        search_phrase,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "idx")
+    tf = _tokenize_tf(docs)
+    snapshot_write(spark, store + "/postings", tf)
+    snapshot_write(
+        spark,
+        store + "/dfreq",
+        tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df")),
+    )
+    snapshot_write(
+        spark,
+        store + "/meta",
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+    )
+    snapshot_write(
+        spark,
+        store + "/positions",
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("pos", "w"),
+        ).where(F.length("w") >= 2),
+    )
+
+    dis = search_disjunctive(
+        snapshot_read(spark, store + "/postings"),
+        snapshot_read(spark, store + "/dfreq"),
+        snapshot_read(spark, store + "/meta"),
+        ("vector", "merge", "customer"),
+    )
+    plan = _plan_df(dis)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(w" in l or "EqualTo(w" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan
+
+    ph = search_phrase(
+        snapshot_read(spark, store + "/positions"), "fast", "scan"
+    )
+    plan = _plan_df(ph)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(w,fast)" in l for l in pushed), pushed
+    assert any("EqualTo(w,scan)" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan

@@ -922,3 +922,72 @@ def test_bigram_novelty_hand_case(spark):
     got = {r.doc_id: (r.n_bigrams, r.n_rare, r.novelty)
            for r in bigram_novelty(docs).collect()}
     assert got == {1: (3, 1, round(1 / 3, 6)), 2: (2, 2, 1.0)}
+
+
+def test_postings_increment_equals_rebuild(spark, sf_dir, tmp_path):
+    """postings_increment on a SECOND split (%3, not the driver
+    query's %5): after absorbing the increment, the persisted
+    postings and dfreq tables must be row-identical to a full
+    rebuild over the composed corpus, n_docs must match, and the
+    base postings files must carry BY REFERENCE (the increment never
+    re-tokenizes or rewrites the corpus)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.textops import (
+        _tokenize_tf,
+        postings_increment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    incr = docs.where(F.col("doc_id") % 3 == 0)
+    store = str(tmp_path / "idx")
+    tf = _tokenize_tf(base)
+    snapshot_write(spark, store + "/postings", tf)
+    snapshot_write(
+        spark,
+        store + "/dfreq",
+        tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df")),
+    )
+    snapshot_write(
+        spark,
+        store + "/meta",
+        base.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+    )
+    base_files = set(_manifest(store + "/postings", 0)["files"])
+
+    postings_increment(
+        spark,
+        store,
+        incr,
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+    )
+
+    # append carried every base postings file by reference
+    m1 = _manifest(store + "/postings", 1)
+    assert base_files <= set(m1["files"])
+
+    # postings content == full rebuild over the composed corpus
+    rebuilt = _tokenize_tf(docs)
+    got = snapshot_read(spark, store + "/postings")
+    assert got.count() == rebuilt.count()
+    assert got.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(got).count() == 0
+
+    # dfreq content == rebuild's document frequencies
+    want_df = rebuilt.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    got_df = snapshot_read(spark, store + "/dfreq")
+    assert got_df.exceptAll(want_df).count() == 0
+    assert want_df.exceptAll(got_df).count() == 0
+
+    # n_docs bumped to the composed corpus size
+    assert snapshot_read(spark, store + "/meta").collect()[0].n_docs == (
+        docs.count()
+    )
