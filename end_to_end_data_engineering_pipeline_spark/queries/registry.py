@@ -57,79 +57,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-11 rotation: never-driver-validated first — the r10-reshaped
-# e33 (broadcast RFM cut points) and q90 (broadcast Pareto cut
-# points) whose current plans shipped in r10 but were only validated
-# in their r9 forms, the r11-reshaped t42 (row_number over the 20
-# survivors instead of the CollectLimit ordering contract) and q93
-# (corrupt routing on the truncation-destroyed field, robust to
-# partial-result JSON parsing), and the r11-born m8/m9 (REAL BMP
-# image and AVI video decode under the value hash) — then the full r6
-# band (26 queries, the stalest evidence after the r10 refresh moved
-# 50 entries to 10) and the first 13 of the r7 band in name order. Min registry
-# freshness after a green r11 = r7 (the r10-verdict #2 target). New
-# queries are appended here as they land, keeping the
+# Round-12 rotation: never-driver-validated first — the r12-born
+# p29 (partition-spec evolution), t51 (incremental postings
+# maintenance), t52 (disjunctive search), t53 (phrase search) —
+# then the ENTIRE r7 band (37 queries, the stalest evidence after
+# the green r11 gate moved its 50 entries to r11) and the first 9
+# of the r8 band in name order. Min registry freshness after a
+# green r12 = r8 for all but the 41 remaining r8 entries' complement
+# — i.e. the r7 band clears entirely, exactly the r11-verdict #3
+# target. New queries are appended here as they land, keeping the
 # never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    # --- never driver-validated: the r10/r11 reshapes (rotation
-    # policy treats a reshape as a NEW query — r10 advice #4: the
-    # current e33/q90 plans shipped in r10 but were never driver-
-    # validated; t42 re-ranked and q93 re-routed in r11) and the
-    # r11-born real BMP/AVI decodes, the BPE corpus encoder, and
-    # the bloom point-lookup and inverted-index search paths ---
-    "e33_rfm_segments",
-    "q90_revenue_pareto",
-    "t42_bpe_merge_step",
-    "q93_corrupt_record_routing",
-    "m8_bmp_decode_features",
-    "m9_avi_decode_features",
-    "t48_bpe_encode_corpus",
-    "p27_bloom_point_lookup",
-    "t49_inverted_index_search",
-    "t50_persisted_postings_search",
-    "p28_bloom_fpr_audit",
-    # --- r6-validated (stalest evidence band, 26 queries) ---
-    "q60_product_profit",
-    "q65_exact_moments",
-    "q70_multiset_ops",
-    "q71_forward_fill",
-    "q72_group_ols_slope",
-    "q76_array_set_algebra",
-    "sim11_sq8_topk",
-    "sim1_cosine_topk_bruteforce",
-    "sim2_cosine_topk_lsh",
-    "sim4_cosine_topk_ivf",
-    "sim6_label_separation",
-    "sim8_pq_adc_topk",
-    "sim9_ivfpq_topk",
-    "t11_winnow_overlap_pairs",
-    "t12_neardup_clusters",
-    "t14_curation_filter",
-    "t15_distinctive_terms",
-    "t16_sequence_packing",
-    "t19_decontamination",
-    "t1_text_stats",
-    "t20_token_budget_mix",
-    "t21_pii_redaction",
-    "t28_chunk_dedup_corpus",
-    "t3_exact_dedup",
-    "t7_minhash_lsh_neardup",
-    "t9_simhash_neardup",
-    # --- r7-validated (next-stalest, first 13 in name order) ---
-    "e17_scd2_incremental",
-    "e19_attribution",
-    "e1_tumbling_window_agg",
-    "e21_scd2_asof",
-    "e2_sliding_window_agg",
-    "e4_json_extraction",
-    "e5_keyed_dedup_keep_first",
-    "e6_value_counts",
-    "e7_latest_event_per_user",
-    "e9_range_join",
-    "m3_content_addressed_store",
-    "p10_incremental_agg",
-    "p11_snapshot_diff",
+    # --- never driver-validated: the r12-born partition-spec
+    # evolution and the postings search surface (incremental
+    # maintenance, disjunctive scoring, phrase matching) ---
+    "p29_partition_evolution",
+    "t51_postings_increment",
+    "t52_disjunctive_search",
+    "t53_phrase_search",
+    # --- r7-validated (stalest evidence band, all 37) ---
+    "p12_zorder_roundtrip",
+    "p13_bucketed_colocated_join",
+    "p1_flatten_roundtrip",
+    "p2_dim_date_build",
+    "p4_quality_gate_counters",
+    "p8_retention_sweep",
+    "p9_time_travel",
+    "q73_lateral_topn",
+    "q77_trailing_time_window",
+    "q80_union_by_name",
+    "q81_iqr_outliers",
+    "q82_bloom_semijoin_prefilter",
+    "q83_rolling_percentiles",
+    "q84_null_safe_join",
+    "q85_rolling_anomaly_bands",
+    "sim10_pq_refine_topk",
+    "sim12_knn_graph",
+    "sim13_embedding_clusters",
+    "sim14_ivf_partitioned_topk",
+    "sim3_embedding_neardup_pairs",
+    "t18_repetition_stats",
+    "t22_hashed_embedding",
+    "t23_hashed_embedding_neardup",
+    "t24_canonical_best_quality",
+    "t25_train_val_test_split",
+    "t26_common_token_fraction",
+    "t27_decontaminated_corpus",
+    "t29_cms_heavy_hitters",
+    "t2_lang_id",
+    "t30_pps_weighted_sample",
+    "t31_langid_confusion",
+    "t33_containment_pairs",
+    "t34_curation_audit",
+    "t4_minhash_signatures",
+    "t5_simhash",
+    "t6_ngram_jaccard_pairs",
+    "t8_top_terms_per_lang",
+    # --- r8-validated (next-stalest, first 9 in name order) ---
+    "e22_skew_audit",
+    "e23_hll_distinct_users",
+    "e24_session_trigrams",
+    "e25_drift_table",
+    "e26_join_fanout_audit",
+    "e27_hll_union_rollup",
+    "m4_frame_embedding_pool",
+    "m5_media_frame_overlap",
+    "p14_time_range_pruned_read",
 ]
 
 
@@ -147,11 +141,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "e14_transition_matrix": 10,
     "e15_cdc_latest_state": 10,
     "e16_scd2_history": 10,
-    "e17_scd2_incremental": 7,
+    "e17_scd2_incremental": 11,
     "e18_linear_interpolation": 10,
-    "e19_attribution": 7,
-    "e1_tumbling_window_agg": 7,
-    "e21_scd2_asof": 7,
+    "e19_attribution": 11,
+    "e1_tumbling_window_agg": 11,
+    "e21_scd2_asof": 11,
     "e22_skew_audit": 8,
     "e23_hll_distinct_users": 8,
     "e24_session_trigrams": 8,
@@ -160,26 +154,29 @@ VALIDATED_ROUND: dict[str, int] = {
     "e27_hll_union_rollup": 8,
     "e28_watermark_late_audit": 9,
     "e29_ingest_lag_percentiles": 9,
-    "e2_sliding_window_agg": 7,
+    "e2_sliding_window_agg": 11,
     "e31_point_in_time_features": 9,
     "e32_stream_stream_attribution": 9,
+    "e33_rfm_segments": 11,
     "e34_attribution_left_outer": 10,
     "e3_sessionization": 10,
-    "e4_json_extraction": 7,
-    "e5_keyed_dedup_keep_first": 7,
-    "e6_value_counts": 7,
-    "e7_latest_event_per_user": 7,
+    "e4_json_extraction": 11,
+    "e5_keyed_dedup_keep_first": 11,
+    "e6_value_counts": 11,
+    "e7_latest_event_per_user": 11,
     "e8_asof_join": 10,
-    "e9_range_join": 7,
+    "e9_range_join": 11,
     "m1_multimodal_features": 10,
     "m2_frame_sample_offsets": 10,
-    "m3_content_addressed_store": 7,
+    "m3_content_addressed_store": 11,
     "m4_frame_embedding_pool": 8,
     "m5_media_frame_overlap": 8,
     "m6_media_dedup_clusters": 9,
     "m7_wav_decode_features": 10,
-    "p10_incremental_agg": 7,
-    "p11_snapshot_diff": 7,
+    "m8_bmp_decode_features": 11,
+    "m9_avi_decode_features": 11,
+    "p10_incremental_agg": 11,
+    "p11_snapshot_diff": 11,
     "p12_zorder_roundtrip": 7,
     "p13_bucketed_colocated_join": 7,
     "p14_time_range_pruned_read": 8,
@@ -196,6 +193,8 @@ VALIDATED_ROUND: dict[str, int] = {
     "p24_incremental_join_view": 9,
     "p25_cdf_downstream_sync": 9,
     "p26_timestamp_asof_read": 9,
+    "p27_bloom_point_lookup": 11,
+    "p28_bloom_fpr_audit": 11,
     "p2_dim_date_build": 7,
     "p3_sql_model_over_views": 10,
     "p4_quality_gate_counters": 7,
@@ -259,24 +258,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "q58_dormant_account_cohorts": 10,
     "q59_forecast_revenue": 9,
     "q5_semi_join_exists": 8,
-    "q60_product_profit": 6,
+    "q60_product_profit": 11,
     "q61_local_supplier_volume": 9,
     "q62_deterministic_sample": 10,
     "q63_stratified_sample": 10,
     "q64_arg_extrema": 10,
-    "q65_exact_moments": 6,
+    "q65_exact_moments": 11,
     "q66_fuzzy_name_blocking": 10,
     "q67_map_roundtrip": 8,
     "q68_conditional_distinct": 8,
     "q69_winsorized_stats": 10,
     "q6_anti_join_not_exists": 8,
-    "q70_multiset_ops": 6,
-    "q71_forward_fill": 6,
-    "q72_group_ols_slope": 6,
+    "q70_multiset_ops": 11,
+    "q71_forward_fill": 11,
+    "q72_group_ols_slope": 11,
     "q73_lateral_topn": 7,
     "q74_null_ordering": 8,
     "q75_explode_outer": 8,
-    "q76_array_set_algebra": 6,
+    "q76_array_set_algebra": 11,
     "q77_trailing_time_window": 7,
     "q78_string_rewrite": 8,
     "q79_null_conditionals": 8,
@@ -292,11 +291,13 @@ VALIDATED_ROUND: dict[str, int] = {
     "q88_hierarchy_closure": 9,
     "q89_table_profile": 9,
     "q8_window_rank_topk_per_group": 8,
+    "q90_revenue_pareto": 11,
     "q91_distributed_global_rank": 10,
     "q92_distributed_exact_ntile": 10,
+    "q93_corrupt_record_routing": 11,
     "q9_window_lag_running_sum": 8,
     "sim10_pq_refine_topk": 7,
-    "sim11_sq8_topk": 6,
+    "sim11_sq8_topk": 11,
     "sim12_knn_graph": 7,
     "sim13_embedding_clusters": 7,
     "sim14_ivf_partitioned_topk": 7,
@@ -305,39 +306,39 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim17_neardup_triangles": 8,
     "sim18_ann_recall_table": 8,
     "sim19_ivf_delete_refresh": 9,
-    "sim1_cosine_topk_bruteforce": 6,
+    "sim1_cosine_topk_bruteforce": 11,
     "sim20_ivf_append_increment": 9,
     "sim21_mmr_diversified_topk": 9,
     "sim22_filtered_ann_topk": 9,
     "sim23_knn_label_vote": 9,
-    "sim2_cosine_topk_lsh": 6,
+    "sim2_cosine_topk_lsh": 11,
     "sim3_embedding_neardup_pairs": 7,
-    "sim4_cosine_topk_ivf": 6,
+    "sim4_cosine_topk_ivf": 11,
     "sim5_vector_stats": 10,
-    "sim6_label_separation": 6,
+    "sim6_label_separation": 11,
     "sim7_neardup_pairs_lsh": 10,
-    "sim8_pq_adc_topk": 6,
-    "sim9_ivfpq_topk": 6,
+    "sim8_pq_adc_topk": 11,
+    "sim9_ivfpq_topk": 11,
     "t10_winnow_fingerprints": 10,
-    "t11_winnow_overlap_pairs": 6,
-    "t12_neardup_clusters": 6,
+    "t11_winnow_overlap_pairs": 11,
+    "t12_neardup_clusters": 11,
     "t13_canonical_corpus": 10,
-    "t14_curation_filter": 6,
-    "t15_distinctive_terms": 6,
-    "t16_sequence_packing": 6,
+    "t14_curation_filter": 11,
+    "t15_distinctive_terms": 11,
+    "t16_sequence_packing": 11,
     "t17_passage_chunking": 10,
     "t18_repetition_stats": 7,
-    "t19_decontamination": 6,
-    "t1_text_stats": 6,
-    "t20_token_budget_mix": 6,
-    "t21_pii_redaction": 6,
+    "t19_decontamination": 11,
+    "t1_text_stats": 11,
+    "t20_token_budget_mix": 11,
+    "t21_pii_redaction": 11,
     "t22_hashed_embedding": 7,
     "t23_hashed_embedding_neardup": 7,
     "t24_canonical_best_quality": 7,
     "t25_train_val_test_split": 7,
     "t26_common_token_fraction": 7,
     "t27_decontaminated_corpus": 7,
-    "t28_chunk_dedup_corpus": 6,
+    "t28_chunk_dedup_corpus": 11,
     "t29_cms_heavy_hitters": 7,
     "t2_lang_id": 7,
     "t30_pps_weighted_sample": 7,
@@ -348,20 +349,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "t36_temperature_mixture": 8,
     "t37_dup_span_coverage": 8,
     "t38_quality_scorer": 8,
-    "t3_exact_dedup": 6,
+    "t3_exact_dedup": 11,
     "t40_k_anonymity_audit": 8,
     "t41_stopword_quality_flags": 9,
+    "t42_bpe_merge_step": 11,
     "t43_bigram_novelty_score": 9,
     "t44_lsh_candidate_audit": 9,
     "t45_minhash_estimator_calibration": 9,
     "t46_bpe_train_loop": 10,
     "t47_lsh_s_curve": 10,
+    "t48_bpe_encode_corpus": 11,
+    "t49_inverted_index_search": 11,
     "t4_minhash_signatures": 7,
+    "t50_persisted_postings_search": 11,
     "t5_simhash": 7,
     "t6_ngram_jaccard_pairs": 7,
-    "t7_minhash_lsh_neardup": 6,
+    "t7_minhash_lsh_neardup": 11,
     "t8_top_terms_per_lang": 7,
-    "t9_simhash_neardup": 6,
+    "t9_simhash_neardup": 11,
 }
 
 
