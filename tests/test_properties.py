@@ -936,3 +936,94 @@ def test_bloom_point_reads_match_dict_model(
         )
         want = [(p, model[p])] if p in model else []
         assert got == want, f"probe {p}: {got} != {want}"
+
+
+@settings(
+    derandomize=True,
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.booleans(),  # which spec this batch appends under
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),       # cell (spec A)
+                    st.sampled_from("xyz"),  # tag (spec B)
+                    st.integers(0, 99),      # payload
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_partition_evolution_union_matches_bag_model(
+    spark, tmp_path_factory, batches
+):
+    """Partition-spec evolution, model-checked on arbitrary commit
+    histories: appending batches under ALTERNATING specs must read
+    back (union, per-spec filtered) exactly as the bag union of the
+    batches — whichever spec each batch landed under, and regardless
+    of spec order or how many times the table evolved back and
+    forth."""
+    from collections import Counter
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("evo") / "t")
+    all_rows: list[tuple] = []
+    rid = 0
+    for i, (use_b, rows) in enumerate(batches):
+        # unique row ids so the bag comparison is exact
+        batch = [(rid + j, c, t, v) for j, (c, t, v) in enumerate(rows)]
+        rid += len(rows)
+        all_rows.extend(batch)
+        df = spark.createDataFrame(
+            batch, "id long, cell int, tag string, v long"
+        )
+        col = "tag" if use_b else "cell"
+        snapshot_write_partitioned(
+            spark,
+            path,
+            df,
+            col,
+            mode="overwrite" if i == 0 else "append",
+            evolve=True,
+        )
+    got = Counter(
+        (r.id, r.cell, r.tag, r.v)
+        for r in snapshot_read_partitioned(spark, path).collect()
+    )
+    assert got == Counter(all_rows)
+    # per-spec filtered reads match a plain filter of the bag —
+    # including the residual over files committed under the OTHER
+    # spec. Only specs the history actually committed are probeable
+    # (a never-evolved table stays single-spec and refuses other
+    # columns by contract).
+    committed = {"tag" if b else "cell" for b, _ in batches}
+    if "cell" in committed:
+        got_cell = Counter(
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, values=[0, 2], col="cell"
+            ).collect()
+        )
+        assert got_cell == Counter(
+            r for r in all_rows if r[1] in (0, 2)
+        )
+    if "tag" in committed:
+        got_tag = Counter(
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, values=["x"], col="tag"
+            ).collect()
+        )
+        assert got_tag == Counter(r for r in all_rows if r[2] == "x")
