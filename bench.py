@@ -185,6 +185,7 @@ HEADLINE: list[str] = [
     "t51_postings_increment",
     "t52_disjunctive_search",
     "t53_phrase_search",
+    "p30_evolution_cdf_sync",
 ]
 
 

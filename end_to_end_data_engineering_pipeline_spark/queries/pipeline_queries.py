@@ -2174,3 +2174,92 @@ def p29_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p30_evolution_cdf_sync",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             event_type, user_id, value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM ev GROUP BY event_type
+    """,
+)
+def p30_evolution_cdf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed spanning a PARTITION-SPEC EVOLUTION
+    commit, consumed downstream: the source is seeded day-partitioned
+    (spec A, the fixture), then evolves — the second half of the month
+    appends partitioned by event_type (spec B, metadata-only); a plain
+    replica seeded at v0 syncs the (0..current] span. The feed's
+    before/after sides read THROUGH the mixed-spec manifest
+    (snapshots.py:_read_evolved_files via snapshot_changes' _side), so
+    a wrong spec attachment, a missed file group, or a broken residual
+    shows up as a wrong replica aggregate under the value hash — the
+    oracle derives the final state from raw events. Evolution commits
+    are append-only by contract (CoW refuses mixed specs), so the
+    span carries pure inserts; the replica itself stays a plain
+    snapshot table, which is exactly how a derived table keeps
+    following a source whose partitioning changed direction mid-
+    history — no resync, no rebuild."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_read,
+        snapshot_read_partitioned,
+        snapshot_sync,
+        snapshot_write,
+        snapshot_write_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p30_evo_cdf_")
+    src, dst = tmp + "/src", tmp + "/dst"
+    try:
+        with fixture_phase():  # seed source spec A + replica at v0
+            snapshot_write_partitioned(
+                spark, src, ev.where(F.col("d") < "2024-01-16"), "d"
+            )
+            snapshot_write(
+                spark, dst, snapshot_read_partitioned(spark, src, version=0)
+            )
+        snapshot_write_partitioned(
+            spark,
+            src,
+            ev.where(F.col("d") >= "2024-01-16"),
+            "event_type",
+            mode="append",
+            evolve=True,
+        )
+        snapshot_sync(
+            spark, src, dst, ["d", "event_type", "user_id"], from_version=0
+        )
+        out = (
+            snapshot_read(spark, dst)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(27,4)")), 4
+                )
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -58,7 +58,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # half of the same discontinuity.
 #
 # Round-12 rotation: never-driver-validated first — the r12-born
-# p29 (partition-spec evolution), t51 (incremental postings
+# p29 (partition-spec evolution), p30 (CDF sync spanning an
+# evolution commit), t51 (incremental postings
 # maintenance), t52 (disjunctive search), t53 (phrase search) —
 # then the ENTIRE r7 band (37 queries, the stalest evidence after
 # the green r11 gate moved its 50 entries to r11) and the first 9
@@ -76,6 +77,7 @@ _PRIORITY: list[str] = [
     "t51_postings_increment",
     "t52_disjunctive_search",
     "t53_phrase_search",
+    "p30_evolution_cdf_sync",
     # --- r7-validated (stalest evidence band, all 37) ---
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
@@ -114,7 +116,7 @@ _PRIORITY: list[str] = [
     "t5_simhash",
     "t6_ngram_jaccard_pairs",
     "t8_top_terms_per_lang",
-    # --- r8-validated (next-stalest, first 9 in name order) ---
+    # --- r8-validated (next-stalest, first 8 in name order) ---
     "e22_skew_audit",
     "e23_hll_distinct_users",
     "e24_session_trigrams",
@@ -123,7 +125,6 @@ _PRIORITY: list[str] = [
     "e27_hll_union_rollup",
     "m4_frame_embedding_pool",
     "m5_media_frame_overlap",
-    "p14_time_range_pruned_read",
 ]
 
 
