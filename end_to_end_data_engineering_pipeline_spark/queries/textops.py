@@ -3360,6 +3360,7 @@ def postings_increment(
     store: str,
     incr_docs: DataFrame,
     n_docs_total: DataFrame,
+    broadcast: bool = True,
 ) -> None:
     """Incremental maintenance of a persisted postings index
     (``store/postings``, ``store/dfreq``, ``store/meta`` — the t50
@@ -3373,7 +3374,13 @@ def postings_increment(
     indistinguishable from a full rebuild — pinned both by the t51
     driver hash (oracle = the inline chain over the COMPOSED corpus)
     and by tests/test_textops.py's append-equals-rebuild pin on a
-    second split."""
+    second split.
+
+    ``broadcast`` routes the df-delta MERGE: the update set is the
+    increment's DISTINCT vocabulary, fine to broadcast for a crawl
+    batch (tens of MB at millions of terms) but worth a shuffle
+    merge (``False``) when a huge increment touches most of a huge
+    vocabulary."""
     from ..operators.snapshots import (
         snapshot_merge,
         snapshot_read,
@@ -3395,7 +3402,9 @@ def postings_increment(
             .alias("df"),
         )
     )
-    snapshot_merge(spark, store + "/dfreq", upd, ["w"])
+    snapshot_merge(
+        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
+    )
     snapshot_write(
         spark,
         store + "/meta",
