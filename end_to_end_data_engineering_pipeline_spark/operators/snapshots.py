@@ -419,7 +419,6 @@ def _read_evolved_files(
     files: list[str],
     col: str | None = None,
     wanted: set[str] | None = None,
-    keep_file: bool = False,
 ) -> DataFrame | None:
     """Union read over a MIXED-SPEC (partition-evolved) manifest's
     ``files``: group by each file's recorded spec, manifest-prune the
@@ -446,7 +445,7 @@ def _read_evolved_files(
         g = _attach_partition_col(
             spark, path, m, fs, col=spec["col"], ctype=spec["type"]
         )
-        parts.append(g if keep_file else g.drop("__file"))
+        parts.append(g.drop("__file"))
     if not parts:
         return None
     out = parts[0]
