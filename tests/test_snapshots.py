@@ -2194,3 +2194,55 @@ class TestPartitionEvolution:
             (r.id, r._change_type) for r in feed.collect()
         }
         assert got == {(4, "insert"), (5, "insert")}
+
+
+def test_evolution_survives_vacuum_and_restore(spark, tmp_path):
+    """Maintenance over an evolution history: vacuum retains every
+    file any kept manifest references (mixed-spec manifests list
+    files exactly like single-spec ones), and RESTORE back to the
+    pre-evolution version serves the original single-spec read while
+    the evolved version stays in history."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_read_partitioned,
+        snapshot_restore,
+        snapshot_write_partitioned,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, 0, "x", 10), (2, 1, "y", 20)],
+        "id long, cell int, tag string, v long",
+    ).repartition(1)
+    snapshot_write_partitioned(spark, path, a, "cell")
+    b = spark.createDataFrame(
+        [(3, 0, "z", 30)], "id long, cell int, tag string, v long"
+    ).repartition(1)
+    snapshot_write_partitioned(
+        spark, path, b, "tag", mode="append", evolve=True
+    )
+    # vacuum keeping both versions: every referenced file (both spec
+    # groups) must survive; the evolved read stays content-exact
+    deleted = vacuum(path, keep_last=2, retention_seconds=0.0)
+    assert deleted == []
+    got = {
+        (r.id, r.cell, r.tag, r.v)
+        for r in snapshot_read_partitioned(spark, path).collect()
+    }
+    assert got == {(1, 0, "x", 10), (2, 1, "y", 20), (3, 0, "z", 30)}
+    # restore to the pre-evolution version: single-spec manifest again
+    v = snapshot_restore(path, 0)
+    m = _manifest(path, v)
+    assert "specs" not in m and m["part_col"] == "cell"
+    assert snapshot_read_partitioned(spark, path).count() == 2
+    # the evolved version remains time-travelable until vacuumed...
+    assert (
+        snapshot_read_partitioned(spark, path, version=1).count() == 3
+    )
+    # ...and a head-only vacuum retires exactly the evolution commit's
+    # now-unreferenced spec-B file, never the restored head's files
+    evolved_only = set(_manifest(path, 1)["files"]) - set(m["files"])
+    deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert set(deleted) == evolved_only and evolved_only
+    assert snapshot_read_partitioned(spark, path).count() == 2
