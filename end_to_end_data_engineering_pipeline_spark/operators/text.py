@@ -13,7 +13,7 @@ md5 + hex parsing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # BPE-ish token pattern: letter runs, digit runs, or single punctuation
@@ -947,3 +947,78 @@ def _bpe_iterate(wf: DataFrame, rounds: int = 3):
         )
         out = metrics if out is None else out.unionByName(metrics)
     return out, seq
+
+
+def tokenize_tf(docs: DataFrame) -> DataFrame:
+    """(w, doc_id, tf) — the postings fold every index query starts
+    from (t49's tokenize + per-(term, doc) count)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).where(F.length("w") >= 2)
+    return toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def postings_increment(
+    spark: SparkSession,
+    store: str,
+    incr_docs: DataFrame,
+    n_docs_total: DataFrame,
+    broadcast: bool = True,
+) -> None:
+    """Incremental maintenance of a persisted postings index
+    (``store/postings``, ``store/dfreq``, ``store/meta`` — the t50
+    layout): tokenize ONLY the increment, append its posting rows
+    (plain manifest append — base files carry by reference), and
+    MERGE the per-term document-frequency deltas through the keyed
+    CoW (only dfreq files containing a touched term rewrite). The
+    corpus is never re-tokenized: cost tracks the increment size plus
+    the touched slice of the vocabulary, exactly how a production
+    index absorbs a crawl batch. Post-append searches must be
+    indistinguishable from a full rebuild — pinned both by the t51
+    driver hash (oracle = the inline chain over the COMPOSED corpus)
+    and by tests/test_textops.py's append-equals-rebuild pin on a
+    second split.
+
+    ``broadcast`` routes the df-delta MERGE: the update set is the
+    increment's DISTINCT vocabulary, fine to broadcast for a crawl
+    batch (tens of MB at millions of terms) but worth a shuffle
+    merge (``False``) when a huge increment touches most of a huge
+    vocabulary."""
+    from ..operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    incr_tf = tokenize_tf(incr_docs)
+    snapshot_write(spark, store + "/postings", incr_tf, mode="append")
+    incr_df = incr_tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df_inc")
+    )
+    old = snapshot_read(spark, store + "/dfreq")
+    upd = (
+        incr_df.join(old, "w", "left")
+        .select(
+            "w",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+            .cast("long")
+            .alias("df"),
+        )
+    )
+    snapshot_merge(
+        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
+    )
+    snapshot_write(
+        spark,
+        store + "/meta",
+        n_docs_total.select(
+            F.col(n_docs_total.columns[0]).cast("long").alias("n_docs"),
+            # keep any extra meta columns the caller maintains (the
+            # streaming sink's last-applied-epoch idempotency marker)
+            *[F.col(c) for c in n_docs_total.columns[1:]],
+        ),
+        mode="overwrite",
+    )

@@ -20,7 +20,15 @@ from ..operators.dedup_fuzzy import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ..operators.text import LANG_MARKERS, TOKEN_RE, fingerprint, lang_id, text_stats
+from ..operators.text import (
+    LANG_MARKERS,
+    TOKEN_RE,
+    fingerprint,
+    lang_id,
+    postings_increment,
+    text_stats,
+    tokenize_tf,
+)
 from .registry import query
 
 # ---- DuckDB SQL fragments mirroring operators/text.py ----------------------
@@ -3343,78 +3351,6 @@ _T51_SQL = f"""
     """
 
 
-def _tokenize_tf(docs: DataFrame) -> DataFrame:
-    """(w, doc_id, tf) — the postings fold every index query starts
-    from (t49's tokenize + per-(term, doc) count)."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
-    ).where(F.length("w") >= 2)
-    return toks.groupBy("w", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-
-
-def postings_increment(
-    spark: SparkSession,
-    store: str,
-    incr_docs: DataFrame,
-    n_docs_total: DataFrame,
-    broadcast: bool = True,
-) -> None:
-    """Incremental maintenance of a persisted postings index
-    (``store/postings``, ``store/dfreq``, ``store/meta`` — the t50
-    layout): tokenize ONLY the increment, append its posting rows
-    (plain manifest append — base files carry by reference), and
-    MERGE the per-term document-frequency deltas through the keyed
-    CoW (only dfreq files containing a touched term rewrite). The
-    corpus is never re-tokenized: cost tracks the increment size plus
-    the touched slice of the vocabulary, exactly how a production
-    index absorbs a crawl batch. Post-append searches must be
-    indistinguishable from a full rebuild — pinned both by the t51
-    driver hash (oracle = the inline chain over the COMPOSED corpus)
-    and by tests/test_textops.py's append-equals-rebuild pin on a
-    second split.
-
-    ``broadcast`` routes the df-delta MERGE: the update set is the
-    increment's DISTINCT vocabulary, fine to broadcast for a crawl
-    batch (tens of MB at millions of terms) but worth a shuffle
-    merge (``False``) when a huge increment touches most of a huge
-    vocabulary."""
-    from ..operators.snapshots import (
-        snapshot_merge,
-        snapshot_read,
-        snapshot_write,
-    )
-
-    incr_tf = _tokenize_tf(incr_docs)
-    snapshot_write(spark, store + "/postings", incr_tf, mode="append")
-    incr_df = incr_tf.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("df_inc")
-    )
-    old = snapshot_read(spark, store + "/dfreq")
-    upd = (
-        incr_df.join(old, "w", "left")
-        .select(
-            "w",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
-            .cast("long")
-            .alias("df"),
-        )
-    )
-    snapshot_merge(
-        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
-    )
-    snapshot_write(
-        spark,
-        store + "/meta",
-        n_docs_total.select(
-            F.col(n_docs_total.columns[0]).cast("long").alias("n_docs")
-        ),
-        mode="overwrite",
-    )
-
-
 @query("t51_postings_increment", oracle=_T51_SQL)
 def t51_postings_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental postings-index maintenance under the driver hash:
@@ -3440,7 +3376,7 @@ def t51_postings_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="t51_idx_")
     try:
         with fixture_phase():  # one-time BASE index build
-            tf = _tokenize_tf(base)
+            tf = tokenize_tf(base)
             snapshot_write(spark, tmp + "/postings", tf)
             snapshot_write(
                 spark,
@@ -3591,7 +3527,7 @@ def t52_disjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="t52_idx_")
     try:
         with fixture_phase():
-            tf = _tokenize_tf(docs)
+            tf = tokenize_tf(docs)
             snapshot_write(spark, tmp + "/postings", tf)
             snapshot_write(
                 spark,

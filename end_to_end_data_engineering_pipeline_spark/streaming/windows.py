@@ -309,3 +309,78 @@ def stream_stream_attribution(
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {gap}")),
         how,
     ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+
+
+def streaming_postings_index_sink(
+    docs: DataFrame,
+    spark: SparkSession,
+    store: str,
+    checkpoint: str,
+):
+    """foreachBatch INCREMENTAL-INDEX sink — t51's streaming twin: a
+    document stream keeps a persisted postings index current, each
+    micro-batch absorbed by operators/text.py:postings_increment
+    (append posting rows, CoW-merge df deltas, bump n_docs — the
+    corpus is never re-tokenized). The first batch bootstraps the
+    index.
+
+    Idempotency (foreachBatch is at-least-once): the meta table
+    records the last applied epoch alongside n_docs — the Delta
+    txnVersion idiom — and a re-delivered epoch is skipped WHOLE, so
+    a crash between the postings append and the checkpoint commit
+    cannot double-count a batch. Epochs are monotonic per checkpoint,
+    which is exactly the contract the guard needs. Pinned in
+    tests/test_streaming.py by re-delivering an epoch and comparing
+    against a batch rebuild of the composed corpus."""
+    from ..operators.snapshots import (
+        list_versions,
+        snapshot_read,
+        snapshot_write,
+    )
+    from ..operators.text import postings_increment, tokenize_tf
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not list_versions(store + "/postings"):
+            # bootstrap: first batch IS the base index
+            tf = tokenize_tf(batch_df)
+            snapshot_write(spark, store + "/postings", tf)
+            snapshot_write(
+                spark,
+                store + "/dfreq",
+                tf.groupBy("w").agg(
+                    F.count(F.lit(1)).cast("long").alias("df")
+                ),
+            )
+            snapshot_write(
+                spark,
+                store + "/meta",
+                batch_df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.lit(int(epoch_id)).cast("long").alias("last_epoch"),
+                ),
+            )
+            return
+        meta = snapshot_read(spark, store + "/meta").collect()[0]
+        if (
+            "last_epoch" in meta.__fields__
+            and meta.last_epoch is not None
+            and epoch_id <= meta.last_epoch
+        ):
+            return  # re-delivered epoch: already fully applied
+        n_total = spark.createDataFrame(
+            [(int(meta.n_docs),)], "n_docs long"
+        ).crossJoin(
+            batch_df.agg(F.count(F.lit(1)).cast("long").alias("b"))
+        ).select(
+            (F.col("n_docs") + F.col("b")).cast("long").alias("n_docs"),
+            F.lit(int(epoch_id)).cast("long").alias("last_epoch"),
+        )
+        postings_increment(spark, store, batch_df, n_total)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

@@ -522,15 +522,17 @@ def test_t52_t53_term_predicates_push_into_persisted_scan(
         snapshot_read,
         snapshot_write,
     )
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        tokenize_tf,
+    )
     from end_to_end_data_engineering_pipeline_spark.queries.textops import (
-        _tokenize_tf,
         search_disjunctive,
         search_phrase,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     store = str(tmp_path / "idx")
-    tf = _tokenize_tf(docs)
+    tf = tokenize_tf(docs)
     snapshot_write(spark, store + "/postings", tf)
     snapshot_write(
         spark,

@@ -1560,3 +1560,75 @@ def test_stateful_running_totals_tws_matches_v1(spark, tmp_path):
     # same contract the v1 test pins
     assert final[1] == (2, 12.75)
     assert final[2] == (1, 1.25)
+
+
+def test_streaming_postings_index_equals_rebuild(spark, tmp_path):
+    """t51's streaming twin: a document stream maintained through
+    streaming_postings_index_sink (bootstrap + increments) must leave
+    postings/dfreq identical to a batch rebuild over everything
+    delivered — and a RE-DELIVERED epoch (foreachBatch's at-least-once
+    contract) must be skipped whole via the meta last_epoch marker,
+    never double-counted."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_read,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        tokenize_tf,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        streaming_postings_index_sink,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "fast scan table"), (2, "merge window merge")],
+        [(3, "fast fast stream"), (4, "scan scan scan batch")],
+        [(5, "window table fast scan")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_postings_index_sink(stream, spark, store, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    rebuilt = tokenize_tf(all_docs)
+    got = snapshot_read(spark, store + "/postings")
+    assert got.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(got).count() == 0
+    meta = snapshot_read(spark, store + "/meta").collect()[0]
+    assert meta.n_docs == 5 and meta.last_epoch is not None
+
+    # re-delivery through the REAL foreachBatch path: restart the
+    # stream over the same source with a FRESH checkpoint, so every
+    # batch re-arrives with an epoch id <= the recorded last_epoch —
+    # the guard must skip them all (same-data re-delivery, the
+    # Delta txnVersion idiom)
+    q2 = streaming_postings_index_sink(
+        stream, spark, store, str(tmp_path / "ckpt2")
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    n_after = snapshot_read(spark, store + "/postings").count()
+    assert n_after == rebuilt.count()  # unchanged: replay was skipped
+    dfreq = snapshot_read(spark, store + "/dfreq")
+    want_df = rebuilt.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    assert dfreq.exceptAll(want_df).count() == 0
+    assert want_df.exceptAll(dfreq).count() == 0

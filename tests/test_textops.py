@@ -938,16 +938,16 @@ def test_postings_increment_equals_rebuild(spark, sf_dir, tmp_path):
         snapshot_read,
         snapshot_write,
     )
-    from end_to_end_data_engineering_pipeline_spark.queries.textops import (
-        _tokenize_tf,
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
         postings_increment,
+        tokenize_tf,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.where(F.col("doc_id") % 3 != 0)
     incr = docs.where(F.col("doc_id") % 3 == 0)
     store = str(tmp_path / "idx")
-    tf = _tokenize_tf(base)
+    tf = tokenize_tf(base)
     snapshot_write(spark, store + "/postings", tf)
     snapshot_write(
         spark,
@@ -973,7 +973,7 @@ def test_postings_increment_equals_rebuild(spark, sf_dir, tmp_path):
     assert base_files <= set(m1["files"])
 
     # postings content == full rebuild over the composed corpus
-    rebuilt = _tokenize_tf(docs)
+    rebuilt = tokenize_tf(docs)
     got = snapshot_read(spark, store + "/postings")
     assert got.count() == rebuilt.count()
     assert got.exceptAll(rebuilt).count() == 0
