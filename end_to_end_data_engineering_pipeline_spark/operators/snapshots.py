@@ -172,9 +172,11 @@ def snapshot_write(
                 )
             live = list(pm["files"])
             prev_schema = pm.get("schema")
+            prev_deletes = pm.get("deletes")
         else:
             live = []
             prev_schema = None
+            prev_deletes = None
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -182,6 +184,11 @@ def snapshot_write(
             "committed_at": time.time(),
             "files": live + names,
         }
+        if prev_deletes:
+            # merge-on-read delete vectors stay in force over the
+            # carried files (the appended files have no positions in
+            # them); dropping the list would resurrect deleted rows
+            manifest["deletes"] = prev_deletes
         if prev_schema is not None:
             # appending to an evolved table: keep the recorded table
             # schema (plus any columns this batch adds) so reads keep
@@ -325,6 +332,75 @@ def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
         return _attach_partition_col(spark, path, m, m["files"])
     full = [os.path.join(_data_dir(path), f) for f in m["files"]]
     return _reader(spark, m).parquet(*full).withColumn("__file", base)
+
+
+def _dv_frame(
+    spark: SparkSession, path: str, m: dict, files: list[str] | None = None
+) -> DataFrame | None:
+    """The manifest's accumulated delete vectors as a DataFrame of
+    ``(__dv_file, __dv_pos)`` — one row per MoR-deleted position —
+    optionally restricted to positions inside ``files`` (a read over
+    a file subset must not pay for other files' vectors). None when
+    the manifest has no merge-on-read deletes."""
+    from pyspark.sql import functions as F
+
+    dvs = m.get("deletes") or []
+    if not dvs:
+        return None
+    dv = spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in dvs]
+    )
+    if files is not None:
+        dv = dv.where(F.col("__dv_file").isin(list(files)))
+    return dv
+
+
+def _apply_deletes(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read ``files`` with the manifest's merge-on-read delete
+    vectors applied: each data row is identified by its physical
+    position (``_metadata.file_name``, ``_metadata.row_index`` — the
+    parquet source's stable per-file row ordinal), and one broadcast
+    anti-join against the (file, position) delete set masks deleted
+    rows at scan time. This is the read half of Iceberg v2 position
+    deletes / Delta deletion vectors: position-based (content-blind,
+    so duplicate rows delete individually), and the vector side is
+    compaction-bounded — :func:`snapshot_compact` materializes and
+    drops vectors, so the broadcast never grows past the backlog
+    between OPTIMIZE runs."""
+    from pyspark.sql import functions as F
+
+    base = _reader(spark, m).parquet(
+        *[os.path.join(_data_dir(path), f) for f in files]
+    )
+    dv = _dv_frame(spark, path, m, files)
+    if dv is None:
+        return base
+    cols = base.columns
+    tagged = base.select(
+        "*",
+        F.col("_metadata.file_name").alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    return tagged.join(
+        F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+    ).select(*cols)
+
+
+def _dv_affected_files(spark: SparkSession, path: str, m: dict) -> list[str]:
+    """The live data files that have at least one delete-vector
+    position — the exact rewrite set for materialization. One
+    metadata-scale job (distinct file names over the vector rows;
+    bounded by file count, never row count)."""
+    dv = _dv_frame(spark, path, m)
+    if dv is None:
+        return []
+    live = set(m["files"])
+    names = {
+        r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
+    }
+    return sorted(names & live)
 
 
 def _evolved_schema_json(old_json: dict, df: DataFrame) -> dict:
@@ -507,6 +583,14 @@ def _cow_commit(
             "snapshot_compact first — it migrates all files to the "
             "current default spec and returns the table to "
             "single-spec, then merge/delete work as usual"
+        )
+    if m.get("deletes"):
+        raise ValueError(
+            "copy-on-write on a table with merge-on-read delete "
+            "vectors would rewrite touched files from their RAW rows "
+            "and resurrect MoR-deleted positions; run snapshot_compact "
+            "first — it materializes the vectors into rewritten files "
+            "and drops them, then merge/delete work as usual"
         )
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -788,9 +872,9 @@ def snapshot_read(
             f"version {v} is empty (overwrite of zero rows) — no schema "
             "to serve; keep a schema-bearing file or read another version"
         )
-    return _reader(spark, m).parquet(
-        *[os.path.join(_data_dir(path), f) for f in files]
-    )
+    # merge-on-read: mask delete-vector positions at scan time (a
+    # no-op pass-through when the manifest carries no vectors)
+    return _apply_deletes(spark, path, m, files)
 
 
 def _empty_from_manifest(spark: SparkSession, m: dict) -> DataFrame | None:
@@ -969,7 +1053,12 @@ def vacuum(
     drop = [v for v in vs if v not in keep]
     live: set[str] = set()
     for v in keep:
-        live.update(_manifest(path, v)["files"])
+        mm = _manifest(path, v)
+        live.update(mm["files"])
+        # merge-on-read delete-vector files are manifest-referenced
+        # data too: reclaiming one would turn every read of a retained
+        # version into a resurrection
+        live.update(mm.get("deletes") or [])
     deleted = []
     d = _data_dir(path)
     if os.path.isdir(d):
@@ -1089,6 +1178,31 @@ def snapshot_changes(
     m_to = _manifest(path, to_version)
     removed = sorted(set(m_from["files"]) - set(m_to["files"]))
     added = sorted(set(m_to["files"]) - set(m_from["files"]))
+    if m_from.get("deletes") or m_to.get("deletes"):
+        # merge-on-read: a delete-vector commit changes row-level
+        # content WITHOUT changing the data-file list, so any shared
+        # file whose vector set differs between the versions carries
+        # change. Serve it on BOTH sides (each side applies its own
+        # vectors below) and let the value join net out exactly the
+        # MoR-deleted rows. Which files those are = distinct file
+        # names inside the vector files one side has and the other
+        # doesn't (metadata-scale: bounded by file count).
+        sym = sorted(
+            set(m_from.get("deletes") or [])
+            ^ set(m_to.get("deletes") or [])
+        )
+        if sym:
+            dv = spark.read.parquet(
+                *[os.path.join(_data_dir(path), f) for f in sym]
+            )
+            dv_files = {
+                r["__dv_file"]
+                for r in dv.select("__dv_file").distinct().collect()
+            }
+            shared = set(m_from["files"]) & set(m_to["files"])
+            both = sorted(dv_files & shared)
+            removed = sorted(set(removed) | set(both))
+            added = sorted(set(added) | set(both))
     # serve both sides at the TO schema (ADD-column evolution only;
     # old files null-fill columns they predate)
     m_sch = m_to if "schema" in m_to else m_from
@@ -1110,9 +1224,15 @@ def snapshot_changes(
                 m_eff["schema"] = m_sch["schema"]
             df = _attach_partition_col(spark, path, m_eff, files)
             return df.drop("__file")
-        return _reader(spark, m_sch).parquet(
-            *[os.path.join(_data_dir(path), f) for f in files]
-        )
+        # plain manifest: apply THIS side's delete vectors (restricted
+        # to the files being read), at the TO side's schema — a file
+        # leaving the manifest must contribute its pre-image WITHOUT
+        # rows already MoR-deleted on the from side, or the feed would
+        # double-report them
+        m_eff = dict(m_parts)
+        if "schema" in m_sch:
+            m_eff["schema"] = m_sch["schema"]
+        return _apply_deletes(spark, path, m_eff, files)
 
     before = _side(m_from, removed)
     after = _side(m_to, added)
@@ -1236,6 +1356,42 @@ def snapshot_compact(
         }
         if "schema" in m:
             manifest["schema"] = m["schema"]
+        return _claim(path, base_version + 1, manifest, "compaction")
+    if m.get("deletes"):
+        # MATERIALIZE merge-on-read delete vectors (Delta's REORG
+        # TABLE ... APPLY (PURGE)): rewrite ONLY the files that have
+        # at least one deleted position — with their vectors applied —
+        # carry every untouched file by reference, and drop the
+        # vector list. This is the maintenance half of the MoR
+        # contract: deletes stay O(deleted rows) at commit time, and
+        # compaction bounds how many vectors any read ever joins.
+        # Small-file merging stays orthogonal — run compact again on
+        # the now-vector-free table.
+        affected = _dv_affected_files(spark, path, m)
+        new_names: list[str] = []
+        if affected:
+            sizes = {
+                f: os.path.getsize(os.path.join(_data_dir(path), f))
+                for f in affected
+            }
+            n_out = max(
+                1, -(-sum(sizes.values()) // target_file_bytes)
+            )
+            purged = _apply_deletes(spark, path, m, affected).repartition(
+                n_out
+            )
+            new_names = _stage_files(spark, path, purged)
+        keep = [f for f in m["files"] if f not in set(affected)]
+        manifest = {
+            "version": base_version + 1,
+            "mode": "compact",
+            "committed_at": time.time(),
+            "files": keep + new_names,
+        }
+        if "schema" in m:
+            manifest["schema"] = m["schema"]
+        if "extra" in m:
+            manifest["extra"] = m["extra"]
         return _claim(path, base_version + 1, manifest, "compaction")
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -1874,6 +2030,104 @@ def snapshot_delete(
     )
 
 
+def snapshot_delete_mor(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+) -> int:
+    """Keyed DELETE committed MERGE-ON-READ: instead of rewriting the
+    touched data files (:func:`snapshot_delete`'s copy-on-write), the
+    commit stages only tiny POSITION-DELETE files — (data file, row
+    ordinal) pairs, Iceberg v2 position deletes / Delta deletion
+    vectors — and carries every data file into the new manifest BY
+    REFERENCE. Readers mask the positions with one broadcast
+    anti-join at scan time (:func:`_apply_deletes`);
+    :func:`snapshot_compact` later materializes the vectors by
+    rewriting exactly the affected files and dropping the list.
+
+    This is the write-amplification trade the two table formats offer:
+    CoW pays the rewrite at delete time and keeps reads vector-free;
+    MoR makes the delete O(deleted rows) — on a 100 TB table, deleting
+    1000 rows scattered across 1000 half-GB files commits a few KB
+    here versus restaging half a terabyte under CoW — and pays a
+    bounded read-side join until the next OPTIMIZE. Positions come
+    from the parquet source's ``_metadata.row_index`` (stable per
+    file, split-independent), so the vectors are content-blind:
+    duplicate rows sharing a key all delete, and rows equal on every
+    column delete individually.
+
+    Successive MoR deletes accumulate vector files; positions already
+    deleted are excluded from the new vectors (an anti-join against
+    the in-force set), so re-deleting a key is an empty commit, not
+    vector bloat. Plain-flavor manifests only — partitioned /
+    range-clustered / bloom-indexed tables take the CoW path, which
+    preserves their pruning metadata (raises loudly here).
+    merge/delete-CoW on a vectored table raise until compaction
+    materializes (rewriting from raw rows would resurrect deleted
+    positions); plain appends and restores carry vectors intact.
+    Returns the new version; raises SnapshotConflict on a concurrent
+    commit.
+
+    Reference parity: the reference's DELETE runs in Postgres MVCC
+    (dead tuples masked until VACUUM — transformation/clean_data.py's
+    transactional maintenance); this is the same mask-now-reclaim-
+    later contract over immutable parquet."""
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = vs[-1]
+    m = _manifest(path, base_version)
+    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+        if flavor in m:
+            raise ValueError(
+                f"merge-on-read delete on a {flavor!r} manifest is not "
+                "wired (its pruning metadata has no delete-vector "
+                "story yet); use snapshot_delete — copy-on-write "
+                "preserves the flavor"
+            )
+    files = list(m["files"])
+    new_dv: list[str] = []
+    if files:
+        data = _reader(spark, m).parquet(
+            *[os.path.join(_data_dir(path), f) for f in files]
+        ).select(
+            *keys,
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        mk = delete_keys.select(*keys).distinct()
+        if broadcast_keys:
+            mk = F.broadcast(mk)
+        hits = data.join(mk, list(keys), "left_semi").select(
+            "__dv_file", "__dv_pos"
+        )
+        prior = _dv_frame(spark, path, m)
+        if prior is not None:
+            # a position already deleted is invisible — never
+            # re-record it (keeps vectors proportional to NET deletes)
+            hits = hits.join(
+                F.broadcast(prior), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+        new_dv = _stage_files(spark, path, hits)
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": "delete_mor",
+        "committed_at": time.time(),
+        "files": files,
+        "deletes": (m.get("deletes") or []) + new_dv,
+    }
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    if "extra" in m:
+        manifest["extra"] = m["extra"]
+    return _claim(path, version, manifest, "delete_mor")
+
+
 def snapshot_restore(path: str, version: int) -> int:
     """Roll the table back to ``version`` by committing a NEW version
     that references the old version's files — Delta's RESTORE: a
@@ -2107,6 +2361,13 @@ def snapshot_write_bloom(
                 raise ValueError(
                     "bloom append onto a partitioned/range-clustered "
                     "manifest is not wired; use the flavor's own writer"
+                )
+            if pm.get("deletes"):
+                raise ValueError(
+                    "bloom append onto a table with merge-on-read "
+                    "delete vectors would publish a manifest without "
+                    "them and resurrect deleted rows; snapshot_compact "
+                    "first to materialize the vectors"
                 )
             b = pm.get("bloom")
             if b and (

@@ -2246,3 +2246,206 @@ def test_evolution_survives_vacuum_and_restore(spark, tmp_path):
     deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
     assert set(deleted) == evolved_only and evolved_only
     assert snapshot_read_partitioned(spark, path).count() == 2
+
+
+def test_mor_delete_masks_without_rewriting_files(spark, tmp_path):
+    """Merge-on-read delete: vectors commit, data files carry by
+    reference, reads mask positions, prior versions stay intact, and
+    re-deleting an already-deleted key records no new positions."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _dv_frame,
+        _manifest,
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+        "k long, v string",
+    ).repartition(3)
+    v0 = snapshot_write(spark, path, df)
+    m0 = _manifest(path, v0)
+
+    dk = spark.createDataFrame([(2,), (5,)], "k long")
+    v1 = snapshot_delete_mor(spark, path, dk, ["k"])
+    m1 = _manifest(path, v1)
+    assert m1["files"] == m0["files"]  # zero data files rewritten
+    assert m1["deletes"]
+    got = {r.k for r in snapshot_read(spark, path).collect()}
+    assert got == set(range(20)) - {2, 5}
+    # time travel: the pre-delete version is untouched
+    assert snapshot_read(spark, path, version=v0).count() == 20
+
+    # second delete accumulates; the repeated key adds no positions
+    v2 = snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(2,), (7,)], "k long"), ["k"]
+    )
+    assert snapshot_read(spark, path).count() == 17
+    dv = _dv_frame(spark, path, _manifest(path, v2))
+    assert dv.count() == dv.distinct().count() == 3
+
+
+def test_mor_delete_is_position_based_on_duplicate_rows(spark, tmp_path):
+    """Vectors record positions, not values: rows identical on every
+    column each occupy their own position and all delete."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "x"), (2, "y")], "k long, v string"
+    ).repartition(2)
+    snapshot_write(spark, path, df)
+    snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert [(r.k, r.v) for r in snapshot_read(spark, path).collect()] == [
+        (2, "y")
+    ]
+
+
+def test_mor_changes_feed_cow_refusal_and_compact_materialize(
+    spark, tmp_path
+):
+    """The CDF over a vector-only span reports exactly the deleted
+    rows; CoW ops refuse until compaction materializes; compaction
+    rewrites ONLY vector-affected files and drops the list."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "t")
+    # two distinct files: deletes land in one, the other must carry
+    a = spark.createDataFrame(
+        [(i, "left") for i in range(10)], "k long, v string"
+    ).repartition(1)
+    b = spark.createDataFrame(
+        [(i, "right") for i in range(100, 110)], "k long, v string"
+    ).repartition(1)
+    v0 = snapshot_write(spark, path, a)
+    v1 = snapshot_write(spark, path, b, mode="append")
+    dk = spark.createDataFrame([(3,), (4,)], "k long")
+    v2 = snapshot_delete_mor(spark, path, dk, ["k"])
+
+    feed = snapshot_changes(spark, path, ["k"], v1, v2)
+    assert sorted(
+        (r.k, r.v, r._change_type) for r in feed.collect()
+    ) == [(3, "left", "delete"), (4, "left", "delete")]
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_delete(spark, path, dk, ["k"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_merge(
+            spark,
+            path,
+            spark.createDataFrame([(1, "z")], "k long, v string"),
+            ["k"],
+        )
+
+    m2 = _manifest(path, v2)
+    before = set(m2["files"])
+    v3 = snapshot_compact(spark, path)
+    m3 = _manifest(path, v3)
+    assert "deletes" not in m3
+    # the untouched (right) file carried by reference: exactly one
+    # original file survives, exactly the affected one was rewritten
+    assert len(before & set(m3["files"])) == 1
+    got = {r.k for r in snapshot_read(spark, path).collect()}
+    assert got == (set(range(10)) - {3, 4}) | set(range(100, 110))
+    # CoW works again post-materialization
+    snapshot_delete(
+        spark, path, spark.createDataFrame([(100,)], "k long"), ["k"]
+    )
+    assert snapshot_read(spark, path).count() == 17
+    # the materializing compact never resurrects a deleted position
+    assert {
+        r.k for r in snapshot_read(spark, path, version=v3).collect()
+    } == got
+
+
+def test_mor_vacuum_retains_then_reclaims_vector_files(spark, tmp_path):
+    """Vector files are manifest-referenced data: vacuum keeps them
+    while any retained version lists them, reclaims them once only
+    vector-free versions remain."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_compact,
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(12)], "k long, v string"
+    ).repartition(2)
+    snapshot_write(spark, path, df)
+    v1 = snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(0,), (11,)], "k long"), ["k"]
+    )
+    dv_files = set(_manifest(path, v1)["deletes"])
+    assert dv_files
+    # keep the vectored head: its vector files must survive the sweep
+    deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert not (set(deleted) & dv_files)
+    assert snapshot_read(spark, path).count() == 10
+    # materialize, then sweep to the vector-free head: vectors retire
+    snapshot_compact(spark, path)
+    deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert dv_files <= set(deleted)
+    assert snapshot_read(spark, path).count() == 10
+
+
+def test_mor_refuses_flavored_manifests_and_appends_carry(spark, tmp_path):
+    """MoR is plain-flavor only (pruned flavors take CoW, which
+    preserves their metadata); plain appends carry vectors in force,
+    and a bloom upgrade refuses rather than dropping them."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_write_bloom,
+        snapshot_write_partitioned,
+    )
+
+    part = str(tmp_path / "part")
+    snapshot_write_partitioned(
+        spark,
+        part,
+        spark.createDataFrame([(1, 0)], "k long, cell int").repartition(1),
+        "cell",
+    )
+    with pytest.raises(ValueError, match="part_col"):
+        snapshot_delete_mor(
+            spark, part, spark.createDataFrame([(1,)], "k long"), ["k"]
+        )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "v") for i in range(8)], "k long, v string"
+        ).repartition(1),
+    )
+    snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame([(50, "new")], "k long, v string"),
+        mode="append",
+    )
+    got = {r.k for r in snapshot_read(spark, path).collect()}
+    assert got == (set(range(8)) - {1}) | {50}
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_write_bloom(
+            spark,
+            path,
+            spark.createDataFrame([(60, "b")], "k long, v string"),
+            "k",
+            mode="append",
+        )
