@@ -186,6 +186,9 @@ HEADLINE: list[str] = [
     "t52_disjunctive_search",
     "t53_phrase_search",
     "p30_evolution_cdf_sync",
+    # merge-on-read delete: vector commits + masked reads + CDF +
+    # materializing compaction (table landing is fixture_phase)
+    "p31_mor_delete_lifecycle",
 ]
 
 

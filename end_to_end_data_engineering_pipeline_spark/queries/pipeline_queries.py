@@ -2263,3 +2263,122 @@ def p30_evolution_cdf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p31_mor_delete_lifecycle",
+    oracle="""
+    WITH live1 AS (
+      SELECT * FROM orders WHERE NOT (o_custkey % 19 = 3)
+    ),
+    live2 AS (
+      SELECT * FROM live1 WHERE NOT (o_totalprice >= 250000.0)
+    ),
+    gone AS (
+      SELECT * FROM orders
+      WHERE o_custkey % 19 = 3 OR o_totalprice >= 250000.0
+    ),
+    probes AS (
+      SELECT 'after_d1' AS probe, * FROM live1
+      UNION ALL SELECT 'after_d2', * FROM live2
+      UNION ALL SELECT 'time_travel', * FROM orders
+      UNION ALL SELECT 'cdf_deletes', * FROM gone
+      UNION ALL SELECT 'purged', * FROM live2
+    )
+    SELECT probe,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 4)
+                AS DOUBLE) AS total_price
+    FROM probes GROUP BY probe
+    """,
+)
+def p31_mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE under the driver oracle
+    (operators/snapshots.py:snapshot_delete_mor — Iceberg v2 position
+    deletes / Delta deletion vectors): two keyed deletes commit tiny
+    (file, row-ordinal) vector files while every data file carries by
+    reference (zero rewrites — pinned in tests/test_snapshots.py's
+    mor family), reads mask the positions with one broadcast
+    anti-join, and compaction later materializes the vectors by
+    rewriting only affected files. Five probes hash-pin the
+    lifecycle:
+
+    - after_d1: the masked read after deleting one customer cohort
+      (o_custkey % 19 = 3);
+    - after_d2: after a second, partially overlapping delete
+      (o_totalprice >= 250000) — positions already deleted are never
+      re-recorded, which the hash would catch as double-masking if
+      the anti-join under-applied or vector bloat mis-joined;
+    - time_travel: the pre-delete version, byte-identical to the raw
+      table (vectors never touch committed data);
+    - cdf_deletes: the change feed across both vector commits — the
+      MoR path surfaces row-level deletes WITHOUT any data-file diff
+      to read them from;
+    - purged: the post-compaction read — materialization must be
+      content-neutral vs after_d2.
+
+    The 100 TB story is write amplification: a CoW delete of 1000
+    scattered rows restages every touched half-GB file; this commits
+    kilobytes of vectors now and lets OPTIMIZE batch the rewrite —
+    the delete itself is O(deleted rows).
+
+    Reference parity: transformation/clean_data.py's transactional
+    DELETE runs in Postgres MVCC, where dead tuples are masked until
+    VACUUM reclaims them — the same mask-now-reclaim-later contract."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="p31_mor_")
+    store = tmp + "/orders"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_price"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the table is the fixture
+            v0 = snapshot_write(spark, store, orders.repartition(8))
+        # the operator under test: two vector commits, masked reads,
+        # the spanning change feed, and the materializing compaction
+        d1 = orders.where(F.col("o_custkey") % 19 == 3).select("o_orderkey")
+        v1 = snapshot_delete_mor(spark, store, d1, ["o_orderkey"])
+        d2 = orders.where(F.col("o_totalprice") >= 250000.0).select(
+            "o_orderkey"
+        )
+        v2 = snapshot_delete_mor(spark, store, d2, ["o_orderkey"])
+        feed = snapshot_changes(
+            spark, store, ["o_orderkey"], v0, v2
+        ).where(F.col("_change_type") == "delete")
+        snapshot_compact(spark, store)
+        out = (
+            _agg(snapshot_read(spark, store, version=v1), "after_d1")
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v2), "after_d2")
+            )
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v0), "time_travel")
+            )
+            .unionByName(_agg(feed.drop("_change_type"), "cdf_deletes"))
+            .unionByName(_agg(snapshot_read(spark, store), "purged"))
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
