@@ -189,6 +189,9 @@ HEADLINE: list[str] = [
     # merge-on-read delete: vector commits + masked reads + CDF +
     # materializing compaction (table landing is fixture_phase)
     "p31_mor_delete_lifecycle",
+    # exact-integer BM25 over the persisted postings index (build is
+    # fixture_phase; query reads posting lists only)
+    "t54_bm25_search",
 ]
 
 

@@ -61,9 +61,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # p29 (partition-spec evolution), p30 (CDF sync spanning an
 # evolution commit), p31 (merge-on-read delete vectors), t51
 # (incremental postings maintenance), t52 (disjunctive search),
-# t53 (phrase search) — then the ENTIRE r7 band (37 queries, the
-# stalest evidence after the green r11 gate moved its 50 entries
-# to r11) and the first 7 of the r8 band in name order. Min registry freshness after a
+# t53 (phrase search), t54 (exact-integer BM25) — then the ENTIRE
+# r7 band (37 queries, the stalest evidence after the green r11
+# gate moved its 50 entries to r11) and the first 6 of the r8
+# band in name order. Min registry freshness after a
 # green r12 = r8 for all but the 41 remaining r8 entries' complement
 # — i.e. the r7 band clears entirely, exactly the r11-verdict #3
 # target. New queries are appended here as they land, keeping the
@@ -79,6 +80,7 @@ _PRIORITY: list[str] = [
     "t53_phrase_search",
     "p30_evolution_cdf_sync",
     "p31_mor_delete_lifecycle",
+    "t54_bm25_search",
     # --- r7-validated (stalest evidence band, all 37) ---
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
@@ -117,15 +119,14 @@ _PRIORITY: list[str] = [
     "t5_simhash",
     "t6_ngram_jaccard_pairs",
     "t8_top_terms_per_lang",
-    # --- r8-validated (next-stalest, first 7 in name order;
-    # m5 yielded its slot to the r12-born p31) ---
+    # --- r8-validated (next-stalest, first 6 in name order;
+    # m4/m5 yielded their slots to the r12-born p31/t54) ---
     "e22_skew_audit",
     "e23_hll_distinct_users",
     "e24_session_trigrams",
     "e25_drift_table",
     "e26_join_fanout_audit",
     "e27_hll_union_rollup",
-    "m4_frame_embedding_pool",
 ]
 
 

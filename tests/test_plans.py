@@ -574,3 +574,58 @@ def test_t52_t53_term_predicates_push_into_persisted_scan(
     assert any("EqualTo(w,fast)" in l for l in pushed), pushed
     assert any("EqualTo(w,scan)" in l for l in pushed), pushed
     assert "TakeOrderedAndProject" in plan
+
+
+def test_t54_bm25_term_predicate_pushed_no_doclen_join(
+    spark, sf_dir, tmp_path
+):
+    """BM25's 100-TB claim: because posting rows CARRY the document
+    length, the query is one term-pushed postings scan plus a
+    broadcast of the 1-row meta — no corpus-sized doclen join, no
+    global sort. The isin predicate must reach the persisted parquet
+    scan and top-k must flow through TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        tokenize_tf,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.textops import (
+        search_bm25,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "idx")
+    tf = tokenize_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    snapshot_write(spark, store + "/postings", tf.join(dl, "doc_id"))
+    snapshot_write(
+        spark,
+        store + "/dfreq",
+        tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df")),
+    )
+    snapshot_write(
+        spark,
+        store + "/meta",
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+            tf.agg(F.sum("tf").cast("long").alias("tl"))
+        ),
+    )
+
+    out = search_bm25(
+        snapshot_read(spark, store + "/postings"),
+        snapshot_read(spark, store + "/dfreq"),
+        snapshot_read(spark, store + "/meta"),
+        ("query", "join", "batch"),
+    )
+    plan = _plan_df(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(w" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row meta broadcasts; nothing cartesian, no range sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
