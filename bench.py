@@ -192,6 +192,9 @@ HEADLINE: list[str] = [
     # exact-integer BM25 over the persisted postings index (build is
     # fixture_phase; query reads posting lists only)
     "t54_bm25_search",
+    # merge-on-read upsert: vector + append commit, CDF images,
+    # ADD-column evolution, materializing compaction
+    "p32_mor_merge_lifecycle",
 ]
 
 

@@ -2128,6 +2128,107 @@ def snapshot_delete_mor(
     return _claim(path, version, manifest, "delete_mor")
 
 
+def snapshot_merge_mor(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+) -> int:
+    """Keyed MERGE (upsert) committed MERGE-ON-READ — the update half
+    of the MoR DML story :func:`snapshot_delete_mor` starts: ONE
+    commit stages (a) position-delete vectors masking every live row
+    whose key matches, and (b) new data files carrying ALL the update
+    rows (matched keys re-land as their new image; unmatched keys are
+    plain inserts). No existing data file is rewritten — at 100 TB an
+    upsert touching 1000 scattered rows commits kilobytes of vectors
+    plus the update rows themselves, versus restaging every touched
+    half-GB file under the CoW :func:`snapshot_merge`; reads pay one
+    bounded broadcast anti-join until :func:`snapshot_compact`
+    materializes.
+
+    ADD-column schema evolution works exactly as in CoW merge: the
+    manifest records old-schema + new update columns (type changes
+    refuse), and readers null-fill old files at scan time. Matched
+    rows already MoR-deleted re-insert (their old positions stay
+    masked; no new vector rows are recorded for them). Plain-flavor
+    manifests only, same contract as delete_mor — flavored tables
+    take the CoW path, which preserves their pruning metadata.
+    Returns the new version; raises SnapshotConflict on a concurrent
+    commit."""
+    from pyspark.sql import functions as F
+
+    vs = list_versions(path)
+    if not vs:
+        return snapshot_write(spark, path, updates, mode="overwrite")
+    base_version = vs[-1]
+    m = _manifest(path, base_version)
+    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+        if flavor in m:
+            raise ValueError(
+                f"merge-on-read merge on a {flavor!r} manifest is not "
+                "wired (its pruning metadata has no delete-vector "
+                "story yet); use snapshot_merge — copy-on-write "
+                "preserves the flavor"
+            )
+    files = list(m["files"])
+    new_dv: list[str] = []
+    if files:
+        data = _reader(spark, m).parquet(
+            *[os.path.join(_data_dir(path), f) for f in files]
+        ).select(
+            *keys,
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        mk = updates.select(*keys).distinct()
+        if broadcast_keys:
+            mk = F.broadcast(mk)
+        hits = data.join(mk, list(keys), "left_semi").select(
+            "__dv_file", "__dv_pos"
+        )
+        prior = _dv_frame(spark, path, m)
+        if prior is not None:
+            hits = hits.join(
+                F.broadcast(prior), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+        new_dv = _stage_files(spark, path, hits)
+
+    # the evolved table schema must be recorded BEFORE staging decides
+    # anything: old files null-fill columns the update batch adds, and
+    # a type change has no single read schema — refuse it (same
+    # ADD-column-only rule as _cow_commit)
+    if "schema" in m:
+        old_schema_json = m["schema"]
+    elif files:
+        probe = spark.read.parquet(
+            os.path.join(_data_dir(path), files[0])
+        ).schema
+        old_schema_json = probe.jsonValue()
+    else:
+        old_schema_json = None
+    if old_schema_json is not None:
+        schema_json = _evolved_schema_json(old_schema_json, updates)
+    else:
+        schema_json = updates.schema.jsonValue()
+
+    new_names = _stage_files(spark, path, updates)
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": "merge_mor",
+        "committed_at": time.time(),
+        "files": files + new_names,
+        "schema": schema_json,
+    }
+    deletes = (m.get("deletes") or []) + new_dv
+    if deletes:
+        manifest["deletes"] = deletes
+    if "extra" in m:
+        manifest["extra"] = m["extra"]
+    return _claim(path, version, manifest, "merge_mor")
+
+
 def snapshot_restore(path: str, version: int) -> int:
     """Roll the table back to ``version`` by committing a NEW version
     that references the old version's files — Delta's RESTORE: a

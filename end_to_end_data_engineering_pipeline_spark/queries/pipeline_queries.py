@@ -2382,3 +2382,138 @@ def p31_mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p32_mor_merge_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events
+    ),
+    upd AS (
+      SELECT event_id, user_id, value * 2 AS value,
+             'corrected' AS src
+      FROM base WHERE event_id % 31 = 4
+    ),
+    ins AS (
+      SELECT event_id + 1000000000 AS event_id, user_id, value,
+             'ingested' AS src
+      FROM base WHERE event_id % 101 = 7
+    ),
+    ups AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT b.event_id, b.user_id, b.value, CAST(NULL AS VARCHAR) AS src
+      FROM base b ANTI JOIN ups u ON b.event_id = u.event_id
+      UNION ALL SELECT * FROM ups
+    ),
+    probes AS (
+      SELECT 'after_merge' AS probe, event_id, value FROM merged
+      UNION ALL SELECT 'corrected', event_id, value
+        FROM merged WHERE src = 'corrected'
+      UNION ALL SELECT 'ingested', event_id, value
+        FROM merged WHERE src = 'ingested'
+      UNION ALL SELECT 'time_travel', event_id, value FROM base
+      UNION ALL SELECT 'cdf_insert', event_id, value FROM ins
+      UNION ALL SELECT 'cdf_update_preimage', event_id, value
+        FROM base WHERE event_id % 31 = 4
+      UNION ALL SELECT 'cdf_update_postimage', event_id, value FROM upd
+      UNION ALL SELECT 'purged', event_id, value FROM merged
+    )
+    SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM probes GROUP BY probe
+    """,
+)
+def p32_mor_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT under the driver oracle
+    (operators/snapshots.py:snapshot_merge_mor — the update half of
+    the MoR DML story p31's delete opens): one commit stages position
+    vectors masking matched rows' OLD positions plus appended files
+    carrying the update batch — corrections (value doubled, a new
+    ``src`` column exercising ADD-column evolution: old rows
+    null-fill it at scan time) and fresh inserts — with ZERO existing
+    files rewritten (carry-by-reference pinned in
+    tests/test_snapshots.py's mor_merge family). Eight hash-pinned
+    probes: the merged read, its corrected/ingested slices (the
+    evolved column routes them), the untouched time-travel version,
+    the change feed's exact insert/preimage/postimage partitions
+    (served from vector diffs + appended files — no data-file rewrite
+    to diff), and the post-compaction materialized read.
+
+    At 100 TB this is the CDC-ingest trade: a correction batch
+    touching 0.1% of keys lands as kilobytes of vectors + the batch
+    itself, and OPTIMIZE amortizes the rewrite across many batches —
+    versus CoW's restage-per-batch (p19/p25's path, still right for
+    partitioned/pruned tables).
+
+    Reference parity: transformation/clean_data.py's transactional
+    upsert is Postgres MVCC — new row versions written, old masked
+    until VACUUM; this is that contract over immutable parquet."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_merge_mor,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="p32_mor_")
+    store = tmp + "/events"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the table is the fixture
+            v0 = snapshot_write(spark, store, base.repartition(8))
+        upd = base.where(F.col("event_id") % 31 == 4).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            F.lit("corrected").alias("src"),
+        )
+        ins = base.where(F.col("event_id") % 101 == 7).select(
+            (F.col("event_id") + 1000000000).alias("event_id"),
+            "user_id",
+            "value",
+            F.lit("ingested").alias("src"),
+        )
+        v1 = snapshot_merge_mor(
+            spark, store, upd.unionByName(ins), ["event_id"]
+        )
+        merged = snapshot_read(spark, store, version=v1)
+        feed = snapshot_changes(spark, store, ["event_id"], v0, v1)
+        snapshot_compact(spark, store)
+        out = (
+            _agg(merged, "after_merge")
+            .unionByName(
+                _agg(merged.where(F.col("src") == "corrected"), "corrected")
+            )
+            .unionByName(
+                _agg(merged.where(F.col("src") == "ingested"), "ingested")
+            )
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v0), "time_travel")
+            )
+        )
+        for ct in ("insert", "update_preimage", "update_postimage"):
+            out = out.unionByName(
+                _agg(feed.where(F.col("_change_type") == ct), f"cdf_{ct}")
+            )
+        out = out.unionByName(_agg(snapshot_read(spark, store), "purged"))
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -2449,3 +2449,106 @@ def test_mor_refuses_flavored_manifests_and_appends_carry(spark, tmp_path):
             "k",
             mode="append",
         )
+
+
+def test_mor_merge_upserts_without_rewriting_files(spark, tmp_path):
+    """Merge-on-read MERGE: one commit = vectors masking matched
+    rows' old positions + appended files carrying the update rows;
+    existing files carry by reference, the CDF reports exact images,
+    and a row matched inside an APPENDED file masks correctly on the
+    next merge."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_changes,
+        snapshot_merge_mor,
+    )
+
+    path = str(tmp_path / "t")
+    v0 = snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "old") for i in range(10)], "k long, v string"
+        ).repartition(3),
+    )
+    m0 = _manifest(path, v0)
+    ups = spark.createDataFrame(
+        [(2, "new2"), (3, "new3"), (100, "ins")], "k long, v string"
+    )
+    v1 = snapshot_merge_mor(spark, path, ups, ["k"])
+    m1 = _manifest(path, v1)
+    assert set(m0["files"]) <= set(m1["files"])  # carried by reference
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert got == {(i, "old") for i in range(10) if i not in (2, 3)} | {
+        (2, "new2"),
+        (3, "new3"),
+        (100, "ins"),
+    }
+    feed = snapshot_changes(spark, path, ["k"], v0, v1)
+    agg = sorted(
+        (r.k, r._change_type) for r in feed.collect()
+    )
+    assert agg == [
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+        (100, "insert"),
+    ]
+    # matched row living in an appended file: masked, re-landed
+    snapshot_merge_mor(
+        spark,
+        path,
+        spark.createDataFrame([(100, "ins2")], "k long, v string"),
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert (100, "ins2") in got and (100, "ins") not in got
+
+
+def test_mor_merge_schema_evolution_and_compact(spark, tmp_path):
+    """ADD-column evolution through MoR merge (old files null-fill;
+    type change refuses), then compaction materializes vectors with
+    the evolved schema intact."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_merge_mor,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "old") for i in range(6)], "k long, v string"
+        ).repartition(2),
+    )
+    snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    # a deleted key re-inserts through merge (old position stays masked)
+    snapshot_merge_mor(
+        spark,
+        path,
+        spark.createDataFrame([(5, "back", 1.5)], "k long, v string, w double"),
+        ["k"],
+    )
+    rows = snapshot_read(spark, path).collect()
+    five = [r for r in rows if r.k == 5]
+    assert len(five) == 1 and five[0].v == "back" and five[0].w == 1.5
+    assert all(r.w is None for r in rows if r.k != 5)  # null-filled
+    with pytest.raises(ValueError, match="ADD-column"):
+        snapshot_merge_mor(
+            spark,
+            path,
+            spark.createDataFrame([(1, 2)], "k long, v int"),
+            ["k"],
+        )
+    before = {(r.k, r.v, r.w) for r in snapshot_read(spark, path).collect()}
+    v = snapshot_compact(spark, path)
+    assert "deletes" not in _manifest(path, v)
+    assert {
+        (r.k, r.v, r.w) for r in snapshot_read(spark, path).collect()
+    } == before
