@@ -195,6 +195,9 @@ HEADLINE: list[str] = [
     # merge-on-read upsert: vector + append commit, CDF images,
     # ADD-column evolution, materializing compaction
     "p32_mor_merge_lifecycle",
+    # equality deletes: zero-table-read commits, sequence-rule
+    # re-insert, mixed-flavor compaction
+    "p33_eq_delete_lifecycle",
 ]
 
 

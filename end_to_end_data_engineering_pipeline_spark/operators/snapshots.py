@@ -173,10 +173,14 @@ def snapshot_write(
             live = list(pm["files"])
             prev_schema = pm.get("schema")
             prev_deletes = pm.get("deletes")
+            prev_eq = pm.get("eq_deletes")
+            prev_fseq = pm.get("file_seq")
         else:
             live = []
             prev_schema = None
             prev_deletes = None
+            prev_eq = None
+            prev_fseq = None
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -189,6 +193,15 @@ def snapshot_write(
             # carried files (the appended files have no positions in
             # them); dropping the list would resurrect deleted rows
             manifest["deletes"] = prev_deletes
+        if prev_eq:
+            # equality deletes stay in force; the appended files get
+            # this commit's sequence, so prior tombstones (seq < now)
+            # never mask the new rows — the Iceberg re-insert rule
+            manifest["eq_deletes"] = prev_eq
+        if prev_fseq is not None:
+            manifest["file_seq"] = {
+                **prev_fseq, **{n: version for n in names}
+            }
         if prev_schema is not None:
             # appending to an evolved table: keep the recorded table
             # schema (plus any columns this batch adds) so reads keep
@@ -358,24 +371,36 @@ def _dv_frame(
 def _apply_deletes(
     spark: SparkSession, path: str, m: dict, files: list[str]
 ) -> DataFrame:
-    """Read ``files`` with the manifest's merge-on-read delete
-    vectors applied: each data row is identified by its physical
-    position (``_metadata.file_name``, ``_metadata.row_index`` — the
-    parquet source's stable per-file row ordinal), and one broadcast
-    anti-join against the (file, position) delete set masks deleted
-    rows at scan time. This is the read half of Iceberg v2 position
-    deletes / Delta deletion vectors: position-based (content-blind,
-    so duplicate rows delete individually), and the vector side is
-    compaction-bounded — :func:`snapshot_compact` materializes and
-    drops vectors, so the broadcast never grows past the backlog
-    between OPTIMIZE runs."""
+    """Read ``files`` with the manifest's merge-on-read deletes
+    applied — both flavors of the Iceberg v2 taxonomy:
+
+    POSITION deletes (``deletes``): each data row is identified by
+    its physical position (``_metadata.file_name``,
+    ``_metadata.row_index`` — the parquet source's stable per-file
+    row ordinal), and one broadcast anti-join against the (file,
+    position) delete set masks deleted rows at scan time.
+    Position-based means content-blind: duplicate rows delete
+    individually.
+
+    EQUALITY deletes (``eq_deletes``): each entry is a key set staged
+    WITHOUT reading the table, stamped with its commit version; it
+    masks a row iff the row's key matches AND the row's data file was
+    committed BEFORE the delete (``file_seq`` < entry seq — Iceberg's
+    sequence-number rule, which is what lets a later re-insert of the
+    same key survive). One broadcast anti-join per entry; entry count
+    is compaction-bounded.
+
+    Both sides are compaction-bounded — :func:`snapshot_compact`
+    materializes and drops them, so the broadcasts never grow past
+    the backlog between OPTIMIZE runs."""
     from pyspark.sql import functions as F
 
     base = _reader(spark, m).parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
     )
     dv = _dv_frame(spark, path, m, files)
-    if dv is None:
+    eq = m.get("eq_deletes") or []
+    if dv is None and not eq:
         return base
     cols = base.columns
     tagged = base.select(
@@ -383,9 +408,30 @@ def _apply_deletes(
         F.col("_metadata.file_name").alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    return tagged.join(
-        F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
-    ).select(*cols)
+    if dv is not None:
+        tagged = tagged.join(
+            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+        )
+    if eq:
+        fseq = m.get("file_seq", {})
+        seq_map = spark.createDataFrame(
+            [(f, int(fseq.get(f, 0))) for f in files],
+            "__dv_file string, __seq long",
+        )
+        tagged = tagged.join(F.broadcast(seq_map), "__dv_file")
+        for ent in eq:
+            if not ent["files"]:
+                continue
+            ed = spark.read.parquet(
+                *[os.path.join(_data_dir(path), f) for f in ent["files"]]
+            ).select(
+                *[F.col(k).alias(f"__eq_{k}") for k in ent["keys"]]
+            )
+            cond = F.col("__seq") < F.lit(int(ent["seq"]))
+            for k in ent["keys"]:
+                cond = cond & (F.col(k) == F.col(f"__eq_{k}"))
+            tagged = tagged.join(F.broadcast(ed), cond, "left_anti")
+    return tagged.select(*cols)
 
 
 def _dv_affected_files(spark: SparkSession, path: str, m: dict) -> list[str]:
@@ -584,13 +630,14 @@ def _cow_commit(
             "current default spec and returns the table to "
             "single-spec, then merge/delete work as usual"
         )
-    if m.get("deletes"):
+    if m.get("deletes") or m.get("eq_deletes"):
         raise ValueError(
-            "copy-on-write on a table with merge-on-read delete "
-            "vectors would rewrite touched files from their RAW rows "
-            "and resurrect MoR-deleted positions; run snapshot_compact "
-            "first — it materializes the vectors into rewritten files "
-            "and drops them, then merge/delete work as usual"
+            "copy-on-write on a table with merge-on-read deletes "
+            "(position vectors or equality tombstones) would rewrite "
+            "touched files from their RAW rows and resurrect deleted "
+            "rows; run snapshot_compact first — it materializes the "
+            "deletes into rewritten files and drops them, then "
+            "merge/delete work as usual"
         )
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -1055,10 +1102,13 @@ def vacuum(
     for v in keep:
         mm = _manifest(path, v)
         live.update(mm["files"])
-        # merge-on-read delete-vector files are manifest-referenced
-        # data too: reclaiming one would turn every read of a retained
-        # version into a resurrection
+        # merge-on-read delete files (position vectors AND equality
+        # tombstones) are manifest-referenced data too: reclaiming one
+        # would turn every read of a retained version into a
+        # resurrection
         live.update(mm.get("deletes") or [])
+        for ent in mm.get("eq_deletes") or []:
+            live.update(ent["files"])
     deleted = []
     d = _data_dir(path)
     if os.path.isdir(d):
@@ -1201,6 +1251,28 @@ def snapshot_changes(
             }
             shared = set(m_from["files"]) & set(m_to["files"])
             both = sorted(dv_files & shared)
+            removed = sorted(set(removed) | set(both))
+            added = sorted(set(added) | set(both))
+    eq_from = {int(e["seq"]) for e in m_from.get("eq_deletes") or []}
+    eq_to = {int(e["seq"]) for e in m_to.get("eq_deletes") or []}
+    if eq_from != eq_to:
+        # equality tombstones name no files — a new entry can mask
+        # rows in ANY shared file older than it, and nothing narrows
+        # that set without the table scan the eq flavor avoided at
+        # write time. Conservatively serve every shared file a new
+        # entry could touch on both sides; the value join nets the
+        # actual deletions (this read amplification is the documented
+        # CDF cost of equality deletes — Iceberg's incremental
+        # consumers pay the same, which is why CDC pipelines compact
+        # aggressively).
+        new_seqs = eq_to - eq_from
+        if new_seqs:
+            max_seq = max(new_seqs)
+            fseq = m_to.get("file_seq", {})
+            shared = set(m_from["files"]) & set(m_to["files"])
+            both = sorted(
+                f for f in shared if int(fseq.get(f, 0)) < max_seq
+            )
             removed = sorted(set(removed) | set(both))
             added = sorted(set(added) | set(both))
     # serve both sides at the TO schema (ADD-column evolution only;
@@ -1357,17 +1429,28 @@ def snapshot_compact(
         if "schema" in m:
             manifest["schema"] = m["schema"]
         return _claim(path, base_version + 1, manifest, "compaction")
-    if m.get("deletes"):
-        # MATERIALIZE merge-on-read delete vectors (Delta's REORG
-        # TABLE ... APPLY (PURGE)): rewrite ONLY the files that have
-        # at least one deleted position — with their vectors applied —
-        # carry every untouched file by reference, and drop the
-        # vector list. This is the maintenance half of the MoR
-        # contract: deletes stay O(deleted rows) at commit time, and
-        # compaction bounds how many vectors any read ever joins.
-        # Small-file merging stays orthogonal — run compact again on
-        # the now-vector-free table.
-        affected = _dv_affected_files(spark, path, m)
+    if m.get("deletes") or m.get("eq_deletes"):
+        # MATERIALIZE merge-on-read deletes (Delta's REORG TABLE ...
+        # APPLY (PURGE)): rewrite ONLY affected files — with their
+        # deletes applied — carry every untouched file by reference,
+        # and drop the delete metadata. Position vectors name their
+        # files exactly; an equality tombstone conservatively affects
+        # every file older than it (nothing narrows that set without
+        # the scan the eq flavor avoided at write time — the rewrite
+        # here IS where that cost is finally paid, batched). This is
+        # the maintenance half of the MoR contract: deletes stay
+        # cheap at commit time, and compaction bounds how many
+        # delete joins any read ever pays. Small-file merging stays
+        # orthogonal — run compact again on the now-clean table.
+        affected = set(_dv_affected_files(spark, path, m))
+        eq = m.get("eq_deletes") or []
+        if eq:
+            max_seq = max(int(e["seq"]) for e in eq)
+            fseq = m.get("file_seq", {})
+            affected |= {
+                f for f in m["files"] if int(fseq.get(f, 0)) < max_seq
+            }
+        affected = sorted(affected)
         new_names: list[str] = []
         if affected:
             sizes = {
@@ -2121,11 +2204,156 @@ def snapshot_delete_mor(
         "files": files,
         "deletes": (m.get("deletes") or []) + new_dv,
     }
+    if m.get("eq_deletes"):
+        manifest["eq_deletes"] = m["eq_deletes"]
+    if m.get("file_seq") is not None:
+        manifest["file_seq"] = m["file_seq"]
     if "schema" in m:
         manifest["schema"] = m["schema"]
     if "extra" in m:
         manifest["extra"] = m["extra"]
     return _claim(path, version, manifest, "delete_mor")
+
+
+def snapshot_delete_eq(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+) -> int:
+    """Keyed DELETE committed as an EQUALITY delete — Iceberg v2's
+    second delete flavor, and the one built for STREAMING writers:
+    the commit stages only the (distinct) key set itself, stamped
+    with its commit version, and reads the table ZERO times. Contrast
+    :func:`snapshot_delete_mor`, whose position vectors require one
+    table scan to locate matched rows — fine for a batch job, fatal
+    for a CDC sink that must commit every few seconds. Here a
+    micro-batch of tombstones costs O(tombstones) regardless of table
+    size.
+
+    Read semantics are the Iceberg sequence-number rule: an equality
+    delete masks a row iff the key matches AND the row's data file
+    was committed BEFORE the delete (per-file ``file_seq``, recorded
+    from the first equality delete onward; pre-existing files
+    bootstrap at seq 0). A later append or MoR merge re-inserting the
+    key therefore SURVIVES — upsert streams compose correctly with
+    tombstone streams without coordination.
+
+    The trade (documented, and why both flavors exist): readers pay
+    one broadcast anti-join PER equality-delete entry, and the change
+    feed over an equality-delete span must conservatively serve every
+    pre-delete file (nothing narrows the affected set without the
+    very scan this flavor exists to avoid) — so compaction hygiene
+    matters more here; :func:`snapshot_compact` materializes both
+    flavors and drops the lists. Plain-flavor manifests only, same
+    contract as the other MoR writers. Returns the new version;
+    raises SnapshotConflict on a concurrent commit."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = vs[-1]
+    m = _manifest(path, base_version)
+    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+        if flavor in m:
+            raise ValueError(
+                f"equality delete on a {flavor!r} manifest is not "
+                "wired (its pruning metadata has no delete story "
+                "yet); use snapshot_delete — copy-on-write preserves "
+                "the flavor"
+            )
+    names = _stage_files(spark, path, delete_keys.select(*keys).distinct())
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": "delete_eq",
+        "committed_at": time.time(),
+        "files": list(m["files"]),
+        "eq_deletes": (m.get("eq_deletes") or [])
+        + ([{"files": names, "seq": version, "keys": list(keys)}]
+           if names else []),
+        # every data file needs a sequence for the `file predates
+        # delete` comparison; files from before the first equality
+        # delete bootstrap at 0 (all < this commit's version)
+        "file_seq": m.get("file_seq") or {f: 0 for f in m["files"]},
+    }
+    if m.get("deletes"):
+        manifest["deletes"] = m["deletes"]
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    if "extra" in m:
+        manifest["extra"] = m["extra"]
+    return _claim(path, version, manifest, "delete_eq")
+
+
+def snapshot_upsert_eq(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """Keyed UPSERT committed with ZERO table reads — the
+    Flink-into-Iceberg upsert-mode writer: ONE commit appends the
+    update rows AND records an equality tombstone of their keys at
+    the SAME sequence number. The tombstone masks every OLDER row
+    with a matching key (file_seq < seq), while the rows appended in
+    this very commit carry file_seq = seq and survive — so the upsert
+    needs neither the position scan :func:`snapshot_merge_mor` pays
+    nor the file rewrite of CoW :func:`snapshot_merge`. Commit cost
+    is O(batch), independent of table size: this is what lets a
+    streaming CDC sink commit every few seconds against a 100 TB
+    table (streaming/windows.py:streaming_cdc_eq_sink).
+
+    ``updates`` must be key-unique (two same-key rows in one batch
+    share the sequence, so the tombstone masks neither and BOTH
+    land — the sink reduces each micro-batch latest-wins first).
+    ADD-column evolution follows the merge rules (old files
+    null-fill; type changes refuse). Plain-flavor manifests only.
+    Returns the new version; raises SnapshotConflict on a concurrent
+    commit."""
+    vs = list_versions(path)
+    if not vs:
+        return snapshot_write(spark, path, updates, mode="overwrite")
+    base_version = vs[-1]
+    m = _manifest(path, base_version)
+    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+        if flavor in m:
+            raise ValueError(
+                f"equality upsert on a {flavor!r} manifest is not "
+                "wired (its pruning metadata has no delete story "
+                "yet); use snapshot_merge — copy-on-write preserves "
+                "the flavor"
+            )
+    if "schema" in m:
+        schema_json = _evolved_schema_json(m["schema"], updates)
+    elif m["files"]:
+        probe = spark.read.parquet(
+            os.path.join(_data_dir(path), m["files"][0])
+        ).schema
+        schema_json = _evolved_schema_json(probe.jsonValue(), updates)
+    else:
+        schema_json = updates.schema.jsonValue()
+    names = _stage_files(spark, path, updates)
+    ed_names = _stage_files(spark, path, updates.select(*keys).distinct())
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": "upsert_eq",
+        "committed_at": time.time(),
+        "files": list(m["files"]) + names,
+        "schema": schema_json,
+        "eq_deletes": (m.get("eq_deletes") or [])
+        + ([{"files": ed_names, "seq": version, "keys": list(keys)}]
+           if ed_names else []),
+        "file_seq": {
+            **(m.get("file_seq") or {f: 0 for f in m["files"]}),
+            **{n: version for n in names},
+        },
+    }
+    if m.get("deletes"):
+        manifest["deletes"] = m["deletes"]
+    if "extra" in m:
+        manifest["extra"] = m["extra"]
+    return _claim(path, version, manifest, "upsert_eq")
 
 
 def snapshot_merge_mor(
@@ -2224,6 +2452,15 @@ def snapshot_merge_mor(
     deletes = (m.get("deletes") or []) + new_dv
     if deletes:
         manifest["deletes"] = deletes
+    if m.get("eq_deletes"):
+        # prior tombstones stay in force; the appended update files
+        # get this commit's sequence, so they outlive older equality
+        # deletes of the same keys (re-insert rule)
+        manifest["eq_deletes"] = m["eq_deletes"]
+    if m.get("file_seq") is not None:
+        manifest["file_seq"] = {
+            **m["file_seq"], **{n: version for n in new_names}
+        }
     if "extra" in m:
         manifest["extra"] = m["extra"]
     return _claim(path, version, manifest, "merge_mor")
@@ -2463,12 +2700,12 @@ def snapshot_write_bloom(
                     "bloom append onto a partitioned/range-clustered "
                     "manifest is not wired; use the flavor's own writer"
                 )
-            if pm.get("deletes"):
+            if pm.get("deletes") or pm.get("eq_deletes"):
                 raise ValueError(
                     "bloom append onto a table with merge-on-read "
-                    "delete vectors would publish a manifest without "
-                    "them and resurrect deleted rows; snapshot_compact "
-                    "first to materialize the vectors"
+                    "deletes would publish a manifest without them "
+                    "and resurrect deleted rows; snapshot_compact "
+                    "first to materialize the deletes"
                 )
             b = pm.get("bloom")
             if b and (

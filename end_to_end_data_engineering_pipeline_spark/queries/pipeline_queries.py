@@ -2517,3 +2517,151 @@ def p32_mor_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p33_eq_delete_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+      FROM base WHERE c_custkey % 23 = 5
+    ),
+    ins AS (
+      SELECT c_custkey + 1000000000 AS c_custkey, c_nationkey, c_acctbal
+      FROM base WHERE c_custkey % 53 = 11
+    ),
+    ups AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    after_upsert AS (
+      SELECT b.* FROM base b ANTI JOIN ups u ON b.c_custkey = u.c_custkey
+      UNION ALL SELECT * FROM ups
+    ),
+    after_delete AS (
+      SELECT * FROM after_upsert WHERE NOT (c_custkey % 7 = 0)
+    ),
+    reins AS (
+      SELECT * FROM base WHERE c_custkey % 14 = 0
+    ),
+    after_reinsert AS (
+      SELECT * FROM after_delete UNION ALL SELECT * FROM reins
+    ),
+    probes AS (
+      SELECT 'after_upsert' AS probe, c_nationkey, c_acctbal
+        FROM after_upsert
+      UNION ALL SELECT 'after_delete', c_nationkey, c_acctbal
+        FROM after_delete
+      UNION ALL SELECT 'after_reinsert', c_nationkey, c_acctbal
+        FROM after_reinsert
+      UNION ALL SELECT 'time_travel', c_nationkey, c_acctbal FROM base
+      UNION ALL SELECT 'purged', c_nationkey, c_acctbal
+        FROM after_reinsert
+    )
+    SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_bal
+    FROM probes GROUP BY probe
+    """,
+)
+def p33_eq_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY DELETES under the driver oracle
+    (operators/snapshots.py:snapshot_upsert_eq / snapshot_delete_eq —
+    Iceberg v2's second delete flavor, the streaming one): every
+    commit here reads the target table ZERO times. The upsert lands
+    update rows + a key tombstone at ONE sequence number (the
+    Flink-into-Iceberg upsert-mode writer); the delete commits just
+    its key set; and the probe that distinguishes this flavor from
+    p31's position vectors is AFTER_REINSERT — a plain append
+    re-inserting tombstoned keys whose rows SURVIVE, because a
+    tombstone masks only rows whose data file predates it (per-file
+    sequence numbers, Iceberg's rule). The hash would catch either
+    failure mode: a sequence-blind mask kills the re-inserted rows;
+    a dropped tombstone resurrects the deleted ones. time_travel pins
+    the untouched v0; purged pins compaction materializing position
+    vectors and tombstones alike.
+
+    The 100 TB story is the streaming CDC sink
+    (streaming/windows.py:streaming_cdc_eq_sink, pytest-pinned): a
+    micro-batch against a 100 TB table commits in O(batch) — the
+    position flavor would scan the table per batch, CoW would
+    rewrite files per batch; equality tombstones are what make
+    second-granularity commits affordable, paying one extra
+    read-side join until OPTIMIZE.
+
+    Reference parity: transformation/clean_data.py's DELETE/upsert in
+    Postgres MVCC — the same mask-now-reclaim-later contract."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_eq,
+        snapshot_read,
+        snapshot_upsert_eq,
+        snapshot_write,
+    )
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="p33_eq_")
+    store = tmp + "/customer"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_bal"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the table is the fixture
+            v0 = snapshot_write(spark, store, base.repartition(8))
+        upd = base.where(F.col("c_custkey") % 23 == 5).select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        ins = base.where(F.col("c_custkey") % 53 == 11).select(
+            (F.col("c_custkey") + 1000000000).alias("c_custkey"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+        v1 = snapshot_upsert_eq(
+            spark, store, upd.unionByName(ins), ["c_custkey"]
+        )
+        dels = snapshot_read(spark, store, version=v1).where(
+            F.col("c_custkey") % 7 == 0
+        ).select("c_custkey")
+        v2 = snapshot_delete_eq(spark, store, dels, ["c_custkey"])
+        v3 = snapshot_write(
+            spark,
+            store,
+            base.where(F.col("c_custkey") % 14 == 0),
+            mode="append",
+        )
+        snapshot_compact(spark, store)
+        out = (
+            _agg(snapshot_read(spark, store, version=v1), "after_upsert")
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v2), "after_delete")
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read(spark, store, version=v3),
+                    "after_reinsert",
+                )
+            )
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v0), "time_travel")
+            )
+            .unionByName(_agg(snapshot_read(spark, store), "purged"))
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -62,9 +62,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # evolution commit), p31 (merge-on-read delete vectors), t51
 # (incremental postings maintenance), t52 (disjunctive search),
 # t53 (phrase search), t54 (exact-integer BM25), p32 (merge-on-read
-# upsert) — then the ENTIRE r7 band (37 queries, the stalest
-# evidence after the green r11 gate moved its 50 entries to r11)
-# and the first 5 of the r8 band in name order. Min registry freshness after a
+# upsert), p33 (equality deletes + sequence-rule re-insert) — then
+# the ENTIRE r7 band (37 queries, the stalest evidence after the
+# green r11 gate moved its 50 entries to r11) and the first 4 of
+# the r8 band in name order. Min registry freshness after a
 # green r12 = r8 for all but the 41 remaining r8 entries' complement
 # — i.e. the r7 band clears entirely, exactly the r11-verdict #3
 # target. New queries are appended here as they land, keeping the
@@ -82,6 +83,7 @@ _PRIORITY: list[str] = [
     "p31_mor_delete_lifecycle",
     "t54_bm25_search",
     "p32_mor_merge_lifecycle",
+    "p33_eq_delete_lifecycle",
     # --- r7-validated (stalest evidence band, all 37) ---
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
@@ -120,13 +122,13 @@ _PRIORITY: list[str] = [
     "t5_simhash",
     "t6_ngram_jaccard_pairs",
     "t8_top_terms_per_lang",
-    # --- r8-validated (next-stalest, first 5 in name order;
-    # m4/m5/e27 yielded their slots to the r12-born p31/t54/p32) ---
+    # --- r8-validated (next-stalest, first 4 in name order;
+    # m4/m5/e26/e27 yielded their slots to the r12-born
+    # p31/t54/p32/p33) ---
     "e22_skew_audit",
     "e23_hll_distinct_users",
     "e24_session_trigrams",
     "e25_drift_table",
-    "e26_join_fanout_audit",
 ]
 
 

@@ -384,3 +384,65 @@ def streaming_postings_index_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
     )
+
+
+def streaming_cdc_eq_sink(
+    df: DataFrame,
+    spark,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    op_col: str,
+    checkpoint: str,
+):
+    """foreachBatch CDC-APPLY sink over EQUALITY deletes — the
+    streaming twin of the MoR DML family (p31/p32), and the reason
+    the equality flavor exists: every micro-batch commits in
+    O(batch) with ZERO reads of the target table, so the sink's cost
+    is independent of table size (a per-batch position scan or CoW
+    rewrite would make a 100 TB target un-streamable).
+
+    Each batch is first reduced LATEST-WINS per key on ``order_col``
+    (a CDC feed delivers multiple ops per key per batch; ``op_col``
+    breaks exact ties with delete-last so a same-instant
+    upsert+delete resolves to the delete). Surviving tombstones
+    commit via :func:`~..operators.snapshots.snapshot_delete_eq`;
+    surviving upserts via
+    :func:`~..operators.snapshots.snapshot_upsert_eq` (append + eq
+    tombstone at one sequence). Replay of a delivered batch
+    (foreachBatch's at-least-once contract) re-commits tombstones
+    that mask nothing new and upserts whose fresh tombstone masks the
+    previous replay's rows before re-landing identical ones — content
+    is replay-idempotent, pinned in tests/test_streaming.py.
+    snapshot_compact on the target stays ordinary maintenance."""
+    from pyspark.sql import Window
+
+    from ..operators.snapshots import snapshot_delete_eq, snapshot_upsert_eq
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(),
+            # deterministic tiebreak: 'delete' sorts before 'upsert'
+            # ascending, so desc puts upsert first — we want the
+            # DELETE to win an exact tie, hence asc on op
+            F.col(op_col).asc(),
+        )
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = last.where(F.col(op_col) != "delete").drop(op_col)
+        dels = last.where(F.col(op_col) == "delete").select(*keys)
+        if not ups.isEmpty():
+            snapshot_upsert_eq(spark, target_path, ups, keys)
+        if not dels.isEmpty():
+            snapshot_delete_eq(spark, target_path, dels, keys)
+
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

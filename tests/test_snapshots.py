@@ -2552,3 +2552,124 @@ def test_mor_merge_schema_evolution_and_compact(spark, tmp_path):
     assert {
         (r.k, r.v, r.w) for r in snapshot_read(spark, path).collect()
     } == before
+
+
+def test_eq_delete_sequence_rule_and_reinsert(spark, tmp_path):
+    """Equality deletes commit WITHOUT reading the table and obey the
+    Iceberg sequence rule: a tombstone masks only rows whose data
+    file predates it, so later appends / MoR merges of the same key
+    survive, and a newer tombstone re-masks them."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_delete_eq,
+        snapshot_merge_mor,
+    )
+
+    path = str(tmp_path / "t")
+    v0 = snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "old") for i in range(10)], "k long, v string"
+        ).repartition(3),
+    )
+    v1 = snapshot_delete_eq(
+        spark, path, spark.createDataFrame([(2,), (5,)], "k long"), ["k"]
+    )
+    m1 = _manifest(path, v1)
+    assert m1["files"] == _manifest(path, v0)["files"]
+    assert m1["eq_deletes"] and m1["file_seq"]
+    assert {r.k for r in snapshot_read(spark, path).collect()} == set(
+        range(10)
+    ) - {2, 5}
+    assert snapshot_read(spark, path, version=v0).count() == 10
+    # re-insert AFTER the tombstone survives (file_seq = commit > seq-1)
+    snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame([(2, "reborn")], "k long, v string"),
+        mode="append",
+    )
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert (2, "reborn") in got and (2, "old") not in got
+    # a NEWER tombstone masks the re-insert
+    snapshot_delete_eq(
+        spark, path, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    assert {r.k for r in snapshot_read(spark, path).collect()} == set(
+        range(10)
+    ) - {2, 5}
+    # MoR merge re-inserting a tombstoned key survives too
+    snapshot_merge_mor(
+        spark,
+        path,
+        spark.createDataFrame([(5, "five2")], "k long, v string"),
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert (5, "five2") in got
+
+
+def test_eq_upsert_single_commit_and_mixed_flavors_compact(spark, tmp_path):
+    """snapshot_upsert_eq lands rows + tombstone at one sequence in
+    ONE commit; position and equality deletes coexist; the CDF nets
+    the span; compaction materializes all flavors at once."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_eq,
+        snapshot_delete_mor,
+        snapshot_upsert_eq,
+    )
+
+    path = str(tmp_path / "t")
+    v0 = snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "old") for i in range(8)], "k long, v string"
+        ).repartition(2),
+    )
+    # one-commit upsert: update k=1, insert k=50 — zero table reads
+    v1 = snapshot_upsert_eq(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "new1"), (50, "ins")], "k long, v string"
+        ),
+        ["k"],
+    )
+    assert v1 == v0 + 1  # exactly one version
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert (1, "new1") in got and (1, "old") not in got and (50, "ins") in got
+    # mix in a position delete and an equality delete
+    snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(3,)], "k long"), ["k"]
+    )
+    v3 = snapshot_delete_eq(
+        spark, path, spark.createDataFrame([(50,)], "k long"), ["k"]
+    )
+    got = {r.k for r in snapshot_read(spark, path).collect()}
+    assert got == {0, 1, 2, 4, 5, 6, 7}
+    feed = snapshot_changes(spark, path, ["k"], v0, v3)
+    types = sorted((r.k, r._change_type) for r in feed.collect())
+    assert types == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (3, "delete"),
+    ]
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_delete(
+            spark, path, spark.createDataFrame([(0,)], "k long"), ["k"]
+        )
+    before = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    v = snapshot_compact(spark, path)
+    m = _manifest(path, v)
+    assert "deletes" not in m and "eq_deletes" not in m
+    assert "file_seq" not in m
+    assert {(r.k, r.v) for r in snapshot_read(spark, path).collect()} == before
+    # vector and tombstone files retire once only clean versions remain
+    vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert {(r.k, r.v) for r in snapshot_read(spark, path).collect()} == before

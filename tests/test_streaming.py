@@ -1632,3 +1632,78 @@ def test_streaming_postings_index_equals_rebuild(spark, tmp_path):
     )
     assert dfreq.exceptAll(want_df).count() == 0
     assert want_df.exceptAll(dfreq).count() == 0
+
+
+def test_streaming_cdc_eq_sink_applies_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The MoR DML family's streaming twin (streaming_cdc_eq_sink):
+    each micro-batch reduces latest-wins per key, then commits
+    tombstones (snapshot_delete_eq) and upserts (snapshot_upsert_eq)
+    with ZERO reads of the target — and a replayed batch leaves
+    content unchanged."""
+    import datetime as dt
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_read,
+    )
+    from end_to_end_data_engineering_pipeline_spark.streaming.windows import (
+        streaming_cdc_eq_sink,
+    )
+
+    src = str(tmp_path / "cdc")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long, op string"
+    t0 = dt.datetime(2026, 1, 1)
+
+    def run(ckpt_dir):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_cdc_eq_sink(
+            stream, spark, target, ["k"], "seq", "op", ckpt_dir
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 1: inserts for k=1..3, plus an intra-batch correction of
+    # k=2 (seq 2 beats seq 1) and an upsert+delete exact tie on k=3
+    # (delete wins the tie)
+    spark.createDataFrame(
+        [
+            (1, "a", 1, "upsert"),
+            (2, "b", 1, "upsert"),
+            (2, "b2", 2, "upsert"),
+            (3, "c", 1, "upsert"),
+            (3, None, 2, "delete"),
+            (3, "c2", 2, "upsert"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(ckpt)
+    got = {(r.k, r.v) for r in snapshot_read(spark, target).collect()}
+    assert got == {(1, "a"), (2, "b2")}
+
+    # batch 2: delete k=1, re-insert k=3, update k=2
+    spark.createDataFrame(
+        [
+            (1, None, 3, "delete"),
+            (3, "c3", 3, "upsert"),
+            (2, "b3", 3, "upsert"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(ckpt)
+    got = {(r.k, r.v) for r in snapshot_read(spark, target).collect()}
+    assert got == {(2, "b3"), (3, "c3")}
+
+    # replay BOTH batches from a fresh checkpoint (at-least-once
+    # delivery): content must be unchanged
+    run(str(tmp_path / "ckpt2"))
+    got = {(r.k, r.v) for r in snapshot_read(spark, target).collect()}
+    assert got == {(2, "b3"), (3, "c3")}
+
+    # ordinary maintenance materializes the accumulated tombstones
+    snapshot_compact(spark, target)
+    got = {(r.k, r.v) for r in snapshot_read(spark, target).collect()}
+    assert got == {(2, "b3"), (3, "c3")}
