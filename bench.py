@@ -198,6 +198,8 @@ HEADLINE: list[str] = [
     # equality deletes: zero-table-read commits, sequence-rule
     # re-insert, mixed-flavor compaction
     "p33_eq_delete_lifecycle",
+    # integer-exact PageRank, 3 Pregel-unrolled supersteps
+    "q94_pagerank_supply_graph",
 ]
 
 

@@ -62,10 +62,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # evolution commit), p31 (merge-on-read delete vectors), t51
 # (incremental postings maintenance), t52 (disjunctive search),
 # t53 (phrase search), t54 (exact-integer BM25), p32 (merge-on-read
-# upsert), p33 (equality deletes + sequence-rule re-insert) — then
-# the ENTIRE r7 band (37 queries, the stalest evidence after the
-# green r11 gate moved its 50 entries to r11) and the first 4 of
-# the r8 band in name order. Min registry freshness after a
+# upsert), p33 (equality deletes + sequence-rule re-insert), q94
+# (integer-exact PageRank) — then the ENTIRE r7 band (37 queries,
+# the stalest evidence after the green r11 gate moved its 50
+# entries to r11) and the first 3 of the r8 band in name order. Min registry freshness after a
 # green r12 = r8 for all but the 41 remaining r8 entries' complement
 # — i.e. the r7 band clears entirely, exactly the r11-verdict #3
 # target. New queries are appended here as they land, keeping the
@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "t54_bm25_search",
     "p32_mor_merge_lifecycle",
     "p33_eq_delete_lifecycle",
+    "q94_pagerank_supply_graph",
     # --- r7-validated (stalest evidence band, all 37) ---
     "p12_zorder_roundtrip",
     "p13_bucketed_colocated_join",
@@ -122,13 +123,12 @@ _PRIORITY: list[str] = [
     "t5_simhash",
     "t6_ngram_jaccard_pairs",
     "t8_top_terms_per_lang",
-    # --- r8-validated (next-stalest, first 4 in name order;
-    # m4/m5/e26/e27 yielded their slots to the r12-born
-    # p31/t54/p32/p33) ---
+    # --- r8-validated (next-stalest, first 3 in name order;
+    # m4/m5/e25/e26/e27 yielded their slots to the r12-born
+    # p31/t54/p32/p33/q94) ---
     "e22_skew_audit",
     "e23_hll_distinct_users",
     "e24_session_trigrams",
-    "e25_drift_table",
 ]
 
 

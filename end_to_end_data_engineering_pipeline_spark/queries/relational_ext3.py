@@ -1673,3 +1673,147 @@ def q93_corrupt_record_routing(
         F.round(F.sum("total"), 4).cast("double").alias("sum_total"),
         F.min("k").cast("long").alias("min_key"),
     )
+
+
+# Integer-exact PageRank: rank mass starts at SCALE // N per node and
+# every transfer is a floor division — (85 * pr) // (100 * deg) — so
+# three unrolled iterations produce bit-identical BIGINTs on both
+# engines (float PageRank would drift in ulps and fail the value
+# hash). The supply graph is bipartite supplier <-> part (both edge
+# directions recorded, so every node has out-degree >= 1 — no
+# dangling-mass term) with part ids offset by 1e9 into a disjoint key
+# space.
+_Q94_SCALE = 1_000_000_000_000_000
+
+
+def _q94_iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT n.node,
+             (SELECT tel FROM meta)
+               + COALESCE(SUM((85 * r.pr) // (100 * d.deg)), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN it{k - 1} r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node)"""
+
+
+_Q94_SQL = (
+    f"""
+    WITH fwd AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst
+      FROM lineitem),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION SELECT dst, src FROM fwd),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src),
+    meta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             (15 * {_Q94_SCALE}) // (100 * COUNT(*)) AS tel
+      FROM nodes),
+    it0 AS (
+      SELECT node, {_Q94_SCALE} // (SELECT n_nodes FROM meta) AS pr
+      FROM nodes),"""
+    + ",".join(_q94_iter_sql(k) for k in (1, 2, 3))
+    + """,
+    top AS (
+      SELECT node, pr FROM it3 ORDER BY pr DESC, node LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT)
+             AS rank,
+           node,
+           CASE WHEN node >= 1000000000 THEN 'part' ELSE 'supplier' END
+             AS node_type,
+           CAST(pr AS BIGINT) AS pr
+    FROM top
+    """
+)
+
+
+@query("q94_pagerank_supply_graph", oracle=_Q94_SQL)
+def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier<->part supply graph, EXACT: rank
+    mass is integer (SCALE // N per node) and every transfer is a
+    floor division, so three unrolled power iterations (d=0.85 as the
+    85/100 rational) produce bit-identical BIGINT ranks on both
+    engines — the same determinization strategy as t49's tf-idf and
+    t54's BM25, applied to an ITERATIVE graph algorithm (the floors
+    leak a little mass, identically on both sides; convergence
+    ordering is unaffected for a ranking query). The graph is
+    bipartite with both directions materialized, so out-degree >= 1
+    everywhere and the dangling-mass term vanishes by construction.
+
+    Plan shape is Pregel-unrolled-in-Catalyst: per iteration, one
+    shuffle join (edges keyed by src against the rank/degree
+    vectors) and one groupBy dst with map-side partial sums, then a
+    left join back onto the node set for the teleport floor. Ranks
+    and degrees co-partition on the node key across iterations, and
+    AQE reuses the edge exchange — at 100 TB this is exactly
+    GraphX/Pregel's per-superstep cost, expressed in DataFrame ops
+    with no driver-side iteration state (the loop unrolls at plan
+    time; 3 supersteps = importance-sampling depth for curation
+    weighting, not a convergence claim).
+
+    Reference parity: the reference has no graph surface; charter
+    extension (SURVEY §2.12) — the importance-weighting primitive a
+    training-data pipeline runs over its document/citation graph."""
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1000000000).cast("long").alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    meta = nodes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(
+        "n_nodes",
+        F.expr(f"(15 * {_Q94_SCALE}) div (100 * n_nodes)").alias("tel"),
+    )
+    r = nodes.crossJoin(F.broadcast(meta)).select(
+        "node", F.expr(f"{_Q94_SCALE} div n_nodes").alias("pr")
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst", F.expr("(85 * pr) div (100 * deg)").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(meta))
+            .join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.col("tel") + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    se = [F.col("pr").desc(), F.col("node")]
+    return (
+        r.orderBy(*se)
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(*se)).cast("long"),
+        )
+        .withColumn(
+            "node_type",
+            F.when(F.col("node") >= 1000000000, "part").otherwise(
+                "supplier"
+            ),
+        )
+        .select("rank", "node", "node_type", "pr")
+    )
