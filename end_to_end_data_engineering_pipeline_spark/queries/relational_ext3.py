@@ -1765,13 +1765,17 @@ def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("long").alias("src"),
         (F.col("l_partkey") + 1000000000).cast("long").alias("dst"),
     ).distinct()
+    # the reversed half lives in a DISJOINT key space (parts offset by
+    # 1e9), so the union needs no second distinct pass
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ).cache()  # referenced by every superstep — materialize once, not
+    # once per unrolled iteration (Catalyst shares exchanges, not
+    # whole distinct subplans)
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    ).cache()
     meta = nodes.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).select(
