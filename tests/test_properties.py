@@ -1027,3 +1027,128 @@ def test_partition_evolution_union_matches_bag_model(
             ).collect()
         )
         assert got_tag == Counter(r for r in all_rows if r[2] == "x")
+
+
+# --- merge-on-read DML model check -----------------------------------
+# Arbitrary interleavings of the whole MoR surface (plain appends,
+# position deletes, equality deletes, one-commit equality upserts,
+# MoR merges, materializing compactions) must match a multiset fold,
+# at the head AND at every time-travelable version. This is where
+# flavor interactions live (a position vector over a file an equality
+# tombstone also covers; a tombstone older than an appended file; a
+# compact in the middle of the history) — fixed fixtures can't
+# enumerate them.
+
+_MOR_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 5), st.integers(0, 9)
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("delete_mor"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("delete_eq"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("upsert_eq"),
+            st.lists(
+                st.tuples(st.integers(0, 5), st.integers(0, 9)),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda t: t[0],  # writer contract: key-unique
+            ),
+        ),
+        st.tuples(
+            st.just("merge_mor"),
+            st.lists(
+                st.tuples(st.integers(0, 5), st.integers(0, 9)),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(st.just("compact"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    derandomize=True,
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MOR_OPS)
+def test_mor_dml_interleavings_match_multiset_model(
+    spark, tmp_path_factory, ops
+):
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_eq,
+        snapshot_delete_mor,
+        snapshot_merge_mor,
+        snapshot_read,
+        snapshot_upsert_eq,
+        snapshot_write,
+    )
+
+    path = str(tmp_path_factory.mktemp("mor") / "t")
+
+    def df_rows(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def df_keys(keys):
+        return spark.createDataFrame([(k,) for k in keys], "k long")
+
+    # model: a multiset of (k, v) rows — every delete flavor removes
+    # ALL current rows with the key (equality deletes resolve to
+    # exactly this at apply time: mask everything older), upserts
+    # remove-then-add
+    model: list[tuple[int, int]] = [(0, 0), (1, 1)]
+    snapshot_write(spark, path, df_rows(model).repartition(2))
+    history = {0: sorted(model)}
+
+    for op, arg in ops:
+        if op == "append":
+            v = snapshot_write(spark, path, df_rows(arg), mode="append")
+            model = model + list(arg)
+        elif op == "delete_mor":
+            v = snapshot_delete_mor(spark, path, df_keys(arg), ["k"])
+            model = [(k, x) for k, x in model if k not in set(arg)]
+        elif op == "delete_eq":
+            v = snapshot_delete_eq(spark, path, df_keys(arg), ["k"])
+            model = [(k, x) for k, x in model if k not in set(arg)]
+        elif op in ("upsert_eq", "merge_mor"):
+            fn = snapshot_upsert_eq if op == "upsert_eq" else snapshot_merge_mor
+            v = fn(spark, path, df_rows(arg), ["k"])
+            ks = {k for k, _ in arg}
+            model = [(k, x) for k, x in model if k not in ks] + list(arg)
+        else:
+            v = snapshot_compact(spark, path)
+            # content-neutral; v may equal the previous version when
+            # there was nothing to do
+        got = sorted(
+            (r.k, r.v) for r in snapshot_read(spark, path).collect()
+        )
+        assert got == sorted(model), (op, arg)
+        history[v] = sorted(model)
+
+    # every retained version time-travels to its recorded state
+    for v, want in history.items():
+        got = sorted(
+            (r.k, r.v)
+            for r in snapshot_read(spark, path, version=v).collect()
+        )
+        assert got == want, f"version {v}"
