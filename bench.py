@@ -200,6 +200,9 @@ HEADLINE: list[str] = [
     "p33_eq_delete_lifecycle",
     # integer-exact PageRank, 3 Pregel-unrolled supersteps
     "q94_pagerank_supply_graph",
+    # incremental BM25 maintenance (base index is fixture_phase;
+    # operator = absorb increment + search)
+    "t55_bm25_incremental_index",
 ]
 
 

@@ -1022,3 +1022,68 @@ def postings_increment(
         ),
         mode="overwrite",
     )
+
+
+def bm25_increment(
+    spark: SparkSession,
+    store: str,
+    incr_docs: DataFrame,
+    broadcast: bool = True,
+) -> None:
+    """Incremental maintenance of a persisted BM25 index (t54's
+    layout: ``store/postings`` rows carry the document length,
+    ``store/meta`` carries corpus size AND total token count) — the
+    same never-re-tokenize contract as :func:`postings_increment`,
+    extended to the two corpus statistics BM25's length normalization
+    needs: the increment's posting rows (with their dl) APPEND (base
+    files carry by reference), per-term document-frequency deltas
+    MERGE through the keyed CoW (only touched vocabulary files
+    rewrite), and meta recomputes as old + increment (one 1-row
+    overwrite — n_docs grows by the increment's doc count, tl by its
+    token count). Increment doc_ids must be NEW documents (same
+    contract as postings_increment; updating a document is
+    delete+reinsert, a different operation). Post-append searches
+    must be indistinguishable from a full rebuild — pinned by the
+    t55 driver hash (oracle = t54's chain over the COMPOSED corpus)
+    and tests/test_textops.py's append-equals-rebuild pin."""
+    from ..operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    incr_tf = tokenize_tf(incr_docs)
+    dl = incr_tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    snapshot_write(
+        spark, store + "/postings", incr_tf.join(dl, "doc_id"),
+        mode="append",
+    )
+    incr_df = incr_tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df_inc")
+    )
+    old = snapshot_read(spark, store + "/dfreq")
+    upd = incr_df.join(old, "w", "left").select(
+        "w",
+        (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+        .cast("long")
+        .alias("df"),
+    )
+    snapshot_merge(
+        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
+    )
+    inc_meta = incr_docs.agg(
+        F.count(F.lit(1)).cast("long").alias("dn")
+    ).crossJoin(
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dtl"))
+    )
+    new_meta = (
+        snapshot_read(spark, store + "/meta")
+        .crossJoin(F.broadcast(inc_meta))
+        .select(
+            (F.col("n_docs") + F.col("dn")).cast("long").alias("n_docs"),
+            (F.col("tl") + F.col("dtl")).cast("long").alias("tl"),
+        )
+    )
+    snapshot_write(spark, store + "/meta", new_meta, mode="overwrite")

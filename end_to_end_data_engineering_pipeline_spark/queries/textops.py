@@ -3831,3 +3831,69 @@ def t54_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query("t55_bm25_incremental_index", oracle=_T54_SQL)
+def t55_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the BM25 index — t54's build-once
+    story absorbed a crawl batch the way t51 did for t50: the base
+    corpus (doc_id % 5 != 0) is indexed as the fixture, then the
+    increment (the % 5 == 0 slice) lands through
+    operators/text.py:bm25_increment — tokenize ONLY the increment,
+    APPEND its posting rows (base files carry by reference),
+    CoW-merge the per-term df deltas (only touched vocabulary files
+    rewrite), and roll the two corpus statistics BM25 needs (n_docs,
+    total tokens) forward as one 1-row overwrite. The oracle is
+    t54's chain over the WHOLE corpus verbatim: the hash holds only
+    if the incremented index is bit-indistinguishable from a full
+    rebuild — a stale df, a missed dl, or a drifted tl all shift the
+    integer scores. At 100 TB a daily batch costs the increment's
+    tokenize plus the touched vocab slice, never a corpus re-index —
+    and the length-normalization statistics stay exact, where a
+    production system would let avgdl drift and re-anchor at the
+    next rebuild."""
+    import shutil
+    import tempfile
+
+    from ..catalog import pin_result
+    from ..operators.snapshots import snapshot_read, snapshot_write
+    from ..operators.text import bm25_increment, tokenize_tf
+    from .benchmeta import fixture_phase
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    incr = docs.where(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="t55_idx_")
+    try:
+        with fixture_phase():  # the pre-existing index is the fixture
+            tf = tokenize_tf(base)
+            dl = tf.groupBy("doc_id").agg(
+                F.sum("tf").cast("long").alias("dl")
+            )
+            snapshot_write(spark, tmp + "/postings", tf.join(dl, "doc_id"))
+            snapshot_write(
+                spark,
+                tmp + "/dfreq",
+                tf.groupBy("w").agg(
+                    F.count(F.lit(1)).cast("long").alias("df")
+                ),
+            )
+            snapshot_write(
+                spark,
+                tmp + "/meta",
+                base.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs")
+                ).crossJoin(tf.agg(F.sum("tf").cast("long").alias("tl"))),
+            )
+        # the operator under test: absorb the increment, then search
+        bm25_increment(spark, tmp, incr)
+        out = search_bm25(
+            snapshot_read(spark, tmp + "/postings"),
+            snapshot_read(spark, tmp + "/dfreq"),
+            snapshot_read(spark, tmp + "/meta"),
+            _T54_TERMS,
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

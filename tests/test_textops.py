@@ -991,3 +991,76 @@ def test_postings_increment_equals_rebuild(spark, sf_dir, tmp_path):
     assert snapshot_read(spark, store + "/meta").collect()[0].n_docs == (
         docs.count()
     )
+
+
+def test_bm25_increment_equals_rebuild(spark, sf_dir, tmp_path):
+    """bm25_increment on a SECOND split (%3, not the driver query's
+    %5): the incremented postings (with dl), dfreq, AND both corpus
+    statistics (n_docs, tl) must be row-identical to a full rebuild,
+    base postings files must carry by reference, and the BM25 top-k
+    served from the incremented index must equal the rebuilt one."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bm25_increment,
+        tokenize_tf,
+    )
+    from end_to_end_data_engineering_pipeline_spark.queries.textops import (
+        search_bm25,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    incr = docs.where(F.col("doc_id") % 3 == 0)
+    store = str(tmp_path / "idx")
+
+    def build(target, corpus):
+        tf = tokenize_tf(corpus)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        snapshot_write(spark, target + "/postings", tf.join(dl, "doc_id"))
+        snapshot_write(
+            spark,
+            target + "/dfreq",
+            tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        )
+        snapshot_write(
+            spark,
+            target + "/meta",
+            corpus.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ).crossJoin(tf.agg(F.sum("tf").cast("long").alias("tl"))),
+        )
+
+    build(store, base)
+    base_files = set(_manifest(store + "/postings", 0)["files"])
+    bm25_increment(spark, store, incr)
+    m1 = _manifest(store + "/postings", 1)
+    assert base_files <= set(m1["files"])  # never re-tokenized
+
+    full = str(tmp_path / "full")
+    build(full, docs)
+    for table in ("/postings", "/dfreq", "/meta"):
+        got = snapshot_read(spark, store + table)
+        want = snapshot_read(spark, full + table)
+        assert got.exceptAll(want).count() == 0, table
+        assert want.exceptAll(got).count() == 0, table
+
+    terms = ("query", "join", "batch")
+    got_top = search_bm25(
+        snapshot_read(spark, store + "/postings"),
+        snapshot_read(spark, store + "/dfreq"),
+        snapshot_read(spark, store + "/meta"),
+        terms,
+    ).collect()
+    want_top = search_bm25(
+        snapshot_read(spark, full + "/postings"),
+        snapshot_read(spark, full + "/dfreq"),
+        snapshot_read(spark, full + "/meta"),
+        terms,
+    ).collect()
+    assert [tuple(r) for r in got_top] == [tuple(r) for r in want_top]
