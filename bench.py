@@ -203,6 +203,9 @@ HEADLINE: list[str] = [
     # incremental BM25 maintenance (base index is fixture_phase;
     # operator = absorb increment + search)
     "t55_bm25_incremental_index",
+    # partitioned merge-on-read delete: scatter + day-pruned vector
+    # commits, pruned masked reads, per-partition materialization
+    "p34_mor_partitioned_delete",
 ]
 
 

@@ -434,6 +434,28 @@ def _apply_deletes(
     return tagged.select(*cols)
 
 
+def _mask_positions(
+    spark: SparkSession, path: str, m: dict, df: DataFrame,
+    files: list[str],
+) -> DataFrame:
+    """Anti-join a frame that already carries ``__file``/``__pos``
+    scan tags against the manifest's position-delete vectors
+    (restricted to ``files``). Pass-through when the manifest has no
+    vectors; callers drop the tags afterwards. The partitioned-read
+    complement of :func:`_apply_deletes`."""
+    from pyspark.sql import functions as F
+
+    dv = _dv_frame(spark, path, m, files)
+    if dv is None:
+        return df
+    return df.join(
+        F.broadcast(dv),
+        (F.col("__file") == F.col("__dv_file"))
+        & (F.col("__pos") == F.col("__dv_pos")),
+        "left_anti",
+    )
+
+
 def _dv_affected_files(spark: SparkSession, path: str, m: dict) -> list[str]:
     """The live data files that have at least one delete-vector
     position — the exact rewrite set for materialization. One
@@ -498,6 +520,7 @@ def _attach_partition_col(
     files: list[str],
     col: str | None = None,
     ctype: str | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """ONE scan over ``files`` with the manifest's partition column
     re-attached via a broadcast (file basename -> value) join — the
@@ -521,7 +544,14 @@ def _attach_partition_col(
     parts = m["partitions"]
     base = _reader(spark, m, drop=(part_col,)).parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
-    ).withColumn(
+    )
+    if with_pos:
+        # physical row ordinal for merge-on-read position deletes —
+        # must be selected AT the scan (callers drop it with __file)
+        base = base.select(
+            "*", F.col("_metadata.row_index").alias("__pos")
+        )
+    base = base.withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     mapping = spark.createDataFrame(
@@ -1294,6 +1324,14 @@ def snapshot_changes(
             m_eff = dict(m_parts)
             if "schema" in m_sch:
                 m_eff["schema"] = m_sch["schema"]
+            if m_eff.get("deletes"):
+                # apply THIS side's position vectors (same rule as
+                # the plain branch below)
+                df = _attach_partition_col(
+                    spark, path, m_eff, files, with_pos=True
+                )
+                df = _mask_positions(spark, path, m_eff, df, files)
+                return df.drop("__file", "__pos")
             df = _attach_partition_col(spark, path, m_eff, files)
             return df.drop("__file")
         # plain manifest: apply THIS side's delete vectors (restricted
@@ -1452,7 +1490,20 @@ def snapshot_compact(
             }
         affected = sorted(affected)
         new_names: list[str] = []
-        if affected:
+        new_parts: dict[str, str] = {}
+        if affected and m.get("part_col"):
+            # partitioned: restage the purged survivors through
+            # partitionBy so every output file keeps one partition
+            # value and the manifest map stays prunable
+            purged = _attach_partition_col(
+                spark, path, m, affected, with_pos=True
+            )
+            purged = _mask_positions(spark, path, m, purged, affected)
+            purged = purged.drop("__file", "__pos")
+            new_names, new_parts = _stage_partitioned(
+                spark, path, purged, m["part_col"]
+            )
+        elif affected:
             sizes = {
                 f: os.path.getsize(os.path.join(_data_dir(path), f))
                 for f in affected
@@ -1471,10 +1522,18 @@ def snapshot_compact(
             "committed_at": time.time(),
             "files": keep + new_names,
         }
+        if m.get("part_col"):
+            manifest["part_col"] = m["part_col"]
+            manifest["part_type"] = m["part_type"]
+            manifest["partitions"] = {
+                **{f: m["partitions"][f] for f in keep},
+                **new_parts,
+            }
+            manifest["extra"] = m.get("extra", {})
+        elif "extra" in m:
+            manifest["extra"] = m["extra"]
         if "schema" in m:
             manifest["schema"] = m["schema"]
-        if "extra" in m:
-            manifest["extra"] = m["extra"]
         return _claim(path, base_version + 1, manifest, "compaction")
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -1735,6 +1794,11 @@ def snapshot_write_partitioned(
                 part_type=part_type,
                 partitions=parts,
             )
+        if mode == "append" and prev is not None and pm.get("deletes"):
+            # merge-on-read position vectors stay in force over the
+            # carried files (the appended files have no positions in
+            # them); dropping the list would resurrect deleted rows
+            manifest["deletes"] = pm["deletes"]
         version = 0 if prev is None else prev + 1
         manifest["version"] = version
         if prev_schema is not None:
@@ -1858,6 +1922,12 @@ def snapshot_read_partitioned(
             "*", f"CAST(NULL AS {part_type}) AS {part_col}"
         )
         return base.where(F.lit(False))
+    if m.get("deletes"):
+        # merge-on-read over the PRUNED file list: vectors for files
+        # the manifest pruned away never load
+        out = _attach_partition_col(spark, path, m, live, with_pos=True)
+        out = _mask_positions(spark, path, m, out, live)
+        return out.drop("__file", "__pos")
     return _attach_partition_col(spark, path, m, live).drop("__file")
 
 
@@ -2144,12 +2214,17 @@ def snapshot_delete_mor(
     Successive MoR deletes accumulate vector files; positions already
     deleted are excluded from the new vectors (an anti-join against
     the in-force set), so re-deleting a key is an empty commit, not
-    vector bloat. Plain-flavor manifests only — partitioned /
-    range-clustered / bloom-indexed tables take the CoW path, which
-    preserves their pruning metadata (raises loudly here).
+    vector bloat. Works on plain AND hive-partitioned manifests —
+    for a partitioned table the position scan is itself
+    MANIFEST-PRUNED when the delete is keyed on the partition column
+    (a day-keyed GDPR sweep on a 10-year table locates positions in
+    one day's files), the partition map carries untouched, and
+    pruned reads apply only the vectors of the files they open.
+    Range-clustered / bloom-indexed tables take the CoW path, which
+    preserves their pruning stats (raises loudly here).
     merge/delete-CoW on a vectored table raise until compaction
     materializes (rewriting from raw rows would resurrect deleted
-    positions); plain appends and restores carry vectors intact.
+    positions); appends and restores carry vectors intact.
     Returns the new version; raises SnapshotConflict on a concurrent
     commit.
 
@@ -2164,7 +2239,7 @@ def snapshot_delete_mor(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+    for flavor in ("specs", "stats_col", "bloom"):
         if flavor in m:
             raise ValueError(
                 f"merge-on-read delete on a {flavor!r} manifest is not "
@@ -2173,15 +2248,34 @@ def snapshot_delete_mor(
                 "preserves the flavor"
             )
     files = list(m["files"])
+    part_col = m.get("part_col")
+    # manifest pruning of the POSITION SCAN itself: a part_col-keyed
+    # delete bounds the candidate files to its partitions (the same
+    # rule as _cow_commit) — a day-keyed GDPR sweep on a 10-year
+    # table scans one day's files to locate positions, not the table
+    cand = files
+    if part_col and files and part_col in keys:
+        vals = {
+            _hive_part_str(r[part_col])
+            for r in delete_keys.select(part_col).distinct().collect()
+        }
+        cand = [f for f in files if m["partitions"][f] in vals]
     new_dv: list[str] = []
-    if files:
-        data = _reader(spark, m).parquet(
-            *[os.path.join(_data_dir(path), f) for f in files]
-        ).select(
-            *keys,
-            F.col("_metadata.file_name").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-        )
+    if cand:
+        if part_col:
+            data = _attach_partition_col(
+                spark, path, m, cand, with_pos=True
+            ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
+                "__pos", "__dv_pos"
+            )
+        else:
+            data = _reader(spark, m).parquet(
+                *[os.path.join(_data_dir(path), f) for f in cand]
+            ).select(
+                "*",
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         mk = delete_keys.select(*keys).distinct()
         if broadcast_keys:
             mk = F.broadcast(mk)
@@ -2204,6 +2298,10 @@ def snapshot_delete_mor(
         "files": files,
         "deletes": (m.get("deletes") or []) + new_dv,
     }
+    if part_col:
+        manifest["part_col"] = part_col
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = m["partitions"]
     if m.get("eq_deletes"):
         manifest["eq_deletes"] = m["eq_deletes"]
     if m.get("file_seq") is not None:

@@ -2665,3 +2665,126 @@ def p33_eq_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p34_mor_partitioned_delete",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             event_type, user_id, value
+      FROM events
+    ),
+    after_user AS (
+      SELECT * FROM ev WHERE NOT (user_id % 37 = 5)
+    ),
+    after_day AS (
+      SELECT * FROM after_user WHERE d <> '2024-01-03'
+    ),
+    probes AS (
+      SELECT 'after_user_delete' AS probe, user_id, value FROM after_user
+      UNION ALL SELECT 'after_day_delete', user_id, value FROM after_day
+      UNION ALL SELECT 'pruned_day', user_id, value
+        FROM after_day WHERE d = '2024-01-07'
+      UNION ALL SELECT 'time_travel', user_id, value FROM ev
+      UNION ALL SELECT 'purged', user_id, value FROM after_day
+    )
+    SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM probes GROUP BY probe
+    """,
+)
+def p34_mor_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE on a HIVE-PARTITIONED table — the GDPR
+    case at 100 TB (operators/snapshots.py:snapshot_delete_mor on a
+    part_col manifest): a user-keyed delete scatters across every
+    day partition, where CoW would restage every touched file; here
+    it commits position vectors only, with the partition map carried
+    untouched. A second, DAY-keyed delete exercises the manifest
+    pruning of the position scan itself (candidate files bounded to
+    that day's partition — pinned structurally in
+    tests/test_snapshots.py: the vectors reference only that
+    partition's files). Five hash-pinned probes: the masked read
+    after each delete, a PRUNED read of an untouched day (manifest
+    pruning and vector masking compose — the read opens one day's
+    data files plus vectors), the untouched time-travel version, and
+    the post-compaction read (materialization restages per partition,
+    so the map stays prunable — content-neutral under the hash).
+
+    Reference parity: the reference's retention DELETE runs in
+    Postgres (transformation/clean_data.py); this is the same
+    mask-now-reclaim-later MVCC contract with the partition layout
+    preserved."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p34_mor_")
+    store = tmp + "/events"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the partitioned table
+            v0 = snapshot_write_partitioned(spark, store, ev, "d")
+        users = ev.where(F.col("user_id") % 37 == 5).select(
+            "user_id"
+        ).distinct()
+        v1 = snapshot_delete_mor(spark, store, users, ["user_id"])
+        days = spark.createDataFrame([("2024-01-03",)], "d string")
+        v2 = snapshot_delete_mor(spark, store, days, ["d"])
+        snapshot_compact(spark, store)
+        out = (
+            _agg(
+                snapshot_read_partitioned(spark, store, version=v1),
+                "after_user_delete",
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v2),
+                    "after_day_delete",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(
+                        spark, store, values=["2024-01-07"], version=v2
+                    ),
+                    "pruned_day",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v0),
+                    "time_travel",
+                )
+            )
+            .unionByName(
+                _agg(snapshot_read_partitioned(spark, store), "purged")
+            )
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -2401,25 +2401,26 @@ def test_mor_vacuum_retains_then_reclaims_vector_files(spark, tmp_path):
 
 
 def test_mor_refuses_flavored_manifests_and_appends_carry(spark, tmp_path):
-    """MoR is plain-flavor only (pruned flavors take CoW, which
-    preserves their metadata); plain appends carry vectors in force,
-    and a bloom upgrade refuses rather than dropping them."""
+    """MoR position deletes work on plain and partitioned manifests;
+    range-clustered tables still take CoW (refused loudly here),
+    plain appends carry vectors in force, and a bloom upgrade refuses
+    rather than dropping them."""
     from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
         snapshot_delete_mor,
         snapshot_write_bloom,
-        snapshot_write_partitioned,
+        snapshot_write_sorted,
     )
 
-    part = str(tmp_path / "part")
-    snapshot_write_partitioned(
+    sorted_t = str(tmp_path / "sorted")
+    snapshot_write_sorted(
         spark,
-        part,
-        spark.createDataFrame([(1, 0)], "k long, cell int").repartition(1),
-        "cell",
+        sorted_t,
+        spark.createDataFrame([(1, 5)], "k long, s long").repartition(1),
+        "s",
     )
-    with pytest.raises(ValueError, match="part_col"):
+    with pytest.raises(ValueError, match="stats_col"):
         snapshot_delete_mor(
-            spark, part, spark.createDataFrame([(1,)], "k long"), ["k"]
+            spark, sorted_t, spark.createDataFrame([(1,)], "k long"), ["k"]
         )
 
     path = str(tmp_path / "t")
@@ -2673,3 +2674,96 @@ def test_eq_upsert_single_commit_and_mixed_flavors_compact(spark, tmp_path):
     # vector and tombstone files retire once only clean versions remain
     vacuum(path, keep_last=1, retention_seconds=0.0)
     assert {(r.k, r.v) for r in snapshot_read(spark, path).collect()} == before
+
+
+def test_mor_partitioned_delete_prunes_and_carries_map(spark, tmp_path):
+    """Position deletes on a hive-partitioned manifest: the vector
+    commit manifest-prunes its position scan when keyed on the
+    partition column (every recorded position lives in that
+    partition's files), the partition map carries untouched, pruned
+    reads open only their partition's data files plus the vectors,
+    and compaction materializes per-partition (map stays prunable)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _dv_frame,
+        _manifest,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "k long, cell int, v string",
+    ).repartition(2)
+    v0 = snapshot_write_partitioned(spark, path, df, "cell")
+    m0 = _manifest(path, v0)
+
+    # partition-keyed delete: vectors must reference ONLY cell=1 files
+    v1 = snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(1,)], "cell int"), ["cell"]
+    )
+    m1 = _manifest(path, v1)
+    assert m1["files"] == m0["files"]
+    assert m1["partitions"] == m0["partitions"]
+    cell1_files = {f for f, p in m1["partitions"].items() if p == "1"}
+    dv = _dv_frame(spark, path, m1)
+    assert {
+        r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
+    } <= cell1_files
+    assert snapshot_read_partitioned(spark, path).count() == 20
+    assert (
+        snapshot_read_partitioned(spark, path, values=[1]).count() == 0
+    )
+
+    # a pruned read of an untouched partition opens no other
+    # partition's DATA files (vector files may ride along)
+    r2 = snapshot_read_partitioned(spark, path, values=[2])
+    opened = {fp.rsplit("/", 1)[-1] for fp in r2.inputFiles()}
+    other_data = {
+        f for f, p in m1["partitions"].items() if p not in ("2",)
+    }
+    assert not (opened & other_data)
+    assert r2.count() == 10
+
+    # row-keyed delete over all partitions composes
+    v2 = snapshot_delete_mor(
+        spark, path, spark.createDataFrame([(0,), (5,)], "k long"), ["k"]
+    )
+    assert snapshot_read_partitioned(spark, path).count() == 18
+    assert snapshot_read_partitioned(spark, path, version=v0).count() == 30
+
+    # the feed over the span reports exactly the deleted rows
+    feed = snapshot_changes(spark, path, ["k"], v0, v2)
+    got = {(r.k, r._change_type) for r in feed.collect()}
+    assert got == {(k, "delete") for k in range(30) if k % 3 == 1} | {
+        (0, "delete"),
+        (5, "delete"),
+    }
+
+    # append carries vectors; compact materializes per-partition
+    snapshot_write_partitioned(
+        spark,
+        path,
+        spark.createDataFrame([(100, 1, "new")], "k long, cell int, v string"),
+        "cell",
+        mode="append",
+    )
+    before = {
+        (r.k, r.cell, r.v)
+        for r in snapshot_read_partitioned(spark, path).collect()
+    }
+    assert (100, 1, "new") in before and len(before) == 19
+    v4 = snapshot_compact(spark, path)
+    m4 = _manifest(path, v4)
+    assert "deletes" not in m4 and m4["part_col"] == "cell"
+    assert {
+        (r.k, r.cell, r.v)
+        for r in snapshot_read_partitioned(spark, path).collect()
+    } == before
+    # vacuum retires the vector files once only clean versions remain
+    dv_files = set(_manifest(path, v2)["deletes"])
+    deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
+    assert dv_files <= set(deleted)
