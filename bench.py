@@ -206,6 +206,10 @@ HEADLINE: list[str] = [
     # partitioned merge-on-read delete: scatter + day-pruned vector
     # commits, pruned masked reads, per-partition materialization
     "p34_mor_partitioned_delete",
+    # search served from INCREMENTED indexes (t51's maintenance
+    # composed with OR-ranking / phrase adjacency)
+    "t56_incremented_disjunctive_search",
+    "t57_incremented_phrase_search",
 ]
 
 

@@ -64,9 +64,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # t53 (phrase search), t54 (exact-integer BM25), p32 (merge-on-read
 # upsert), p33 (equality deletes + sequence-rule re-insert), q94
 # (integer-exact PageRank), t55 (incremental BM25 maintenance),
-# p34 (partitioned MoR delete) — then the ENTIRE r7 band (37
-# queries, the stalest evidence after the green r11 gate moved its
-# 50 entries to r11) and the first 1 of the r8 band in name order. Min registry freshness after a
+# p34 (partitioned MoR delete), t56/t57 (disjunctive/phrase search
+# from the incremented index) — 14 in all — then 36 of the 37-query
+# r7 band (the stalest evidence after the green r11 gate; p12 waits
+# one round). Min registry freshness after a
 # green r12 = r8 for all but the 41 remaining r8 entries' complement
 # — i.e. the r7 band clears entirely, exactly the r11-verdict #3
 # target. New queries are appended here as they land, keeping the
@@ -88,8 +89,11 @@ _PRIORITY: list[str] = [
     "q94_pagerank_supply_graph",
     "t55_bm25_incremental_index",
     "p34_mor_partitioned_delete",
-    # --- r7-validated (stalest evidence band, all 37) ---
-    "p12_zorder_roundtrip",
+    "t56_incremented_disjunctive_search",
+    "t57_incremented_phrase_search",
+    # --- r7-validated (stalest evidence band, 36 of 37: p12 waits
+    # one round — the 14 r12-born never-validated entries take
+    # precedence, and the r8 band cleared its slots entirely) ---
     "p13_bucketed_colocated_join",
     "p1_flatten_roundtrip",
     "p2_dim_date_build",
@@ -126,10 +130,6 @@ _PRIORITY: list[str] = [
     "t5_simhash",
     "t6_ngram_jaccard_pairs",
     "t8_top_terms_per_lang",
-    # --- r8-validated (next-stalest, first 1 in name order;
-    # m4/m5/e23-e27 yielded their slots to the r12-born
-    # p31/t54/p32/p33/q94/t55/p34) ---
-    "e22_skew_audit",
 ]
 
 

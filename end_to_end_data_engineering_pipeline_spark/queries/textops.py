@@ -3897,3 +3897,169 @@ def t55_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_T56_TERMS = ("stream", "filter", "table")
+
+_T56_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE LENGTH(w) >= 2 GROUP BY w, doc_id),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(tf.tf * ((n.n_docs * 1000000) // dfreq.df))
+                  AS BIGINT) AS score
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+      WHERE tf.w IN {str(tuple(_T56_TERMS))}
+      GROUP BY tf.doc_id),
+    top AS (
+      SELECT doc_id, n_matched, score
+      FROM scored
+      ORDER BY n_matched DESC, score DESC, doc_id LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER
+                (ORDER BY n_matched DESC, score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, n_matched, score
+    FROM top
+    """
+
+
+@query("t56_incremented_disjunctive_search", oracle=_T56_SQL)
+def t56_incremented_disjunctive_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-scored search served from an INCREMENTED postings index —
+    t51's maintenance composed with t52's ranking: the base corpus
+    (doc_id % 5 != 0) indexes as the fixture, postings_increment
+    absorbs the %5 slice, and the disjunctive query runs purely from
+    the persisted index. The oracle is the inline chain over the
+    COMPOSED corpus — the matched-term tier makes this strictly
+    harsher than t51's conjunctive check (a stale df on ANY of the
+    three terms reorders the n_matched-then-score ranking)."""
+    import shutil
+    import tempfile
+
+    from ..catalog import pin_result
+    from ..operators.snapshots import snapshot_read, snapshot_write
+    from ..operators.text import postings_increment, tokenize_tf
+    from .benchmeta import fixture_phase
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    incr = docs.where(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="t56_idx_")
+    try:
+        with fixture_phase():
+            tf = tokenize_tf(base)
+            snapshot_write(spark, tmp + "/postings", tf)
+            snapshot_write(
+                spark,
+                tmp + "/dfreq",
+                tf.groupBy("w").agg(
+                    F.count(F.lit(1)).cast("long").alias("df")
+                ),
+            )
+            snapshot_write(
+                spark,
+                tmp + "/meta",
+                base.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+            )
+        postings_increment(
+            spark,
+            tmp,
+            incr,
+            docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")),
+        )
+        out = search_disjunctive(
+            snapshot_read(spark, tmp + "/postings"),
+            snapshot_read(spark, tmp + "/dfreq"),
+            snapshot_read(spark, tmp + "/meta"),
+            _T56_TERMS,
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_T57_PHRASE = ("data", "quality")
+
+_T57_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS w,
+             generate_subscripts(
+               regexp_split_to_array(LOWER(text), '[^a-z]+'), 1) - 1
+               AS pos
+      FROM documents),
+    pos AS (SELECT doc_id, w, pos FROM toks WHERE LENGTH(w) >= 2),
+    ph AS (
+      SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = '{_T57_PHRASE[0]}' AND b.w = '{_T57_PHRASE[1]}'
+      GROUP BY a.doc_id),
+    top AS (
+      SELECT doc_id, n_occ FROM ph
+      ORDER BY n_occ DESC, doc_id LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, n_occ
+    FROM top
+    """
+
+
+@query("t57_incremented_phrase_search", oracle=_T57_SQL)
+def t57_incremented_phrase_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phrase search served from an INCREMENTED positions index: the
+    positions table (doc_id, w, pos) is the one index whose increment
+    needs NO merge at all — token offsets are per-document, so a new
+    document's rows simply APPEND (base files carry by reference; no
+    df, no corpus statistic). The base corpus indexes as the fixture,
+    the %5 slice appends, and t53's adjacency self-join runs from the
+    persisted table with both term predicates pushed into the scan.
+    Oracle = the inline positions chain over the composed corpus."""
+    import shutil
+    import tempfile
+
+    from ..catalog import pin_result
+    from ..operators.snapshots import snapshot_read, snapshot_write
+    from .benchmeta import fixture_phase
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    incr = docs.where(F.col("doc_id") % 5 == 0)
+
+    def positions_of(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("pos", "w"),
+        ).where(F.length("w") >= 2)
+
+    tmp = tempfile.mkdtemp(prefix="t57_idx_")
+    try:
+        with fixture_phase():
+            snapshot_write(spark, tmp + "/positions", positions_of(base))
+        # the increment: one plain append, base files by reference
+        snapshot_write(
+            spark, tmp + "/positions", positions_of(incr), mode="append"
+        )
+        out = search_phrase(
+            snapshot_read(spark, tmp + "/positions"), *_T57_PHRASE
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
