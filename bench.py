@@ -233,7 +233,14 @@ BENCH_PROTOCOL = 2
 # ~1.185x inflation would seed best-of-history HIGH for the 4 keys
 # born that round (p27/t49/t50/p28) and loosen their gates forever.
 # The r12 clean re-anchor run supersedes it (r11 verdict ask #2).
-CONTAMINATED_ROUNDS: set[int] = {11}
+# r12's driver run self-adjudicates as contended via its own inline
+# host telemetry (h.pre=[2.4% steal, anchor 3.44], h.post=[1.5%,
+# 3.46] — both anchors under the 3.9 clean threshold), so by the
+# same rule its numbers are not anchor material either: the 14 keys
+# born that round (p29-p34, t51-t57, q94) re-anchor from the first
+# clean run rather than seeding best-of-history 10-40% high
+# (r12 verdict ask #1).
+CONTAMINATED_ROUNDS: set[int] = {11, 12}
 
 
 def _host_probe(seconds: float = 3.0) -> tuple[float, float]:

@@ -56,10 +56,28 @@ def test_prior_bench_loads_best_of_history():
                 if key not in best or t < best[key]:
                     best[key] = t
     assert prior == {**best_old, **best_cur}
-    # the r11 driver run was taken under measured host steal
-    # (CONTAMINATED_ROUNDS): keys whose ONLY history is that run must
-    # have no anchor at all — they re-anchor from the first clean run
-    for key in ("p27", "t49", "t50", "p28", "m8", "m9", "t48"):
+    # contaminated driver runs (measured host steal) are never anchor
+    # material: keys whose ONLY history is contaminated rounds must
+    # have no anchor at all — they re-anchor from the first clean run.
+    # Derive the key set from the files rather than hard-coding it so
+    # a new BENCH_r{N}.json landing post-commit can't invalidate the
+    # assertion (r12 verdict ask #1).
+    contaminated_only: set[str] = set()
+    clean_keys: set[str] = set()
+    for f in glob.glob(os.path.join(_here, "BENCH_r*.json")):
+        d = json.load(open(f))
+        rnd = int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
+        if d.get("rc") != 0 or d.get("sf") != 0.1:
+            continue
+        keys = {
+            bench._short(n)
+            for n in (d.get("parsed") or {}).get("queries", {})
+        }
+        if rnd in bench.CONTAMINATED_ROUNDS:
+            contaminated_only |= keys
+        else:
+            clean_keys |= keys
+    for key in contaminated_only - clean_keys:
         assert key not in prior
 
 
