@@ -368,6 +368,39 @@ def _dv_frame(
     return dv
 
 
+# Broadcast hints on delete-vector / tombstone frames are SIZE-GATED:
+# position vectors grow O(deleted rows) between compactions, so an
+# unconditional hint would turn a mass delete (the GDPR sweep the MoR
+# docstrings advertise) into a multi-GB broadcast that hits Spark's
+# broadcast ceiling / driver memory at 100 TB instead of degrading to
+# a shuffle join. The vectors are manifest-listed parquet files — one
+# stat() each prices the hint exactly, no row count needed. 64 MB of
+# compressed (file, pos) parquet expands to a few hundred MB pinned
+# per executor — comfortably broadcastable; past it, the plain
+# shuffled anti-join on (__dv_file, __dv_pos) is the right plan.
+DV_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _hint_if_small(
+    df: DataFrame, path: str, files: list[str]
+) -> DataFrame:
+    """``F.broadcast(df)`` when the manifest-listed ``files`` backing
+    it total under :data:`DV_BROADCAST_MAX_BYTES` on disk, else ``df``
+    unhinted (AQE may still choose a broadcast from runtime stats —
+    the gate only removes the unconditional FORCE)."""
+    from pyspark.sql import functions as F
+
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(os.path.join(_data_dir(path), f))
+        except OSError:
+            return df  # unknown size: never force the broadcast
+        if total > DV_BROADCAST_MAX_BYTES:
+            return df
+    return F.broadcast(df)
+
+
 def _apply_deletes(
     spark: SparkSession, path: str, m: dict, files: list[str]
 ) -> DataFrame:
@@ -377,8 +410,11 @@ def _apply_deletes(
     POSITION deletes (``deletes``): each data row is identified by
     its physical position (``_metadata.file_name``,
     ``_metadata.row_index`` — the parquet source's stable per-file
-    row ordinal), and one broadcast anti-join against the (file,
-    position) delete set masks deleted rows at scan time.
+    row ordinal), and one anti-join against the (file, position)
+    delete set masks deleted rows at scan time — broadcast-hinted
+    while the vector files stat under :data:`DV_BROADCAST_MAX_BYTES`,
+    a plain shuffle join past that (a mass delete must degrade, not
+    OOM the driver).
     Position-based means content-blind: duplicate rows delete
     individually.
 
@@ -410,7 +446,9 @@ def _apply_deletes(
     )
     if dv is not None:
         tagged = tagged.join(
-            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+            _hint_if_small(dv, path, m.get("deletes") or []),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
         )
     if eq:
         fseq = m.get("file_seq", {})
@@ -430,7 +468,9 @@ def _apply_deletes(
             cond = F.col("__seq") < F.lit(int(ent["seq"]))
             for k in ent["keys"]:
                 cond = cond & (F.col(k) == F.col(f"__eq_{k}"))
-            tagged = tagged.join(F.broadcast(ed), cond, "left_anti")
+            tagged = tagged.join(
+                _hint_if_small(ed, path, ent["files"]), cond, "left_anti"
+            )
     return tagged.select(*cols)
 
 
@@ -449,7 +489,7 @@ def _mask_positions(
     if dv is None:
         return df
     return df.join(
-        F.broadcast(dv),
+        _hint_if_small(dv, path, m.get("deletes") or []),
         (F.col("__file") == F.col("__dv_file"))
         & (F.col("__pos") == F.col("__dv_pos")),
         "left_anti",
@@ -1285,26 +1325,61 @@ def snapshot_changes(
             added = sorted(set(added) | set(both))
     eq_from = {int(e["seq"]) for e in m_from.get("eq_deletes") or []}
     eq_to = {int(e["seq"]) for e in m_to.get("eq_deletes") or []}
+    eq_only: list[str] = []
+    eq_filt = None
+    eq_filt_keys: list[str] = []
     if eq_from != eq_to:
-        # equality tombstones name no files — a new entry can mask
-        # rows in ANY shared file older than it, and nothing narrows
-        # that set without the table scan the eq flavor avoided at
-        # write time. Conservatively serve every shared file a new
-        # entry could touch on both sides; the value join nets the
-        # actual deletions (this read amplification is the documented
-        # CDF cost of equality deletes — Iceberg's incremental
-        # consumers pay the same, which is why CDC pipelines compact
-        # aggressively).
-        new_seqs = eq_to - eq_from
-        if new_seqs:
-            max_seq = max(new_seqs)
-            fseq = m_to.get("file_seq", {})
+        # equality tombstones name no files — an entry ADDED inside
+        # the span masks rows in any shared file older than it, and
+        # one REMOVED (snapshot_restore back to a pre-delete version)
+        # RESURRECTS them: both directions are row-level change with
+        # no file diff, so the changed-seq set is the SYMMETRIC
+        # difference, mirroring the position-delete branch above
+        # (r12 advice #2). Serve every shared file a changed entry
+        # could touch on both sides — each side applies its own
+        # tombstones, so the value join nets exactly the masked /
+        # resurrected rows. And when the changed entries agree on one
+        # key tuple, the served rows are further SEMI-JOINED against
+        # the recorded tombstone keys below, so the full-outer value
+        # join sees only candidate rows instead of every co-located
+        # row in the shared files — exact spans instead of the
+        # whole-file conservatism (r12 verdict ask #3). Over-inclusion
+        # stays harmless either way: unchanged rows net out.
+        by_seq = {
+            int(e["seq"]): e
+            for e in (m_from.get("eq_deletes") or [])
+            + (m_to.get("eq_deletes") or [])
+        }
+        changed = [
+            by_seq[s]
+            for s in sorted(eq_from ^ eq_to)
+            if by_seq[s]["files"]  # empty tombstones mask nothing
+        ]
+        if changed:
+            max_seq = max(int(e["seq"]) for e in changed)
+            fseq = {
+                **(m_from.get("file_seq") or {}),
+                **(m_to.get("file_seq") or {}),
+            }
             shared = set(m_from["files"]) & set(m_to["files"])
-            both = sorted(
-                f for f in shared if int(fseq.get(f, 0)) < max_seq
-            )
-            removed = sorted(set(removed) | set(both))
-            added = sorted(set(added) | set(both))
+            cand = {f for f in shared if int(fseq.get(f, 0)) < max_seq}
+            # shared files the vector branch already serves fully stay
+            # there (their change is not tombstone-bounded); the rest
+            # take the narrowed path
+            eq_only = sorted(cand - set(removed))
+            key_tuples = {tuple(e["keys"]) for e in changed}
+            if len(key_tuples) == 1 and eq_only:
+                eq_filt_keys = list(next(iter(key_tuples)))
+                tfiles = [f for e in changed for f in e["files"]]
+                eq_filt = _hint_if_small(
+                    spark.read.parquet(
+                        *[os.path.join(_data_dir(path), f) for f in tfiles]
+                    )
+                    .select(*eq_filt_keys)
+                    .distinct(),
+                    path,
+                    tfiles,
+                )
     # serve both sides at the TO schema (ADD-column evolution only;
     # old files null-fill columns they predate)
     m_sch = m_to if "schema" in m_to else m_from
@@ -1346,6 +1421,17 @@ def snapshot_changes(
 
     before = _side(m_from, removed)
     after = _side(m_to, added)
+    if eq_only:
+        # eq-candidate shared files, served on both sides (each with
+        # its own tombstones in force) and narrowed to rows matching
+        # the changed tombstone keys when a single key tuple governs
+        b_eq = _side(m_from, eq_only)
+        a_eq = _side(m_to, eq_only)
+        if eq_filt is not None:
+            b_eq = b_eq.join(eq_filt, eq_filt_keys, "left_semi")
+            a_eq = a_eq.join(eq_filt, eq_filt_keys, "left_semi")
+        before = b_eq if before is None else before.unionByName(b_eq)
+        after = a_eq if after is None else after.unionByName(a_eq)
     if before is None and after is None:
         base = _empty_from_manifest(spark, m_sch)
         if base is None:
@@ -1534,6 +1620,23 @@ def snapshot_compact(
             manifest["extra"] = m["extra"]
         if "schema" in m:
             manifest["schema"] = m["schema"]
+        elif affected:
+            # a purge that empties the table (mass delete then
+            # compact) must stay readable as an EMPTY table — mirror
+            # _cow_commit's empty-rewrite handling by recording the
+            # schema probed from an affected file's footer (the file
+            # still exists on disk: prior versions reference it until
+            # vacuum). Without this, snapshot_read of a files=[]
+            # manifest raises 'no schema to serve' (r12 advice #1).
+            sch = spark.read.parquet(
+                os.path.join(_data_dir(path), affected[0])
+            ).schema
+            if m.get("part_col"):
+                sch = spark.createDataFrame([], sch).selectExpr(
+                    "*",
+                    f"CAST(NULL AS {m['part_type']}) AS {m['part_col']}",
+                ).schema
+            manifest["schema"] = sch.jsonValue()
         return _claim(path, base_version + 1, manifest, "compaction")
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -2287,7 +2390,9 @@ def snapshot_delete_mor(
             # a position already deleted is invisible — never
             # re-record it (keeps vectors proportional to NET deletes)
             hits = hits.join(
-                F.broadcast(prior), ["__dv_file", "__dv_pos"], "left_anti"
+                _hint_if_small(prior, path, m.get("deletes") or []),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
             )
         new_dv = _stage_files(spark, path, hits)
     version = base_version + 1
@@ -2516,7 +2621,9 @@ def snapshot_merge_mor(
         prior = _dv_frame(spark, path, m)
         if prior is not None:
             hits = hits.join(
-                F.broadcast(prior), ["__dv_file", "__dv_pos"], "left_anti"
+                _hint_if_small(prior, path, m.get("deletes") or []),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
             )
         new_dv = _stage_files(spark, path, hits)
 

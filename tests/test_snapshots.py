@@ -2305,6 +2305,141 @@ def test_mor_delete_is_position_based_on_duplicate_rows(spark, tmp_path):
     ]
 
 
+def test_mor_vector_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
+    """The delete-vector anti-join's broadcast hint is priced off the
+    vector files' on-disk size: under DV_BROADCAST_MAX_BYTES the
+    logical plan carries the forced hint; past it (simulated by
+    dropping the threshold to zero) the hint vanishes — a mass delete
+    degrades to a shuffle join instead of an unbounded broadcast —
+    and the masked result is unchanged (r12 advice #3)."""
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(100)], "k long, v string"
+    ).repartition(2)
+    snapshot_write(spark, path, df)
+    S.snapshot_delete_mor(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(50)], "k long"),
+        ["k"],
+    )
+
+    def hinted(frame):
+        # the optimizer embeds ResolvedHint into the Join node as
+        # rightHint=(strategy=broadcast) — string-visible either way
+        return (
+            "broadcast"
+            in frame._jdf.queryExecution().optimizedPlan().toString().lower()
+        )
+
+    small = S.snapshot_read(spark, path)
+    assert hinted(small) and small.count() == 50
+
+    monkeypatch.setattr(S, "DV_BROADCAST_MAX_BYTES", 0)
+    big = S.snapshot_read(spark, path)
+    assert not hinted(big)
+    assert {r.k for r in big.collect()} == set(range(50, 100))
+
+    # the commit-side prior-vector anti-join takes the same gate: a
+    # re-delete under the zero threshold still records no duplicate
+    # positions and still reads correctly
+    S.snapshot_delete_mor(
+        spark,
+        path,
+        spark.createDataFrame([(50,), (60,)], "k long"),
+        ["k"],
+    )
+    dv = S._dv_frame(spark, path, S._manifest(path, None or S.current_version(path)))
+    assert dv.count() == dv.distinct().count() == 52
+    assert S.snapshot_read(spark, path).count() == 48
+
+
+def test_mor_partitioned_mask_broadcast_is_size_gated(
+    spark, tmp_path, monkeypatch
+):
+    """Same gate through the partitioned read path (_mask_positions):
+    zero threshold removes the hint, masked rows stay masked."""
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "d%d" % (i % 3)) for i in range(30)], "k long, day string"
+    )
+    S.snapshot_write_partitioned(spark, path, df, "day")
+    S.snapshot_delete_mor(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(0, 30, 2)], "k long"),
+        ["k"],
+    )
+    monkeypatch.setattr(S, "DV_BROADCAST_MAX_BYTES", 0)
+    got = S.snapshot_read_partitioned(spark, path)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    # the file->partition-value mapping join stays broadcast (one row
+    # per data file — metadata scale); the VECTOR anti-join must not
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("broadcast" not in ln.lower() for ln in anti)
+    assert {r.k for r in got.collect()} == set(range(1, 30, 2))
+
+
+def test_mor_compact_of_emptied_table_stays_readable(spark, tmp_path):
+    """A MoR delete covering EVERY row followed by compaction commits
+    a files=[] manifest — which must record the table schema (probed
+    from an affected file's footer, mirroring _cow_commit's
+    empty-rewrite handling) so the head reads as an empty table
+    instead of raising 'no schema to serve' (r12 advice #1)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _manifest,
+        current_version,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    # plain manifest (fresh snapshot_write records no 'schema' key);
+    # repartition(1) so the write stages exactly one data file — no
+    # zero-row straggler parts for compaction's keep list to retain
+    path = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(6)], "k long, v string"
+    ).repartition(1)
+    snapshot_write(spark, path, df)
+    snapshot_delete_mor(
+        spark, path,
+        spark.createDataFrame([(i,) for i in range(6)], "k long"), ["k"],
+    )
+    v = snapshot_compact(spark, path)
+    m = _manifest(path, v)
+    assert m["files"] == [] and "deletes" not in m
+    got = snapshot_read(spark, path)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+    # partitioned manifest: the recorded schema must include part_col
+    path2 = str(tmp_path / "part")
+    df2 = spark.createDataFrame(
+        [(i, "d%d" % (i % 2)) for i in range(6)], "k long, day string"
+    )
+    snapshot_write_partitioned(spark, path2, df2, "day")
+    snapshot_delete_mor(
+        spark, path2,
+        spark.createDataFrame([(i,) for i in range(6)], "k long"), ["k"],
+    )
+    snapshot_compact(spark, path2)
+    got2 = snapshot_read_partitioned(spark, path2)
+    assert got2.count() == 0
+    assert set(f.name for f in got2.schema.fields) == {"k", "day"}
+    assert current_version(path2) is not None
+
+
 def test_mor_changes_feed_cow_refusal_and_compact_materialize(
     spark, tmp_path
 ):
@@ -2609,6 +2744,59 @@ def test_eq_delete_sequence_rule_and_reinsert(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
     assert (5, "five2") in got
+
+
+def test_eq_delete_cdf_is_symmetric_and_key_narrowed(spark, tmp_path):
+    """Two r12-flagged gaps in the eq-delete CDF close together:
+
+    (a) SYMMETRY (r12 advice #2): a span where tombstones DISAPPEAR
+    without a file rewrite — snapshot_restore back to a pre-delete
+    version — must report the resurrected rows as inserts; only
+    added-seq spans were handled before.
+
+    (b) EXACT SPANS (r12 verdict ask #3): an added-tombstone span over
+    a multi-key shared file semi-joins the served rows against the
+    recorded tombstone keys, so the value join sees candidate rows
+    only, and reports exactly the tombstoned keys."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_delete_eq,
+        snapshot_restore,
+    )
+
+    path = str(tmp_path / "t")
+    v0 = snapshot_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "v%d" % i) for i in range(10)], "k long, v string"
+        ).repartition(1),
+    )
+    v1 = snapshot_delete_eq(
+        spark, path, spark.createDataFrame([(3,), (7,)], "k long"), ["k"]
+    )
+
+    # (b) the delete span reports exactly the tombstoned keys...
+    span = snapshot_changes(spark, path, ["k"], v0, v1)
+    assert {(r.k, r._change_type) for r in span.collect()} == {
+        (3, "delete"),
+        (7, "delete"),
+    }
+    # ...and the plan carries the tombstone-key semi-join (the
+    # narrowing itself, not just its result)
+    plan = span._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+    # (a) restore to the pre-delete version: same files, tombstones
+    # gone — the span must net the two resurrected rows as inserts
+    v2 = snapshot_restore(path, v0)
+    back = snapshot_changes(spark, path, ["k"], v1, v2)
+    assert {(r.k, r.v, r._change_type) for r in back.collect()} == {
+        (3, "v3", "insert"),
+        (7, "v7", "insert"),
+    }
+    # and the full round trip (delete then restore) nets to nothing
+    assert snapshot_changes(spark, path, ["k"], v0, v2).count() == 0
 
 
 def test_eq_upsert_single_commit_and_mixed_flavors_compact(spark, tmp_path):
