@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin_result
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -1776,6 +1776,20 @@ def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).cache()
+    try:
+        return _q94_supersteps(spark, edges, nodes, deg)
+    finally:
+        # the top-20 result is pinned driver-local inside, so the
+        # cached superstep inputs can release their executor storage
+        # here instead of leaking three cached plans per run until
+        # session end (r12 advice #5)
+        for c in (edges, nodes, deg):
+            c.unpersist()
+
+
+def _q94_supersteps(
+    spark: SparkSession, edges: DataFrame, nodes: DataFrame, deg: DataFrame
+) -> DataFrame:
     meta = nodes.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).select(
@@ -1806,7 +1820,7 @@ def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     se = [F.col("pr").desc(), F.col("node")]
-    return (
+    return pin_result(
         r.orderBy(*se)
         .limit(20)
         .withColumn(
