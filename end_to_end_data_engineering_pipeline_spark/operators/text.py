@@ -961,12 +961,28 @@ def tokenize_tf(docs: DataFrame) -> DataFrame:
     )
 
 
+def _increment_applied(store_path: str, increment_id: str | None) -> bool:
+    """Whether ``store_path``'s current manifest already carries the
+    applied-increment stamp for ``increment_id`` — the retry probe
+    behind the multi-store increment recovery story (r12 advice #4)."""
+    from ..operators.snapshots import _manifest, list_versions
+
+    if increment_id is None:
+        return False
+    vs = list_versions(store_path)
+    if not vs:
+        return False
+    ex = _manifest(store_path, vs[-1]).get("extra") or {}
+    return ex.get("last_increment") == increment_id
+
+
 def postings_increment(
     spark: SparkSession,
     store: str,
     incr_docs: DataFrame,
     n_docs_total: DataFrame,
     broadcast: bool = True,
+    increment_id: str | None = None,
 ) -> None:
     """Incremental maintenance of a persisted postings index
     (``store/postings``, ``store/dfreq``, ``store/meta`` — the t50
@@ -986,42 +1002,66 @@ def postings_increment(
     increment's DISTINCT vocabulary, fine to broadcast for a crawl
     batch (tens of MB at millions of terms) but worth a shuffle
     merge (``False``) when a huge increment touches most of a huge
-    vocabulary."""
+    vocabulary.
+
+    RECOVERY: the index spans three independent snapshot stores
+    (postings append, dfreq CoW-merge, meta overwrite) with no
+    cross-store transaction, so a crash between commits leaves them
+    inconsistent — and a blind re-run is NOT idempotent (postings
+    would double-append). Pass ``increment_id`` (any stable batch
+    name) and each store's commit stamps ``extra['last_increment']``;
+    a retry with the same id probes the stamps and SKIPS stores the
+    failed run already reached, completing exactly the missing
+    commits. Without an id the stamps are absent and re-running a
+    partially-applied increment corrupts the index — rebuild instead
+    (r12 advice #4)."""
     from ..operators.snapshots import (
         snapshot_merge,
         snapshot_read,
         snapshot_write,
     )
 
+    stamp = (
+        {"last_increment": increment_id} if increment_id is not None
+        else None
+    )
     incr_tf = tokenize_tf(incr_docs)
-    snapshot_write(spark, store + "/postings", incr_tf, mode="append")
-    incr_df = incr_tf.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("df_inc")
-    )
-    old = snapshot_read(spark, store + "/dfreq")
-    upd = (
-        incr_df.join(old, "w", "left")
-        .select(
-            "w",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
-            .cast("long")
-            .alias("df"),
+    if not _increment_applied(store + "/postings", increment_id):
+        snapshot_write(
+            spark, store + "/postings", incr_tf, mode="append",
+            extra_update=stamp,
         )
-    )
-    snapshot_merge(
-        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
-    )
-    snapshot_write(
-        spark,
-        store + "/meta",
-        n_docs_total.select(
-            F.col(n_docs_total.columns[0]).cast("long").alias("n_docs"),
-            # keep any extra meta columns the caller maintains (the
-            # streaming sink's last-applied-epoch idempotency marker)
-            *[F.col(c) for c in n_docs_total.columns[1:]],
-        ),
-        mode="overwrite",
-    )
+    if not _increment_applied(store + "/dfreq", increment_id):
+        incr_df = incr_tf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("df_inc")
+        )
+        old = snapshot_read(spark, store + "/dfreq")
+        upd = (
+            incr_df.join(old, "w", "left")
+            .select(
+                "w",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+                .cast("long")
+                .alias("df"),
+            )
+        )
+        snapshot_merge(
+            spark, store + "/dfreq", upd, ["w"],
+            broadcast_updates=broadcast, extra_update=stamp,
+        )
+    if not _increment_applied(store + "/meta", increment_id):
+        snapshot_write(
+            spark,
+            store + "/meta",
+            n_docs_total.select(
+                F.col(n_docs_total.columns[0]).cast("long").alias("n_docs"),
+                # keep any extra meta columns the caller maintains (the
+                # streaming sink's last-applied-epoch idempotency marker)
+                *[F.col(c) for c in n_docs_total.columns[1:]],
+            ),
+            mode="overwrite",
+            extra_update=stamp,
+        )
 
 
 def bm25_increment(
@@ -1029,6 +1069,7 @@ def bm25_increment(
     store: str,
     incr_docs: DataFrame,
     broadcast: bool = True,
+    increment_id: str | None = None,
 ) -> None:
     """Incremental maintenance of a persisted BM25 index (t54's
     layout: ``store/postings`` rows carry the document length,
@@ -1045,45 +1086,68 @@ def bm25_increment(
     delete+reinsert, a different operation). Post-append searches
     must be indistinguishable from a full rebuild — pinned by the
     t55 driver hash (oracle = t54's chain over the COMPOSED corpus)
-    and tests/test_textops.py's append-equals-rebuild pin."""
+    and tests/test_textops.py's append-equals-rebuild pin.
+
+    RECOVERY: same three-store, no-cross-store-transaction shape as
+    :func:`postings_increment`, same contract — pass ``increment_id``
+    and each commit stamps ``extra['last_increment']`` so a retry
+    with the same id skips already-applied stores; without an id a
+    re-run of a partially-applied increment double-appends postings
+    (r12 advice #4). The meta recompute reads old + increment, so
+    applying it last on a retry still sees the pre-increment meta."""
     from ..operators.snapshots import (
         snapshot_merge,
         snapshot_read,
         snapshot_write,
     )
 
+    stamp = (
+        {"last_increment": increment_id} if increment_id is not None
+        else None
+    )
     incr_tf = tokenize_tf(incr_docs)
     dl = incr_tf.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl")
     )
-    snapshot_write(
-        spark, store + "/postings", incr_tf.join(dl, "doc_id"),
-        mode="append",
-    )
-    incr_df = incr_tf.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("df_inc")
-    )
-    old = snapshot_read(spark, store + "/dfreq")
-    upd = incr_df.join(old, "w", "left").select(
-        "w",
-        (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
-        .cast("long")
-        .alias("df"),
-    )
-    snapshot_merge(
-        spark, store + "/dfreq", upd, ["w"], broadcast_updates=broadcast
-    )
-    inc_meta = incr_docs.agg(
-        F.count(F.lit(1)).cast("long").alias("dn")
-    ).crossJoin(
-        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dtl"))
-    )
-    new_meta = (
-        snapshot_read(spark, store + "/meta")
-        .crossJoin(F.broadcast(inc_meta))
-        .select(
-            (F.col("n_docs") + F.col("dn")).cast("long").alias("n_docs"),
-            (F.col("tl") + F.col("dtl")).cast("long").alias("tl"),
+    if not _increment_applied(store + "/postings", increment_id):
+        snapshot_write(
+            spark, store + "/postings", incr_tf.join(dl, "doc_id"),
+            mode="append", extra_update=stamp,
         )
-    )
-    snapshot_write(spark, store + "/meta", new_meta, mode="overwrite")
+    if not _increment_applied(store + "/dfreq", increment_id):
+        incr_df = incr_tf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("df_inc")
+        )
+        old = snapshot_read(spark, store + "/dfreq")
+        upd = incr_df.join(old, "w", "left").select(
+            "w",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+            .cast("long")
+            .alias("df"),
+        )
+        snapshot_merge(
+            spark, store + "/dfreq", upd, ["w"],
+            broadcast_updates=broadcast, extra_update=stamp,
+        )
+    if not _increment_applied(store + "/meta", increment_id):
+        inc_meta = incr_docs.agg(
+            F.count(F.lit(1)).cast("long").alias("dn")
+        ).crossJoin(
+            dl.agg(
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dtl")
+            )
+        )
+        new_meta = (
+            snapshot_read(spark, store + "/meta")
+            .crossJoin(F.broadcast(inc_meta))
+            .select(
+                (F.col("n_docs") + F.col("dn")).cast("long").alias(
+                    "n_docs"
+                ),
+                (F.col("tl") + F.col("dtl")).cast("long").alias("tl"),
+            )
+        )
+        snapshot_write(
+            spark, store + "/meta", new_meta, mode="overwrite",
+            extra_update=stamp,
+        )

@@ -1064,3 +1064,92 @@ def test_bm25_increment_equals_rebuild(spark, sf_dir, tmp_path):
         terms,
     ).collect()
     assert [tuple(r) for r in got_top] == [tuple(r) for r in want_top]
+
+
+def test_bm25_increment_retry_skips_applied_stores(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The multi-store increment's recovery contract (r12 advice #4):
+    a crash between store commits leaves the index inconsistent, and a
+    retry carrying the same increment_id probes each store's
+    last_increment stamp and applies ONLY the missing commits — the
+    recovered index is row-identical to a full rebuild, and a full
+    re-retry (all stores stamped) is a no-op."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+        text as T,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 600
+    )
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    incr = docs.where(F.col("doc_id") % 3 == 0)
+
+    def build(target, corpus):
+        tf = T.tokenize_tf(corpus)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        S.snapshot_write(spark, target + "/postings", tf.join(dl, "doc_id"))
+        S.snapshot_write(
+            spark,
+            target + "/dfreq",
+            tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        )
+        S.snapshot_write(
+            spark,
+            target + "/meta",
+            corpus.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ).crossJoin(tf.agg(F.sum("tf").cast("long").alias("tl"))),
+        )
+
+    store = str(tmp_path / "idx")
+    build(store, base)
+
+    # crash AFTER the postings append, BEFORE the dfreq merge
+    # (bm25_increment imports snapshot_merge from the snapshots module
+    # at call time, so the injection patches the source module)
+    real_merge = S.snapshot_merge
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash between store commits")
+
+    monkeypatch.setattr(S, "snapshot_merge", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        T.bm25_increment(spark, store, incr, increment_id="batch-42")
+    monkeypatch.undo()
+
+    # postings reached; dfreq and meta did not
+    assert T._increment_applied(store + "/postings", "batch-42")
+    assert not T._increment_applied(store + "/dfreq", "batch-42")
+    n_postings = S.snapshot_read(spark, store + "/postings").count()
+
+    # retry with the SAME id: postings skipped (no double-append),
+    # dfreq + meta applied
+    T.bm25_increment(spark, store, incr, increment_id="batch-42")
+    assert (
+        S.snapshot_read(spark, store + "/postings").count() == n_postings
+    )
+    full = str(tmp_path / "full")
+    build(full, docs)
+    for table in ("/postings", "/dfreq", "/meta"):
+        got = S.snapshot_read(spark, store + table)
+        want = S.snapshot_read(spark, full + table)
+        assert got.exceptAll(want).count() == 0, table
+        assert want.exceptAll(got).count() == 0, table
+
+    # full re-retry is a no-op in every store
+    versions_before = {
+        t: S.current_version(store + t)
+        for t in ("/postings", "/dfreq", "/meta")
+    }
+    T.bm25_increment(spark, store, incr, increment_id="batch-42")
+    assert versions_before == {
+        t: S.current_version(store + t)
+        for t in ("/postings", "/dfreq", "/meta")
+    }
+    assert real_merge is S.snapshot_merge  # undo restored the module
