@@ -115,7 +115,11 @@ def _micros_ts(spark: SparkSession):
 
 
 def snapshot_write(
-    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    extra_update: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -135,6 +139,11 @@ def snapshot_write(
     On a lost race the commit retries against the winner's version, so
     appends from concurrent writers serialize instead of silently
     overwriting each other's manifest.
+
+    ``extra_update`` merges keys into the committed manifest's
+    ``extra`` dict (append mode carries the previous version's extra
+    forward first) — the hook multi-store maintenance uses to stamp an
+    applied-increment marker per store (see text.bm25_increment).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -175,12 +184,14 @@ def snapshot_write(
             prev_deletes = pm.get("deletes")
             prev_eq = pm.get("eq_deletes")
             prev_fseq = pm.get("file_seq")
+            prev_extra = pm.get("extra")
         else:
             live = []
             prev_schema = None
             prev_deletes = None
             prev_eq = None
             prev_fseq = None
+            prev_extra = None
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -207,6 +218,9 @@ def snapshot_write(
             # schema (plus any columns this batch adds) so reads keep
             # null-filling old files
             manifest["schema"] = _evolved_schema_json(prev_schema, df)
+        ex = {**(prev_extra or {}), **(extra_update or {})}
+        if ex:
+            manifest["extra"] = ex
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -451,27 +465,54 @@ def _apply_deletes(
             "left_anti",
         )
     if eq:
-        fseq = m.get("file_seq", {})
-        seq_map = spark.createDataFrame(
-            [(f, int(fseq.get(f, 0))) for f in files],
-            "__dv_file string, __seq long",
-        )
-        tagged = tagged.join(F.broadcast(seq_map), "__dv_file")
-        for ent in eq:
-            if not ent["files"]:
-                continue
-            ed = spark.read.parquet(
-                *[os.path.join(_data_dir(path), f) for f in ent["files"]]
-            ).select(
-                *[F.col(k).alias(f"__eq_{k}") for k in ent["keys"]]
-            )
-            cond = F.col("__seq") < F.lit(int(ent["seq"]))
-            for k in ent["keys"]:
-                cond = cond & (F.col(k) == F.col(f"__eq_{k}"))
-            tagged = tagged.join(
-                _hint_if_small(ed, path, ent["files"]), cond, "left_anti"
-            )
+        tagged = _mask_eq(spark, path, m, tagged, files, "__dv_file")
     return tagged.select(*cols)
+
+
+def _mask_eq(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    df: DataFrame,
+    files: list[str],
+    file_col: str = "__dv_file",
+) -> DataFrame:
+    """Anti-join a frame that carries a file-basename tag column
+    (``file_col``) against the manifest's EQUALITY tombstones under
+    the Iceberg sequence rule: a row masks iff its key matches an
+    entry AND its data file predates the entry (``file_seq[file] <
+    entry seq`` — what lets a later re-insert of the same key
+    survive). One anti-join per entry, entry count compaction-bounded,
+    each tombstone frame broadcast only while it stats small
+    (:func:`_hint_if_small`). Pass-through when the manifest has no
+    eq entries; the frame's rows must all come from ``files``. Shared
+    by the plain read path (:func:`_apply_deletes`, tag =
+    ``__dv_file``) and the partitioned one (tag = ``__file`` from
+    :func:`_attach_partition_col`)."""
+    from pyspark.sql import functions as F
+
+    eq = m.get("eq_deletes") or []
+    if not eq:
+        return df
+    fseq = m.get("file_seq", {})
+    seq_map = spark.createDataFrame(
+        [(f, int(fseq.get(f, 0))) for f in files],
+        f"{file_col} string, __seq long",
+    )
+    out = df.join(F.broadcast(seq_map), file_col)
+    for ent in eq:
+        if not ent["files"]:
+            continue
+        ed = spark.read.parquet(
+            *[os.path.join(_data_dir(path), f) for f in ent["files"]]
+        ).select(*[F.col(k).alias(f"__eq_{k}") for k in ent["keys"]])
+        cond = F.col("__seq") < F.lit(int(ent["seq"]))
+        for k in ent["keys"]:
+            cond = cond & (F.col(k) == F.col(f"__eq_{k}"))
+        out = out.join(
+            _hint_if_small(ed, path, ent["files"]), cond, "left_anti"
+        )
+    return out.drop("__seq")
 
 
 def _mask_positions(
@@ -659,6 +700,7 @@ def _cow_commit(
     inserts: DataFrame | None,
     op: str,
     partition_scope: bool = False,
+    extra_update: dict | None = None,
 ) -> int:
     """Shared file-granular copy-on-write core behind
     :func:`snapshot_merge` (``inserts`` = the update rows) and
@@ -899,6 +941,8 @@ def _cow_commit(
                 ),
             },
         }
+    if extra_update:
+        manifest["extra"] = {**manifest.get("extra", {}), **extra_update}
     return _claim(path, version, manifest, op)
 
 
@@ -909,6 +953,7 @@ def snapshot_merge(
     keys: list[str],
     broadcast_updates: bool = True,
     partition_scope: bool = False,
+    extra_update: dict | None = None,
 ) -> int:
     """Keyed MERGE (upsert) committed as a new snapshot version, with
     FILE-GRANULAR COPY-ON-WRITE: only data files that actually contain
@@ -945,7 +990,10 @@ def snapshot_merge(
     data, hiding the cost)."""
     vs = list_versions(path)
     if not vs:
-        return snapshot_write(spark, path, updates, mode="overwrite")
+        return snapshot_write(
+            spark, path, updates, mode="overwrite",
+            extra_update=extra_update,
+        )
     return _cow_commit(
         spark,
         path,
@@ -955,6 +1003,7 @@ def snapshot_merge(
         updates,
         "merge",
         partition_scope=partition_scope,
+        extra_update=extra_update,
     )
 
 
@@ -1399,13 +1448,14 @@ def snapshot_changes(
             m_eff = dict(m_parts)
             if "schema" in m_sch:
                 m_eff["schema"] = m_sch["schema"]
-            if m_eff.get("deletes"):
-                # apply THIS side's position vectors (same rule as
-                # the plain branch below)
+            if m_eff.get("deletes") or m_eff.get("eq_deletes"):
+                # apply THIS side's position vectors and equality
+                # tombstones (same rule as the plain branch below)
                 df = _attach_partition_col(
                     spark, path, m_eff, files, with_pos=True
                 )
                 df = _mask_positions(spark, path, m_eff, df, files)
+                df = _mask_eq(spark, path, m_eff, df, files, "__file")
                 return df.drop("__file", "__pos")
             df = _attach_partition_col(spark, path, m_eff, files)
             return df.drop("__file")
@@ -1585,6 +1635,7 @@ def snapshot_compact(
                 spark, path, m, affected, with_pos=True
             )
             purged = _mask_positions(spark, path, m, purged, affected)
+            purged = _mask_eq(spark, path, m, purged, affected, "__file")
             purged = purged.drop("__file", "__pos")
             new_names, new_parts = _stage_partitioned(
                 spark, path, purged, m["part_col"]
@@ -1597,9 +1648,17 @@ def snapshot_compact(
             n_out = max(
                 1, -(-sum(sizes.values()) // target_file_bytes)
             )
-            purged = _apply_deletes(spark, path, m, affected).repartition(
-                n_out
-            )
+            purged = _apply_deletes(spark, path, m, affected)
+            if m.get("stats_col"):
+                # range-clustered: re-sort the rewrite on the stats
+                # column so the materialized outputs stay mutually
+                # disjoint and their recomputed [min, max] stays
+                # selective (same rule as the small-file branch)
+                purged = purged.repartitionByRange(
+                    n_out, m["stats_col"]
+                ).sortWithinPartitions(m["stats_col"])
+            else:
+                purged = purged.repartition(n_out)
             new_names = _stage_files(spark, path, purged)
         keep = [f for f in m["files"] if f not in set(affected)]
         manifest = {
@@ -1616,8 +1675,36 @@ def snapshot_compact(
                 **new_parts,
             }
             manifest["extra"] = m.get("extra", {})
+        elif m.get("stats_col"):
+            # untouched stats carry; rewritten files get footer-
+            # recomputed [min, max] — range pruning survives the purge
+            manifest["stats_col"] = m["stats_col"]
+            manifest["stats"] = {
+                **{f: m["stats"][f] for f in keep},
+                **{
+                    f: _file_min_max(
+                        os.path.join(_data_dir(path), f), m["stats_col"]
+                    )
+                    for f in new_names
+                },
+            }
+            manifest["extra"] = m.get("extra", {})
         elif "extra" in m:
             manifest["extra"] = m["extra"]
+        if "bloom" in m:
+            # point-lookup bitmaps: kept files carry by reference,
+            # purged rewrites get fresh ones (deleted rows' bits drop
+            # out here — the index tightens back at OPTIMIZE)
+            b = m["bloom"]
+            manifest["bloom"] = {
+                **{k: b[k] for k in ("col", "type", "m", "k")},
+                "files": {
+                    **{f: b["files"][f] for f in keep if f in b["files"]},
+                    **_files_bloom(
+                        spark, path, new_names, b["col"], b["m"], b["k"]
+                    ),
+                },
+            }
         if "schema" in m:
             manifest["schema"] = m["schema"]
         elif affected:
@@ -1903,6 +1990,16 @@ def snapshot_write_partitioned(
             # them); dropping the list would resurrect deleted rows
             manifest["deletes"] = pm["deletes"]
         version = 0 if prev is None else prev + 1
+        if mode == "append" and prev is not None and pm.get("eq_deletes"):
+            # equality tombstones stay in force; the appended files
+            # get this commit's sequence so prior tombstones never
+            # mask the new rows — the Iceberg re-insert rule, same as
+            # the plain-flavor append
+            manifest["eq_deletes"] = pm["eq_deletes"]
+            manifest["file_seq"] = {
+                **(pm.get("file_seq") or {f: 0 for f in pm["files"]}),
+                **{n: version for n in names},
+            }
         manifest["version"] = version
         if prev_schema is not None:
             manifest["schema"] = _evolved_schema_json(prev_schema, df)
@@ -2025,11 +2122,14 @@ def snapshot_read_partitioned(
             "*", f"CAST(NULL AS {part_type}) AS {part_col}"
         )
         return base.where(F.lit(False))
-    if m.get("deletes"):
-        # merge-on-read over the PRUNED file list: vectors for files
-        # the manifest pruned away never load
+    if m.get("deletes") or m.get("eq_deletes"):
+        # merge-on-read over the PRUNED file list: vectors and
+        # tombstone joins for files the manifest pruned away never
+        # load (the eq sequence rule keys off the same __file tag the
+        # partition attach already computes)
         out = _attach_partition_col(spark, path, m, live, with_pos=True)
         out = _mask_positions(spark, path, m, out, live)
+        out = _mask_eq(spark, path, m, out, live, "__file")
         return out.drop("__file", "__pos")
     return _attach_partition_col(spark, path, m, live).drop("__file")
 
@@ -2180,6 +2280,10 @@ def snapshot_write_sorted(
             "stats": {**prev_stats, **stats},
             "extra": extra or {},
         }
+        if mode == "append" and prev is not None and pm.get("deletes"):
+            # merge-on-read vectors stay in force over the carried
+            # files; the appended files have no positions in them
+            manifest["deletes"] = pm["deletes"]
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -2243,9 +2347,9 @@ def snapshot_read_range(
         return base.where(F.lit(False))
     from pyspark.sql import functions as F
 
-    df = _reader(spark, m).parquet(
-        *[os.path.join(_data_dir(path), f) for f in live]
-    )
+    # merge-on-read: mask the vectors of exactly the files the stats
+    # pruning admitted (pass-through on vector-free manifests)
+    df = _apply_deletes(spark, path, m, live)
     return df.where(F.col(m["stats_col"]).between(F.lit(lo), F.lit(hi)))
 
 
@@ -2317,15 +2421,20 @@ def snapshot_delete_mor(
     Successive MoR deletes accumulate vector files; positions already
     deleted are excluded from the new vectors (an anti-join against
     the in-force set), so re-deleting a key is an empty commit, not
-    vector bloat. Works on plain AND hive-partitioned manifests —
-    for a partitioned table the position scan is itself
-    MANIFEST-PRUNED when the delete is keyed on the partition column
-    (a day-keyed GDPR sweep on a 10-year table locates positions in
-    one day's files), the partition map carries untouched, and
-    pruned reads apply only the vectors of the files they open.
-    Range-clustered / bloom-indexed tables take the CoW path, which
-    preserves their pruning stats (raises loudly here).
-    merge/delete-CoW on a vectored table raise until compaction
+    vector bloat. Works on plain, hive-partitioned, RANGE-CLUSTERED,
+    and BLOOM-INDEXED manifests — for a partitioned table the
+    position scan is itself MANIFEST-PRUNED when the delete is keyed
+    on the partition column (a day-keyed GDPR sweep on a 10-year
+    table locates positions in one day's files), the partition map
+    carries untouched, and pruned reads apply only the vectors of the
+    files they open. Range/bloom pruning metadata carries VERBATIM
+    (no file changes): per-file [min, max] stays conservative-correct
+    under masking (a deleted row can only narrow the true range) and
+    bloom bitmaps stay valid for surviving rows (a deleted row's bits
+    at worst admit a file the exact filter then empties) — pruned
+    point/range reads mask the vectors of exactly the files they
+    admit, and compaction's rewrite recomputes both (r12 verdict ask
+    #5). merge/delete-CoW on a vectored table raise until compaction
     materializes (rewriting from raw rows would resurrect deleted
     positions); appends and restores carry vectors intact.
     Returns the new version; raises SnapshotConflict on a concurrent
@@ -2342,14 +2451,13 @@ def snapshot_delete_mor(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "stats_col", "bloom"):
-        if flavor in m:
-            raise ValueError(
-                f"merge-on-read delete on a {flavor!r} manifest is not "
-                "wired (its pruning metadata has no delete-vector "
-                "story yet); use snapshot_delete — copy-on-write "
-                "preserves the flavor"
-            )
+    if "specs" in m:
+        raise ValueError(
+            "merge-on-read delete on a mixed-partition-spec manifest "
+            "is not wired (each spec group would need its own position "
+            "scan); run snapshot_compact first — it migrates to the "
+            "default spec — or use snapshot_delete via compact"
+        )
     files = list(m["files"])
     part_col = m.get("part_col")
     # manifest pruning of the POSITION SCAN itself: a part_col-keyed
@@ -2407,6 +2515,19 @@ def snapshot_delete_mor(
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = m["partitions"]
+    if m.get("stats_col"):
+        # vectors mask rows WITHOUT touching the files, so per-file
+        # [min, max] stays conservative-correct (a masked row can only
+        # narrow the true range — pruning never admits less than it
+        # should) and carries verbatim; only compaction's rewrite
+        # recomputes it (r12 verdict ask #5)
+        manifest["stats_col"] = m["stats_col"]
+        manifest["stats"] = m["stats"]
+    if "bloom" in m:
+        # bloom bitmaps stay valid for every surviving row; a deleted
+        # row's bits at worst admit a file the exact filter then
+        # empties — the index's documented false-positive contract
+        manifest["bloom"] = m["bloom"]
     if m.get("eq_deletes"):
         manifest["eq_deletes"] = m["eq_deletes"]
     if m.get("file_seq") is not None:
@@ -2456,7 +2577,7 @@ def snapshot_delete_eq(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+    for flavor in ("specs", "stats_col", "bloom"):
         if flavor in m:
             raise ValueError(
                 f"equality delete on a {flavor!r} manifest is not "
@@ -2479,6 +2600,16 @@ def snapshot_delete_eq(
         # delete bootstrap at 0 (all < this commit's version)
         "file_seq": m.get("file_seq") or {f: 0 for f in m["files"]},
     }
+    if "part_col" in m:
+        # PARTITIONED tables take eq deletes as-is: the tombstone is
+        # partition-blind (it commits without reading the table, so
+        # nothing scopes it), the partition map carries untouched, and
+        # the per-file sequence map above is all the pruned read path
+        # needs to apply the sequence rule over whatever file subset
+        # it opens (r12 verdict ask #4)
+        manifest["part_col"] = m["part_col"]
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = m["partitions"]
     if m.get("deletes"):
         manifest["deletes"] = m["deletes"]
     if "schema" in m:
@@ -2518,7 +2649,7 @@ def snapshot_upsert_eq(
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+    for flavor in ("specs", "stats_col", "bloom"):
         if flavor in m:
             raise ValueError(
                 f"equality upsert on a {flavor!r} manifest is not "
@@ -2526,16 +2657,35 @@ def snapshot_upsert_eq(
                 "yet); use snapshot_merge — copy-on-write preserves "
                 "the flavor"
             )
+    part_col = m.get("part_col")
+    if part_col and part_col not in updates.columns:
+        raise ValueError(
+            f"equality upsert must carry the partition column "
+            f"{part_col!r} so appended rows land in their partitions"
+        )
     if "schema" in m:
         schema_json = _evolved_schema_json(m["schema"], updates)
     elif m["files"]:
         probe = spark.read.parquet(
             os.path.join(_data_dir(path), m["files"][0])
         ).schema
+        if part_col:
+            # the partition column lives in the manifest, not the
+            # data files — same completion as _cow_commit's probe
+            probe = spark.createDataFrame([], probe).selectExpr(
+                "*", f"CAST(NULL AS {m['part_type']}) AS {part_col}"
+            ).schema
         schema_json = _evolved_schema_json(probe.jsonValue(), updates)
     else:
         schema_json = updates.schema.jsonValue()
-    names = _stage_files(spark, path, updates)
+    new_parts: dict[str, str] = {}
+    if part_col:
+        # the update rows append partition-staged (one value per file,
+        # the invariant manifest pruning prunes on); the tombstone is
+        # partition-blind, same as snapshot_delete_eq (r12 ask #4)
+        names, new_parts = _stage_partitioned(spark, path, updates, part_col)
+    else:
+        names = _stage_files(spark, path, updates)
     ed_names = _stage_files(spark, path, updates.select(*keys).distinct())
     version = base_version + 1
     manifest: dict = {
@@ -2552,6 +2702,10 @@ def snapshot_upsert_eq(
             **{n: version for n in names},
         },
     }
+    if part_col:
+        manifest["part_col"] = part_col
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = {**m["partitions"], **new_parts}
     if m.get("deletes"):
         manifest["deletes"] = m["deletes"]
     if "extra" in m:
@@ -2594,7 +2748,7 @@ def snapshot_merge_mor(
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "part_col", "stats_col", "bloom"):
+    for flavor in ("specs", "stats_col", "bloom"):
         if flavor in m:
             raise ValueError(
                 f"merge-on-read merge on a {flavor!r} manifest is not "
@@ -2602,16 +2756,39 @@ def snapshot_merge_mor(
                 "story yet); use snapshot_merge — copy-on-write "
                 "preserves the flavor"
             )
-    files = list(m["files"])
-    new_dv: list[str] = []
-    if files:
-        data = _reader(spark, m).parquet(
-            *[os.path.join(_data_dir(path), f) for f in files]
-        ).select(
-            *keys,
-            F.col("_metadata.file_name").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
+    part_col = m.get("part_col")
+    if part_col and part_col not in updates.columns:
+        raise ValueError(
+            f"merge updates must carry the partition column "
+            f"{part_col!r} so appended rows land in their partitions"
         )
+    files = list(m["files"])
+    # manifest pruning of the POSITION SCAN: a part_col-keyed merge
+    # bounds the candidate files to the update batch's partitions
+    # (same rule as snapshot_delete_mor)
+    cand = files
+    if part_col and files and part_col in keys:
+        vals = {
+            _hive_part_str(r[part_col])
+            for r in updates.select(part_col).distinct().collect()
+        }
+        cand = [f for f in files if m["partitions"][f] in vals]
+    new_dv: list[str] = []
+    if cand:
+        if part_col:
+            data = _attach_partition_col(
+                spark, path, m, cand, with_pos=True
+            ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
+                "__pos", "__dv_pos"
+            ).select(*keys, "__dv_file", "__dv_pos")
+        else:
+            data = _reader(spark, m).parquet(
+                *[os.path.join(_data_dir(path), f) for f in cand]
+            ).select(
+                *keys,
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         mk = updates.select(*keys).distinct()
         if broadcast_keys:
             mk = F.broadcast(mk)
@@ -2637,6 +2814,12 @@ def snapshot_merge_mor(
         probe = spark.read.parquet(
             os.path.join(_data_dir(path), files[0])
         ).schema
+        if part_col:
+            # the partition column lives in the manifest, not the
+            # data files — same completion as _cow_commit's probe
+            probe = spark.createDataFrame([], probe).selectExpr(
+                "*", f"CAST(NULL AS {m['part_type']}) AS {part_col}"
+            ).schema
         old_schema_json = probe.jsonValue()
     else:
         old_schema_json = None
@@ -2645,7 +2828,13 @@ def snapshot_merge_mor(
     else:
         schema_json = updates.schema.jsonValue()
 
-    new_names = _stage_files(spark, path, updates)
+    new_parts: dict[str, str] = {}
+    if part_col:
+        new_names, new_parts = _stage_partitioned(
+            spark, path, updates, part_col
+        )
+    else:
+        new_names = _stage_files(spark, path, updates)
     version = base_version + 1
     manifest: dict = {
         "version": version,
@@ -2654,6 +2843,10 @@ def snapshot_merge_mor(
         "files": files + new_names,
         "schema": schema_json,
     }
+    if part_col:
+        manifest["part_col"] = part_col
+        manifest["part_type"] = m["part_type"]
+        manifest["partitions"] = {**m["partitions"], **new_parts}
     deletes = (m.get("deletes") or []) + new_dv
     if deletes:
         manifest["deletes"] = deletes
@@ -2905,12 +3098,12 @@ def snapshot_write_bloom(
                     "bloom append onto a partitioned/range-clustered "
                     "manifest is not wired; use the flavor's own writer"
                 )
-            if pm.get("deletes") or pm.get("eq_deletes"):
+            if pm.get("eq_deletes"):
                 raise ValueError(
-                    "bloom append onto a table with merge-on-read "
-                    "deletes would publish a manifest without them "
-                    "and resurrect deleted rows; snapshot_compact "
-                    "first to materialize the deletes"
+                    "bloom append onto a table with equality "
+                    "tombstones is not wired (the sequence map has no "
+                    "bloom story yet); snapshot_compact first to "
+                    "materialize the deletes"
                 )
             b = pm.get("bloom")
             if b and (
@@ -2949,6 +3142,10 @@ def snapshot_write_bloom(
         }
         if prev_schema is not None:
             manifest["schema"] = _evolved_schema_json(prev_schema, df)
+        if mode == "append" and prev is not None and pm.get("deletes"):
+            # merge-on-read vectors stay in force over the carried
+            # files; the appended files have no positions in them
+            manifest["deletes"] = pm["deletes"]
         token = uuid.uuid4().hex[:12]
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
@@ -3052,7 +3249,7 @@ def snapshot_read_point(
                 os.path.join(_data_dir(path), m["files"][0])
             ).limit(0)
         return base.where(F.lit(False))
-    df = _reader(spark, m).parquet(
-        *[os.path.join(_data_dir(path), f) for f in admitted]
-    )
+    # merge-on-read: mask the vectors of exactly the admitted files
+    # (pass-through on vector-free manifests)
+    df = _apply_deletes(spark, path, m, admitted)
     return df.where(F.col(col) == F.lit(value))

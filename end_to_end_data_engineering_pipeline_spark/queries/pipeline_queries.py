@@ -2788,3 +2788,311 @@ def p34_mor_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p35_eq_partitioned_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+      FROM base WHERE c_custkey % 23 = 5
+    ),
+    ins AS (
+      SELECT c_custkey + 1000000000 AS c_custkey, c_nationkey, c_acctbal
+      FROM base WHERE c_custkey % 53 = 11
+    ),
+    ups AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    after_upsert AS (
+      SELECT b.* FROM base b ANTI JOIN ups u ON b.c_custkey = u.c_custkey
+      UNION ALL SELECT * FROM ups
+    ),
+    after_delete AS (
+      SELECT * FROM after_upsert WHERE NOT (c_custkey % 7 = 0)
+    ),
+    reins AS (
+      SELECT * FROM base WHERE c_custkey % 14 = 0
+    ),
+    after_reinsert AS (
+      SELECT * FROM after_delete UNION ALL SELECT * FROM reins
+    ),
+    mupd AS (
+      SELECT c_custkey, c_nationkey, c_acctbal + 1000 AS c_acctbal
+      FROM after_reinsert WHERE c_custkey % 31 = 2
+    ),
+    after_merge AS (
+      SELECT a.* FROM after_reinsert a
+      ANTI JOIN mupd m
+        ON a.c_custkey = m.c_custkey AND a.c_nationkey = m.c_nationkey
+      UNION ALL SELECT * FROM mupd
+    ),
+    probes AS (
+      SELECT 'after_upsert' AS probe, c_nationkey, c_acctbal
+        FROM after_upsert
+      UNION ALL SELECT 'after_delete', c_nationkey, c_acctbal
+        FROM after_delete
+      UNION ALL SELECT 'after_reinsert', c_nationkey, c_acctbal
+        FROM after_reinsert
+      UNION ALL SELECT 'after_merge', c_nationkey, c_acctbal
+        FROM after_merge
+      UNION ALL SELECT 'pruned_nation', c_nationkey, c_acctbal
+        FROM after_merge WHERE c_nationkey = 7
+      UNION ALL SELECT 'time_travel', c_nationkey, c_acctbal FROM base
+      UNION ALL SELECT 'purged', c_nationkey, c_acctbal FROM after_merge
+    )
+    SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_bal
+    FROM probes GROUP BY probe
+    """,
+)
+def p35_eq_partitioned_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUALITY DELETES and MERGE-ON-READ MERGE on a HIVE-PARTITIONED
+    table — p33's zero-read DML lifecycle re-run where it matters at
+    100 TB, on a partition-mapped manifest (r12 verdict ask #4;
+    operators/snapshots.py:snapshot_upsert_eq / snapshot_delete_eq /
+    snapshot_merge_mor on part_col manifests). The partition-blind
+    tombstones commit with per-file sequence numbers; the partition
+    map carries untouched through every commit; update/insert rows
+    append PARTITION-STAGED (one value per file, so manifest pruning
+    survives the whole DML history). Seven hash-pinned probes:
+    AFTER_REINSERT is the sequence-rule probe (a partitioned append
+    re-inserting tombstoned keys must survive — a sequence-blind mask
+    kills them, a dropped tombstone resurrects the deleted rows);
+    AFTER_MERGE pins the partitioned MoR merge (position vectors +
+    partition-staged update files in one commit, the position scan
+    manifest-pruned to the update batch's partitions since the
+    partition column is a merge key); PRUNED_NATION composes manifest
+    pruning with BOTH mask flavors on the files it opens;
+    time_travel pins the untouched v0 and purged pins compaction
+    materializing vectors and tombstones per-partition.
+
+    Reference parity: transformation/clean_data.py's DELETE/upsert in
+    Postgres MVCC — mask-now-reclaim-later with the partition layout
+    preserved."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_eq,
+        snapshot_merge_mor,
+        snapshot_read_partitioned,
+        snapshot_upsert_eq,
+        snapshot_write_partitioned,
+    )
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="p35_eqp_")
+    store = tmp + "/customer"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_bal"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the partitioned table
+            v0 = snapshot_write_partitioned(
+                spark, store, base, "c_nationkey"
+            )
+        upd = base.where(F.col("c_custkey") % 23 == 5).select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        ins = base.where(F.col("c_custkey") % 53 == 11).select(
+            (F.col("c_custkey") + 1000000000).alias("c_custkey"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+        v1 = snapshot_upsert_eq(
+            spark, store, upd.unionByName(ins), ["c_custkey"]
+        )
+        dels = snapshot_read_partitioned(spark, store, version=v1).where(
+            F.col("c_custkey") % 7 == 0
+        ).select("c_custkey")
+        v2 = snapshot_delete_eq(spark, store, dels, ["c_custkey"])
+        v3 = snapshot_write_partitioned(
+            spark,
+            store,
+            base.where(F.col("c_custkey") % 14 == 0),
+            "c_nationkey",
+            mode="append",
+        )
+        mupd = snapshot_read_partitioned(spark, store, version=v3).where(
+            F.col("c_custkey") % 31 == 2
+        ).select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        )
+        v4 = snapshot_merge_mor(
+            spark, store, mupd, ["c_nationkey", "c_custkey"]
+        )
+        snapshot_compact(spark, store)
+        out = (
+            _agg(
+                snapshot_read_partitioned(spark, store, version=v1),
+                "after_upsert",
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v2),
+                    "after_delete",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v3),
+                    "after_reinsert",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v4),
+                    "after_merge",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(
+                        spark, store, values=[7], version=v4
+                    ),
+                    "pruned_nation",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v0),
+                    "time_travel",
+                )
+            )
+            .unionByName(
+                _agg(snapshot_read_partitioned(spark, store), "purged")
+            )
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _p36_oracle() -> str:
+    return """
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id, value
+      FROM events
+    ),
+    after_delete AS (
+      SELECT * FROM ev WHERE NOT (user_id % 37 = 5)
+    ),
+    probes AS (
+      SELECT 'after_delete' AS probe, user_id, value FROM after_delete
+      UNION ALL SELECT 'range_window', user_id, value FROM after_delete
+        WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                     AND TIMESTAMP '2024-01-04 12:00:00'
+      UNION ALL SELECT 'time_travel', user_id, value FROM ev
+      UNION ALL SELECT 'purged', user_id, value FROM after_delete
+      UNION ALL SELECT 'purged_window', user_id, value FROM after_delete
+        WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                     AND TIMESTAMP '2024-01-04 12:00:00'
+    )
+    SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM probes GROUP BY probe
+    """
+
+
+@query("p36_mor_sorted_delete", oracle=_p36_oracle())
+def p36_mor_sorted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE on a RANGE-CLUSTERED table (r12 verdict
+    ask #5; operators/snapshots.py:snapshot_delete_mor on a stats_col
+    manifest): the user-keyed GDPR delete scatters across every
+    time-clustered file, where CoW would restage them AND re-sort;
+    here it commits position vectors only, and the per-file [min,max]
+    stats carry VERBATIM — conservative-correct, since masking rows
+    can only narrow a file's true range. The probe that pins the
+    composition is RANGE_WINDOW: snapshot_read_range opens only the
+    files whose stats overlap the window (manifest pruning — the
+    window's share of a 100 TB table) and masks the vectors of
+    exactly those files. PURGED/PURGED_WINDOW pin compaction
+    materializing the vectors with a RE-SORTED rewrite and
+    footer-recomputed stats, so range pruning survives OPTIMIZE —
+    content-neutral under the hash, structure pinned in
+    tests/test_snapshots.py::test_mor_delete_on_range_clustered_manifest.
+
+    Reference parity: transformation/clean_data.py's retention DELETE
+    in Postgres MVCC, re-expressed over an Iceberg-style clustered
+    layout whose pruning must survive the delete."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_read_range,
+        snapshot_write_sorted,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="p36_sorted_")
+    store = tmp + "/events"
+    lo = _dt.datetime(2024, 1, 2, 0, 0, 0)
+    hi = _dt.datetime(2024, 1, 4, 12, 0, 0)
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # landing the clustered table
+            v0 = snapshot_write_sorted(spark, store, ev, "ts", n_files=8)
+        users = ev.where(F.col("user_id") % 37 == 5).select(
+            "user_id"
+        ).distinct()
+        v1 = snapshot_delete_mor(spark, store, users, ["user_id"])
+        out = (
+            _agg(snapshot_read(spark, store, version=v1), "after_delete")
+            .unionByName(
+                _agg(
+                    snapshot_read_range(spark, store, lo, hi, version=v1),
+                    "range_window",
+                )
+            )
+            .unionByName(
+                _agg(snapshot_read(spark, store, version=v0), "time_travel")
+            )
+        )
+        snapshot_compact(spark, store)
+        out = out.unionByName(
+            _agg(snapshot_read(spark, store), "purged")
+        ).unionByName(
+            _agg(snapshot_read_range(spark, store, lo, hi), "purged_window")
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
