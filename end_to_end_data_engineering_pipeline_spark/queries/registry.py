@@ -57,79 +57,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-12 rotation: never-driver-validated first — the r12-born
-# p29 (partition-spec evolution), p30 (CDF sync spanning an
-# evolution commit), p31 (merge-on-read delete vectors), t51
-# (incremental postings maintenance), t52 (disjunctive search),
-# t53 (phrase search), t54 (exact-integer BM25), p32 (merge-on-read
-# upsert), p33 (equality deletes + sequence-rule re-insert), q94
-# (integer-exact PageRank), t55 (incremental BM25 maintenance),
-# p34 (partitioned MoR delete), t56/t57 (disjunctive/phrase search
-# from the incremented index) — 14 in all — then 36 of the 37-query
-# r7 band (the stalest evidence after the green r11 gate; p12 waits
-# one round). Min registry freshness after a
-# green r12 = r8 for all but the 41 remaining r8 entries' complement
-# — i.e. the r7 band clears entirely, exactly the r11-verdict #3
-# target. New queries are appended here as they land, keeping the
-# never-validated-first invariant
+# Round-13 rotation: never-driver-validated first — the r13-born
+# p35 (partitioned equality-delete / MoR-merge lifecycle) and p36
+# (MoR delete on a range-clustered manifest) — then p12 (the lone
+# r7 leftover after the green r12 gate), then 47 of the 50-entry r8
+# band (the stalest evidence; q13/q22/q86 wait one round, all three
+# independently judge-spot-checked at r12). Min registry freshness
+# after a green r13 = r8 for exactly those three, r9 for everything
+# else — the r12-verdict #6 target. New queries are appended here
+# as they land, keeping the never-validated-first invariant
 # (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
 _PRIORITY: list[str] = [
-    # --- never driver-validated: the r12-born partition-spec
-    # evolution and the postings search surface (incremental
-    # maintenance, disjunctive scoring, phrase matching) ---
-    "p29_partition_evolution",
-    "t51_postings_increment",
-    "t52_disjunctive_search",
-    "t53_phrase_search",
-    "p30_evolution_cdf_sync",
-    "p31_mor_delete_lifecycle",
-    "t54_bm25_search",
-    "p32_mor_merge_lifecycle",
-    "p33_eq_delete_lifecycle",
-    "q94_pagerank_supply_graph",
-    "t55_bm25_incremental_index",
-    "p34_mor_partitioned_delete",
-    "t56_incremented_disjunctive_search",
-    "t57_incremented_phrase_search",
-    # --- r7-validated (stalest evidence band, 36 of 37: p12 waits
-    # one round — the 14 r12-born never-validated entries take
-    # precedence, and the r8 band cleared its slots entirely) ---
-    "p13_bucketed_colocated_join",
-    "p1_flatten_roundtrip",
-    "p2_dim_date_build",
-    "p4_quality_gate_counters",
-    "p8_retention_sweep",
-    "p9_time_travel",
-    "q73_lateral_topn",
-    "q77_trailing_time_window",
-    "q80_union_by_name",
-    "q81_iqr_outliers",
-    "q82_bloom_semijoin_prefilter",
-    "q83_rolling_percentiles",
-    "q84_null_safe_join",
-    "q85_rolling_anomaly_bands",
-    "sim10_pq_refine_topk",
-    "sim12_knn_graph",
-    "sim13_embedding_clusters",
-    "sim14_ivf_partitioned_topk",
-    "sim3_embedding_neardup_pairs",
-    "t18_repetition_stats",
-    "t22_hashed_embedding",
-    "t23_hashed_embedding_neardup",
-    "t24_canonical_best_quality",
-    "t25_train_val_test_split",
-    "t26_common_token_fraction",
-    "t27_decontaminated_corpus",
-    "t29_cms_heavy_hitters",
-    "t2_lang_id",
-    "t30_pps_weighted_sample",
-    "t31_langid_confusion",
-    "t33_containment_pairs",
-    "t34_curation_audit",
-    "t4_minhash_signatures",
-    "t5_simhash",
-    "t6_ngram_jaccard_pairs",
-    "t8_top_terms_per_lang",
+    # --- never driver-validated: the r13-born partitioned eq/MoR
+    # DML lifecycle and the range-clustered MoR delete ---
+    "p35_eq_partitioned_lifecycle",
+    "p36_mor_sorted_delete",
+    # --- r7-validated: the lone leftover after the r12 gate ---
+    "p12_zorder_roundtrip",
+    # --- r8-validated (stalest band, 47 of 50: q13/q22/q86 wait one
+    # round — all three independently judge-spot-checked at r12) ---
+    "e22_skew_audit",
+    "e23_hll_distinct_users",
+    "e24_session_trigrams",
+    "e25_drift_table",
+    "e26_join_fanout_audit",
+    "e27_hll_union_rollup",
+    "m4_frame_embedding_pool",
+    "m5_media_frame_overlap",
+    "p14_time_range_pruned_read",
+    "p15_corpus_release",
+    "p16_gdpr_delete_sweep",
+    "p17_dynamic_partition_backfill",
+    "p18_quarantine_routing",
+    "p19_partitioned_cow",
+    "p20_streaming_backfill_parity",
+    "q11_cube",
+    "q12_set_ops",
+    "q14_string_functions",
+    "q15_date_functions",
+    "q16_conditional_pivot",
+    "q17_distinct_projection",
+    "q18_having_group_filter",
+    "q19_duplicate_audit",
+    "q1_pricing_summary",
+    "q2_group_count_distinct",
+    "q3_null_and_range_audit",
+    "q4_star_join_revenue",
+    "q5_semi_join_exists",
+    "q67_map_roundtrip",
+    "q68_conditional_distinct",
+    "q6_anti_join_not_exists",
+    "q74_null_ordering",
+    "q75_explode_outer",
+    "q78_string_rewrite",
+    "q79_null_conditionals",
+    "q7_left_outer_join_null_handling",
+    "q8_window_rank_topk_per_group",
+    "q9_window_lag_running_sum",
+    "sim15_rrf_hybrid_topk",
+    "sim16_versioned_ivf_topk",
+    "sim17_neardup_triangles",
+    "sim18_ann_recall_table",
+    "t35_incremental_neardup",
+    "t36_temperature_mixture",
+    "t37_dup_span_coverage",
+    "t38_quality_scorer",
+    "t40_k_anonymity_audit",
 ]
 
 
@@ -184,14 +177,14 @@ VALIDATED_ROUND: dict[str, int] = {
     "p10_incremental_agg": 11,
     "p11_snapshot_diff": 11,
     "p12_zorder_roundtrip": 7,
-    "p13_bucketed_colocated_join": 7,
+    "p13_bucketed_colocated_join": 12,
     "p14_time_range_pruned_read": 8,
     "p15_corpus_release": 8,
     "p16_gdpr_delete_sweep": 8,
     "p17_dynamic_partition_backfill": 8,
     "p18_quarantine_routing": 8,
     "p19_partitioned_cow": 8,
-    "p1_flatten_roundtrip": 7,
+    "p1_flatten_roundtrip": 12,
     "p20_streaming_backfill_parity": 8,
     "p21_wap_publish": 9,
     "p22_partitioned_schema_evolution": 9,
@@ -201,14 +194,20 @@ VALIDATED_ROUND: dict[str, int] = {
     "p26_timestamp_asof_read": 9,
     "p27_bloom_point_lookup": 11,
     "p28_bloom_fpr_audit": 11,
-    "p2_dim_date_build": 7,
+    "p29_partition_evolution": 12,
+    "p2_dim_date_build": 12,
+    "p30_evolution_cdf_sync": 12,
+    "p31_mor_delete_lifecycle": 12,
+    "p32_mor_merge_lifecycle": 12,
+    "p33_eq_delete_lifecycle": 12,
+    "p34_mor_partitioned_delete": 12,
     "p3_sql_model_over_views": 10,
-    "p4_quality_gate_counters": 7,
+    "p4_quality_gate_counters": 12,
     "p5_incremental_gold": 10,
     "p6_compaction_roundtrip": 10,
     "p7_schema_evolution_merge": 10,
-    "p8_retention_sweep": 7,
-    "p9_time_travel": 7,
+    "p8_retention_sweep": 12,
+    "p9_time_travel": 12,
     "q10_rollup": 10,
     "q11_cube": 8,
     "q12_set_ops": 8,
@@ -278,20 +277,20 @@ VALIDATED_ROUND: dict[str, int] = {
     "q70_multiset_ops": 11,
     "q71_forward_fill": 11,
     "q72_group_ols_slope": 11,
-    "q73_lateral_topn": 7,
+    "q73_lateral_topn": 12,
     "q74_null_ordering": 8,
     "q75_explode_outer": 8,
     "q76_array_set_algebra": 11,
-    "q77_trailing_time_window": 7,
+    "q77_trailing_time_window": 12,
     "q78_string_rewrite": 8,
     "q79_null_conditionals": 8,
     "q7_left_outer_join_null_handling": 8,
-    "q80_union_by_name": 7,
-    "q81_iqr_outliers": 7,
-    "q82_bloom_semijoin_prefilter": 7,
-    "q83_rolling_percentiles": 7,
-    "q84_null_safe_join": 7,
-    "q85_rolling_anomaly_bands": 7,
+    "q80_union_by_name": 12,
+    "q81_iqr_outliers": 12,
+    "q82_bloom_semijoin_prefilter": 12,
+    "q83_rolling_percentiles": 12,
+    "q84_null_safe_join": 12,
+    "q85_rolling_anomaly_bands": 12,
     "q86_rank_functions": 8,
     "q87_ordered_listagg": 9,
     "q88_hierarchy_closure": 9,
@@ -301,12 +300,13 @@ VALIDATED_ROUND: dict[str, int] = {
     "q91_distributed_global_rank": 10,
     "q92_distributed_exact_ntile": 10,
     "q93_corrupt_record_routing": 11,
+    "q94_pagerank_supply_graph": 12,
     "q9_window_lag_running_sum": 8,
-    "sim10_pq_refine_topk": 7,
+    "sim10_pq_refine_topk": 12,
     "sim11_sq8_topk": 11,
-    "sim12_knn_graph": 7,
-    "sim13_embedding_clusters": 7,
-    "sim14_ivf_partitioned_topk": 7,
+    "sim12_knn_graph": 12,
+    "sim13_embedding_clusters": 12,
+    "sim14_ivf_partitioned_topk": 12,
     "sim15_rrf_hybrid_topk": 8,
     "sim16_versioned_ivf_topk": 8,
     "sim17_neardup_triangles": 8,
@@ -318,7 +318,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim22_filtered_ann_topk": 9,
     "sim23_knn_label_vote": 9,
     "sim2_cosine_topk_lsh": 11,
-    "sim3_embedding_neardup_pairs": 7,
+    "sim3_embedding_neardup_pairs": 12,
     "sim4_cosine_topk_ivf": 11,
     "sim5_vector_stats": 10,
     "sim6_label_separation": 11,
@@ -333,24 +333,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "t15_distinctive_terms": 11,
     "t16_sequence_packing": 11,
     "t17_passage_chunking": 10,
-    "t18_repetition_stats": 7,
+    "t18_repetition_stats": 12,
     "t19_decontamination": 11,
     "t1_text_stats": 11,
     "t20_token_budget_mix": 11,
     "t21_pii_redaction": 11,
-    "t22_hashed_embedding": 7,
-    "t23_hashed_embedding_neardup": 7,
-    "t24_canonical_best_quality": 7,
-    "t25_train_val_test_split": 7,
-    "t26_common_token_fraction": 7,
-    "t27_decontaminated_corpus": 7,
+    "t22_hashed_embedding": 12,
+    "t23_hashed_embedding_neardup": 12,
+    "t24_canonical_best_quality": 12,
+    "t25_train_val_test_split": 12,
+    "t26_common_token_fraction": 12,
+    "t27_decontaminated_corpus": 12,
     "t28_chunk_dedup_corpus": 11,
-    "t29_cms_heavy_hitters": 7,
-    "t2_lang_id": 7,
-    "t30_pps_weighted_sample": 7,
-    "t31_langid_confusion": 7,
-    "t33_containment_pairs": 7,
-    "t34_curation_audit": 7,
+    "t29_cms_heavy_hitters": 12,
+    "t2_lang_id": 12,
+    "t30_pps_weighted_sample": 12,
+    "t31_langid_confusion": 12,
+    "t33_containment_pairs": 12,
+    "t34_curation_audit": 12,
     "t35_incremental_neardup": 8,
     "t36_temperature_mixture": 8,
     "t37_dup_span_coverage": 8,
@@ -366,12 +366,19 @@ VALIDATED_ROUND: dict[str, int] = {
     "t47_lsh_s_curve": 10,
     "t48_bpe_encode_corpus": 11,
     "t49_inverted_index_search": 11,
-    "t4_minhash_signatures": 7,
+    "t4_minhash_signatures": 12,
     "t50_persisted_postings_search": 11,
-    "t5_simhash": 7,
-    "t6_ngram_jaccard_pairs": 7,
+    "t51_postings_increment": 12,
+    "t52_disjunctive_search": 12,
+    "t53_phrase_search": 12,
+    "t54_bm25_search": 12,
+    "t55_bm25_incremental_index": 12,
+    "t56_incremented_disjunctive_search": 12,
+    "t57_incremented_phrase_search": 12,
+    "t5_simhash": 12,
+    "t6_ngram_jaccard_pairs": 12,
     "t7_minhash_lsh_neardup": 11,
-    "t8_top_terms_per_lang": 7,
+    "t8_top_terms_per_lang": 12,
     "t9_simhash_neardup": 11,
 }
 
