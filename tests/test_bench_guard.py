@@ -85,9 +85,36 @@ def test_prior_bench_ignores_other_sf():
     assert bench._prior_bench(123.456) == {}
 
 
+def test_prior_bench_composition_banding():
+    """r12 verdict ask #7: per-key anchors are list-composition-
+    dependent, so same-band history (>= BAND_MIN_RATIO of the current
+    key count) wins per key, out-of-band history only backstops, and
+    flags whose sole anchor is out-of-band carry the 'ob' marker."""
+    legacy = bench._prior_bench(0.1)
+    banded = bench._prior_bench(0.1, n_current=len(bench.HEADLINE))
+    # banding re-ranks which run supplies each anchor but never
+    # changes coverage, and a same-band preference can only select a
+    # value >= the all-history minimum
+    assert set(banded) == set(legacy)
+    assert all(banded[k] >= legacy[k] for k in legacy)
+    # a hypothetical much larger list has NO same-band history: every
+    # anchor falls back out-of-band, and a regression flagged against
+    # one is annotated 'ob' (weaker evidence — solo re-measure triage)
+    assert bench._prior_bench(0.1, n_current=10_000, banded_only=True) == {}
+    name, prev = next(iter(banded.items()))
+    fat = {f"x{i}": 0.01 for i in range(10_000)}
+    fat[name] = prev * 2 + bench.REGRESSION_FLOOR_S + 0.01
+    regs = bench._find_regressions(fat, 0.1)
+    assert regs[name].get("ob") is True
+
+
 def test_guard_flags_only_real_regressions():
-    prior = bench._prior_bench(0.1)
-    assert prior
+    # _find_regressions anchors within the COMPOSITION BAND of the
+    # timing dict it is given (n_current = len(timings)), so the
+    # expectation must be computed the same way
+    legacy = bench._prior_bench(0.1)
+    prior = bench._prior_bench(0.1, n_current=len(legacy))
+    assert prior and set(prior) == set(legacy)
     name, prev = next(iter(prior.items()))
 
     # identical timings: no regressions
