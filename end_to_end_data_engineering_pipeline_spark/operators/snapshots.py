@@ -2284,6 +2284,14 @@ def snapshot_write_sorted(
             # merge-on-read vectors stay in force over the carried
             # files; the appended files have no positions in them
             manifest["deletes"] = pm["deletes"]
+        if mode == "append" and prev is not None and pm.get("eq_deletes"):
+            # equality tombstones stay in force; appended files get
+            # this commit's sequence (Iceberg re-insert rule)
+            manifest["eq_deletes"] = pm["eq_deletes"]
+            manifest["file_seq"] = {
+                **(pm.get("file_seq") or {f: 0 for f in pm["files"]}),
+                **{n: version for n in names},
+            }
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -2567,24 +2575,26 @@ def snapshot_delete_eq(
     one broadcast anti-join PER equality-delete entry, and the change
     feed over an equality-delete span must conservatively serve every
     pre-delete file (nothing narrows the affected set without the
-    very scan this flavor exists to avoid) — so compaction hygiene
-    matters more here; :func:`snapshot_compact` materializes both
-    flavors and drops the lists. Plain-flavor manifests only, same
-    contract as the other MoR writers. Returns the new version;
-    raises SnapshotConflict on a concurrent commit."""
+    very scan this flavor exists to avoid, though the CDF semi-joins
+    the served rows against the recorded tombstone keys when it can)
+    — so compaction hygiene matters more here; :func:`snapshot_compact`
+    materializes both flavors and drops the lists. Works on plain,
+    partitioned, range-clustered, and bloom-indexed manifests: the
+    tombstone is layout-blind, the pruning metadata carries verbatim
+    (no file changes), and pruned reads apply the sequence rule over
+    whatever file subset they open. Returns the new version; raises
+    SnapshotConflict on a concurrent commit."""
     vs = list_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "stats_col", "bloom"):
-        if flavor in m:
-            raise ValueError(
-                f"equality delete on a {flavor!r} manifest is not "
-                "wired (its pruning metadata has no delete story "
-                "yet); use snapshot_delete — copy-on-write preserves "
-                "the flavor"
-            )
+    if "specs" in m:
+        raise ValueError(
+            "equality delete on a mixed-partition-spec manifest is "
+            "not wired; run snapshot_compact first (it migrates to "
+            "the default spec), or use snapshot_delete via compact"
+        )
     names = _stage_files(spark, path, delete_keys.select(*keys).distinct())
     version = base_version + 1
     manifest: dict = {
@@ -2610,6 +2620,16 @@ def snapshot_delete_eq(
         manifest["part_col"] = m["part_col"]
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = m["partitions"]
+    if m.get("stats_col"):
+        # range-clustered: no file changes, so [min, max] carries
+        # verbatim — same conservative-correctness argument as the
+        # position flavor (masking can only narrow a file's range)
+        manifest["stats_col"] = m["stats_col"]
+        manifest["stats"] = m["stats"]
+    if "bloom" in m:
+        # bitmaps stay valid for surviving rows; a tombstoned key's
+        # bits at worst admit files the masked read then empties
+        manifest["bloom"] = m["bloom"]
     if m.get("deletes"):
         manifest["deletes"] = m["deletes"]
     if "schema" in m:
@@ -2641,27 +2661,32 @@ def snapshot_upsert_eq(
     share the sequence, so the tombstone masks neither and BOTH
     land — the sink reduces each micro-batch latest-wins first).
     ADD-column evolution follows the merge rules (old files
-    null-fill; type changes refuse). Plain-flavor manifests only.
-    Returns the new version; raises SnapshotConflict on a concurrent
-    commit."""
+    null-fill; type changes refuse). Works on plain, partitioned
+    (updates must carry the partition column; rows land
+    partition-staged), range-clustered (appended files get footer
+    stats), and bloom-indexed (appended files get fresh bitmaps)
+    manifests. Returns the new version; raises SnapshotConflict on a
+    concurrent commit."""
     vs = list_versions(path)
     if not vs:
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "stats_col", "bloom"):
-        if flavor in m:
-            raise ValueError(
-                f"equality upsert on a {flavor!r} manifest is not "
-                "wired (its pruning metadata has no delete story "
-                "yet); use snapshot_merge — copy-on-write preserves "
-                "the flavor"
-            )
+    if "specs" in m:
+        raise ValueError(
+            "equality upsert on a mixed-partition-spec manifest is "
+            "not wired; run snapshot_compact first (it migrates to "
+            "the default spec), or use snapshot_merge via compact"
+        )
     part_col = m.get("part_col")
     if part_col and part_col not in updates.columns:
         raise ValueError(
             f"equality upsert must carry the partition column "
             f"{part_col!r} so appended rows land in their partitions"
+        )
+    if m.get("stats_col") and m["stats_col"] in updates.columns:
+        _assert_utc_for_ts_stats(
+            spark, updates, m["stats_col"], "snapshot_upsert_eq"
         )
     if "schema" in m:
         schema_json = _evolved_schema_json(m["schema"], updates)
@@ -2706,6 +2731,34 @@ def snapshot_upsert_eq(
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = {**m["partitions"], **new_parts}
+    if m.get("stats_col"):
+        # carried files keep their stats; the appended update files
+        # get footer-recomputed [min, max] (they are not re-clustered
+        # against the table — conservative-correct, same rule as a
+        # CoW rewrite; a periodic sorted overwrite restores layout)
+        manifest["stats_col"] = m["stats_col"]
+        manifest["stats"] = {
+            **m["stats"],
+            **{
+                n: _file_min_max(
+                    os.path.join(_data_dir(path), n), m["stats_col"]
+                )
+                for n in names
+            },
+        }
+    if "bloom" in m:
+        # appended files get fresh bitmaps so point lookups keep
+        # probing every live file
+        b = m["bloom"]
+        manifest["bloom"] = {
+            **{k: b[k] for k in ("col", "type", "m", "k")},
+            "files": {
+                **b["files"],
+                **_files_bloom(
+                    spark, path, names, b["col"], b["m"], b["k"]
+                ),
+            },
+        }
     if m.get("deletes"):
         manifest["deletes"] = m["deletes"]
     if "extra" in m:
@@ -2736,9 +2789,13 @@ def snapshot_merge_mor(
     manifest records old-schema + new update columns (type changes
     refuse), and readers null-fill old files at scan time. Matched
     rows already MoR-deleted re-insert (their old positions stay
-    masked; no new vector rows are recorded for them). Plain-flavor
-    manifests only, same contract as delete_mor — flavored tables
-    take the CoW path, which preserves their pruning metadata.
+    masked; no new vector rows are recorded for them). Works on
+    plain, partitioned (position scan manifest-pruned to the update
+    batch's partitions when the partition column is a merge key;
+    updates land partition-staged), range-clustered (position scan
+    stats-pruned to the update keys' [min, max] envelope when the
+    stats column is a merge key; appended files get footer stats),
+    and bloom-indexed (appended files get fresh bitmaps) manifests.
     Returns the new version; raises SnapshotConflict on a concurrent
     commit."""
     from pyspark.sql import functions as F
@@ -2748,24 +2805,30 @@ def snapshot_merge_mor(
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    for flavor in ("specs", "stats_col", "bloom"):
-        if flavor in m:
-            raise ValueError(
-                f"merge-on-read merge on a {flavor!r} manifest is not "
-                "wired (its pruning metadata has no delete-vector "
-                "story yet); use snapshot_merge — copy-on-write "
-                "preserves the flavor"
-            )
+    if "specs" in m:
+        raise ValueError(
+            "merge-on-read merge on a mixed-partition-spec manifest "
+            "is not wired; run snapshot_compact first (it migrates to "
+            "the default spec), or use snapshot_merge via compact"
+        )
     part_col = m.get("part_col")
     if part_col and part_col not in updates.columns:
         raise ValueError(
             f"merge updates must carry the partition column "
             f"{part_col!r} so appended rows land in their partitions"
         )
+    if m.get("stats_col") and m["stats_col"] in updates.columns:
+        _assert_utc_for_ts_stats(
+            spark, updates, m["stats_col"], "snapshot_merge_mor"
+        )
     files = list(m["files"])
     # manifest pruning of the POSITION SCAN: a part_col-keyed merge
     # bounds the candidate files to the update batch's partitions
-    # (same rule as snapshot_delete_mor)
+    # (same rule as snapshot_delete_mor); a stats_col-keyed merge
+    # bounds them to files whose [min, max] overlaps the update keys'
+    # range (a matching row's stats value IS one of the update keys,
+    # so files outside the envelope cannot contain a match — one
+    # 2-value agg over the batch, no table read)
     cand = files
     if part_col and files and part_col in keys:
         vals = {
@@ -2773,6 +2836,20 @@ def snapshot_merge_mor(
             for r in updates.select(part_col).distinct().collect()
         }
         cand = [f for f in files if m["partitions"][f] in vals]
+    elif m.get("stats_col") in keys and files:
+        sc_ = m["stats_col"]
+        bounds = updates.agg(
+            F.min(sc_).alias("lo"), F.max(sc_).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            lo_k, hi_k = _stat_key(bounds["lo"]), _stat_key(bounds["hi"])
+            stats = m["stats"]
+            cand = [
+                f
+                for f in files
+                if stats.get(f) is None
+                or not (stats[f][1] < lo_k or stats[f][0] > hi_k)
+            ]
     new_dv: list[str] = []
     if cand:
         if part_col:
@@ -2847,6 +2924,31 @@ def snapshot_merge_mor(
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = {**m["partitions"], **new_parts}
+    if m.get("stats_col"):
+        # carried files keep their stats; appended update files get
+        # footer-recomputed [min, max] (not re-clustered against the
+        # table — conservative-correct, same rule as a CoW rewrite)
+        manifest["stats_col"] = m["stats_col"]
+        manifest["stats"] = {
+            **m["stats"],
+            **{
+                n: _file_min_max(
+                    os.path.join(_data_dir(path), n), m["stats_col"]
+                )
+                for n in new_names
+            },
+        }
+    if "bloom" in m:
+        b = m["bloom"]
+        manifest["bloom"] = {
+            **{k: b[k] for k in ("col", "type", "m", "k")},
+            "files": {
+                **b["files"],
+                **_files_bloom(
+                    spark, path, new_names, b["col"], b["m"], b["k"]
+                ),
+            },
+        }
     deletes = (m.get("deletes") or []) + new_dv
     if deletes:
         manifest["deletes"] = deletes
@@ -3098,13 +3200,6 @@ def snapshot_write_bloom(
                     "bloom append onto a partitioned/range-clustered "
                     "manifest is not wired; use the flavor's own writer"
                 )
-            if pm.get("eq_deletes"):
-                raise ValueError(
-                    "bloom append onto a table with equality "
-                    "tombstones is not wired (the sequence map has no "
-                    "bloom story yet); snapshot_compact first to "
-                    "materialize the deletes"
-                )
             b = pm.get("bloom")
             if b and (
                 b["col"] != bloom_col or b["m"] != m_bits or b["k"] != k
@@ -3146,6 +3241,14 @@ def snapshot_write_bloom(
             # merge-on-read vectors stay in force over the carried
             # files; the appended files have no positions in them
             manifest["deletes"] = pm["deletes"]
+        if mode == "append" and prev is not None and pm.get("eq_deletes"):
+            # equality tombstones stay in force; appended files get
+            # this commit's sequence (Iceberg re-insert rule)
+            manifest["eq_deletes"] = pm["eq_deletes"]
+            manifest["file_seq"] = {
+                **(pm.get("file_seq") or {f: 0 for f in pm["files"]}),
+                **{n: version for n in names},
+            }
         token = uuid.uuid4().hex[:12]
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:

@@ -2903,9 +2903,15 @@ def p35_eq_partitioned_lifecycle(
         ).select(F.lit(probe).alias("probe"), "*")
 
     try:
-        with fixture_phase():  # landing the partitioned table
+        with fixture_phase():  # landing the partitioned table —
+            # pre-shuffled onto the partition key so each nation
+            # stages ~one file instead of shuffle_partitions-many
+            # (every probe read reopens the whole file set; 25 files
+            # vs ~200 is the difference between a commit-constant
+            # query and a file-open-bound one)
             v0 = snapshot_write_partitioned(
-                spark, store, base, "c_nationkey"
+                spark, store, base.repartition(F.col("c_nationkey")),
+                "c_nationkey",
             )
         upd = base.where(F.col("c_custkey") % 23 == 5).select(
             "c_custkey",

@@ -2636,6 +2636,143 @@ def test_mor_delete_on_range_clustered_manifest(spark, tmp_path):
     } == set(range(5, 10)) | set(range(20, 31))
 
 
+def test_eq_dml_on_range_clustered_manifest(spark, tmp_path):
+    """Equality deletes / zero-read upserts / MoR merge on a
+    RANGE-CLUSTERED manifest: tombstones commit layout-blind with the
+    stats carried verbatim, masked range reads stay pruned, a sorted
+    append re-inserts tombstoned keys (sequence rule), the
+    stats-keyed MoR merge prunes its position scan to the update
+    keys' [min, max] envelope, appended files get footer stats, and
+    compaction materializes everything with a re-sorted rewrite."""
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "sorted")
+    df = spark.createDataFrame(
+        [(i, i, "v%d" % i) for i in range(100)], "k long, s long, v string"
+    )
+    S.snapshot_write_sorted(spark, t, df, "s", n_files=4)
+    m0 = S._manifest(t, 0)
+
+    # zero-read eq delete; stats carry verbatim
+    v1 = S.snapshot_delete_eq(
+        spark, t, spark.createDataFrame([(7,), (55,)], "k long"), ["k"]
+    )
+    m1 = S._manifest(t, v1)
+    assert m1["stats"] == m0["stats"] and m1["files"] == m0["files"]
+    got = S.snapshot_read_range(spark, t, 0, 60)
+    assert {r.k for r in got.collect()} == set(range(61)) - {7, 55}
+    opened = {f.split("/")[-1] for f in got.inputFiles()}
+    assert len(opened & set(m1["files"])) < len(m1["files"])  # pruned
+
+    # sorted append re-inserting a tombstoned key survives
+    S.snapshot_write_sorted(
+        spark, t,
+        spark.createDataFrame([(7, 7, "reborn")], df.schema), "s",
+        mode="append",
+    )
+    got = {(r.k, r.v) for r in S.snapshot_read(spark, t).collect()}
+    assert (7, "reborn") in got and (7, "v7") not in got
+
+    # zero-read upsert: appended file gets footer stats
+    v3 = S.snapshot_upsert_eq(
+        spark, t,
+        spark.createDataFrame([(20, 20, "upd")], df.schema), ["k"],
+    )
+    m3 = S._manifest(t, v3)
+    assert set(m3["stats"]) == set(m3["files"])
+    assert (20, "upd") in {
+        (r.k, r.v) for r in S.snapshot_read_range(spark, t, 15, 25).collect()
+    }
+
+    # stats-keyed MoR merge: position scan pruned by the key envelope
+    upd = spark.createDataFrame([(30, 30, "merged")], df.schema)
+    v4 = S.snapshot_merge_mor(spark, t, upd, ["s"])
+    m4 = S._manifest(t, v4)
+    dv = S._dv_frame(spark, t, m4)
+    stats = m4["stats"]
+    for r in dv.collect():
+        fr = stats[r["__dv_file"]]
+        assert fr is None or (fr[0] <= 30 <= fr[1])  # envelope files only
+    got = {(r.k, r.v) for r in S.snapshot_read(spark, t).collect()}
+    assert ("merged" in {v for _, v in got}) and (30, "v30") not in got
+
+    # compaction: all delete metadata drops, stats full-covered,
+    # content stable
+    v5 = S.snapshot_compact(spark, t)
+    m5 = S._manifest(t, v5)
+    assert "eq_deletes" not in m5 and "deletes" not in m5
+    assert set(m5["stats"]) == set(m5["files"])
+    assert {(r.k, r.v) for r in S.snapshot_read(spark, t).collect()} == got
+
+
+def test_eq_dml_on_bloom_indexed_manifest(spark, tmp_path):
+    """Equality deletes / upserts on a BLOOM-INDEXED manifest: point
+    lookups mask tombstoned keys, upsert-appended files get fresh
+    bitmaps so new keys stay probeable, bloom appends carry the
+    tombstones with the re-insert sequence rule, and compaction
+    materializes."""
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "bloom")
+    df = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(40)], "k long, v string"
+    ).repartition(4)
+    S.snapshot_write_bloom(spark, t, df, "k")
+    m0 = S._manifest(t, 0)
+
+    v1 = S.snapshot_delete_eq(
+        spark, t, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    assert S._manifest(t, v1)["bloom"] == m0["bloom"]
+    assert S.snapshot_read_point(spark, t, 5).count() == 0
+    assert S.snapshot_read_point(spark, t, 6).count() == 1
+
+    # zero-read upsert: the re-inserted key and a brand-new key both
+    # serve through the point index (fresh bitmap for the new file)
+    v2 = S.snapshot_upsert_eq(
+        spark, t,
+        spark.createDataFrame(
+            [(5, "reborn"), (500, "new")], "k long, v string"
+        ),
+        ["k"],
+    )
+    m2 = S._manifest(t, v2)
+    assert set(m2["bloom"]["files"]) == set(m2["files"])
+    assert [r.v for r in S.snapshot_read_point(spark, t, 5).collect()] == [
+        "reborn"
+    ]
+    assert [r.v for r in S.snapshot_read_point(spark, t, 500).collect()] == [
+        "new"
+    ]
+
+    # bloom append carries tombstones; a second tombstone then masks
+    # the appended row too (sequence rule both ways)
+    S.snapshot_delete_eq(
+        spark, t, spark.createDataFrame([(6,)], "k long"), ["k"]
+    )
+    v4 = S.snapshot_write_bloom(
+        spark, t,
+        spark.createDataFrame([(6, "back")], "k long, v string"), "k",
+        mode="append",
+    )
+    m4 = S._manifest(t, v4)
+    assert m4["eq_deletes"] and m4["file_seq"]
+    assert [r.v for r in S.snapshot_read_point(spark, t, 6).collect()] == [
+        "back"
+    ]
+
+    v5 = S.snapshot_compact(spark, t)
+    m5 = S._manifest(t, v5)
+    assert "eq_deletes" not in m5
+    assert set(m5["bloom"]["files"]) == set(m5["files"])
+    assert S.snapshot_read_point(spark, t, 5).count() == 1
+    assert S.snapshot_read_point(spark, t, 6).count() == 1
+
+
 def test_mor_delete_on_bloom_indexed_manifest(spark, tmp_path):
     """MoR position deletes on a BLOOM-INDEXED manifest (r12 verdict
     ask #5): bitmaps stay valid for surviving rows (a deleted key's
