@@ -34,9 +34,19 @@ def test_prior_bench_loads_best_of_history():
 
     best_cur: dict[str, float] = {}
     best_old: dict[str, float] = {}
-    for f in glob.glob(os.path.join(_here, "BENCH_r*.json")):
+    files = [
+        (f, int(re.search(r"BENCH_r(\d+)\.json$", f).group(1)))
+        for f in glob.glob(os.path.join(_here, "BENCH_r*.json"))
+    ] + [
+        # builder-recorded clean anchor runs are anchor material too
+        # (never round-contaminated, never pre-reshape)
+        (f, 10**6)
+        for f in glob.glob(
+            os.path.join(_here, "docs", "probes", "bench_anchor_*.json")
+        )
+    ]
+    for f, rnd in files:
         d = json.load(open(f))
-        rnd = int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
         parsed = d.get("parsed") or {}
         if d.get("rc") == 0 and d.get("sf") == 0.1:
             if rnd in bench.CONTAMINATED_ROUNDS:
@@ -64,9 +74,8 @@ def test_prior_bench_loads_best_of_history():
     # assertion (r12 verdict ask #1).
     contaminated_only: set[str] = set()
     clean_keys: set[str] = set()
-    for f in glob.glob(os.path.join(_here, "BENCH_r*.json")):
+    for f, rnd in files:
         d = json.load(open(f))
-        rnd = int(re.search(r"BENCH_r(\d+)\.json$", f).group(1))
         if d.get("rc") != 0 or d.get("sf") != 0.1:
             continue
         keys = {
