@@ -652,6 +652,7 @@ def _read_evolved_files(
     files: list[str],
     col: str | None = None,
     wanted: set[str] | None = None,
+    with_pos: bool = False,
 ) -> DataFrame | None:
     """Union read over a MIXED-SPEC (partition-evolved) manifest's
     ``files``: group by each file's recorded spec, manifest-prune the
@@ -663,7 +664,8 @@ def _read_evolved_files(
     caller applies the exact residual filter (Iceberg's evolved-spec
     read semantics: old files scan with a residual predicate, new
     files prune on their spec). Returns None when pruning admits no
-    files."""
+    files. ``with_pos=True`` keeps the ``__file``/``__pos`` scan tags
+    through the union (the merge-on-read masking handle)."""
     groups: dict[int, list[str]] = {}
     for f in files:
         groups.setdefault(int(m["file_specs"][f]), []).append(f)
@@ -676,9 +678,10 @@ def _read_evolved_files(
         if not fs:
             continue
         g = _attach_partition_col(
-            spark, path, m, fs, col=spec["col"], ctype=spec["type"]
+            spark, path, m, fs, col=spec["col"], ctype=spec["type"],
+            with_pos=with_pos,
         )
-        parts.append(g.drop("__file"))
+        parts.append(g if with_pos else g.drop("__file"))
     if not parts:
         return None
     out = parts[0]
@@ -1442,6 +1445,16 @@ def snapshot_changes(
             m_eff = dict(m_parts)
             if "schema" in m_sch:
                 m_eff["schema"] = m_sch["schema"]
+            if m_eff.get("deletes"):
+                # apply THIS side's position vectors, same rule as
+                # the other branches
+                df = _read_evolved_files(
+                    spark, path, m_eff, files, with_pos=True
+                )
+                if df is None:
+                    return None
+                df = _mask_positions(spark, path, m_eff, df, files)
+                return df.drop("__file", "__pos")
             return _read_evolved_files(spark, path, m_eff, files)
         if "part_col" in m_parts:
             # partition map is per-manifest; schema is the TO one
@@ -1586,7 +1599,18 @@ def snapshot_compact(
         # the table to the shape merge/delete require. The rewrite is
         # the whole point — no small-file heuristics apply here.
         spec = m["specs"][m["default_spec"]]
-        full = _read_evolved_files(spark, path, m, m["files"])
+        if m.get("deletes"):
+            # migration doubles as MoR materialization: the rewrite
+            # applies the vectors, and the migrated single-spec
+            # manifest (built below) carries no delete metadata
+            full = _read_evolved_files(
+                spark, path, m, m["files"], with_pos=True
+            )
+            if full is not None:
+                full = _mask_positions(spark, path, m, full, m["files"])
+                full = full.drop("__file", "__pos")
+        else:
+            full = _read_evolved_files(spark, path, m, m["files"])
         if full is None:
             return base_version  # zero files: nothing to migrate
         names, parts = _stage_partitioned(spark, path, full, spec["col"])
@@ -1904,6 +1928,13 @@ def snapshot_write_partitioned(
         if mode == "append" and prev is not None:
             pm = _manifest(path, prev)
             prev_schema = pm.get("schema")
+            if pm.get("eq_deletes") and (evolve or "specs" in pm):
+                raise ValueError(
+                    "partition-spec evolution on a table with equality "
+                    "tombstones is not wired (mixed-spec reads have no "
+                    "sequence-rule story yet); snapshot_compact first "
+                    "to materialize the tombstones"
+                )
             if "specs" in pm:
                 # already-evolved table: land under the matching spec
                 # (latest-append wins the default), or add a new one
@@ -2062,9 +2093,31 @@ def snapshot_read_partitioned(
             if values is None
             else {_hive_part_str(v) for v in values}
         )
-        out = _read_evolved_files(
-            spark, path, m, m["files"], col=col, wanted=wanted
-        )
+        if m.get("deletes"):
+            # merge-on-read over the spec-pruned file list: compute
+            # the admitted set up front so only those files' vectors
+            # load, then mask on the union's scan tags
+            admitted = [
+                f
+                for f in m["files"]
+                if wanted is None
+                or m["specs"][int(m["file_specs"][f])]["col"] != col
+                or m["partitions"][f] in wanted
+            ]
+            out = (
+                _read_evolved_files(
+                    spark, path, m, admitted, with_pos=True
+                )
+                if admitted
+                else None
+            )
+            if out is not None:
+                out = _mask_positions(spark, path, m, out, admitted)
+                out = out.drop("__file", "__pos")
+        else:
+            out = _read_evolved_files(
+                spark, path, m, m["files"], col=col, wanted=wanted
+            )
         if out is None:
             # nothing admitted: serve the committed schema, zero rows
             if not m["files"]:
@@ -2459,21 +2512,37 @@ def snapshot_delete_mor(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    if "specs" in m:
-        raise ValueError(
-            "merge-on-read delete on a mixed-partition-spec manifest "
-            "is not wired (each spec group would need its own position "
-            "scan); run snapshot_compact first — it migrates to the "
-            "default spec — or use snapshot_delete via compact"
-        )
     files = list(m["files"])
     part_col = m.get("part_col")
     # manifest pruning of the POSITION SCAN itself: a part_col-keyed
     # delete bounds the candidate files to its partitions (the same
     # rule as _cow_commit) — a day-keyed GDPR sweep on a 10-year
-    # table scans one day's files to locate positions, not the table
+    # table scans one day's files to locate positions, not the table.
+    # On a MIXED-SPEC manifest each spec group prunes on ITS OWN
+    # column when that column is a delete key (Iceberg's evolved-spec
+    # semantics: old-spec files can't prune on the new column and are
+    # admitted in full)
     cand = files
-    if part_col and files and part_col in keys:
+    if "specs" in m and files:
+        prune_vals: dict[str, set] = {}
+        for s in m["specs"]:
+            if s["col"] in keys:
+                prune_vals[s["col"]] = {
+                    _hive_part_str(r[s["col"]])
+                    for r in delete_keys.select(s["col"])
+                    .distinct()
+                    .collect()
+                }
+        if prune_vals:
+            cand = [
+                f
+                for f in files
+                if m["specs"][int(m["file_specs"][f])]["col"]
+                not in prune_vals
+                or m["partitions"][f]
+                in prune_vals[m["specs"][int(m["file_specs"][f])]["col"]]
+            ]
+    elif part_col and files and part_col in keys:
         vals = {
             _hive_part_str(r[part_col])
             for r in delete_keys.select(part_col).distinct().collect()
@@ -2481,7 +2550,13 @@ def snapshot_delete_mor(
         cand = [f for f in files if m["partitions"][f] in vals]
     new_dv: list[str] = []
     if cand:
-        if part_col:
+        if "specs" in m:
+            data = _read_evolved_files(
+                spark, path, m, cand, with_pos=True
+            ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
+                "__pos", "__dv_pos"
+            )
+        elif part_col:
             data = _attach_partition_col(
                 spark, path, m, cand, with_pos=True
             ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
@@ -2519,7 +2594,15 @@ def snapshot_delete_mor(
         "files": files,
         "deletes": (m.get("deletes") or []) + new_dv,
     }
-    if part_col:
+    if "specs" in m:
+        # mixed-spec (partition-evolved): vectors are layout-blind,
+        # all spec metadata carries verbatim — reads keep pruning
+        # per-spec and mask the vectors of the files they open
+        manifest["specs"] = m["specs"]
+        manifest["file_specs"] = m["file_specs"]
+        manifest["partitions"] = m["partitions"]
+        manifest["default_spec"] = m["default_spec"]
+    elif part_col:
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = m["partitions"]

@@ -2636,6 +2636,102 @@ def test_mor_delete_on_range_clustered_manifest(spark, tmp_path):
     } == set(range(5, 10)) | set(range(20, 31))
 
 
+def test_mor_delete_on_mixed_spec_manifest(spark, tmp_path):
+    """MoR position deletes compose with PARTITION-SPEC EVOLUTION
+    (the last refusal cell): vectors commit layout-blind on a
+    mixed-spec manifest with all spec metadata carried verbatim,
+    each spec group prunes the position scan on ITS OWN column when
+    that column is a delete key (old-spec files admitted in full —
+    Iceberg's evolved-spec semantics), spec-pruned reads mask the
+    vectors of exactly the admitted files, the CDF nets the masked
+    rows, and compaction's spec migration doubles as MoR
+    materialization. Equality tombstones + evolution stay refused."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    path = str(tmp_path / "t")
+    # spec A: day-partitioned
+    a = spark.createDataFrame(
+        [(i, "d%d" % (i % 2), "r%d" % (i % 3), 10 + i) for i in range(8)],
+        "k long, day string, region string, amt long",
+    )
+    S.snapshot_write_partitioned(spark, path, a, "day")
+    # evolve: spec B partitions new files by region
+    b = spark.createDataFrame(
+        [(i, "d%d" % (i % 2), "r%d" % (i % 3), 10 + i)
+         for i in range(100, 108)],
+        a.schema,
+    )
+    S.snapshot_write_partitioned(
+        spark, path, b, "region", mode="append", evolve=True
+    )
+
+    # user-keyed MoR delete scatters across both specs
+    v2 = S.snapshot_delete_mor(
+        spark, path,
+        spark.createDataFrame([(1,), (102,)], "k long"), ["k"],
+    )
+    m2 = S._manifest(path, v2)
+    assert "specs" in m2 and m2["deletes"]
+    assert m2["file_specs"] and m2["default_spec"] == 1
+    got = {r.k for r in S.snapshot_read_partitioned(spark, path).collect()}
+    assert got == (set(range(8)) | set(range(100, 108))) - {1, 102}
+
+    # spec-B-keyed delete: candidates prune to region files; spec-A
+    # files (can't prune on region) admit in full — so vectors may
+    # name either, but the REGION-pruned read masks correctly
+    v3 = S.snapshot_delete_mor(
+        spark, path, spark.createDataFrame([("r1",)], "region string"),
+        ["region"],
+    )
+    got = {r.k for r in S.snapshot_read_partitioned(spark, path).collect()}
+    # region=r1 rows: k%3==1 for spec-A rows (region physical) and
+    # k%3==1 in 100..107 for spec-B rows (region manifest-attached)
+    expect = {
+        k for k in (set(range(8)) | set(range(100, 108)))
+        if k not in (1, 102) and k % 3 != 1
+    }
+    assert got == expect
+    # spec-pruned read of an unaffected region value stays masked
+    pruned = S.snapshot_read_partitioned(
+        spark, path, values=["r0"], col="region"
+    )
+    assert {r.k for r in pruned.collect()} == {
+        k for k in expect if k % 3 == 0
+    }
+
+    # CDF across the delete span nets exactly the masked rows
+    ch = S.snapshot_changes(spark, path, ["k"], v2, v3)
+    assert {(r.k, r._change_type) for r in ch.collect()} == {
+        (k, "delete")
+        for k in (set(range(8)) | set(range(100, 108)))
+        if k not in (1, 102) and k % 3 == 1
+    }
+
+    # compaction migrates to single-spec AND materializes the vectors
+    v4 = S.snapshot_compact(spark, path)
+    m4 = S._manifest(path, v4)
+    assert "specs" not in m4 and "deletes" not in m4
+    assert m4["part_col"] == "region"
+    assert {
+        r.k for r in S.snapshot_read_partitioned(spark, path).collect()
+    } == expect
+
+    # equality tombstones + evolution: refused both ways
+    path2 = str(tmp_path / "t2")
+    S.snapshot_write_partitioned(spark, path2, a, "day")
+    S.snapshot_delete_eq(
+        spark, path2, spark.createDataFrame([(3,)], "k long"), ["k"]
+    )
+    with _pytest.raises(ValueError, match="evolution"):
+        S.snapshot_write_partitioned(
+            spark, path2, b, "region", mode="append", evolve=True
+        )
+
+
 def test_eq_dml_on_range_clustered_manifest(spark, tmp_path):
     """Equality deletes / zero-read upserts / MoR merge on a
     RANGE-CLUSTERED manifest: tombstones commit layout-blind with the
