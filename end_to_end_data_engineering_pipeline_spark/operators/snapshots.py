@@ -1445,15 +1445,16 @@ def snapshot_changes(
             m_eff = dict(m_parts)
             if "schema" in m_sch:
                 m_eff["schema"] = m_sch["schema"]
-            if m_eff.get("deletes"):
-                # apply THIS side's position vectors, same rule as
-                # the other branches
+            if m_eff.get("deletes") or m_eff.get("eq_deletes"):
+                # apply THIS side's position vectors and equality
+                # tombstones, same rule as the other branches
                 df = _read_evolved_files(
                     spark, path, m_eff, files, with_pos=True
                 )
                 if df is None:
                     return None
                 df = _mask_positions(spark, path, m_eff, df, files)
+                df = _mask_eq(spark, path, m_eff, df, files, "__file")
                 return df.drop("__file", "__pos")
             return _read_evolved_files(spark, path, m_eff, files)
         if "part_col" in m_parts:
@@ -1599,15 +1600,17 @@ def snapshot_compact(
         # the table to the shape merge/delete require. The rewrite is
         # the whole point — no small-file heuristics apply here.
         spec = m["specs"][m["default_spec"]]
-        if m.get("deletes"):
+        if m.get("deletes") or m.get("eq_deletes"):
             # migration doubles as MoR materialization: the rewrite
-            # applies the vectors, and the migrated single-spec
-            # manifest (built below) carries no delete metadata
+            # applies vectors and tombstones, and the migrated
+            # single-spec manifest (built below) carries no delete
+            # metadata
             full = _read_evolved_files(
                 spark, path, m, m["files"], with_pos=True
             )
             if full is not None:
                 full = _mask_positions(spark, path, m, full, m["files"])
+                full = _mask_eq(spark, path, m, full, m["files"], "__file")
                 full = full.drop("__file", "__pos")
         else:
             full = _read_evolved_files(spark, path, m, m["files"])
@@ -1928,13 +1931,6 @@ def snapshot_write_partitioned(
         if mode == "append" and prev is not None:
             pm = _manifest(path, prev)
             prev_schema = pm.get("schema")
-            if pm.get("eq_deletes") and (evolve or "specs" in pm):
-                raise ValueError(
-                    "partition-spec evolution on a table with equality "
-                    "tombstones is not wired (mixed-spec reads have no "
-                    "sequence-rule story yet); snapshot_compact first "
-                    "to materialize the tombstones"
-                )
             if "specs" in pm:
                 # already-evolved table: land under the matching spec
                 # (latest-append wins the default), or add a new one
@@ -2093,10 +2089,10 @@ def snapshot_read_partitioned(
             if values is None
             else {_hive_part_str(v) for v in values}
         )
-        if m.get("deletes"):
+        if m.get("deletes") or m.get("eq_deletes"):
             # merge-on-read over the spec-pruned file list: compute
             # the admitted set up front so only those files' vectors
-            # load, then mask on the union's scan tags
+            # and tombstone joins load, then mask on the union's tags
             admitted = [
                 f
                 for f in m["files"]
@@ -2113,6 +2109,7 @@ def snapshot_read_partitioned(
             )
             if out is not None:
                 out = _mask_positions(spark, path, m, out, admitted)
+                out = _mask_eq(spark, path, m, out, admitted, "__file")
                 out = out.drop("__file", "__pos")
         else:
             out = _read_evolved_files(
@@ -2672,12 +2669,6 @@ def snapshot_delete_eq(
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    if "specs" in m:
-        raise ValueError(
-            "equality delete on a mixed-partition-spec manifest is "
-            "not wired; run snapshot_compact first (it migrates to "
-            "the default spec), or use snapshot_delete via compact"
-        )
     names = _stage_files(spark, path, delete_keys.select(*keys).distinct())
     version = base_version + 1
     manifest: dict = {
@@ -2693,7 +2684,16 @@ def snapshot_delete_eq(
         # delete bootstrap at 0 (all < this commit's version)
         "file_seq": m.get("file_seq") or {f: 0 for f in m["files"]},
     }
-    if "part_col" in m:
+    if "specs" in m:
+        # mixed-spec: the tombstone and the sequence map are both
+        # keyed by FILE NAME, spec-agnostic — all spec metadata
+        # carries verbatim and the evolved read path applies the
+        # sequence rule over whatever file subset it admits
+        manifest["specs"] = m["specs"]
+        manifest["file_specs"] = m["file_specs"]
+        manifest["partitions"] = m["partitions"]
+        manifest["default_spec"] = m["default_spec"]
+    elif "part_col" in m:
         # PARTITIONED tables take eq deletes as-is: the tombstone is
         # partition-blind (it commits without reading the table, so
         # nothing scopes it), the partition map carries untouched, and

@@ -2645,9 +2645,9 @@ def test_mor_delete_on_mixed_spec_manifest(spark, tmp_path):
     Iceberg's evolved-spec semantics), spec-pruned reads mask the
     vectors of exactly the admitted files, the CDF nets the masked
     rows, and compaction's spec migration doubles as MoR
-    materialization. Equality tombstones + evolution stay refused."""
-    import pytest as _pytest
-
+    materialization. Equality tombstones compose too: the sequence
+    map is file-keyed and spec-agnostic, so the re-insert rule spans
+    the evolution commit."""
     from end_to_end_data_engineering_pipeline_spark.operators import (
         snapshots as S,
     )
@@ -2720,16 +2720,44 @@ def test_mor_delete_on_mixed_spec_manifest(spark, tmp_path):
         r.k for r in S.snapshot_read_partitioned(spark, path).collect()
     } == expect
 
-    # equality tombstones + evolution: refused both ways
+    # equality tombstones compose with evolution too: the sequence
+    # map is keyed by file name, spec-agnostic. Tombstone before the
+    # evolution masks old rows; the evolve-append's files land at the
+    # append's sequence so a re-inserted key SURVIVES; the evolved
+    # read applies both rules; migration materializes.
     path2 = str(tmp_path / "t2")
     S.snapshot_write_partitioned(spark, path2, a, "day")
     S.snapshot_delete_eq(
-        spark, path2, spark.createDataFrame([(3,)], "k long"), ["k"]
+        spark, path2, spark.createDataFrame([(3,), (103,)], "k long"),
+        ["k"],
     )
-    with _pytest.raises(ValueError, match="evolution"):
-        S.snapshot_write_partitioned(
-            spark, path2, b, "region", mode="append", evolve=True
-        )
+    v2b = S.snapshot_write_partitioned(
+        spark, path2, b, "region", mode="append", evolve=True
+    )
+    m2b = S._manifest(path2, v2b)
+    assert m2b["eq_deletes"] and "specs" in m2b
+    new_files = [f for f, s in m2b["file_specs"].items() if s == 1]
+    assert all(m2b["file_seq"][f] == v2b for f in new_files)
+    got2 = {r.k for r in S.snapshot_read_partitioned(spark, path2).collect()}
+    # k=3 predates the tombstone (masked); k=103 arrived AFTER it in
+    # spec-B files (survives — re-insert rule across the evolution)
+    assert got2 == (set(range(8)) - {3}) | set(range(100, 108))
+    # eq delete ON the evolved table masks across both specs
+    S.snapshot_delete_eq(
+        spark, path2, spark.createDataFrame([(5,), (105,)], "k long"),
+        ["k"],
+    )
+    got2 = {r.k for r in S.snapshot_read_partitioned(spark, path2).collect()}
+    assert got2 == (set(range(8)) - {3, 5}) | (
+        set(range(100, 108)) - {105}
+    )
+    # migration materializes tombstones and vectors alike
+    v4b = S.snapshot_compact(spark, path2)
+    m4b = S._manifest(path2, v4b)
+    assert "specs" not in m4b and "eq_deletes" not in m4b
+    assert {
+        r.k for r in S.snapshot_read_partitioned(spark, path2).collect()
+    } == got2
 
 
 def test_eq_dml_on_range_clustered_manifest(spark, tmp_path):
