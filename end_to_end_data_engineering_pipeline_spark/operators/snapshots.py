@@ -2755,13 +2755,15 @@ def snapshot_upsert_eq(
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    if "specs" in m:
-        raise ValueError(
-            "equality upsert on a mixed-partition-spec manifest is "
-            "not wired; run snapshot_compact first (it migrates to "
-            "the default spec), or use snapshot_merge via compact"
-        )
-    part_col = m.get("part_col")
+    # mixed-spec manifests take the upsert with its rows staged under
+    # the DEFAULT spec (Iceberg: new data always lands under the
+    # current spec); the tombstone itself is layout-blind
+    default_spec = (
+        m["specs"][m["default_spec"]] if "specs" in m else None
+    )
+    part_col = (
+        default_spec["col"] if default_spec else m.get("part_col")
+    )
     if part_col and part_col not in updates.columns:
         raise ValueError(
             f"equality upsert must carry the partition column "
@@ -2777,7 +2779,17 @@ def snapshot_upsert_eq(
         probe = spark.read.parquet(
             os.path.join(_data_dir(path), m["files"][0])
         ).schema
-        if part_col:
+        if default_spec is not None:
+            # complete the probe with ITS OWN group's manifest-
+            # attached column (other groups' columns are physical in
+            # this file or genuinely absent — the union read
+            # null-fills those)
+            ps = m["specs"][int(m["file_specs"][m["files"][0]])]
+            if ps["col"] not in probe.fieldNames():
+                probe = spark.createDataFrame([], probe).selectExpr(
+                    "*", f"CAST(NULL AS {ps['type']}) AS {ps['col']}"
+                ).schema
+        elif part_col:
             # the partition column lives in the manifest, not the
             # data files — same completion as _cow_commit's probe
             probe = spark.createDataFrame([], probe).selectExpr(
@@ -2810,7 +2822,15 @@ def snapshot_upsert_eq(
             **{n: version for n in names},
         },
     }
-    if part_col:
+    if default_spec is not None:
+        manifest["specs"] = m["specs"]
+        manifest["file_specs"] = {
+            **m["file_specs"],
+            **{n: m["default_spec"] for n in names},
+        }
+        manifest["partitions"] = {**m["partitions"], **new_parts}
+        manifest["default_spec"] = m["default_spec"]
+    elif part_col:
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = {**m["partitions"], **new_parts}
@@ -2888,13 +2908,15 @@ def snapshot_merge_mor(
         return snapshot_write(spark, path, updates, mode="overwrite")
     base_version = vs[-1]
     m = _manifest(path, base_version)
-    if "specs" in m:
-        raise ValueError(
-            "merge-on-read merge on a mixed-partition-spec manifest "
-            "is not wired; run snapshot_compact first (it migrates to "
-            "the default spec), or use snapshot_merge via compact"
-        )
-    part_col = m.get("part_col")
+    # mixed-spec manifests take the merge with its update rows staged
+    # under the DEFAULT spec (new data always lands under the current
+    # spec); the position scan unions the spec groups
+    default_spec = (
+        m["specs"][m["default_spec"]] if "specs" in m else None
+    )
+    part_col = (
+        default_spec["col"] if default_spec else m.get("part_col")
+    )
     if part_col and part_col not in updates.columns:
         raise ValueError(
             f"merge updates must carry the partition column "
@@ -2911,9 +2933,28 @@ def snapshot_merge_mor(
     # bounds them to files whose [min, max] overlaps the update keys'
     # range (a matching row's stats value IS one of the update keys,
     # so files outside the envelope cannot contain a match — one
-    # 2-value agg over the batch, no table read)
+    # 2-value agg over the batch, no table read); on mixed-spec
+    # manifests each spec group prunes on ITS OWN column when that
+    # column is a merge key
     cand = files
-    if part_col and files and part_col in keys:
+    if default_spec is not None and files:
+        prune_vals: dict[str, set] = {}
+        for s in m["specs"]:
+            if s["col"] in keys:
+                prune_vals[s["col"]] = {
+                    _hive_part_str(r[s["col"]])
+                    for r in updates.select(s["col"]).distinct().collect()
+                }
+        if prune_vals:
+            cand = [
+                f
+                for f in files
+                if m["specs"][int(m["file_specs"][f])]["col"]
+                not in prune_vals
+                or m["partitions"][f]
+                in prune_vals[m["specs"][int(m["file_specs"][f])]["col"]]
+            ]
+    elif part_col and files and part_col in keys:
         vals = {
             _hive_part_str(r[part_col])
             for r in updates.select(part_col).distinct().collect()
@@ -2935,7 +2976,13 @@ def snapshot_merge_mor(
             ]
     new_dv: list[str] = []
     if cand:
-        if part_col:
+        if default_spec is not None:
+            data = _read_evolved_files(
+                spark, path, m, cand, with_pos=True
+            ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
+                "__pos", "__dv_pos"
+            ).select(*keys, "__dv_file", "__dv_pos")
+        elif part_col:
             data = _attach_partition_col(
                 spark, path, m, cand, with_pos=True
             ).withColumnRenamed("__file", "__dv_file").withColumnRenamed(
@@ -2974,7 +3021,15 @@ def snapshot_merge_mor(
         probe = spark.read.parquet(
             os.path.join(_data_dir(path), files[0])
         ).schema
-        if part_col:
+        if default_spec is not None:
+            # complete the probe with ITS OWN group's manifest-
+            # attached column (same rule as snapshot_upsert_eq)
+            ps = m["specs"][int(m["file_specs"][files[0]])]
+            if ps["col"] not in probe.fieldNames():
+                probe = spark.createDataFrame([], probe).selectExpr(
+                    "*", f"CAST(NULL AS {ps['type']}) AS {ps['col']}"
+                ).schema
+        elif part_col:
             # the partition column lives in the manifest, not the
             # data files — same completion as _cow_commit's probe
             probe = spark.createDataFrame([], probe).selectExpr(
@@ -3003,7 +3058,15 @@ def snapshot_merge_mor(
         "files": files + new_names,
         "schema": schema_json,
     }
-    if part_col:
+    if default_spec is not None:
+        manifest["specs"] = m["specs"]
+        manifest["file_specs"] = {
+            **m["file_specs"],
+            **{n: m["default_spec"] for n in new_names},
+        }
+        manifest["partitions"] = {**m["partitions"], **new_parts}
+        manifest["default_spec"] = m["default_spec"]
+    elif part_col:
         manifest["part_col"] = part_col
         manifest["part_type"] = m["part_type"]
         manifest["partitions"] = {**m["partitions"], **new_parts}

@@ -2760,6 +2760,87 @@ def test_mor_delete_on_mixed_spec_manifest(spark, tmp_path):
     } == got2
 
 
+def test_spec_staging_writers_on_mixed_spec_manifest(spark, tmp_path):
+    """upsert_eq and merge_mor on a MIXED-SPEC manifest: update rows
+    stage under the DEFAULT spec (Iceberg: new data lands under the
+    current spec), file_specs/partitions extend, the merge's position
+    scan unions the spec groups (pruning each on its own column when
+    it is a merge key), masked reads serve the new images, and spec
+    migration materializes everything."""
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as S,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(i, "d%d" % (i % 2), "r%d" % (i % 3), 10 + i) for i in range(8)],
+        "k long, day string, region string, amt long",
+    )
+    S.snapshot_write_partitioned(spark, path, a, "day")
+    b = spark.createDataFrame(
+        [(i, "d%d" % (i % 2), "r%d" % (i % 3), 10 + i)
+         for i in range(100, 108)],
+        a.schema,
+    )
+    S.snapshot_write_partitioned(
+        spark, path, b, "region", mode="append", evolve=True
+    )
+
+    # zero-read upsert: k=2 re-images (its old spec-A row masks by
+    # the sequence rule), k=200 inserts; both land under region spec
+    ups = spark.createDataFrame(
+        [(2, "d0", "r2", 999), (200, "d0", "r2", 555)], a.schema
+    )
+    v2 = S.snapshot_upsert_eq(spark, path, ups, ["k"])
+    m2 = S._manifest(path, v2)
+    new_files = sorted(set(m2["files"]) - set(S._manifest(path, 1)["files"]))
+    data_new = [f for f in new_files if m2["file_specs"].get(f) is not None]
+    assert data_new and all(
+        m2["file_specs"][f] == m2["default_spec"] for f in data_new
+    )
+    assert all(m2["partitions"][f] == "r2" for f in data_new)
+    got = {(r.k, r.amt) for r in
+           S.snapshot_read_partitioned(spark, path).collect()}
+    assert (2, 999) in got and (200, 555) in got and (2, 12) not in got
+    assert len(got) == 17
+
+    # MoR merge keyed on (region, k): spec-B files prune to r1, the
+    # spec-A group (day spec — cannot prune on region) admits fully;
+    # vectors mask the old images, updates land under region spec
+    upd = spark.createDataFrame([(4, "d0", "r1", 777)], a.schema)
+    v3 = S.snapshot_merge_mor(spark, path, upd, ["region", "k"])
+    m3 = S._manifest(path, v3)
+    dv = S._dv_frame(spark, path, m3)
+    hit_files = {r["__dv_file"] for r in dv.collect()}
+    # every masked position lives in a file that is either spec-A or
+    # a spec-B r1 file (the pruned candidate set)
+    for f in hit_files:
+        sid = int(m3["file_specs"][f])
+        assert sid == 0 or m3["partitions"][f] == "r1"
+    got = {(r.k, r.amt) for r in
+           S.snapshot_read_partitioned(spark, path).collect()}
+    assert (4, 777) in got and (4, 14) not in got and len(got) == 17
+
+    # CDF across the DML span nets the three changes
+    ch = S.snapshot_changes(spark, path, ["k"], 1, v3)
+    by = {}
+    for r in ch.collect():
+        by.setdefault(r._change_type, set()).add(r.k)
+    assert by["insert"] == {200}
+    assert by["update_preimage"] == {2, 4}
+    assert by["update_postimage"] == {2, 4}
+
+    # migration: single-spec, no delete metadata, content stable
+    v4 = S.snapshot_compact(spark, path)
+    m4 = S._manifest(path, v4)
+    assert "specs" not in m4 and "deletes" not in m4
+    assert "eq_deletes" not in m4
+    assert {
+        (r.k, r.amt)
+        for r in S.snapshot_read_partitioned(spark, path).collect()
+    } == got
+
+
 def test_eq_dml_on_range_clustered_manifest(spark, tmp_path):
     """Equality deletes / zero-read upserts / MoR merge on a
     RANGE-CLUSTERED manifest: tombstones commit layout-blind with the
