@@ -57,72 +57,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-13 rotation: never-driver-validated first — the r13-born
-# p35 (partitioned equality-delete / MoR-merge lifecycle) and p36
-# (MoR delete on a range-clustered manifest) — then p12 (the lone
-# r7 leftover after the green r12 gate), then 47 of the 50-entry r8
-# band (the stalest evidence; q13/q22/q86 wait one round, all three
-# independently judge-spot-checked at r12). Min registry freshness
-# after a green r13 = r8 for exactly those three, r9 for everything
-# else — the r12-verdict #6 target. New queries are appended here
-# as they land, keeping the never-validated-first invariant
-# (tests/test_driver_session.py::test_rotation_policy_maximizes_min_freshness).
+# Round-14 rotation: no never-driver-validated queries remain at the
+# start of the round (p35/p36 went green in the r13 gate), so the
+# prefix is exactly the 50-entry stale band: the three r8 holdovers
+# (q13/q22/q86 — each judge-spot-checked at r12) followed by the full
+# 47-entry r9 band. Min registry freshness after a green r14 = r10.
+# New r14-born queries are inserted at the FRONT as they land (the
+# never-validated-first invariant), displacing the freshest tail
+# entries, which then lead the r15 prefix.
 _PRIORITY: list[str] = [
-    # --- never driver-validated: the r13-born partitioned eq/MoR
-    # DML lifecycle and the range-clustered MoR delete ---
-    "p35_eq_partitioned_lifecycle",
-    "p36_mor_sorted_delete",
-    # --- r7-validated: the lone leftover after the r12 gate ---
-    "p12_zorder_roundtrip",
-    # --- r8-validated (stalest band, 47 of 50: q13/q22/q86 wait one
-    # round — all three independently judge-spot-checked at r12) ---
-    "e22_skew_audit",
-    "e23_hll_distinct_users",
-    "e24_session_trigrams",
-    "e25_drift_table",
-    "e26_join_fanout_audit",
-    "e27_hll_union_rollup",
-    "m4_frame_embedding_pool",
-    "m5_media_frame_overlap",
-    "p14_time_range_pruned_read",
-    "p15_corpus_release",
-    "p16_gdpr_delete_sweep",
-    "p17_dynamic_partition_backfill",
-    "p18_quarantine_routing",
-    "p19_partitioned_cow",
-    "p20_streaming_backfill_parity",
-    "q11_cube",
-    "q12_set_ops",
-    "q14_string_functions",
-    "q15_date_functions",
-    "q16_conditional_pivot",
-    "q17_distinct_projection",
-    "q18_having_group_filter",
-    "q19_duplicate_audit",
-    "q1_pricing_summary",
-    "q2_group_count_distinct",
-    "q3_null_and_range_audit",
-    "q4_star_join_revenue",
-    "q5_semi_join_exists",
-    "q67_map_roundtrip",
-    "q68_conditional_distinct",
-    "q6_anti_join_not_exists",
-    "q74_null_ordering",
-    "q75_explode_outer",
-    "q78_string_rewrite",
-    "q79_null_conditionals",
-    "q7_left_outer_join_null_handling",
-    "q8_window_rank_topk_per_group",
-    "q9_window_lag_running_sum",
-    "sim15_rrf_hybrid_topk",
-    "sim16_versioned_ivf_topk",
-    "sim17_neardup_triangles",
-    "sim18_ann_recall_table",
-    "t35_incremental_neardup",
-    "t36_temperature_mixture",
-    "t37_dup_span_coverage",
-    "t38_quality_scorer",
-    "t40_k_anonymity_audit",
+    # --- r8-validated: the three that waited out the r13 gate ---
+    "q13_global_topk",
+    "q22_above_customer_average",
+    "q86_rank_functions",
+    # --- r9-validated: the full stale band ---
+    "e28_watermark_late_audit",
+    "e29_ingest_lag_percentiles",
+    "e31_point_in_time_features",
+    "e32_stream_stream_attribution",
+    "m6_media_dedup_clusters",
+    "p21_wap_publish",
+    "p22_partitioned_schema_evolution",
+    "p23_change_data_feed",
+    "p24_incremental_join_view",
+    "p25_cdf_downstream_sync",
+    "p26_timestamp_asof_read",
+    "q23_regexp_extract",
+    "q24_monthly_rollup",
+    "q25_nation_supplier_balance",
+    "q29_sorted_array_agg",
+    "q32_nested_exists_in",
+    "q33_exists_and_not_exists",
+    "q34_full_outer_join",
+    "q37_posexplode_tokens",
+    "q38_date_arithmetic",
+    "q39_range_frame_window",
+    "q40_dense_report_spine",
+    "q41_window_navigation",
+    "q42_histogram_buckets",
+    "q44_math_functions",
+    "q45_null_semantics",
+    "q46_string_advanced",
+    "q49_rank_distribution",
+    "q51_promo_revenue_share",
+    "q52_top_supplier_view",
+    "q53_late_shipment_priority",
+    "q55_priority_shipping_classes",
+    "q57_large_volume_customers",
+    "q59_forecast_revenue",
+    "q61_local_supplier_volume",
+    "q87_ordered_listagg",
+    "q88_hierarchy_closure",
+    "q89_table_profile",
+    "sim19_ivf_delete_refresh",
+    "sim20_ivf_append_increment",
+    "sim21_mmr_diversified_topk",
+    "sim22_filtered_ann_topk",
+    "sim23_knn_label_vote",
+    "t41_stopword_quality_flags",
+    "t43_bigram_novelty_score",
+    "t44_lsh_candidate_audit",
+    "t45_minhash_estimator_calibration",
 ]
 
 
@@ -145,12 +140,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "e19_attribution": 11,
     "e1_tumbling_window_agg": 11,
     "e21_scd2_asof": 11,
-    "e22_skew_audit": 8,
-    "e23_hll_distinct_users": 8,
-    "e24_session_trigrams": 8,
-    "e25_drift_table": 8,
-    "e26_join_fanout_audit": 8,
-    "e27_hll_union_rollup": 8,
+    "e22_skew_audit": 13,
+    "e23_hll_distinct_users": 13,
+    "e24_session_trigrams": 13,
+    "e25_drift_table": 13,
+    "e26_join_fanout_audit": 13,
+    "e27_hll_union_rollup": 13,
     "e28_watermark_late_audit": 9,
     "e29_ingest_lag_percentiles": 9,
     "e2_sliding_window_agg": 11,
@@ -168,24 +163,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "m1_multimodal_features": 10,
     "m2_frame_sample_offsets": 10,
     "m3_content_addressed_store": 11,
-    "m4_frame_embedding_pool": 8,
-    "m5_media_frame_overlap": 8,
+    "m4_frame_embedding_pool": 13,
+    "m5_media_frame_overlap": 13,
     "m6_media_dedup_clusters": 9,
     "m7_wav_decode_features": 10,
     "m8_bmp_decode_features": 11,
     "m9_avi_decode_features": 11,
     "p10_incremental_agg": 11,
     "p11_snapshot_diff": 11,
-    "p12_zorder_roundtrip": 7,
+    "p12_zorder_roundtrip": 13,
     "p13_bucketed_colocated_join": 12,
-    "p14_time_range_pruned_read": 8,
-    "p15_corpus_release": 8,
-    "p16_gdpr_delete_sweep": 8,
-    "p17_dynamic_partition_backfill": 8,
-    "p18_quarantine_routing": 8,
-    "p19_partitioned_cow": 8,
+    "p14_time_range_pruned_read": 13,
+    "p15_corpus_release": 13,
+    "p16_gdpr_delete_sweep": 13,
+    "p17_dynamic_partition_backfill": 13,
+    "p18_quarantine_routing": 13,
+    "p19_partitioned_cow": 13,
     "p1_flatten_roundtrip": 12,
-    "p20_streaming_backfill_parity": 8,
+    "p20_streaming_backfill_parity": 13,
     "p21_wap_publish": 9,
     "p22_partitioned_schema_evolution": 9,
     "p23_change_data_feed": 9,
@@ -201,6 +196,8 @@ VALIDATED_ROUND: dict[str, int] = {
     "p32_mor_merge_lifecycle": 12,
     "p33_eq_delete_lifecycle": 12,
     "p34_mor_partitioned_delete": 12,
+    "p35_eq_partitioned_lifecycle": 13,
+    "p36_mor_sorted_delete": 13,
     "p3_sql_model_over_views": 10,
     "p4_quality_gate_counters": 12,
     "p5_incremental_gold": 10,
@@ -209,16 +206,16 @@ VALIDATED_ROUND: dict[str, int] = {
     "p8_retention_sweep": 12,
     "p9_time_travel": 12,
     "q10_rollup": 10,
-    "q11_cube": 8,
-    "q12_set_ops": 8,
+    "q11_cube": 13,
+    "q12_set_ops": 13,
     "q13_global_topk": 8,
-    "q14_string_functions": 8,
-    "q15_date_functions": 8,
-    "q16_conditional_pivot": 8,
-    "q17_distinct_projection": 8,
-    "q18_having_group_filter": 8,
-    "q19_duplicate_audit": 8,
-    "q1_pricing_summary": 8,
+    "q14_string_functions": 13,
+    "q15_date_functions": 13,
+    "q16_conditional_pivot": 13,
+    "q17_distinct_projection": 13,
+    "q18_having_group_filter": 13,
+    "q19_duplicate_audit": 13,
+    "q1_pricing_summary": 13,
     "q20_percentiles": 10,
     "q21_shipping_priority_topk": 10,
     "q22_above_customer_average": 8,
@@ -229,7 +226,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q27_pivot": 10,
     "q28_unpivot": 10,
     "q29_sorted_array_agg": 9,
-    "q2_group_count_distinct": 8,
+    "q2_group_count_distinct": 13,
     "q30_salted_join_agg": 10,
     "q31_approx_sketches": 10,
     "q32_nested_exists_in": 9,
@@ -240,7 +237,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q37_posexplode_tokens": 9,
     "q38_date_arithmetic": 9,
     "q39_range_frame_window": 9,
-    "q3_null_and_range_audit": 8,
+    "q3_null_and_range_audit": 13,
     "q40_dense_report_spine": 9,
     "q41_window_navigation": 9,
     "q42_histogram_buckets": 9,
@@ -251,7 +248,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q47_nation_trade_volume": 10,
     "q48_market_share": 10,
     "q49_rank_distribution": 9,
-    "q4_star_join_revenue": 8,
+    "q4_star_join_revenue": 13,
     "q50_disjunctive_join_predicates": 10,
     "q51_promo_revenue_share": 9,
     "q52_top_supplier_view": 9,
@@ -262,7 +259,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q57_large_volume_customers": 9,
     "q58_dormant_account_cohorts": 10,
     "q59_forecast_revenue": 9,
-    "q5_semi_join_exists": 8,
+    "q5_semi_join_exists": 13,
     "q60_product_profit": 11,
     "q61_local_supplier_volume": 9,
     "q62_deterministic_sample": 10,
@@ -270,21 +267,21 @@ VALIDATED_ROUND: dict[str, int] = {
     "q64_arg_extrema": 10,
     "q65_exact_moments": 11,
     "q66_fuzzy_name_blocking": 10,
-    "q67_map_roundtrip": 8,
-    "q68_conditional_distinct": 8,
+    "q67_map_roundtrip": 13,
+    "q68_conditional_distinct": 13,
     "q69_winsorized_stats": 10,
-    "q6_anti_join_not_exists": 8,
+    "q6_anti_join_not_exists": 13,
     "q70_multiset_ops": 11,
     "q71_forward_fill": 11,
     "q72_group_ols_slope": 11,
     "q73_lateral_topn": 12,
-    "q74_null_ordering": 8,
-    "q75_explode_outer": 8,
+    "q74_null_ordering": 13,
+    "q75_explode_outer": 13,
     "q76_array_set_algebra": 11,
     "q77_trailing_time_window": 12,
-    "q78_string_rewrite": 8,
-    "q79_null_conditionals": 8,
-    "q7_left_outer_join_null_handling": 8,
+    "q78_string_rewrite": 13,
+    "q79_null_conditionals": 13,
+    "q7_left_outer_join_null_handling": 13,
     "q80_union_by_name": 12,
     "q81_iqr_outliers": 12,
     "q82_bloom_semijoin_prefilter": 12,
@@ -295,22 +292,22 @@ VALIDATED_ROUND: dict[str, int] = {
     "q87_ordered_listagg": 9,
     "q88_hierarchy_closure": 9,
     "q89_table_profile": 9,
-    "q8_window_rank_topk_per_group": 8,
+    "q8_window_rank_topk_per_group": 13,
     "q90_revenue_pareto": 11,
     "q91_distributed_global_rank": 10,
     "q92_distributed_exact_ntile": 10,
     "q93_corrupt_record_routing": 11,
     "q94_pagerank_supply_graph": 12,
-    "q9_window_lag_running_sum": 8,
+    "q9_window_lag_running_sum": 13,
     "sim10_pq_refine_topk": 12,
     "sim11_sq8_topk": 11,
     "sim12_knn_graph": 12,
     "sim13_embedding_clusters": 12,
     "sim14_ivf_partitioned_topk": 12,
-    "sim15_rrf_hybrid_topk": 8,
-    "sim16_versioned_ivf_topk": 8,
-    "sim17_neardup_triangles": 8,
-    "sim18_ann_recall_table": 8,
+    "sim15_rrf_hybrid_topk": 13,
+    "sim16_versioned_ivf_topk": 13,
+    "sim17_neardup_triangles": 13,
+    "sim18_ann_recall_table": 13,
     "sim19_ivf_delete_refresh": 9,
     "sim1_cosine_topk_bruteforce": 11,
     "sim20_ivf_append_increment": 9,
@@ -351,12 +348,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "t31_langid_confusion": 12,
     "t33_containment_pairs": 12,
     "t34_curation_audit": 12,
-    "t35_incremental_neardup": 8,
-    "t36_temperature_mixture": 8,
-    "t37_dup_span_coverage": 8,
-    "t38_quality_scorer": 8,
+    "t35_incremental_neardup": 13,
+    "t36_temperature_mixture": 13,
+    "t37_dup_span_coverage": 13,
+    "t38_quality_scorer": 13,
     "t3_exact_dedup": 11,
-    "t40_k_anonymity_audit": 8,
+    "t40_k_anonymity_audit": 13,
     "t41_stopword_quality_flags": 9,
     "t42_bpe_merge_step": 11,
     "t43_bigram_novelty_score": 9,
