@@ -653,6 +653,7 @@ def _read_evolved_files(
     col: str | None = None,
     wanted: set[str] | None = None,
     with_pos: bool = False,
+    keep_file: bool = False,
 ) -> DataFrame | None:
     """Union read over a MIXED-SPEC (partition-evolved) manifest's
     ``files``: group by each file's recorded spec, manifest-prune the
@@ -665,7 +666,9 @@ def _read_evolved_files(
     read semantics: old files scan with a residual predicate, new
     files prune on their spec). Returns None when pruning admits no
     files. ``with_pos=True`` keeps the ``__file``/``__pos`` scan tags
-    through the union (the merge-on-read masking handle)."""
+    through the union (the merge-on-read masking handle);
+    ``keep_file=True`` keeps just ``__file`` (the copy-on-write
+    touched-file handle)."""
     groups: dict[int, list[str]] = {}
     for f in files:
         groups.setdefault(int(m["file_specs"][f]), []).append(f)
@@ -681,7 +684,7 @@ def _read_evolved_files(
             spark, path, m, fs, col=spec["col"], ctype=spec["type"],
             with_pos=with_pos,
         )
-        parts.append(g if with_pos else g.drop("__file"))
+        parts.append(g if with_pos or keep_file else g.drop("__file"))
     if not parts:
         return None
     out = parts[0]
@@ -692,6 +695,213 @@ def _read_evolved_files(
         # applies (old rows genuinely lack the value)
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _cow_commit_mixed_spec(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    base_version: int,
+    match: DataFrame,
+    keys: list[str],
+    broadcast_match: bool,
+    inserts: DataFrame | None,
+    op: str,
+    partition_scope: bool = False,
+    extra_update: dict | None = None,
+) -> int:
+    """File-granular copy-on-write on a MIXED-PARTITION-SPEC
+    (partition-evolved) manifest — the last cell of the DML × layout
+    matrix. Iceberg's rule for row-level operations on an evolved
+    table: data files written by the operation always land under the
+    table's CURRENT (default) spec, so every merge/delete lazily
+    migrates the files it touches while untouched files carry by
+    reference under their own spec. Concretely:
+
+    - Candidate pruning is PER SPEC GROUP: a group whose spec column
+      is a join key (or is carried by the match set under
+      ``partition_scope``) prunes to the match set's partition values
+      by manifest lookup; other groups are candidates in full (the
+      same residual rule as the evolved read path).
+    - The metadata-delete fast path survives evolution, per group: a
+      delete keyed exactly on one spec's column drops that group's
+      matching files with ZERO data IO; other groups still pay the
+      semi-join scan (the key is an ordinary data column there).
+    - Touched files' survivors (plus merge inserts) are restaged
+      under the DEFAULT spec. Rows that predate the default spec
+      column carry null there and cannot round-trip as a partition
+      value — that refuses loudly with a compact-first recipe rather
+      than committing an unprunable file.
+    - When the commit leaves no live file under any OLD spec, the
+      manifest COLLAPSES back to single-spec (same end state as
+      :func:`snapshot_compact`'s migration) — DML heals the table's
+      layout as a side effect, never as a forced rewrite.
+
+    At 100 TB this is the only affordable DML on an evolved table:
+    the 10-year old-spec history is touched only where keys actually
+    live, and each touch pays the migration it would owe compaction
+    anyway."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    specs = [dict(s) for s in m["specs"]]
+    dsid = int(m["default_spec"])
+    dcol, dtype = specs[dsid]["col"], specs[dsid]["type"]
+    if inserts is not None and dcol not in inserts.columns:
+        raise ValueError(
+            f"merge updates must carry the default-spec partition "
+            f"column {dcol!r} so rewritten rows land under the "
+            "current spec (mixed-spec rewrites migrate to it)"
+        )
+    base_files = list(m["files"])
+    groups: dict[int, list[str]] = {}
+    for f in base_files:
+        groups.setdefault(int(m["file_specs"][f]), []).append(f)
+
+    # per-spec manifest pruning: one tiny distinct-collect per
+    # prunable spec column (partition fan-out of the match set, not
+    # rows), reused across groups sharing a column
+    val_cache: dict[str, set[str]] = {}
+
+    def _match_vals(c: str) -> set[str]:
+        if c not in val_cache:
+            val_cache[c] = {
+                _hive_part_str(r[c])
+                for r in match.select(c).distinct().collect()
+            }
+        return val_cache[c]
+
+    touched: set[str] = set()
+    scan_files: list[str] = []
+    for sid in sorted(groups):
+        c = specs[sid]["col"]
+        fs = groups[sid]
+        if c in keys or (partition_scope and c in match.columns):
+            fs = [f for f in fs if m["partitions"][f] in _match_vals(c)]
+        if inserts is None and keys == [c]:
+            # metadata delete within this spec group: every row of a
+            # candidate file carries a matched partition value
+            touched |= set(fs)
+        else:
+            scan_files.extend(fs)
+
+    survivors = None
+    if scan_files:
+        live = _read_evolved_files(
+            spark, path, m, scan_files, keep_file=True
+        )
+        mk = match.select(*keys)
+        if broadcast_match:
+            mk = F.broadcast(mk)
+        scan_touched = {
+            r["__file"]
+            for r in live.join(mk, list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        touched |= scan_touched
+        if scan_touched:
+            survivors = (
+                live.where(F.col("__file").isin(sorted(scan_touched)))
+                .drop("__file")
+                .join(mk, list(keys), "left_anti")
+            )
+
+    if survivors is not None and inserts is not None:
+        rewrite = survivors.unionByName(inserts, allowMissingColumns=True)
+    elif survivors is not None:
+        rewrite = survivors
+    else:
+        rewrite = inserts  # may be None (delete touching nothing)
+
+    new_names: list[str] = []
+    new_parts: dict[str, str] = {}
+    if rewrite is not None:
+        if dcol not in rewrite.columns:
+            rewrite = rewrite.withColumn(dcol, F.lit(None).cast(dtype))
+        try:
+            new_names, new_parts = _stage_partitioned(
+                spark, path, rewrite, dcol
+            )
+        except ValueError as e:
+            raise ValueError(
+                f"mixed-spec {op} rewrites land under the default "
+                f"spec column {dcol!r} (lazy migration), but a "
+                f"rewritten row's value does not round-trip as a "
+                f"partition value: {e}. Backfill {dcol!r} on the "
+                "pre-evolution rows or run snapshot_compact first."
+            ) from e
+
+    untouched = [f for f in base_files if f not in touched]
+    version = base_version + 1
+    manifest: dict = {
+        "version": version,
+        "mode": op,
+        "committed_at": time.time(),
+        "files": untouched + new_names,
+    }
+
+    # schema recording mirrors the single-spec path: evolution is
+    # ADD-column only, and the recorded schema is what lets old files
+    # null-fill new columns at scan time
+    old_schema = None
+    if "schema" in m:
+        old_schema = StructType.fromJson(m["schema"])
+    elif base_files:
+        probe, seen = [], set()
+        for f in base_files:
+            sid = int(m["file_specs"][f])
+            if sid not in seen:
+                seen.add(sid)
+                probe.append(f)
+        probed = _read_evolved_files(spark, path, m, probe)
+        if probed is not None:
+            old_schema = probed.schema
+    if rewrite is not None:
+        fields = list(old_schema.fields) if old_schema is not None else []
+        have = {f.name: f.dataType for f in fields}
+        changed = [
+            f.name
+            for f in rewrite.schema.fields
+            if f.name in have and f.dataType != have[f.name]
+        ]
+        if changed:
+            raise ValueError(
+                f"schema evolution is ADD-column only; update batch "
+                f"changes the type of {changed} (rewrite full table "
+                "via snapshot_write to retype)"
+            )
+        fields += [f for f in rewrite.schema.fields if f.name not in have]
+        manifest["schema"] = StructType(fields).jsonValue()
+    elif old_schema is not None:
+        manifest["schema"] = old_schema.jsonValue()
+
+    if all(int(m["file_specs"][f]) == dsid for f in untouched):
+        # no live file remains under any old spec: collapse back to
+        # the single-spec manifest shape (compact's migration end
+        # state) — later DML takes the cheaper single-spec paths
+        manifest["part_col"] = dcol
+        manifest["part_type"] = dtype
+        manifest["partitions"] = {
+            **{f: m["partitions"][f] for f in untouched},
+            **new_parts,
+        }
+    else:
+        manifest["specs"] = specs
+        manifest["default_spec"] = dsid
+        manifest["file_specs"] = {
+            **{f: int(m["file_specs"][f]) for f in untouched},
+            **{n: dsid for n in new_names},
+        }
+        manifest["partitions"] = {
+            **{f: m["partitions"][f] for f in untouched},
+            **new_parts,
+        }
+    manifest["extra"] = m.get("extra", {})
+    if extra_update:
+        manifest["extra"] = {**manifest["extra"], **extra_update}
+    return _claim(path, version, manifest, op)
 
 
 def _cow_commit(
@@ -737,14 +947,6 @@ def _cow_commit(
 
     base_version = list_versions(path)[-1]
     m = _manifest(path, base_version)
-    if "specs" in m:
-        raise ValueError(
-            "copy-on-write on a mixed-partition-spec manifest would "
-            "need per-spec restaging of every touched file group; run "
-            "snapshot_compact first — it migrates all files to the "
-            "current default spec and returns the table to "
-            "single-spec, then merge/delete work as usual"
-        )
     if m.get("deletes") or m.get("eq_deletes"):
         raise ValueError(
             "copy-on-write on a table with merge-on-read deletes "
@@ -753,6 +955,11 @@ def _cow_commit(
             "rows; run snapshot_compact first — it materializes the "
             "deletes into rewritten files and drops them, then "
             "merge/delete work as usual"
+        )
+    if "specs" in m:
+        return _cow_commit_mixed_spec(
+            spark, path, m, base_version, match, keys, broadcast_match,
+            inserts, op, partition_scope, extra_update,
         )
     part_col = m.get("part_col")
     stats_col = m.get("stats_col")
@@ -1597,7 +1804,8 @@ def snapshot_compact(
         # committing a single-spec manifest — Iceberg's lazy-migration
         # story (evolution is metadata-only at write time; compaction
         # pays the rewrite when maintenance chooses to). This restores
-        # the table to the shape merge/delete require. The rewrite is
+        # the table to single-spec in ONE sweep (CoW merge/delete
+        # instead migrate lazily, touch by touch). The rewrite is
         # the whole point — no small-file heuristics apply here.
         spec = m["specs"][m["default_spec"]]
         if m.get("deletes") or m.get("eq_deletes"):
@@ -1906,9 +2114,11 @@ def snapshot_write_partitioned(
     (each file's spec id), ``default_spec`` (where new data lands) —
     and each file keeps its one-value-per-file invariant under ITS
     OWN spec. Reads union the spec groups and prune per spec
-    (:func:`snapshot_read_partitioned` with ``col=``); merge/delete
-    refuse on mixed-spec manifests and :func:`snapshot_compact`
-    migrates everything back to the default spec. At 100 TB this is
+    (:func:`snapshot_read_partitioned` with ``col=``); CoW
+    merge/delete rewrite touched files under the DEFAULT spec (lazy
+    per-touch migration — :func:`_cow_commit_mixed_spec`) and
+    :func:`snapshot_compact` migrates everything back to the default
+    spec in one sweep. At 100 TB this is
     the only affordable way to change a table's partitioning: the
     10-year day-partitioned history stays as-is, new data lands under
     the new spec, and old files migrate lazily through compaction —
@@ -2485,7 +2695,11 @@ def snapshot_delete_mor(
     on the partition column (a day-keyed GDPR sweep on a 10-year
     table locates positions in one day's files), the partition map
     carries untouched, and pruned reads apply only the vectors of the
-    files they open. Range/bloom pruning metadata carries VERBATIM
+    files they open; for a BLOOM-INDEXED table a delete keyed on the
+    indexed column probes the per-file bitmaps first, so a small key
+    set scans only admitted files for positions
+    (:func:`_bloom_dml_prune` — r13 verdict ask #5).
+    Range/bloom pruning metadata carries VERBATIM
     (no file changes): per-file [min, max] stays conservative-correct
     under masking (a deleted row can only narrow the true range) and
     bloom bitmaps stay valid for surviving rows (a deleted row's bits
@@ -2545,6 +2759,10 @@ def snapshot_delete_mor(
             for r in delete_keys.select(part_col).distinct().collect()
         }
         cand = [f for f in files if m["partitions"][f] in vals]
+    # bloom-candidate pruning composes with the ladder above: a
+    # small key set over the indexed column probes the per-file
+    # bitmaps and the position scan opens only admitted files
+    cand = _bloom_dml_prune(spark, m, delete_keys, keys, cand)
     new_dv: list[str] = []
     if cand:
         if "specs" in m:
@@ -2974,6 +3192,10 @@ def snapshot_merge_mor(
                 if stats.get(f) is None
                 or not (stats[f][1] < lo_k or stats[f][0] > hi_k)
             ]
+    # bloom-candidate pruning composes with the ladder above (same
+    # rule as snapshot_delete_mor: the position scan opens only files
+    # whose bitmap admits at least one update key)
+    cand = _bloom_dml_prune(spark, m, updates, keys, cand)
     new_dv: list[str] = []
     if cand:
         if default_spec is not None:
@@ -3469,6 +3691,83 @@ def bloom_prune_files(
         if all(bits[p >> 3] & (1 << (p & 7)) for p in positions):
             admitted.append(f)
     return positions, admitted, len(m["files"])
+
+
+# Driver-side budget for bloom-pruning a MoR position scan: the probe
+# work is |candidate files| x |distinct keys| bitmap tests (bounded
+# big-int ANDs after decode), so the key-set size must be capped —
+# past the cap the full scan's semi-join is the cheaper plan anyway
+# (a large key set admits most files and the probe pass is pure
+# overhead). 256 keys x 200k files x 1 KB bitmaps ≈ a few seconds of
+# driver work at the 100 TB design point; the dial trades that
+# against the scan it avoids.
+BLOOM_DML_MAX_KEYS = 256
+
+
+def _bloom_dml_prune(
+    spark: SparkSession, m: dict, match: DataFrame, keys: list[str], cand: list[str]
+) -> list[str]:
+    """Bloom-candidate pruning of a merge-on-read POSITION SCAN
+    (r13 verdict ask #5): when the manifest carries a bloom index
+    over one of the DML key columns and the match set is small
+    (≤ :data:`BLOOM_DML_MAX_KEYS` distinct values), probe every key
+    against the per-file bitmaps and keep only admitted files — a
+    row matching on ALL keys must match on the bloom column, so the
+    union of admitted sets is a superset of the files containing
+    matches and the semi-join stays exact over it. Bitmaps admit
+    false positives only, never false negatives, so pruning never
+    loses a position.
+
+    One metadata-sized Spark job computes every key's k probe
+    positions (the SAME xxhash64 expression that built the bitmaps —
+    hash parity by construction); the bitmap tests run driver-side
+    over the manifest, no file is opened. Pruning is skipped —
+    returning ``cand`` unchanged — when the key column's type differs
+    from the built type (a cast could silently change the hash) or
+    the key set exceeds the budget."""
+    b = m.get("bloom")
+    if not b or b["col"] not in keys or not cand:
+        return cand
+    col = b["col"]
+    if match.schema[col].dataType.simpleString() != b["type"]:
+        return cand  # hash parity not guaranteed across a cast
+    import base64
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        match.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())  # NULL never equi-joins
+        .distinct()
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col("__v"), F.lit(seed)), F.lit(b["m"])
+                ).alias(f"p{seed}")
+                for seed in range(b["k"])
+            ]
+        )
+        .limit(BLOOM_DML_MAX_KEYS + 1)
+        .collect()
+    )
+    if len(rows) > BLOOM_DML_MAX_KEYS:
+        return cand
+    masks = []
+    for r in rows:
+        v = 0
+        for seed in range(b["k"]):
+            v |= 1 << r[f"p{seed}"]
+        masks.append(v)
+    out = []
+    for f in cand:
+        enc = b["files"].get(f)
+        if enc is None:
+            out.append(f)  # no bitmap recorded: conservatively live
+            continue
+        bm = int.from_bytes(base64.b64decode(enc), "little")
+        if any(bm & mk == mk for mk in masks):
+            out.append(f)
+    return out
 
 
 def snapshot_read_point(

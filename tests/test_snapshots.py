@@ -1848,6 +1848,94 @@ class TestBloomDataSkipping:
         # admitted == total for every probe)
         assert pruned_any
 
+    def test_mor_delete_position_scan_bloom_pruned(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r13 verdict ask #5: a MoR delete keyed on the bloom column
+        probes the per-file bitmaps FIRST, so the position scan opens
+        only admitted files — pinned by spying the pruned candidate
+        list delete_mor actually scans — and the result stays exact
+        (bitmaps admit false positives only; the semi-join keeps
+        correctness)."""
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            bloom_prune_files,
+            snapshot_read,
+            snapshot_write_bloom,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+        ).repartition(8)
+        snapshot_write_bloom(spark, t, df, "k", m_bits=8192, k=3)
+
+        captured: dict = {}
+        orig = snapshots._bloom_dml_prune
+
+        def spy(spark_, m_, match_, keys_, cand_):
+            out = orig(spark_, m_, match_, keys_, cand_)
+            captured["n_in"] = len(cand_)
+            captured["n_scanned"] = len(out)
+            captured["files"] = list(out)
+            return out
+
+        monkeypatch.setattr(snapshots, "_bloom_dml_prune", spy)
+        dels = spark.createDataFrame([(7,), (1234,)], "k long")
+        v = snapshots.snapshot_delete_mor(spark, t, dels, ["k"])
+        # the scan shrank: with ~500 distinct keys/file at m=8192/k=3
+        # each key admits its own file plus ~0.4%-fpr extras, so two
+        # keys scan far fewer than the 8 candidates
+        assert captured["n_in"] == 8
+        assert captured["n_scanned"] < captured["n_in"]
+        # the scanned set is exactly the bitmaps' union of admissions
+        want = set()
+        for probe in (7, 1234):
+            _, adm, _ = bloom_prune_files(spark, t, probe, version=0)
+            want |= set(adm)
+        assert set(captured["files"]) == want
+        # and the delete is content-exact despite the pruning
+        got = {r.k for r in snapshot_read(spark, t, version=v).collect()}
+        assert got == set(range(4000)) - {7, 1234}
+
+    def test_mor_delete_bloom_prune_skips_on_budget_or_type(
+        self, spark, tmp_path
+    ):
+        """The pruning degrades to the full scan — never to a wrong
+        answer — when the key set exceeds the probe budget or the key
+        column's type differs from the built type (hash parity)."""
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).repartition(2)
+        snapshots.snapshot_write_bloom(spark, t, df, "k")
+        m = snapshots.snapshot_manifest(t)
+        # type mismatch: int keys against a long-built bloom -> no prune
+        ints = spark.createDataFrame([(7,)], "k int")
+        assert snapshots._bloom_dml_prune(
+            spark, m, ints, ["k"], list(m["files"])
+        ) == list(m["files"])
+        # over budget: budget+1 distinct keys -> no prune
+        big = spark.range(0, snapshots.BLOOM_DML_MAX_KEYS + 1).select(
+            F.col("id").alias("k")
+        )
+        assert snapshots._bloom_dml_prune(
+            spark, m, big, ["k"], list(m["files"])
+        ) == list(m["files"])
+        # in budget + right type -> prunes to the bitmaps' admissions
+        small = spark.createDataFrame([(7,)], "k long")
+        pruned = snapshots._bloom_dml_prune(
+            spark, m, small, ["k"], list(m["files"])
+        )
+        _, adm, _ = snapshots.bloom_prune_files(spark, t, 7)
+        assert pruned == [f for f in m["files"] if f in set(adm)]
+
     def test_append_carries_blooms_and_guards_family(self, spark, tmp_path):
         import pytest as _pytest
 
@@ -1981,8 +2069,10 @@ class TestPartitionEvolution:
     """snapshot_write_partitioned(evolve=True): Iceberg-style
     partition-spec evolution — new commits partition by a different
     column WITHOUT rewriting old files; reads union the spec groups
-    and prune per spec; merge/delete refuse on mixed specs until
-    snapshot_compact migrates everything to the default spec."""
+    and prune per spec; CoW merge/delete rewrite touched files under
+    the DEFAULT spec (lazy per-touch migration, Iceberg's rule for
+    row-level ops on an evolved table) and snapshot_compact migrates
+    everything to the default spec in one sweep."""
 
     def _seed(self, spark, path):
         from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
@@ -2107,12 +2197,10 @@ class TestPartitionEvolution:
                 spark, path, values=[10], col="v"
             )
 
-    def test_plain_read_and_cow_refuse_loudly(self, spark, tmp_path):
+    def test_plain_read_refuses_loudly(self, spark, tmp_path):
         import pytest as _pytest
 
         from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
-            snapshot_delete,
-            snapshot_merge,
             snapshot_read,
         )
 
@@ -2120,13 +2208,185 @@ class TestPartitionEvolution:
         self._seed(spark, path)
         with _pytest.raises(ValueError, match="snapshot_read_partitioned"):
             snapshot_read(spark, path)
+
+    def test_cow_merge_migrates_touched_files_to_default_spec(
+        self, spark, tmp_path
+    ):
+        """Iceberg's row-level-op rule on an evolved table: the merge
+        rewrites ONLY the touched old-spec file, stages the rewrite
+        under the DEFAULT spec (lazy migration), carries every
+        untouched file by reference under its own spec, and the prior
+        version stays time-travelable."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        m1 = _manifest(path, 1)
+        # id=1 lives in the spec-0 file cell=0 (with id=3)
         upd = spark.createDataFrame(
             [(1, 0, "x", 99)], "id long, cell int, tag string, v long"
         )
+        v2 = snapshot_merge(spark, path, upd, ["id"])
+        m2 = _manifest(path, v2)
+        # content-exact: id=1 updated, id=3 (same file) survives
+        got = {
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v2
+            ).collect()
+        }
+        assert got == {
+            (1, 0, "x", 99),
+            (2, 1, "y", 20),
+            (3, 0, "y", 30),
+            (4, 0, "x", 40),
+            (5, 1, "z", 50),
+        }
+        # the touched cell=0 file is gone; cell=1 and both tag files
+        # carry by reference; new files all land under the default
+        # spec with their partition values mapped
+        touched = {
+            f
+            for f in m1["files"]
+            if m1["file_specs"][f] == 0 and m1["partitions"][f] == "0"
+        }
+        carried = set(m1["files"]) - touched
+        assert carried <= set(m2["files"])
+        assert touched.isdisjoint(m2["files"])
+        new_files = set(m2["files"]) - carried
+        assert new_files
+        assert all(m2["file_specs"][f] == m2["default_spec"] for f in new_files)
+        # rewritten rows (id=1 tag=x, id=3 tag=y) are prunable on tag
+        assert {m2["partitions"][f] for f in new_files} == {"x", "y"}
+        # prior version still serves the pre-merge content
+        old = {
+            (r.id, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=1
+            ).collect()
+        }
+        assert (1, 10) in old
+
+    def test_cow_delete_metadata_fast_path_per_spec_group(
+        self, spark, tmp_path
+    ):
+        """A delete keyed exactly on one spec's column drops that
+        group's matching files by manifest alone, while other-spec
+        files (where the key is an ordinary data column) pay the
+        semi-join and rewrite their survivors under the default
+        spec."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        m1 = _manifest(path, 1)
+        dels = spark.createDataFrame([(0,)], "cell int")
+        v2 = snapshot_delete(spark, path, dels, ["cell"])
+        m2 = _manifest(path, v2)
+        got = {
+            (r.id, r.cell, r.tag, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v2
+            ).collect()
+        }
+        # cell=0 rows gone from BOTH specs (ids 1, 3 via metadata
+        # drop; id 4 via the spec-1 scan)
+        assert got == {(2, 1, "y", 20), (5, 1, "z", 50)}
+        # spec-0's cell=0 file dropped by manifest; cell=1 carries
+        kept0 = {f for f in m2["files"] if m2.get("file_specs", {}).get(f) == 0}
+        assert kept0 == {
+            f
+            for f in m1["files"]
+            if m1["file_specs"][f] == 0 and m1["partitions"][f] == "1"
+        }
+        # the tag=x file (contained only cell=0's id=4) rewrote to
+        # nothing; tag=z carries by reference
+        zfile = {
+            f
+            for f in m1["files"]
+            if m1["file_specs"][f] == 1 and m1["partitions"][f] == "z"
+        }
+        assert zfile <= set(m2["files"])
+
+    def test_cow_delete_emptying_old_specs_collapses_to_single_spec(
+        self, spark, tmp_path
+    ):
+        """When the commit leaves no live file under any old spec the
+        manifest collapses back to single-spec — the same end state
+        as snapshot_compact's migration — and later DML takes the
+        cheaper single-spec paths."""
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            _manifest,
+            snapshot_delete,
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        dels = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        v2 = snapshot_delete(spark, path, dels, ["id"])
+        m2 = _manifest(path, v2)
+        assert "specs" not in m2 and m2["part_col"] == "tag"
+        got = {
+            (r.id, r.tag, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v2
+            ).collect()
+        }
+        assert got == {(4, "x", 40), (5, "z", 50)}
+        # single-spec DML works immediately on the collapsed table
+        upd = spark.createDataFrame(
+            [(4, 0, "x", 41)], "id long, cell int, tag string, v long"
+        )
+        v3 = snapshot_merge(spark, path, upd, ["id"])
+        got = {
+            (r.id, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v3
+            ).collect()
+        }
+        assert got == {(4, 41), (5, 50)}
+
+    def test_cow_merge_null_default_spec_value_refuses(
+        self, spark, tmp_path
+    ):
+        """Pre-evolution rows that genuinely lack the default-spec
+        column cannot land under it (null partition values don't
+        round-trip) — the merge refuses loudly with the compact-first
+        recipe instead of committing an unprunable file."""
+        import pytest as _pytest
+
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_merge,
+            snapshot_write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        a = spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 20)], "id long, cell int, v long"
+        ).repartition(1)
+        snapshot_write_partitioned(spark, path, a, "cell")
+        b = spark.createDataFrame(
+            [(3, 1, "x", 30)], "id long, cell int, tag string, v long"
+        ).repartition(1)
+        snapshot_write_partitioned(
+            spark, path, b, "tag", mode="append", evolve=True
+        )
+        upd = spark.createDataFrame(
+            [(1, 0, "x", 99)], "id long, cell int, tag string, v long"
+        )
+        # id=1's file survivor (id=2) has tag=null -> refuse loudly
         with _pytest.raises(ValueError, match="snapshot_compact"):
             snapshot_merge(spark, path, upd, ["id"])
-        with _pytest.raises(ValueError, match="snapshot_compact"):
-            snapshot_delete(spark, path, upd.select("id"), ["id"])
 
     def test_compact_migrates_to_default_spec_then_merge_works(
         self, spark, tmp_path
