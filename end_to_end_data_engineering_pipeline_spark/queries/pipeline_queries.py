@@ -2796,21 +2796,8 @@ def p34_mor_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT c_custkey, c_nationkey, c_acctbal FROM customer
     ),
-    upd AS (
-      SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
-      FROM base WHERE c_custkey % 23 = 5
-    ),
-    ins AS (
-      SELECT c_custkey + 1000000000 AS c_custkey, c_nationkey, c_acctbal
-      FROM base WHERE c_custkey % 53 = 11
-    ),
-    ups AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
-    after_upsert AS (
-      SELECT b.* FROM base b ANTI JOIN ups u ON b.c_custkey = u.c_custkey
-      UNION ALL SELECT * FROM ups
-    ),
     after_delete AS (
-      SELECT * FROM after_upsert WHERE NOT (c_custkey % 7 = 0)
+      SELECT * FROM base WHERE NOT (c_custkey % 7 = 0)
     ),
     reins AS (
       SELECT * FROM base WHERE c_custkey % 14 = 0
@@ -2829,9 +2816,7 @@ def p34_mor_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT * FROM mupd
     ),
     probes AS (
-      SELECT 'after_upsert' AS probe, c_nationkey, c_acctbal
-        FROM after_upsert
-      UNION ALL SELECT 'after_delete', c_nationkey, c_acctbal
+      SELECT 'after_delete' AS probe, c_nationkey, c_acctbal
         FROM after_delete
       UNION ALL SELECT 'after_reinsert', c_nationkey, c_acctbal
         FROM after_reinsert
@@ -2855,12 +2840,18 @@ def p35_eq_partitioned_lifecycle(
     """EQUALITY DELETES and MERGE-ON-READ MERGE on a HIVE-PARTITIONED
     table — p33's zero-read DML lifecycle re-run where it matters at
     100 TB, on a partition-mapped manifest (r12 verdict ask #4;
-    operators/snapshots.py:snapshot_upsert_eq / snapshot_delete_eq /
-    snapshot_merge_mor on part_col manifests). The partition-blind
-    tombstones commit with per-file sequence numbers; the partition
-    map carries untouched through every commit; update/insert rows
-    append PARTITION-STAGED (one value per file, so manifest pruning
-    survives the whole DML history). Seven hash-pinned probes:
+    operators/snapshots.py:snapshot_delete_eq / snapshot_merge_mor on
+    part_col manifests). The partition-blind tombstones commit with
+    per-file sequence numbers; the partition map carries untouched
+    through every commit; update rows append PARTITION-STAGED (one
+    value per file, so manifest pruning survives the whole DML
+    history). Six hash-pinned probes, two per distinct read path
+    (r13 verdict ask #4 trimmed the r13 shape — the upsert flavor's
+    read path duplicates the delete's tombstone-mask path and stays
+    driver-validated on the plain layout via p33, and the DML inputs
+    are now derived from the source table instead of masked probe
+    reads the suite already pins):
+    AFTER_DELETE pins the tombstone mask on a partitioned read;
     AFTER_REINSERT is the sequence-rule probe (a partitioned append
     re-inserting tombstoned keys must survive — a sequence-blind mask
     kills them, a dropped tombstone resurrects the deleted rows);
@@ -2869,7 +2860,7 @@ def p35_eq_partitioned_lifecycle(
     manifest-pruned to the update batch's partitions since the
     partition column is a merge key); PRUNED_NATION composes manifest
     pruning with BOTH mask flavors on the files it opens;
-    time_travel pins the untouched v0 and purged pins compaction
+    TIME_TRAVEL pins the untouched v0 and PURGED pins compaction
     materializing vectors and tombstones per-partition.
 
     Reference parity: transformation/clean_data.py's DELETE/upsert in
@@ -2883,7 +2874,6 @@ def p35_eq_partitioned_lifecycle(
         snapshot_delete_eq,
         snapshot_merge_mor,
         snapshot_read_partitioned,
-        snapshot_upsert_eq,
         snapshot_write_partitioned,
     )
 
@@ -2913,68 +2903,57 @@ def p35_eq_partitioned_lifecycle(
                 spark, store, base.repartition(F.col("c_nationkey")),
                 "c_nationkey",
             )
-        upd = base.where(F.col("c_custkey") % 23 == 5).select(
-            "c_custkey",
-            "c_nationkey",
-            (F.col("c_acctbal") + 100).alias("c_acctbal"),
-        )
-        ins = base.where(F.col("c_custkey") % 53 == 11).select(
-            (F.col("c_custkey") + 1000000000).alias("c_custkey"),
-            "c_nationkey",
-            "c_acctbal",
-        )
-        v1 = snapshot_upsert_eq(
-            spark, store, upd.unionByName(ins), ["c_custkey"]
-        )
-        dels = snapshot_read_partitioned(spark, store, version=v1).where(
-            F.col("c_custkey") % 7 == 0
-        ).select("c_custkey")
-        v2 = snapshot_delete_eq(spark, store, dels, ["c_custkey"])
-        v3 = snapshot_write_partitioned(
+        # zero-read DELETE: the tombstone keys come from the source
+        # table, so the commit never opens a data file (the whole
+        # point of the equality flavor)
+        dels = base.where(F.col("c_custkey") % 7 == 0).select("c_custkey")
+        v1 = snapshot_delete_eq(spark, store, dels, ["c_custkey"])
+        v2 = snapshot_write_partitioned(
             spark,
             store,
             base.where(F.col("c_custkey") % 14 == 0),
             "c_nationkey",
             mode="append",
         )
-        mupd = snapshot_read_partitioned(spark, store, version=v3).where(
-            F.col("c_custkey") % 31 == 2
+        # the merge batch is after_reinsert's %31==2 slice, derived
+        # from the source: every after-reinsert row is a base row, and
+        # a row survives iff NOT deleted (%7) OR re-inserted (%14)
+        mupd = base.where(
+            (F.col("c_custkey") % 31 == 2)
+            & (
+                (F.col("c_custkey") % 7 != 0)
+                | (F.col("c_custkey") % 14 == 0)
+            )
         ).select(
             "c_custkey",
             "c_nationkey",
             (F.col("c_acctbal") + 1000).alias("c_acctbal"),
         )
-        v4 = snapshot_merge_mor(
+        v3 = snapshot_merge_mor(
             spark, store, mupd, ["c_nationkey", "c_custkey"]
         )
         snapshot_compact(spark, store)
         out = (
             _agg(
                 snapshot_read_partitioned(spark, store, version=v1),
-                "after_upsert",
+                "after_delete",
             )
             .unionByName(
                 _agg(
                     snapshot_read_partitioned(spark, store, version=v2),
-                    "after_delete",
-                )
-            )
-            .unionByName(
-                _agg(
-                    snapshot_read_partitioned(spark, store, version=v3),
                     "after_reinsert",
                 )
             )
             .unionByName(
                 _agg(
-                    snapshot_read_partitioned(spark, store, version=v4),
+                    snapshot_read_partitioned(spark, store, version=v3),
                     "after_merge",
                 )
             )
             .unionByName(
                 _agg(
                     snapshot_read_partitioned(
-                        spark, store, values=[7], version=v4
+                        spark, store, values=[7], version=v3
                     ),
                     "pruned_nation",
                 )
@@ -3097,6 +3076,194 @@ def p36_mor_sorted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             _agg(snapshot_read(spark, store), "purged")
         ).unionByName(
             _agg(snapshot_read_range(spark, store, lo, hi), "purged_window")
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# p37 — copy-on-write DML on a partition-EVOLVED (mixed-spec) table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p37_evolved_cow_dml",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             event_type, user_id, CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    after_delete AS (
+      SELECT * FROM ev
+      WHERE NOT (d IN ('2024-01-03', '2024-01-05') AND user_id % 3 = 0)
+    ),
+    upd_rows AS (
+      SELECT DISTINCT '2024-01-10' AS d, 'corrected' AS event_type,
+             user_id, CAST(user_id AS DOUBLE) * 1.5 AS value
+      FROM ev WHERE d = '2024-01-10' AND user_id % 5 = 1
+    ),
+    after_merge AS (
+      SELECT e.* FROM after_delete e
+      ANTI JOIN upd_rows u ON e.d = u.d AND e.user_id = u.user_id
+      UNION ALL SELECT * FROM upd_rows
+    ),
+    probes AS (
+      SELECT 'after_delete' AS probe, event_type, user_id, value
+        FROM after_delete
+      UNION ALL SELECT 'after_merge', event_type, user_id, value
+        FROM after_merge
+      UNION ALL SELECT 'pruned_corrected', event_type, user_id, value
+        FROM after_merge WHERE event_type = 'corrected'
+      UNION ALL SELECT 'pruned_day', event_type, user_id, value
+        FROM after_merge WHERE d = '2024-01-10'
+      UNION ALL SELECT 'time_travel', event_type, user_id, value FROM ev
+    )
+    SELECT probe, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM probes GROUP BY probe, event_type
+    """,
+)
+def p37_evolved_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE DELETE and MERGE on a partition-EVOLVED
+    (mixed-spec) manifest — the last cell of the DML x layout matrix
+    (r13 verdict ask #2; operators/snapshots.py:_cow_commit_mixed_spec).
+    The table is seeded day-partitioned (spec A), evolved so new data
+    partitions by event_type (spec B, the default), then hit with
+    day-scoped CoW DML: a DELETE keyed on (d, user_id) and a MERGE
+    keyed on (d, user_id). Because d IS spec A's column, the spec-A
+    group MANIFEST-PRUNES its candidates to the keyed days (two files
+    for the delete, one for the merge) while the spec-B group — where
+    d is an ordinary data column — pays the semi-join and comes back
+    untouched (its days don't overlap the keys). Every touched file's
+    survivors are REWRITTEN UNDER THE DEFAULT SPEC (Iceberg's rule
+    for row-level ops on an evolved table: DML lazily migrates what
+    it touches), and the manifest STAYS mixed-spec — the day-scoped
+    keys are what keep the touch set bounded, exactly like a
+    partition-scoped backfill on a 10-year table.
+
+    Five hash-pinned probes: AFTER_DELETE pins mixed-spec touched-file
+    detection + default-spec restage of the two days' survivors;
+    AFTER_MERGE pins survivors-anti-join-plus-update-rows (the
+    'corrected' rows land in a brand-new default-spec partition);
+    PRUNED_CORRECTED manifest-prunes on the DEFAULT spec and must
+    admit exactly the merge-staged files plus the spec-A residual;
+    PRUNED_DAY filters on the OLD spec's column for the migrated day
+    — its spec-A file is GONE from the manifest, so every row must
+    come back through the default-spec files' exact residual (a
+    dropped residual loses the day entirely; over-admission breaks
+    the hash); TIME_TRAVEL pins the pre-DML evolved version
+    untouched. Structure (file migration, per-group metadata fast
+    path, single-spec collapse) is pinned in
+    tests/test_snapshots.py::TestPartitionEvolution.
+
+    Reference parity: transformation/clean_data.py:222-243's keyed
+    upsert, run against a table whose partitioning changed direction
+    mid-history — the 100 TB case where Postgres would rebuild an
+    index but a lake must not rewrite 10 years of files."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "event_type",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="p37_evo_dml_")
+    store = tmp + "/events"
+
+    def _agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(probe).alias("probe"), "*")
+
+    try:
+        with fixture_phase():  # seeding spec A + the evolution commit
+            # (both pinned by p29 — the operator under test HERE is
+            # the CoW DML on the resulting mixed-spec manifest)
+            snapshot_write_partitioned(
+                spark, store, ev.where(F.col("d") < "2024-01-16"), "d"
+            )
+            v1 = snapshot_write_partitioned(
+                spark,
+                store,
+                ev.where(F.col("d") >= "2024-01-16"),
+                "event_type",
+                mode="append",
+                evolve=True,
+            )
+        dels = ev.where(
+            F.col("d").isin("2024-01-03", "2024-01-05")
+            & (F.col("user_id") % 3 == 0)
+        ).select("d", "user_id").distinct()
+        v2 = snapshot_delete(spark, store, dels, ["d", "user_id"])
+        upd = ev.where(
+            (F.col("d") == "2024-01-10") & (F.col("user_id") % 5 == 1)
+        ).select("user_id").distinct().select(
+            F.lit("2024-01-10").alias("d"),
+            F.lit("corrected").alias("event_type"),
+            "user_id",
+            (F.col("user_id") * 1.5).alias("value"),
+        )
+        v3 = snapshot_merge(spark, store, upd, ["d", "user_id"])
+        out = (
+            _agg(
+                snapshot_read_partitioned(spark, store, version=v2),
+                "after_delete",
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v3),
+                    "after_merge",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(
+                        spark,
+                        store,
+                        values=["corrected"],
+                        col="event_type",
+                        version=v3,
+                    ),
+                    "pruned_corrected",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(
+                        spark,
+                        store,
+                        values=["2024-01-10"],
+                        col="d",
+                        version=v3,
+                    ),
+                    "pruned_day",
+                )
+            )
+            .unionByName(
+                _agg(
+                    snapshot_read_partitioned(spark, store, version=v1),
+                    "time_travel",
+                )
+            )
         )
         out = pin_result(out)
     finally:

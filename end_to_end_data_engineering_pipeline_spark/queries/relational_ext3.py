@@ -610,20 +610,37 @@ def q74_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default (Spark: nulls smallest; DuckDB: nulls last on ASC) —
     any cross-engine ordering over nullable keys must pin null
     placement explicitly, exactly as any cross-cluster-version
-    pipeline should. Both ranks carry an event_id tiebreak."""
+    pipeline should. Both ranks carry an event_id tiebreak.
+
+    Both ranks route through :func:`operators.partitioning.
+    global_rank` (the q91 literal-bucket path) instead of an
+    unpartitioned window (r13 verdict ask #7): Spark's defaults —
+    ``desc()`` = NULLS LAST, ``asc()`` = NULLS FIRST — are exactly
+    the orderings under test, and ``_bucket_expr`` routes null keys
+    to the matching boundary segment, so the null-placement semantics
+    are preserved bit-for-bit while no executor ever sorts more than
+    one bucket."""
+    from ..operators.partitioning import global_rank
+
     ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 300)
     pval = F.when(F.col("event_type") == "purchase", F.col("value"))
     e = ev.select("event_id", "user_id", pval.alias("pval"))
-    from pyspark.sql import Window
-
-    w_last = Window.orderBy(F.col("pval").desc_nulls_last(), "event_id")
-    w_first = Window.orderBy(F.col("pval").asc_nulls_first(), "event_id")
-    return e.select(
+    out = global_rank(
+        e,
+        [(F.col("pval"), True), (F.col("event_id"), False)],
+        rank_col="rk_nulls_last",
+    )
+    out = global_rank(
+        out,
+        [(F.col("pval"), False), (F.col("event_id"), False)],
+        rank_col="rk_nulls_first",
+    )
+    return out.select(
         "event_id",
         "user_id",
         F.col("pval").cast("double").alias("pval"),
-        F.row_number().over(w_last).alias("rk_nulls_last"),
-        F.row_number().over(w_first).alias("rk_nulls_first"),
+        "rk_nulls_last",
+        "rk_nulls_first",
     )
 
 
