@@ -217,6 +217,10 @@ HEADLINE: list[str] = [
     # MoR delete on a RANGE-CLUSTERED manifest (r13): stats carry
     # verbatim, pruned+masked range reads, re-sorted materialization
     "p36_mor_sorted_delete",
+    # CoW delete/merge on a MIXED-SPEC (partition-evolved) manifest
+    # (r14, the last DML x layout cell): per-spec candidate pruning,
+    # default-spec lazy migration, residual-read probes
+    "p37_evolved_cow_dml",
 ]
 
 
@@ -289,6 +293,41 @@ def _host_probe(seconds: float = 3.0) -> tuple[float, float]:
     return round(steal, 1), round(iters[n // 2] / seconds / 1e6, 2)
 
 
+def _pyworker_pids() -> set[int]:
+    """PIDs of live PySpark Python workers (the `pyspark.daemon`
+    process and its forked workers — forks keep the parent cmdline).
+    One /proc scan, no external tools. This is the r13 verdict ask
+    #1 instrumentation: the one hypothesis class the JVM-residue
+    probe (docs/probes/m1m7_jvm_residue_probe.py) did NOT cover for
+    the recurring in-sequence m7 inflation is the Python-worker pool
+    — m1/m7 are exactly the mapInPandas keys, so worker churn
+    (eviction + respawn between their samples) would inflate them
+    and nothing else."""
+    pids: set[int] = set()
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            continue
+        if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+            pids.add(int(d))
+    return pids
+
+
+# m-family per-rep diagnostics land in a SIDE file (the driver only
+# records the last 2000 bytes of stdout — the 127-key JSON line
+# already fills most of that window, so telemetry must not grow it)
+MDIAG_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "docs",
+    "probes",
+    "mdiag_latest.json",
+)
+
+
 def _prime_page_cache(sf_dir: str) -> None:
     """Pull the timed scale factor's parquet BYTES into the OS page
     cache before sampling. The JVM warm pass below runs at sf0.001,
@@ -341,14 +380,33 @@ def main() -> None:
     # median rejects it
     samples: dict[str, list[float]] = {name: [] for name in names}
     fixtures: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(reps):
+    # per-rep diagnostics for the m-family (mapInPandas) keys: wall
+    # time + Python-worker pool pre/post snapshots, written to
+    # MDIAG_PATH after the run (r13 verdict ask #1 — name or clear
+    # the recurring in-sequence m7 inflation)
+    mdiag: dict[str, list[dict]] = {}
+    for rep in range(reps):
         for name in names:
+            is_m = name.startswith("m") and name[1].isdigit()
+            w_pre = _pyworker_pids() if is_m else set()
             spans: list[float] = []
             t0 = time.perf_counter()
             with measure_fixtures(spans):
                 df = qs[name](spark, SF_DIR)
                 n = df.count()
             wall = time.perf_counter() - t0
+            if is_m:
+                w_post = _pyworker_pids()
+                mdiag.setdefault(_short(name), []).append(
+                    {
+                        "rep": rep,
+                        "wall": round(wall, 3),
+                        "w_pre": len(w_pre),
+                        "w_post": len(w_post),
+                        "spawned": len(w_post - w_pre),
+                        "died": len(w_pre - w_post),
+                    }
+                )
             # per-query number = operator time: wall minus state-staging
             # spans the query marked with fixture_phase() (benchmeta.py);
             # staging stays visible in the aggregate fixture_sec field
@@ -360,6 +418,15 @@ def main() -> None:
             # timed independently and memory doesn't creep across the run
             spark.catalog.clearCache()
     host_post = _host_probe()
+    if mdiag:
+        try:
+            os.makedirs(os.path.dirname(MDIAG_PATH), exist_ok=True)
+            with open(MDIAG_PATH, "w") as fh:
+                json.dump(
+                    {"sf": SF_DIR, "reps": reps, "keys": mdiag}, fh
+                )
+        except OSError:
+            pass  # diagnostics must never fail the bench
     # 2 decimals (10ms resolution — an order under the 0.3s gate
     # floor) and SHORT keys: the driver records only the LAST 2000
     # bytes of output and parses the JSON line out of that window —
@@ -420,7 +487,19 @@ REGRESSION_FLOOR_S = 0.3  # absolute growth below this is timing noise
 # from a full-vocabulary rank window to orderBy+limit(20) — each
 # costs ~0.3s more at sf0.1 for plans that survive 100x scale
 # (docs/SCALE.md 'r10 reshapes' has the before/after table).
-RESHAPED_ROUND: dict[str, int] = {"e33": 10, "q90": 10, "t42": 10}
+RESHAPED_ROUND: dict[str, int] = {
+    "e33": 10,
+    "q90": 10,
+    "t42": 10,
+    # r14: p35 trimmed to the 6-probe / 3-flavor lifecycle (r13
+    # verdict ask #4) — pre-r14 timings describe the 7-probe /
+    # 5-flavor plan
+    "p35": 14,
+    # r14: q74's global ranks rerouted through the literal-bucket
+    # global_rank path (r13 verdict ask #7) — pre-r14 timings
+    # describe the unpartitioned-window plan
+    "q74": 14,
+}
 
 
 def _short(name: str) -> str:

@@ -66,6 +66,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # never-validated-first invariant), displacing the freshest tail
 # entries, which then lead the r15 prefix.
 _PRIORITY: list[str] = [
+    # --- never driver-validated (reshape rule): p35 was trimmed to
+    # the 6-probe / 3-flavor shape in r14 (r13 verdict ask #4) — the
+    # r13 credit described the 7-probe / 5-flavor plan, so the driver
+    # re-validates the new shape ---
+    "p35_eq_partitioned_lifecycle",
+    # --- never driver-validated: the r14-born p37 (CoW DML on a
+    # partition-evolved mixed-spec manifest — the last DML x layout
+    # cell) ---
+    "p37_evolved_cow_dml",
+    # --- never driver-validated (reshape rule): q74's two global
+    # ranks were routed through the q91 literal-bucket global_rank
+    # path in r14 (r13 verdict ask #7 — no more unpartitioned
+    # windows), so the driver re-validates the new plan shape ---
+    "q74_null_ordering",
     # --- r8-validated: the three that waited out the r13 gate ---
     "q13_global_topk",
     "q22_above_customer_average",
@@ -115,9 +129,10 @@ _PRIORITY: list[str] = [
     "sim22_filtered_ann_topk",
     "sim23_knn_label_vote",
     "t41_stopword_quality_flags",
-    "t43_bigram_novelty_score",
-    "t44_lsh_candidate_audit",
-    "t45_minhash_estimator_calibration",
+    # (t43_bigram_novelty_score, t44_lsh_candidate_audit and
+    # t45_minhash_estimator_calibration, the freshest-named r9 tail
+    # entries, wait one round — displaced by the r14-born p37 and the
+    # reshaped p35 and q74)
 ]
 
 
@@ -196,7 +211,6 @@ VALIDATED_ROUND: dict[str, int] = {
     "p32_mor_merge_lifecycle": 12,
     "p33_eq_delete_lifecycle": 12,
     "p34_mor_partitioned_delete": 12,
-    "p35_eq_partitioned_lifecycle": 13,
     "p36_mor_sorted_delete": 13,
     "p3_sql_model_over_views": 10,
     "p4_quality_gate_counters": 12,
@@ -275,7 +289,6 @@ VALIDATED_ROUND: dict[str, int] = {
     "q71_forward_fill": 11,
     "q72_group_ols_slope": 11,
     "q73_lateral_topn": 12,
-    "q74_null_ordering": 13,
     "q75_explode_outer": 13,
     "q76_array_set_algebra": 11,
     "q77_trailing_time_window": 12,
