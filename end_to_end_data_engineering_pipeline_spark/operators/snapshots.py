@@ -73,9 +73,184 @@ def current_version(path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _manifest(path: str, version: int) -> dict:
+def _raw_manifest(path: str, version: int) -> dict:
+    """The manifest JSON exactly as stored — per-file metadata may
+    live in segment refs (``files_segments``). Internal: every
+    consumer of file lists goes through :func:`_manifest`, which
+    resolves segments."""
     with open(os.path.join(_vers_dir(path), f"v{version}.json")) as fh:
         return json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# segment manifests (r13 verdict gap #3 — manifest write amplification)
+#
+# A plain manifest lists every live file (plus its partition / spec /
+# stats / seq / bloom metadata) inline: O(files) JSON per COMMIT and
+# O(files x versions) on disk. Fine to ~10k files; at the 100 TB
+# design point (~200k files, thousands of commits) that is GBs of
+# duplicated metadata. The fix is Iceberg's manifest-list idea
+# reduced to one level: per-file entries live in immutable,
+# CONTENT-ADDRESSED segment files (_versions/segments/seg-<sha>.json,
+# ~SEGMENT_TARGET entries each), and the manifest stores segment REFS.
+# A commit rewrites only the segments its file changes touch — an
+# append writes ~1 new segment and carries the rest BY REFERENCE
+# (byte-identical refs, zero IO); a delete rewrites just the segments
+# containing removed files. Commit metadata cost becomes
+# O(added + touched segments), never O(table files).
+#
+# The layer is TRANSPARENT: in-memory manifest dicts are identical
+# before serialization and after resolution, so none of the ~35
+# manifest consumers changed. Tables under SEGMENT_MIN_FILES keep
+# plain inline manifests (every sandbox-scale table, and the
+# self-describing JSON a human debugs). Segments are immutable and
+# content-addressed, so caching by absolute path is safe and
+# concurrent writers racing to write the same segment are idempotent.
+# docs/probes/manifest_segments_probe.py measures the 100k-file
+# numbers recorded in docs/SCALE.md.
+# ---------------------------------------------------------------------------
+
+SEGMENT_MIN_FILES = 2000
+SEGMENT_TARGET = 10_000
+
+# (manifest key, segment-entry short key) for every per-file map a
+# manifest can carry; bloom bitmaps are handled alongside (nested)
+_SEG_MAPS = (
+    ("partitions", "p"),
+    ("file_specs", "s"),
+    ("stats", "t"),
+    ("file_seq", "q"),
+)
+
+
+def _segments_dir(path: str) -> str:
+    return os.path.join(_vers_dir(path), "segments")
+
+
+def _seg_entry(m: dict, f: str) -> dict:
+    e: dict = {}
+    for mk, sk in _SEG_MAPS:
+        d = m.get(mk)
+        # PRESENCE-based, not truthiness: a range-clustered manifest
+        # legitimately stores stats[f] = None (zero non-null values)
+        # and consumers index m["stats"][f] directly — the segment
+        # round-trip must preserve the key
+        if d is not None and f in d:
+            e[sk] = d[f]
+    b = m.get("bloom")
+    if b and f in b.get("files", {}):
+        e["b"] = b["files"][f]
+    return e
+
+
+def _write_segment(path: str, entries: list) -> str:
+    """Write one immutable content-addressed segment; returns its
+    name. Idempotent: an existing segment with the same content hash
+    is reused without IO (this is what lets unchanged segments carry
+    across commits by reference)."""
+    import hashlib
+
+    payload = json.dumps({"entries": entries}, separators=(",", ":"))
+    name = f"seg-{hashlib.sha1(payload.encode()).hexdigest()[:20]}.json"
+    d = _segments_dir(path)
+    final = os.path.join(d, name)
+    if not os.path.exists(final):
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, final)  # atomic; racing writers are idempotent
+    return name
+
+
+def _load_segment(path: str, name: str) -> list:
+    key = os.path.join(_segments_dir(path), name)
+    hit = _SEG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(key) as fh:
+        entries = json.load(fh)["entries"]
+    if len(_SEG_CACHE) > 64:
+        _SEG_CACHE.clear()
+    _SEG_CACHE[key] = entries
+    return entries
+
+
+_SEG_CACHE: dict[str, list] = {}
+
+
+def _serialize_manifest(path: str, manifest: dict) -> dict:
+    """The dict to actually json.dump for a commit: identical to
+    ``manifest`` below SEGMENT_MIN_FILES files; above it, per-file
+    metadata moves into segment files and the manifest stores refs.
+    Unchanged segments of the previous version are carried by
+    reference (content-addressing makes the check exact); changed or
+    new entries re-chunk into fresh segments."""
+    files = manifest.get("files")
+    if files is None or len(files) < SEGMENT_MIN_FILES:
+        return manifest
+    new_set = set(files)
+    kept_segs: list[str] = []
+    covered: set[str] = set()
+    prev_v = current_version(path)
+    if prev_v is not None:
+        try:
+            prev_raw = _raw_manifest(path, prev_v)
+        except OSError:
+            prev_raw = {}
+        for segname in prev_raw.get("files_segments", []):
+            entries = _load_segment(path, segname)
+            if all(
+                f in new_set and _seg_entry(manifest, f) == e
+                for f, e in entries
+            ):
+                kept_segs.append(segname)
+                covered.update(f for f, _ in entries)
+    residual = [f for f in files if f not in covered]
+    out_segs = list(kept_segs)
+    for i in range(0, len(residual), SEGMENT_TARGET):
+        chunk = residual[i : i + SEGMENT_TARGET]
+        out_segs.append(
+            _write_segment(
+                path, [[f, _seg_entry(manifest, f)] for f in chunk]
+            )
+        )
+    ser = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("files", "partitions", "file_specs", "stats", "file_seq")
+    }
+    if "bloom" in manifest:
+        ser["bloom"] = {
+            k: v for k, v in manifest["bloom"].items() if k != "files"
+        }
+    ser["files_segments"] = out_segs
+    return ser
+
+
+def _manifest(path: str, version: int) -> dict:
+    m = _raw_manifest(path, version)
+    segs = m.pop("files_segments", None)
+    if segs is None:
+        return m
+    files: list[str] = []
+    maps: dict[str, dict] = {mk: {} for mk, _ in _SEG_MAPS}
+    bloomf: dict[str, str] = {}
+    for segname in segs:
+        for f, e in _load_segment(path, segname):
+            files.append(f)
+            for mk, sk in _SEG_MAPS:
+                if sk in e:
+                    maps[mk][f] = e[sk]
+            if "b" in e:
+                bloomf[f] = e["b"]
+    m["files"] = files
+    for mk, _ in _SEG_MAPS:
+        if maps[mk]:
+            m[mk] = maps[mk]
+    if "bloom" in m:
+        m["bloom"] = {**m["bloom"], "files": bloomf}
+    return m
 
 
 def _hive_part_str(v) -> str:
@@ -223,7 +398,7 @@ def snapshot_write(
             manifest["extra"] = ex
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_serialize_manifest(path, manifest), fh)
         final = os.path.join(_vers_dir(path), f"v{version}.json")
         try:
             os.link(tmp, final)  # atomic claim: EEXIST if we lost the race
@@ -331,7 +506,7 @@ def _claim(path: str, version: int, manifest: dict, op: str) -> int:
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(_serialize_manifest(path, manifest), fh)
     final = os.path.join(_vers_dir(path), f"v{version}.json")
     try:
         os.link(tmp, final)
@@ -1448,6 +1623,23 @@ def vacuum(
                 deleted.append(f)
     for v in drop:
         os.remove(os.path.join(_vers_dir(path), f"v{v}.json"))
+    # segment manifests: a segment file is live iff some RETAINED
+    # manifest references it; content-addressing means dropped
+    # versions' exclusive segments become unreferenced exactly here.
+    # Same retention-window guard as data files (an in-flight commit
+    # writes its segments before its manifest link lands).
+    sd = _segments_dir(path)
+    if os.path.isdir(sd):
+        live_segs: set[str] = set()
+        for v in keep:
+            live_segs.update(
+                _raw_manifest(path, v).get("files_segments", [])
+            )
+        for n in sorted(os.listdir(sd)):
+            p = os.path.join(sd, n)
+            if n not in live_segs and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                _SEG_CACHE.pop(p, None)
     # sweep crashed commit leftovers: stage dirs and temp manifests —
     # same retention guard (a FRESH stage dir is a commit in flight)
     for n in os.listdir(path):
@@ -2242,7 +2434,7 @@ def snapshot_write_partitioned(
             manifest["schema"] = _evolved_schema_json(prev_schema, df)
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_serialize_manifest(path, manifest), fh)
         final = os.path.join(_vers_dir(path), f"v{version}.json")
         try:
             os.link(tmp, final)  # atomic claim: EEXIST if we lost
@@ -2554,7 +2746,7 @@ def snapshot_write_sorted(
             }
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_serialize_manifest(path, manifest), fh)
         final = os.path.join(_vers_dir(path), f"v{version}.json")
         try:
             os.link(tmp, final)  # atomic claim: EEXIST if we lost
@@ -3363,7 +3555,7 @@ def snapshot_restore(path: str, version: int) -> int:
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(_vers_dir(path), f".v{new_version}.json.{token}")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(_serialize_manifest(path, manifest), fh)
     final = os.path.join(_vers_dir(path), f"v{new_version}.json")
     try:
         os.link(tmp, final)
@@ -3620,7 +3812,7 @@ def snapshot_write_bloom(
         token = uuid.uuid4().hex[:12]
         tmp = os.path.join(_vers_dir(path), f".v{version}.json.{token}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_serialize_manifest(path, manifest), fh)
         final = os.path.join(_vers_dir(path), f"v{version}.json")
         try:
             os.link(tmp, final)

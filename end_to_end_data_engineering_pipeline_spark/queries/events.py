@@ -1292,6 +1292,8 @@ def e24_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     total = counts.agg(F.sum("n").alias("__t"))
+    # bounded-window: input is the trigram-combination counts —
+    # <= |event_type|^3 rows (single digits cubed), never event-scaled
     w_rank = Window.orderBy(
         F.col("n").desc(), "step1", "step2", "step3"
     )

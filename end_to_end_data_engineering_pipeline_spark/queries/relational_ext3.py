@@ -1836,14 +1836,11 @@ def _q94_supersteps(
                 .alias("pr"),
             )
         )
+    from ..operators.partitioning import bounded_rank_topk
+
     se = [F.col("pr").desc(), F.col("node")]
     return pin_result(
-        r.orderBy(*se)
-        .limit(20)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*se)).cast("long"),
-        )
+        bounded_rank_topk(r, se, 20)
         .withColumn(
             "node_type",
             F.when(F.col("node") >= 1000000000, "part").otherwise(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
+from ..operators.partitioning import bounded_rank_topk
 from ..operators.dedup_fuzzy import (
     add_minhash,
     exact_dedup,
@@ -2257,12 +2258,7 @@ def t42_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym")
     ]
     return (
-        pairs.orderBy(*sort_exprs)
-        .limit(20)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*sort_exprs)).cast("long"),
-        )
+        bounded_rank_topk(pairs, sort_exprs, 20)
         .select(
             "rank", "left_sym", "right_sym", "cnt",
             "merged_left", "merged_right",
@@ -3167,12 +3163,7 @@ def t49_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sort_exprs = [F.col("score").desc(), F.col("doc_id")]
     return (
-        scored.orderBy(*sort_exprs)
-        .limit(20)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*sort_exprs)).cast("long"),
-        )
+        bounded_rank_topk(scored, sort_exprs, 20)
         .select("rank", "doc_id", "score")
     )
 
@@ -3292,12 +3283,7 @@ def t50_persisted_postings_search(
             )
             se = [F.col("score").desc(), F.col("doc_id")]
             outs.append(
-                scored.orderBy(*se)
-                .limit(10)
-                .withColumn(
-                    "rank",
-                    F.row_number().over(Window.orderBy(*se)).cast("long"),
-                )
+                bounded_rank_topk(scored, se, 10)
                 .select(
                     F.lit(qid).alias("query_id"), "rank", "doc_id", "score"
                 )
@@ -3415,12 +3401,7 @@ def t51_postings_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         se = [F.col("score").desc(), F.col("doc_id")]
         out = (
-            scored.orderBy(*se)
-            .limit(20)
-            .withColumn(
-                "rank",
-                F.row_number().over(Window.orderBy(*se)).cast("long"),
-            )
+            bounded_rank_topk(scored, se, 20)
             .select("rank", "doc_id", "score")
         )
         out = pin_result(out)
@@ -3493,12 +3474,7 @@ def search_disjunctive(
         F.col("doc_id"),
     ]
     return (
-        scored.orderBy(*se)
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*se)).cast("long"),
-        )
+        bounded_rank_topk(scored, se, k)
         .select("rank", "doc_id", "n_matched", "score")
     )
 
@@ -3613,12 +3589,7 @@ def search_phrase(
     )
     se = [F.col("n_occ").desc(), F.col("doc_id")]
     return (
-        occ.orderBy(*se)
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*se)).cast("long"),
-        )
+        bounded_rank_topk(occ, se, k)
         .select("rank", "doc_id", "n_occ")
     )
 
@@ -3759,12 +3730,7 @@ def search_bm25(
     )
     se = [F.col("score").desc(), F.col("doc_id")]
     return (
-        scored.orderBy(*se)
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(*se)).cast("long"),
-        )
+        bounded_rank_topk(scored, se, k)
         .select("rank", "doc_id", "n_matched", "score")
     )
 

@@ -629,3 +629,36 @@ def test_t54_bm25_term_predicate_pushed_no_doclen_join(
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_unpartitioned_windows_are_annotated_bounded():
+    """Lint pin (r13 verdict 'what's wrong' #3): every unpartitioned
+    window in the package must be PROVEN bounded — either routed
+    through operators/partitioning.py's bounded_rank_topk (the
+    limit(k) makes the single-partition sort k rows by construction)
+    or carrying a `# bounded-window:` annotation naming its bound
+    within the five preceding lines. A new Window.orderBy with
+    neither fails here, so 'WindowExec: No Partition Defined'
+    warnings in a bench tail always have an on-file adjudication and
+    an unbounded global window can't land silently (those must use
+    global_rank / scalable_ntile)."""
+    import re
+    from pathlib import Path
+
+    import end_to_end_data_engineering_pipeline_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"Window\s*\.\s*orderBy\(", line) and (
+                "partitionBy" not in line
+            ):
+                ctx = "\n".join(lines[max(0, i - 5) : i + 1])
+                if "bounded-window" not in ctx:
+                    offenders.append(f"{py.relative_to(root)}:{i + 1}")
+    assert offenders == [], (
+        "unpartitioned windows without a bounded-window annotation "
+        f"(use bounded_rank_topk or global_rank): {offenders}"
+    )

@@ -3810,3 +3810,135 @@ def test_mor_partitioned_delete_prunes_and_carries_map(spark, tmp_path):
     dv_files = set(_manifest(path, v2)["deletes"])
     deleted = vacuum(path, keep_last=1, retention_seconds=0.0)
     assert dv_files <= set(deleted)
+
+
+class TestSegmentManifests:
+    """Segment manifests (r13 verdict gap #3): above SEGMENT_MIN_FILES
+    the per-file metadata moves into immutable content-addressed
+    segment files and commits carry unchanged segments BY REFERENCE —
+    commit metadata cost O(added + touched segments), never O(table
+    files). The layer is transparent: resolved manifests are
+    bit-identical dicts, every consumer unchanged. Thresholds are
+    monkeypatched low so sandbox-sized tables exercise the path."""
+
+    def _lower(self, monkeypatch):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+
+        monkeypatch.setattr(snapshots, "SEGMENT_MIN_FILES", 4)
+        monkeypatch.setattr(snapshots, "SEGMENT_TARGET", 3)
+        return snapshots
+
+    def test_roundtrip_append_reuses_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(6)
+        sn.snapshot_write(spark, path, df)
+        raw0 = sn._raw_manifest(path, 0)
+        assert "files_segments" in raw0 and "files" not in raw0
+        m0 = sn._manifest(path, 0)
+        assert len(m0["files"]) == 6
+        got = {(r.k, r.v) for r in sn.snapshot_read(spark, path).collect()}
+        assert got == {(i, i % 7) for i in range(60)}
+        # append: every v0 segment carries by reference, only the new
+        # files' segment(s) are written
+        sn.snapshot_write(
+            spark,
+            path,
+            spark.range(60, 70).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            ).repartition(2),
+            mode="append",
+        )
+        raw1 = sn._raw_manifest(path, 1)
+        assert set(raw0["files_segments"]) <= set(raw1["files_segments"])
+        assert sn.snapshot_read(spark, path).count() == 70
+        # resolved manifest preserves the full file list + order prefix
+        m1 = sn._manifest(path, 1)
+        assert m1["files"][: len(m0["files"])] == m0["files"]
+
+    def test_partitioned_and_bloom_maps_roundtrip(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        # partitioned: the partition map lives in segments now
+        p1 = str(tmp_path / "p")
+        df = spark.createDataFrame(
+            [(i, i % 6, i * 10) for i in range(36)],
+            "k long, cell int, v long",
+        )
+        sn.snapshot_write_partitioned(spark, p1, df, "cell")
+        raw = sn._raw_manifest(p1, 0)
+        assert "files_segments" in raw and "partitions" not in raw
+        m = sn._manifest(p1, 0)
+        assert set(m["partitions"].values()) == {str(i) for i in range(6)}
+        pruned = sn.snapshot_read_partitioned(spark, p1, values=[2])
+        assert {r.k % 6 for r in pruned.collect()} == {2}
+        # bloom: bitmaps live in segments; the point lookup still
+        # prunes and matches
+        p2 = str(tmp_path / "b")
+        dfb = spark.range(0, 600).select(
+            F.col("id").alias("k"), (F.col("id") % 11).alias("v")
+        ).repartition(6)
+        sn.snapshot_write_bloom(spark, p2, dfb, "k")
+        rawb = sn._raw_manifest(p2, 0)
+        assert "files_segments" in rawb
+        assert "files" not in rawb["bloom"]
+        _, admitted, total = sn.bloom_prune_files(spark, p2, 7)
+        assert total == 6 and admitted
+        assert [r.v for r in sn.snapshot_read_point(spark, p2, 7).collect()] == [7]
+
+    def test_cow_delete_touches_only_affected_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 6) for i in range(60)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, df, "cell")
+        raw0 = sn._raw_manifest(path, 0)
+        # partition-keyed metadata delete: drops cell=3's file(s)
+        dels = spark.createDataFrame([(3,)], "cell int")
+        sn.snapshot_delete(spark, path, dels, ["cell"])
+        raw1 = sn._raw_manifest(path, 1)
+        # at least one v0 segment carries by reference; the rewritten
+        # ones differ (content-addressed: same name iff same content)
+        assert set(raw0["files_segments"]) & set(raw1["files_segments"])
+        got = {r.cell for r in sn.snapshot_read_partitioned(spark, path).collect()}
+        assert got == {0, 1, 2, 4, 5}
+
+    def test_vacuum_reclaims_unreferenced_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os as _os
+
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        a = spark.range(0, 40).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, a)
+        segs0 = set(sn._raw_manifest(path, 0)["files_segments"])
+        b = spark.range(100, 140).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, b, mode="overwrite")
+        segs1 = set(sn._raw_manifest(path, 1)["files_segments"])
+        assert segs0.isdisjoint(segs1)  # disjoint content
+        sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        left = set(_os.listdir(sn._segments_dir(path)))
+        assert left == segs1  # v0's segments reclaimed, v1's live
+        assert sn.snapshot_read(spark, path).count() == 40
+
+    def test_plain_manifests_below_threshold(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 10).select(F.col("id").alias("k")).repartition(2)
+        sn.snapshot_write(spark, path, df)
+        raw = sn._raw_manifest(path, 0)
+        assert "files" in raw and "files_segments" not in raw
