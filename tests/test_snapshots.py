@@ -2356,6 +2356,56 @@ class TestPartitionEvolution:
         }
         assert got == {(4, 41), (5, 50)}
 
+    def test_cow_merge_partition_scope_prunes_each_spec_group(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """partition_scope on a mixed-spec manifest: the caller's
+        Delta-style assertion prunes EACH spec group on its own
+        column when the match set carries it — and, per the contract,
+        a matching key living OUTSIDE the asserted partitions is NOT
+        updated."""
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+        from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+            snapshot_merge,
+            snapshot_read_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        # id=3 lives in cell=0 / tag='y'; assert (wrongly, on purpose
+        # for the contract check) that it lives in cell=1 AND tag='z'
+        upd = spark.createDataFrame(
+            [(3, 1, "z", 99)], "id long, cell int, tag string, v long"
+        )
+        captured: dict = {}
+        orig = snapshots._read_evolved_files
+
+        def spy(spark_, path_, m_, files_, **kw):
+            captured.setdefault("scans", []).append(list(files_))
+            return orig(spark_, path_, m_, files_, **kw)
+
+        monkeypatch.setattr(snapshots, "_read_evolved_files", spy)
+        snapshot_merge(spark, path, upd, ["id"], partition_scope=True)
+        # the DML scan pruned BOTH groups: only cell=1 and tag='z'
+        # files were candidates (1 + 1 of the 4 files)
+        m1 = snapshots._manifest(path, 1)
+        want = {
+            f
+            for f in m1["files"]
+            if (m1["file_specs"][f] == 0 and m1["partitions"][f] == "1")
+            or (m1["file_specs"][f] == 1 and m1["partitions"][f] == "z")
+        }
+        assert set(captured["scans"][0]) == want
+        # contract: id=3's real row (cell=0/tag='y') was out of scope
+        # and is NOT updated; the update row still lands (insert)
+        got = {
+            (r.id, r.v)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        }
+        assert (3, 30) in got and (3, 99) in got
+
     def test_cow_merge_null_default_spec_value_refuses(
         self, spark, tmp_path
     ):
