@@ -1152,3 +1152,140 @@ def test_mor_dml_interleavings_match_multiset_model(
             for r in snapshot_read(spark, path, version=v).collect()
         )
         assert got == want, f"version {v}"
+
+
+# --- evolved-table DML model check ------------------------------------
+# The r14 completion of the DML x layout matrix: arbitrary
+# interleavings of partition-spec evolution (appends under
+# alternating spec columns), COPY-ON-WRITE delete/merge (which
+# lazily migrate touched files to the default spec and may collapse
+# the manifest back to single-spec), the merge-on-read flavors, and
+# compaction must all match the same multiset fold — at the head and
+# at every retained version. When a CoW op refuses because
+# merge-on-read deletes are in force, the documented compact-first
+# recipe is applied and must make the retry succeed: the recipe is
+# part of the contract under test.
+
+_EVO_ROWS = st.tuples(
+    st.integers(0, 5),  # k
+    st.integers(0, 2),  # a (spec A: int partition col)
+    st.sampled_from(["x", "y"]),  # b (spec B: string partition col)
+    st.integers(0, 9),  # v
+)
+
+_EVO_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["append_a", "append_b"]),
+            st.lists(_EVO_ROWS, min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.sampled_from(["cow_delete", "delete_mor", "delete_eq"]),
+            st.lists(st.integers(0, 5), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.sampled_from(["cow_merge", "upsert_eq", "merge_mor"]),
+            st.lists(
+                _EVO_ROWS,
+                min_size=1,
+                max_size=3,
+                unique_by=lambda t: t[0],  # writer contract: key-unique
+            ),
+        ),
+        st.tuples(st.just("compact"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    derandomize=True,
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_EVO_OPS)
+def test_evolved_dml_interleavings_match_multiset_model(
+    spark, tmp_path_factory, ops
+):
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_eq,
+        snapshot_delete_mor,
+        snapshot_merge,
+        snapshot_merge_mor,
+        snapshot_read_partitioned,
+        snapshot_upsert_eq,
+        snapshot_write_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("evo") / "t")
+    schema = "k long, a long, b string, v long"
+
+    def df_rows(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def df_keys(keys):
+        return spark.createDataFrame([(k,) for k in keys], "k long")
+
+    def cow_with_recipe(fn, *args):
+        # the documented contract: CoW on a table with in-force MoR
+        # deletes refuses loudly; compact materializes them and the
+        # retry must succeed
+        try:
+            return fn(spark, path, *args)
+        except ValueError as e:
+            assert "snapshot_compact" in str(e)
+            snapshot_compact(spark, path)
+            return fn(spark, path, *args)
+
+    model: list[tuple] = [(0, 0, "x", 0), (1, 1, "y", 1)]
+    snapshot_write_partitioned(spark, path, df_rows(model), "a")
+    history = {0: sorted(model)}
+
+    for op, arg in ops:
+        if op in ("append_a", "append_b"):
+            col = "a" if op == "append_a" else "b"
+            v = snapshot_write_partitioned(
+                spark, path, df_rows(arg), col, mode="append", evolve=True
+            )
+            model = model + list(arg)
+        elif op == "cow_delete":
+            v = cow_with_recipe(snapshot_delete, df_keys(arg), ["k"])
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "delete_mor":
+            v = snapshot_delete_mor(spark, path, df_keys(arg), ["k"])
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "delete_eq":
+            v = snapshot_delete_eq(spark, path, df_keys(arg), ["k"])
+            model = [r for r in model if r[0] not in set(arg)]
+        elif op == "cow_merge":
+            v = cow_with_recipe(snapshot_merge, df_rows(arg), ["k"])
+            ks = {r[0] for r in arg}
+            model = [r for r in model if r[0] not in ks] + list(arg)
+        elif op == "compact":
+            v = snapshot_compact(spark, path)
+            # content-neutral; v may equal the previous version when
+            # there was nothing to do
+        else:
+            fn = snapshot_upsert_eq if op == "upsert_eq" else snapshot_merge_mor
+            v = fn(spark, path, df_rows(arg), ["k"])
+            ks = {r[0] for r in arg}
+            model = [r for r in model if r[0] not in ks] + list(arg)
+        got = sorted(
+            (r.k, r.a, r.b, r.v)
+            for r in snapshot_read_partitioned(spark, path).collect()
+        )
+        assert got == sorted(model), (op, arg)
+        history[v] = sorted(model)
+
+    for v, want in history.items():
+        got = sorted(
+            (r.k, r.a, r.b, r.v)
+            for r in snapshot_read_partitioned(
+                spark, path, version=v
+            ).collect()
+        )
+        assert got == want, f"version {v}"
