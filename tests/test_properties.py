@@ -1289,3 +1289,105 @@ def test_evolved_dml_interleavings_match_multiset_model(
             ).collect()
         )
         assert got == want, f"version {v}"
+
+
+# --- bloom-layout DML model check -------------------------------------
+# Same multiset fold over a BLOOM-INDEXED table keyed on the indexed
+# column, so r14's _bloom_dml_prune engages on every MoR position
+# scan (delete_mor / merge_mor): bitmap pruning must never lose a
+# position (false positives only), re-deletes must stay idempotent
+# over pruned candidate sets, appended files must get fresh bitmaps
+# under every flavor, and CoW ops compose via the compact-first
+# recipe when vectors/tombstones are in force.
+
+
+@settings(
+    derandomize=True,
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MOR_OPS)
+def test_bloom_dml_interleavings_match_multiset_model(
+    spark, tmp_path_factory, ops
+):
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_eq,
+        snapshot_delete_mor,
+        snapshot_merge_mor,
+        snapshot_read,
+        snapshot_read_point,
+        snapshot_upsert_eq,
+        snapshot_write_bloom,
+    )
+
+    path = str(tmp_path_factory.mktemp("bloomdml") / "t")
+
+    def df_rows(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def df_keys(keys):
+        return spark.createDataFrame([(k,) for k in keys], "k long")
+
+    model: list[tuple[int, int]] = [(0, 0), (1, 1)]
+    snapshot_write_bloom(spark, path, df_rows(model).repartition(2), "k")
+    history = {0: sorted(model)}
+
+    for op, arg in ops:
+        if op == "append":
+            v = snapshot_write_bloom(
+                spark, path, df_rows(arg), "k", mode="append"
+            )
+            model = model + list(arg)
+        elif op == "delete_mor":
+            v = snapshot_delete_mor(spark, path, df_keys(arg), ["k"])
+            model = [(k, x) for k, x in model if k not in set(arg)]
+        elif op == "delete_eq":
+            v = snapshot_delete_eq(spark, path, df_keys(arg), ["k"])
+            model = [(k, x) for k, x in model if k not in set(arg)]
+        elif op in ("upsert_eq", "merge_mor"):
+            fn = snapshot_upsert_eq if op == "upsert_eq" else snapshot_merge_mor
+            v = fn(spark, path, df_rows(arg), ["k"])
+            ks = {k for k, _ in arg}
+            model = [(k, x) for k, x in model if k not in ks] + list(arg)
+        else:
+            v = snapshot_compact(spark, path)
+        got = sorted(
+            (r.k, r.v) for r in snapshot_read(spark, path).collect()
+        )
+        assert got == sorted(model), (op, arg)
+        history[v] = sorted(model)
+        # the point-lookup index stays exact through every flavor:
+        # probe one present and one absent key via the bitmaps
+        present = {k for k, _ in model}
+        probe = min(present) if present else 0
+        want = sorted(x for k, x in model if k == probe)
+        assert (
+            sorted(
+                r.v
+                for r in snapshot_read_point(spark, path, probe).collect()
+            )
+            == want
+        ), (op, arg, "point", probe)
+        assert snapshot_read_point(spark, path, 12345).count() == 0
+
+    # CoW delete on the final state composes via the compact-first
+    # recipe when merge-on-read metadata is in force — and the bloom
+    # index survives it (fresh bitmaps for rewritten files)
+    try:
+        v = snapshot_delete(spark, path, df_keys([0, 2]), ["k"])
+    except ValueError as e:
+        assert "snapshot_compact" in str(e)
+        snapshot_compact(spark, path)
+        v = snapshot_delete(spark, path, df_keys([0, 2]), ["k"])
+    model = [(k, x) for k, x in model if k not in (0, 2)]
+    got = sorted((r.k, r.v) for r in snapshot_read(spark, path).collect())
+    assert got == sorted(model)
+    for v, want in history.items():
+        got = sorted(
+            (r.k, r.v)
+            for r in snapshot_read(spark, path, version=v).collect()
+        )
+        assert got == want, f"version {v}"
