@@ -221,6 +221,10 @@ HEADLINE: list[str] = [
     # (r14, the last DML x layout cell): per-spec candidate pruning,
     # default-spec lazy migration, residual-read probes
     "p37_evolved_cow_dml",
+    # exact prefix-filtered similarity join (r14): AllPairs/PPJoin
+    # candidates from rare-shingle prefixes, oracled against
+    # unfiltered ground truth (completeness, not self-consistency)
+    "t58_prefix_filter_jaccard",
 ]
 
 

@@ -800,3 +800,162 @@ def minhash_signature_table(
     unbiased Jaccard estimator) instead of re-reading shingles.
     Per-row, zero-shuffle (see :func:`_rowwise_sig`)."""
     return _rowwise_sig(shingled_docs(df, id_col, text_col, k), n_hashes)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 3,
+    tau_den: int = 5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """EXACT word-set Jaccard similarity join via PREFIX FILTERING —
+    the AllPairs/PPJoin family (Bayardo et al., WWW'07; public
+    algorithm), and the exact-similarity answer when NO blocking key
+    exists: :func:`ngram_jaccard_pairs` bounds its quadratic join with
+    a metadata block (lang+source), which degrades to bucket² inside
+    one big language at 100 TB; minhash-LSH (t7) bounds it
+    probabilistically but admits false negatives. Prefix filtering is
+    exact AND bounded: order every token by GLOBAL RARITY (document
+    frequency, then token — a total order), and index each document
+    only by its p = n - ceil(tau*n) + 1 rarest tokens. Any pair with
+    Jaccard >= tau must share at least one PREFIX token (pigeonhole:
+    two sets sharing none of each other's first p tokens overlap in
+    at most n - p = ceil(tau*n) - 1 < tau*n <= tau*|union| tokens), so
+    the candidate join touches only prefix postings — and those are
+    the RAREST tokens, so candidate volume is sum(df_prefix^2) over
+    low-df tokens, never corpus², and 'the'-class stopwords never
+    generate a single candidate pair.
+
+    Everything is integer-exact for the cross-engine hash: the prefix
+    length uses integer ceil ((n*tau_num + tau_den - 1) DIV tau_den),
+    the threshold test cross-multiplies (inter * tau_den >=
+    union * tau_num — the BM25 discipline), and the reported jaccard
+    is one exact-int double division. Returns (a_id, b_id, inter,
+    uni, jac) with a_id < b_id.
+
+    Shuffles: token df agg, per-doc sort+collect, the prefix-posting
+    self-join, the intersection count. Each is keyed and bounded; no
+    all-pairs stage exists in the plan at any scale.
+
+    ``shingle_k > 1`` switches the set elements from words to
+    distinct k-word shingles (:func:`word_shingles` — the t6/t7
+    convention). Word sets are the textbook formulation but degrade
+    on templated corpora where every document shares most of its
+    vocabulary (the similarity structure lives in word ORDER);
+    shingles keep unrelated documents dissimilar, so a high tau
+    selects true near-duplicates and prefix postings stay rare."""
+    if shingle_k > 1:
+        # shingled_docs carries the fan_out (a single-file scan would
+        # serialize the regex-heavy shingling on ONE core) and the
+        # materialized-token-array projection (the inlined-HOF 6x
+        # re-evaluation hazard its docstring documents)
+        base = shingled_docs(df, id_col, text_col, shingle_k).select(
+            "id", F.col("sh").alias("elems")
+        )
+    else:
+        from ..catalog import fan_out
+
+        base = fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        ).select(
+            "id",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("t"))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("elems"),
+        )
+    # cached: the posting list feeds two shuffling consumers (df
+    # counts, the per-doc ordered collect) and shingling is
+    # regex-heavy CPU — same rule as ngram_jaccard_pairs' cache
+    toks = base.select("id", F.explode("elems").alias("tok")).cache()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    per_doc = (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tok_df", "tok"))).alias(
+                "ord"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "p",
+            F.expr(
+                f"n - ((n * {tau_num} + {tau_den - 1}) DIV {tau_den}) + 1"
+            ),
+        )
+        # the rarity-ordered element array rides along so the verify
+        # stage is a ROW-WISE array_intersect over the (small)
+        # candidate set, never a postings re-join
+        .withColumn("toks_arr", F.expr("transform(ord, x -> x.tok)"))
+        .cache()
+    )
+    prefix = per_doc.select(
+        "id",
+        F.col("n"),
+        F.posexplode(F.expr("slice(ord, 1, CAST(p AS INT))")).alias(
+            "pos", "pt"
+        ),
+    ).select("id", "n", "pos", F.col("pt.tok").alias("tok"))
+    # candidate generation: shared prefix token + the PPJoin LENGTH
+    # filter (J >= tau forces tau*|a| <= |b| <= |a|/tau) + the PPJoin
+    # POSITIONAL filter. The positional bound is sound because both
+    # documents' arrays sort by the SAME global order, so a pair's
+    # common tokens split around any shared token t into those
+    # ordered before t (at most min(pos_a, pos_b)) and t-plus-later
+    # (at most min(n_a - pos_a, n_b - pos_b)); J >= tau needs
+    # overlap >= ceil(tau/(1+tau) * (n_a+n_b)), and every shared
+    # token of a truly-similar pair satisfies the bound, so the
+    # filter never drops a real pair. All three prune BEFORE the
+    # distinct, so the dedup shuffle carries only plausible pairs.
+    o_req = F.expr(
+        f"((pa.n + pb.n) * {tau_num} + {tau_num + tau_den - 1}) "
+        f"DIV {tau_num + tau_den}"
+    )
+    ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
+        F.col("pa.n") - F.col("pa.pos"), F.col("pb.n") - F.col("pb.pos")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            & (F.col("pa.n") * tau_num <= F.col("pb.n") * tau_den)
+            & (F.col("pb.n") * tau_num <= F.col("pa.n") * tau_den)
+            & (ubound >= o_req),
+        )
+        .select(F.col("pa.id").alias("a_id"), F.col("pb.id").alias("b_id"))
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col("id").alias("a_id"),
+        F.col("toks_arr").alias("a_toks"),
+        F.col("n").alias("na"),
+    )
+    pb = per_doc.select(
+        F.col("id").alias("b_id"),
+        F.col("toks_arr").alias("b_toks"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(pa, "a_id")
+        .join(pb, "b_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(F.col("inter") * tau_den >= F.col("uni") * tau_num)
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            F.col("uni").cast("long").alias("uni"),
+            (F.col("inter").cast("double") / F.col("uni").cast("double"))
+            .alias("jac"),
+        )
+    )

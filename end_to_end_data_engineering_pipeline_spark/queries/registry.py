@@ -71,6 +71,9 @@ _PRIORITY: list[str] = [
     # r13 credit described the 7-probe / 5-flavor plan, so the driver
     # re-validates the new shape ---
     "p35_eq_partitioned_lifecycle",
+    # --- never driver-validated: the r14-born t58 (exact prefix-filter
+    # similarity join, oracled against unfiltered ground truth) ---
+    "t58_prefix_filter_jaccard",
     # --- never driver-validated: the r14-born p37 (CoW DML on a
     # partition-evolved mixed-spec manifest — the last DML x layout
     # cell) ---
@@ -128,11 +131,10 @@ _PRIORITY: list[str] = [
     "sim21_mmr_diversified_topk",
     "sim22_filtered_ann_topk",
     "sim23_knn_label_vote",
-    "t41_stopword_quality_flags",
-    # (t43_bigram_novelty_score, t44_lsh_candidate_audit and
-    # t45_minhash_estimator_calibration, the freshest-named r9 tail
-    # entries, wait one round — displaced by the r14-born p37 and the
-    # reshaped p35 and q74)
+    # (t41_stopword_quality_flags, t43_bigram_novelty_score,
+    # t44_lsh_candidate_audit and t45_minhash_estimator_calibration,
+    # the freshest-named r9 tail entries, wait one round — displaced
+    # by the r14-born p37/t58 and the reshaped p35/q74)
 ]
 
 

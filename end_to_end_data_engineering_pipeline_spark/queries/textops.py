@@ -4029,3 +4029,65 @@ def t57_incremented_phrase_search(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# t58 — exact similarity join via prefix filtering (AllPairs/PPJoin)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t58_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_o_shingles(3)} AS s FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id, t AS tok FROM sh, UNNEST(s) AS u(t)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT p.a_id, p.b_id, p.inter, sa.n + sb.n - p.inter AS uni
+      FROM pair_inter p
+      JOIN sizes sa ON sa.doc_id = p.a_id
+      JOIN sizes sb ON sb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(uni AS BIGINT) AS uni,
+           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac
+    FROM res WHERE inter * 5 >= uni * 3
+    """,
+)
+def t58_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard >= 0.6 similarity join with NO blocking
+    key and NO probabilistic filter (operators/dedup_fuzzy.py:
+    prefix_filter_jaccard_pairs — the AllPairs/PPJoin prefix filter,
+    over the t6/t7 3-word-shingle convention): each document is
+    indexed only by its p = n - ceil(0.6n) + 1 globally-RAREST
+    shingles, so candidate generation touches rare-shingle postings
+    only and template boilerplate never pairs anything. The ORACLE is
+    the stronger claim: it computes GROUND TRUTH (every pair sharing
+    ANY shingle, exact Jaccard, no filter), so the hash match proves
+    the prefix filter is COMPLETE — zero false negatives — not merely
+    self-consistent, while the Spark plan never materializes the
+    all-pairs join the oracle can afford only at gate scale.
+
+    Complements the dedup family: t6 is exact-but-blocked (needs a
+    metadata key, quadratic inside a bucket), t7 is
+    unblocked-but-probabilistic (LSH admits false negatives), t58 is
+    exact AND unblocked — the right tool for high-threshold dedup of
+    a single-language 100 TB corpus.
+
+    Reference parity: transformation/clean_data.py:99-116's exact
+    dedup, generalized to near-duplicate sets (same charter extension
+    lineage as t6/t7)."""
+    from ..operators.dedup_fuzzy import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", tau_num=3, tau_den=5, shingle_k=3
+    )

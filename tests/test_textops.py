@@ -1153,3 +1153,52 @@ def test_bm25_increment_retry_skips_applied_stores(
         for t in ("/postings", "/dfreq", "/meta")
     }
     assert real_merge is S.snapshot_merge  # undo restored the module
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """prefix_filter_jaccard_pairs == brute-force exact Jaccard on a
+    corpus with known near-dup structure, in BOTH element modes (word
+    sets and 3-word shingles) and at two thresholds — the completeness
+    claim (prefix + length + positional filters lose no pair) checked
+    against a model with no filters at all."""
+    from itertools import combinations
+
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "entirely different content about spark engines"),
+        (4, "entirely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog today"),
+        (6, "spark engines about content different entirely"),  # same words, new order
+        (7, "one"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def shingles(t, k):
+        toks = t.lower().split()
+        if k == 1:
+            return set(toks)
+        if len(toks) <= k:
+            return {" ".join(toks[:k])} if len(toks) == k else {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    for k, (tn, td) in [(1, (3, 5)), (3, (3, 5)), (1, (4, 5)), (3, (1, 2))]:
+        want = set()
+        for (a, ta), (b, tb) in combinations(texts, 2):
+            sa, sb = shingles(ta, k), shingles(tb, k)
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter * td >= uni * tn:
+                want.add((a, b, inter, uni))
+        got = {
+            (r.a_id, r.b_id, r.inter, r.uni)
+            for r in prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", tn, td, shingle_k=k
+            ).collect()
+        }
+        assert got == want, (k, tn, td)
