@@ -99,9 +99,15 @@ def _raw_manifest(path: str, version: int) -> dict:
 # containing removed files. Commit metadata cost becomes
 # O(added + touched segments), never O(table files).
 #
-# The layer is TRANSPARENT: in-memory manifest dicts are identical
-# before serialization and after resolution, so none of the ~35
-# manifest consumers changed. Tables under SEGMENT_MIN_FILES keep
+# The layer is TRANSPARENT up to SET equality, not list identity:
+# after a serialize→resolve round-trip the manifest has the same file
+# set, the same per-file values for every present key, and the same
+# non-file keys — but the ``files`` LIST may be reordered (kept
+# segments resolve first, then residual) and per-file maps that were
+# empty are omitted rather than resolved as ``{}``. No manifest
+# consumer is order-sensitive (all index by file name or iterate the
+# live set as a set), so none of the ~35 consumers changed; a future
+# order-sensitive consumer must sort, not trust manifest order. Tables under SEGMENT_MIN_FILES keep
 # plain inline manifests (every sandbox-scale table, and the
 # self-describing JSON a human debugs). Segments are immutable and
 # content-addressed, so caching by absolute path is safe and
@@ -170,8 +176,12 @@ def _load_segment(path: str, name: str) -> list:
         return hit
     with open(key) as fh:
         entries = json.load(fh)["entries"]
-    if len(_SEG_CACHE) > 64:
-        _SEG_CACHE.clear()
+    # Evict one oldest entry (insertion order) instead of clearing:
+    # a full clear would also drop the hot segments of the table
+    # currently being committed, forcing O(all-segments) re-reads in
+    # long multi-table sessions (r14 advice).
+    while len(_SEG_CACHE) > 64:
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
     _SEG_CACHE[key] = entries
     return entries
 
@@ -939,10 +949,18 @@ def _cow_commit_mixed_spec(
     val_cache: dict[str, set[str]] = {}
 
     def _match_vals(c: str) -> set[str]:
+        # NULL keys are dropped BEFORE stringification: NULL never
+        # matches under equi-join semantics, but str(None) == 'None'
+        # would admit (and, on the metadata-delete fast path below,
+        # file-destructively drop) files whose string partition value
+        # is literally 'None' (r14 advice; mirrors _bloom_dml_prune).
         if c not in val_cache:
             val_cache[c] = {
                 _hive_part_str(r[c])
-                for r in match.select(c).distinct().collect()
+                for r in match.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .collect()
             }
         return val_cache[c]
 
@@ -1157,9 +1175,16 @@ def _cow_commit(
         or (partition_scope and part_col in match.columns)
     )
     if scope_by_partition:
+        # NULL keys dropped before stringification: str(None) would
+        # alias the literal partition value 'None', and this value set
+        # feeds the file-destructive metadata-delete fast path below
+        # (r14 advice).
         vals = {
             _hive_part_str(r[part_col])
-            for r in match.select(part_col).distinct().collect()
+            for r in match.select(part_col)
+            .where(F.col(part_col).isNotNull())
+            .distinct()
+            .collect()
         }
         cand_files = [f for f in base_files if m["partitions"][f] in vals]
 
@@ -2933,6 +2958,7 @@ def snapshot_delete_mor(
                 prune_vals[s["col"]] = {
                     _hive_part_str(r[s["col"]])
                     for r in delete_keys.select(s["col"])
+                    .where(F.col(s["col"]).isNotNull())
                     .distinct()
                     .collect()
                 }
@@ -2948,7 +2974,10 @@ def snapshot_delete_mor(
     elif part_col and files and part_col in keys:
         vals = {
             _hive_part_str(r[part_col])
-            for r in delete_keys.select(part_col).distinct().collect()
+            for r in delete_keys.select(part_col)
+            .where(F.col(part_col).isNotNull())
+            .distinct()
+            .collect()
         }
         cand = [f for f in files if m["partitions"][f] in vals]
     # bloom-candidate pruning composes with the ladder above: a
@@ -3353,7 +3382,10 @@ def snapshot_merge_mor(
             if s["col"] in keys:
                 prune_vals[s["col"]] = {
                     _hive_part_str(r[s["col"]])
-                    for r in updates.select(s["col"]).distinct().collect()
+                    for r in updates.select(s["col"])
+                    .where(F.col(s["col"]).isNotNull())
+                    .distinct()
+                    .collect()
                 }
         if prune_vals:
             cand = [
@@ -3367,7 +3399,10 @@ def snapshot_merge_mor(
     elif part_col and files and part_col in keys:
         vals = {
             _hive_part_str(r[part_col])
-            for r in updates.select(part_col).distinct().collect()
+            for r in updates.select(part_col)
+            .where(F.col(part_col).isNotNull())
+            .distinct()
+            .collect()
         }
         cand = [f for f in files if m["partitions"][f] in vals]
     elif m.get("stats_col") in keys and files:

@@ -649,15 +649,22 @@ def test_unpartitioned_windows_are_annotated_bounded():
 
     root = Path(pkg.__file__).parent
     offenders = []
+    # Multiline scan over the WHOLE file text (r14 advice): a
+    # per-line match lets `Window\n  .orderBy(...)` escape the lint,
+    # and bench.py silences WindowExec's single-partition warning
+    # session-wide, so an evading unbounded window would be invisible
+    # at bench time too. \s spans newlines, so the chain is caught
+    # however black wraps it; a partitionBy between Window and
+    # .orderBy breaks the match, which is exactly the bounded case.
     for py in sorted(root.rglob("*.py")):
-        lines = py.read_text().splitlines()
-        for i, line in enumerate(lines):
-            if re.search(r"Window\s*\.\s*orderBy\(", line) and (
-                "partitionBy" not in line
-            ):
-                ctx = "\n".join(lines[max(0, i - 5) : i + 1])
-                if "bounded-window" not in ctx:
-                    offenders.append(f"{py.relative_to(root)}:{i + 1}")
+        text = py.read_text()
+        lines = text.splitlines()
+        for m in re.finditer(r"\bWindow\s*\.\s*orderBy\(", text):
+            i = text.count("\n", 0, m.start())
+            end = text.count("\n", 0, m.end())
+            ctx = "\n".join(lines[max(0, i - 5) : end + 1])
+            if "bounded-window" not in ctx:
+                offenders.append(f"{py.relative_to(root)}:{i + 1}")
     assert offenders == [], (
         "unpartitioned windows without a bounded-window annotation "
         f"(use bounded_rank_topk or global_rank): {offenders}"

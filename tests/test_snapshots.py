@@ -1157,6 +1157,62 @@ def test_boolean_partition_keyed_delete_matches_hive_dirs(spark, tmp_path):
     assert [r.k for r in only_false.collect()] == [3]
 
 
+def test_null_delete_key_never_drops_literal_none_partition(
+    spark, tmp_path
+):
+    """Regression (r14 advice): a NULL delete key must match NOTHING
+    under equi-join semantics, but str(None) == 'None' would put the
+    string 'None' into the partition-prune value set — and on the
+    partition-aligned METADATA-DELETE fast path that value set is
+    file-destructive with zero scan: a file whose string partition
+    value is literally 'None' would be metadata-dropped wholesale.
+    Covers both the single-spec fast path (_cow_commit) and the
+    per-spec-group fast path on a partition-evolved manifest
+    (_cow_commit_mixed_spec._match_vals)."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_read_partitioned,
+        snapshot_write_partitioned,
+    )
+
+    # single-spec: partition values 'None' (the trap) and 'x'
+    p = str(tmp_path / "nonepart")
+    df = spark.createDataFrame(
+        [(1, "None"), (2, "None"), (3, "x")], "k long, tag string"
+    )
+    snapshot_write_partitioned(spark, p, df, "tag")
+    dels = spark.createDataFrame([(None,), ("x",)], "tag string")
+    v1 = snapshot_delete(spark, p, dels, ["tag"])
+    got = sorted(
+        (r.k, r.tag)
+        for r in snapshot_read_partitioned(spark, p, version=v1).collect()
+    )
+    assert got == [(1, "None"), (2, "None")]
+
+    # mixed-spec: evolve cell->tag, then delete keyed on tag with a
+    # NULL in the delete set — the old-spec group scans (tag not its
+    # partition col) while the new-spec group takes the per-group
+    # metadata fast path, which must not admit the 'None' file
+    e = str(tmp_path / "evolved")
+    a = spark.createDataFrame(
+        [(1, 0, "None"), (2, 1, "x")], "id long, cell int, tag string"
+    ).repartition(1)
+    snapshot_write_partitioned(spark, e, a, "cell")
+    b = spark.createDataFrame(
+        [(3, 0, "None"), (4, 1, "y")], "id long, cell int, tag string"
+    ).repartition(1)
+    snapshot_write_partitioned(
+        spark, e, b, "tag", mode="append", evolve=True
+    )
+    dels2 = spark.createDataFrame([(None,), ("y",)], "tag string")
+    v2 = snapshot_delete(spark, e, dels2, ["tag"])
+    got2 = sorted(
+        (r.id, r.tag)
+        for r in snapshot_read_partitioned(spark, e, version=v2).collect()
+    )
+    assert got2 == [(1, "None"), (2, "x"), (3, "None")]
+
+
 def test_cow_carries_extra_on_plain_manifests(spark, tmp_path):
     """``extra`` metadata rides through copy-on-write commits on
     PLAIN manifests too (partitioned/stats flavors already carry it):
