@@ -225,6 +225,10 @@ HEADLINE: list[str] = [
     # candidates from rare-shingle prefixes, oracled against
     # unfiltered ground truth (completeness, not self-consistency)
     "t58_prefix_filter_jaccard",
+    # real COMPRESSED image decode (r15): PNG via stdlib zlib —
+    # CRC-checked chunk walk, DEFLATE inflate, all-five-filter
+    # unfilter, RGB+RGBA layouts
+    "m10_png_decode_features",
 ]
 
 

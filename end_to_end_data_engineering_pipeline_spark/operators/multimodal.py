@@ -8,7 +8,8 @@ through Python row objects. UNCOMPRESSED container decode is REAL and
 stdlib-only: PCM WAV through the ``wave`` codec (r10), 24-bit BMP
 through ``struct`` header+pixel parsing (r11), and DIB-framed AVI
 through a RIFF chunk walk (r11) — each verified bit-exact against a
-pure-SQL oracle (m7/m8/m9). Only COMPRESSED codecs (PNG/JPEG/H.264),
+pure-SQL oracle (m7/m8/m9/m10 — m10's PNG is a real DEFLATE-
+compressed decode). Only entropy/DCT codecs (JPEG/H.264),
 whose libraries are not in this container, remain behind
 ``_decode_stub``: a clearly-marked deterministic fake that derives
 pseudo-pixels from the content hash, plus the loud
@@ -252,12 +253,16 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
     - ``kind='audio'``: SERVED — PCM WAV rows decode through the
       stdlib ``wave`` codec (:func:`decode_wav_features`, below): a
       genuine RIFF container parse, not ``_decode_stub``'s hash fake.
-    - ``kind='image'``: SERVED for uncompressed 24-bit BMP —
-      :func:`decode_bmp_features` parses the real container (file +
-      DIB headers via ``struct``, bottom-up padded BGR pixel rows)
-      with no codec library. Compressed formats (PNG/JPEG) raise
+    - ``kind='image'``: SERVED for uncompressed 24-bit BMP
+      (:func:`decode_bmp_features` — file + DIB headers via
+      ``struct``, bottom-up padded BGR pixel rows) and for 8-bit
+      RGB/RGBA PNG (:func:`decode_png_features` — CRC-checked chunk
+      walk, DEFLATE inflate, unfilter of all five scanline filters,
+      stdlib ``zlib``). ``kind='image'`` dispatches BMP;
+      ``kind='png'`` dispatches PNG. JPEG raises
       :class:`CodecsUnavailableError` from inside the decoder, per
-      row, naming PIL.
+      row — a DCT/entropy codec genuinely needs a library this
+      container does not ship.
     - ``kind='video'``: SERVED for DIB-framed AVI —
       :func:`decode_avi_features` demuxes the real RIFF container
       (chunk-tree walk to strf + movi, per-frame stride/row-order/
@@ -265,14 +270,17 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
       (H.264/VP9/MJPEG) raise :class:`CodecsUnavailableError` from
       inside the decoder, per row, naming av.
 
-    Every modality now has a REAL stdlib byte-level decode path; the
-    ``CodecsUnavailableError`` guard is scoped to COMPRESSED formats
-    only, which genuinely require external codec libraries this
-    container does not ship."""
+    Every modality now has a REAL stdlib byte-level decode path —
+    including one COMPRESSED format (PNG/DEFLATE); the
+    ``CodecsUnavailableError`` guard is scoped to entropy/DCT codecs
+    (JPEG/H.264), which genuinely require external codec libraries
+    this container does not ship."""
     if kind == "audio":
         return decode_wav_features(media)
     if kind == "image":
         return decode_bmp_features(media)
+    if kind == "png":
+        return decode_png_features(media)
     if kind == "video":
         return decode_avi_features(media)
     raise ValueError(f"unknown media kind {kind!r}")
@@ -486,7 +494,8 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 # stdlib struct — the m7/WAV strategy applied to the image modality.
 # The container is genuine (a BM file header, a 40-byte DIB header,
 # bottom-up BGR pixel rows each padded to a 4-byte boundary — any
-# image viewer opens these files); only COMPRESSED formats (PNG/JPEG)
+# image viewer opens these files); PNG has its own stdlib decoder
+# below (m10); only entropy/DCT formats (JPEG)
 # still need PIL and stay behind CodecsUnavailableError.
 # ---------------------------------------------------------------------------
 
@@ -609,9 +618,9 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
                 if buf[:2] != b"BM":
                     raise CodecsUnavailableError(
                         "decode_bmp_features got non-BMP content "
-                        f"(magic {buf[:2]!r}); compressed image formats "
-                        "(PNG/JPEG) need PIL, which this environment "
-                        "does not ship"
+                        f"(magic {buf[:2]!r}); PNG decodes through "
+                        "decode_png_features, JPEG needs a DCT/entropy "
+                        "codec library this environment does not ship"
                     )
                 (offset,) = struct.unpack_from("<I", buf, 10)
                 hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
@@ -934,3 +943,305 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=AVI_FEATURE_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode: PNG (IHDR/IDAT, filters 0-4, 8-bit
+# RGB/RGBA) via stdlib zlib + struct — the first COMPRESSED format
+# under the value-hash gate (r14 verdict ask #5). The container is
+# genuine (signature, CRC-checked chunks, DEFLATE-compressed filtered
+# scanlines — any PNG viewer opens these files), the encoder cycles
+# ALL FIVE filter types across rows so a decoder that mis-implements
+# any one of Sub/Up/Average/Paeth changes the pixel sums and fails
+# the hash. CodecsUnavailableError now guards only formats that need
+# an entropy/DCT codec library this container does not ship
+# (JPEG/H.264/VP9) plus PNG shapes beyond 8-bit RGB/RGBA
+# (palette/16-bit/interlaced).
+#
+# Reference parity: the reference pipeline treats media as opaque
+# blobs with typed metadata (README.md:41-58); decode is a
+# beyond-reference charter extension (SURVEY.md §2.12).
+# ---------------------------------------------------------------------------
+
+PNG_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, "
+    "sum_r long, sum_g long, sum_b long, sum_a long, peak long, "
+    "pos_weighted long"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec 9.4) over int64 arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synth_png(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    width: int = 30,
+    height: int = 20,
+) -> DataFrame:
+    """(media_id, content): a GENUINE PNG per id, written with stdlib
+    ``zlib`` + ``struct`` — signature, CRC-stamped IHDR/IDAT/IEND
+    chunks, DEFLATE-compressed scanlines. Even ids encode 8-bit RGB
+    (color type 2), odd ids RGBA (color type 6), and scanline y uses
+    filter type ``y % 5``, so every filter (None/Sub/Up/Average/
+    Paeth) and both color layouts are exercised in every batch.
+    Pixels are the m8 analytic formula (top-down coords) plus alpha:
+
+        r = (id*7  + y*13 + x*5)  % 256
+        g = (id*11 + y*3  + x*17) % 256
+        b = (id*23 + y*19 + x*29) % 256
+        a = (id*5  + y*7  + x*11) % 256   (RGBA only)
+
+    so every decoded feature has a closed-form SQL oracle (m10).
+    Filtering is fully vectorized: PNG filters predict from RAW
+    neighbor bytes, so the encoder shifts the raw row/previous-row
+    arrays — no sequential dependency. Arrow-batched; bytes never
+    pass through Python row objects."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    ids = fan_out(ids.select(F.col(id_col).alias("media_id")))
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(height, dtype=np.int64)[:, None]
+        x = np.arange(width, dtype=np.int64)[None, :]
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                chans = [
+                    (mid * 7 + y * 13 + x * 5) % 256,
+                    (mid * 11 + y * 3 + x * 17) % 256,
+                    (mid * 23 + y * 19 + x * 29) % 256,
+                ]
+                color_type = 2 if mid % 2 == 0 else 6
+                if color_type == 6:
+                    chans.append((mid * 5 + y * 7 + x * 11) % 256)
+                bpp = len(chans)
+                raw = (
+                    np.stack(chans, axis=-1)
+                    .astype(np.int64)
+                    .reshape(height, width * bpp)
+                )
+                zeros = np.zeros(bpp, dtype=np.int64)
+                lines = bytearray()
+                for r in range(height):
+                    cur = raw[r]
+                    prev = raw[r - 1] if r > 0 else np.zeros_like(cur)
+                    left = np.concatenate([zeros, cur[:-bpp]])
+                    upleft = np.concatenate([zeros, prev[:-bpp]])
+                    ft = r % 5
+                    if ft == 0:
+                        out = cur
+                    elif ft == 1:
+                        out = cur - left
+                    elif ft == 2:
+                        out = cur - prev
+                    elif ft == 3:
+                        out = cur - ((left + prev) >> 1)
+                    else:
+                        out = cur - _paeth_vec(left, prev, upleft)
+                    lines.append(ft)
+                    lines += (out % 256).astype(np.uint8).tobytes()
+                ihdr = struct.pack(
+                    ">IIBBBBB", width, height, 8, color_type, 0, 0, 0
+                )
+                blobs.append(
+                    _PNG_SIG
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: parse each row's PNG with stdlib
+    ``zlib`` + ``struct`` — signature check, chunk walk with CRC32
+    verification, IHDR field parse, IDAT concatenation + DEFLATE
+    inflate, and scanline UNFILTERING for all five PNG filter types
+    (None/Sub/Up/Average/Paeth, spec 9.2) — and emit integer-exact
+    pixel features:
+
+    - ``n_channels``: 3 (RGB) or 4 (RGBA), from the IHDR color type,
+    - ``sum_r/sum_g/sum_b``: per-channel pixel sums (int64),
+    - ``sum_a``: alpha sum for RGBA rows, NULL for RGB rows,
+    - ``peak``: max over the three COLOR channels (alpha excluded so
+      RGB and RGBA rows share the same checksum axis),
+    - ``pos_weighted``: SUM((y*width + x) * (r + 2g + 3b)) — the m8
+      spatial checksum; a wrong filter inverse, a dropped scanline,
+      or a channel swizzle each flip it.
+
+    Handles 8-bit color type 2/6, non-interlaced. Anything else —
+    palette/16-bit/interlaced PNG, or non-PNG magic (JPEG) — raises
+    :class:`CodecsUnavailableError`: entropy/DCT codecs (JPEG,
+    H.264) remain the honest out-of-scope boundary. Null content
+    yields null features (decode-skip path, same contract as
+    decode_bmp_features).
+
+    Scale note: inflate + filter-0/2 rows are vectorized; Sub/
+    Average/Paeth rows are sequential in x BY SPEC (each byte
+    predicts from the just-decoded left neighbor), so those rows pay
+    a per-byte Python loop inside the Arrow batch. Decode is
+    embarrassingly parallel across media rows — fan_out spreads rows
+    over cores and no shuffle touches the blobs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ..catalog import fan_out
+
+    media = fan_out(media)
+
+    def _unfilter(ft: int, row, prev, bpp: int):
+        # row/prev: int64 arrays (filtered bytes / raw previous row)
+        if ft == 0:
+            return row
+        if ft == 2:
+            return (row + prev) % 256
+        out = np.empty_like(row)
+        n = len(row)
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            if ft == 1:
+                out[i] = (row[i] + a) % 256
+            elif ft == 3:
+                out[i] = (row[i] + ((a + int(prev[i])) >> 1)) % 256
+            else:  # Paeth
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (row[i] + pr) % 256
+        return out
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id",
+            "width",
+            "height",
+            "n_channels",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+            "sum_a",
+            "peak",
+            "pos_weighted",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    rows.append((mid,) + (None,) * 9)
+                    continue
+                buf = bytes(blob)
+                if buf[:8] != _PNG_SIG:
+                    raise CodecsUnavailableError(
+                        "decode_png_features got non-PNG content "
+                        f"(magic {buf[:8]!r}); JPEG needs an entropy/"
+                        "DCT codec library this environment does not "
+                        "ship"
+                    )
+                pos_ = 8
+                ihdr = None
+                idat = bytearray()
+                while pos_ + 8 <= len(buf):
+                    (ln,) = struct.unpack_from(">I", buf, pos_)
+                    typ = buf[pos_ + 4 : pos_ + 8]
+                    data = buf[pos_ + 8 : pos_ + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", buf, pos_ + 8 + ln)
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise CodecsUnavailableError(
+                            f"PNG chunk {typ!r} CRC mismatch — "
+                            "corrupt container"
+                        )
+                    if typ == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                    pos_ += 12 + ln
+                if ihdr is None or not idat:
+                    raise CodecsUnavailableError(
+                        "PNG missing IHDR or IDAT chunks"
+                    )
+                w, h, depth, color, comp, filt, interlace = ihdr
+                if (
+                    depth != 8
+                    or color not in (2, 6)
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
+                    raise CodecsUnavailableError(
+                        f"only 8-bit non-interlaced RGB/RGBA PNG is "
+                        f"wired (got depth={depth} color={color} "
+                        f"interlace={interlace}); palette/16-bit/"
+                        "interlaced shapes need a full codec library"
+                    )
+                bpp = 3 if color == 2 else 4
+                plain = zlib.decompress(bytes(idat))
+                if len(plain) != h * (1 + w * bpp):
+                    raise CodecsUnavailableError(
+                        f"PNG scanline data truncated: need "
+                        f"{h * (1 + w * bpp)} bytes, got {len(plain)}"
+                    )
+                sl = np.frombuffer(plain, dtype=np.uint8).reshape(
+                    h, 1 + w * bpp
+                )
+                raw = np.empty((h, w * bpp), dtype=np.int64)
+                prev = np.zeros(w * bpp, dtype=np.int64)
+                for r in range(h):
+                    prev = _unfilter(
+                        int(sl[r, 0]), sl[r, 1:].astype(np.int64), prev, bpp
+                    )
+                    raw[r] = prev
+                px = raw.reshape(h, w, bpp)
+                r_, g_, b_ = px[..., 0], px[..., 1], px[..., 2]
+                posw = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        bpp,
+                        int(r_.sum()),
+                        int(g_.sum()),
+                        int(b_.sum()),
+                        int(px[..., 3].sum()) if bpp == 4 else None,
+                        int(px[..., :3].max()),
+                        int((posw * (r_ + 2 * g_ + 3 * b_)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(op, schema=PNG_FEATURE_SCHEMA)

@@ -57,84 +57,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-14 rotation: no never-driver-validated queries remain at the
-# start of the round (p35/p36 went green in the r13 gate), so the
-# prefix is exactly the 50-entry stale band: the three r8 holdovers
-# (q13/q22/q86 — each judge-spot-checked at r12) followed by the full
-# 47-entry r9 band. Min registry freshness after a green r14 = r10.
-# New r14-born queries are inserted at the FRONT as they land (the
-# never-validated-first invariant), displacing the freshest tail
-# entries, which then lead the r15 prefix.
+# Round-15 rotation: the r14 gate went 50/50 green (ledger bumped to
+# 14 below), so no never-driver-validated queries remain at the start
+# of the round. The prefix leads with this round's newborns/reshapes
+# as they land (never-validated-first invariant), then the four r9
+# holdovers displaced from the r14 prefix (t41/t43/t44/t45), then the
+# stalest r10 band in name order. Min registry freshness after a
+# green r15 = r10 (the displaced r10 tail leads the r16 prefix).
 _PRIORITY: list[str] = [
-    # --- never driver-validated (reshape rule): p35 was trimmed to
-    # the 6-probe / 3-flavor shape in r14 (r13 verdict ask #4) — the
-    # r13 credit described the 7-probe / 5-flavor plan, so the driver
-    # re-validates the new shape ---
-    "p35_eq_partitioned_lifecycle",
-    # --- never driver-validated: the r14-born t58 (exact prefix-filter
-    # similarity join, oracled against unfiltered ground truth) ---
+    # --- never driver-validated: the r15-born m10 (pure-stdlib PNG
+    # decode behind the m8 feature shape — r14 verdict ask #5) ---
+    "m10_png_decode_features",
+    # --- never driver-validated (reshape rule): t58 gained the
+    # PPJoin-style suffix filter and dropped the toks_arr carry in
+    # r15 (r14 verdict ask #3) — the r14 credit described the
+    # unfiltered carry-everything plan, so the driver re-validates ---
     "t58_prefix_filter_jaccard",
-    # --- never driver-validated: the r14-born p37 (CoW DML on a
-    # partition-evolved mixed-spec manifest — the last DML x layout
-    # cell) ---
-    "p37_evolved_cow_dml",
-    # --- never driver-validated (reshape rule): q74's two global
-    # ranks were routed through the q91 literal-bucket global_rank
-    # path in r14 (r13 verdict ask #7 — no more unpartitioned
-    # windows), so the driver re-validates the new plan shape ---
-    "q74_null_ordering",
-    # --- r8-validated: the three that waited out the r13 gate ---
-    "q13_global_topk",
-    "q22_above_customer_average",
-    "q86_rank_functions",
-    # --- r9-validated: the full stale band ---
-    "e28_watermark_late_audit",
-    "e29_ingest_lag_percentiles",
-    "e31_point_in_time_features",
-    "e32_stream_stream_attribution",
-    "m6_media_dedup_clusters",
-    "p21_wap_publish",
-    "p22_partitioned_schema_evolution",
-    "p23_change_data_feed",
-    "p24_incremental_join_view",
-    "p25_cdf_downstream_sync",
-    "p26_timestamp_asof_read",
-    "q23_regexp_extract",
-    "q24_monthly_rollup",
-    "q25_nation_supplier_balance",
-    "q29_sorted_array_agg",
-    "q32_nested_exists_in",
-    "q33_exists_and_not_exists",
-    "q34_full_outer_join",
-    "q37_posexplode_tokens",
-    "q38_date_arithmetic",
-    "q39_range_frame_window",
-    "q40_dense_report_spine",
-    "q41_window_navigation",
-    "q42_histogram_buckets",
-    "q44_math_functions",
-    "q45_null_semantics",
-    "q46_string_advanced",
-    "q49_rank_distribution",
-    "q51_promo_revenue_share",
-    "q52_top_supplier_view",
-    "q53_late_shipment_priority",
-    "q55_priority_shipping_classes",
-    "q57_large_volume_customers",
-    "q59_forecast_revenue",
-    "q61_local_supplier_volume",
-    "q87_ordered_listagg",
-    "q88_hierarchy_closure",
-    "q89_table_profile",
-    "sim19_ivf_delete_refresh",
-    "sim20_ivf_append_increment",
-    "sim21_mmr_diversified_topk",
-    "sim22_filtered_ann_topk",
-    "sim23_knn_label_vote",
-    # (t41_stopword_quality_flags, t43_bigram_novelty_score,
-    # t44_lsh_candidate_audit and t45_minhash_estimator_calibration,
-    # the freshest-named r9 tail entries, wait one round — displaced
-    # by the r14-born p37/t58 and the reshaped p35/q74)
+    # --- r9-validated: the four displaced from the r14 prefix ---
+    "t41_stopword_quality_flags",
+    "t43_bigram_novelty_score",
+    "t44_lsh_candidate_audit",
+    "t45_minhash_estimator_calibration",
+    # --- r10-validated: the stale band, name order ---
+    "e10_session_window_native",
+    "e11_funnel",
+    "e12_weekly_cohort_retention",
+    "e13_inter_event_gaps",
+    "e14_transition_matrix",
+    "e15_cdc_latest_state",
+    "e16_scd2_history",
+    "e18_linear_interpolation",
+    "e34_attribution_left_outer",
+    "e3_sessionization",
+    "e8_asof_join",
+    "m1_multimodal_features",
+    "m2_frame_sample_offsets",
+    "m7_wav_decode_features",
+    "p3_sql_model_over_views",
+    "p5_incremental_gold",
+    "p6_compaction_roundtrip",
+    "p7_schema_evolution_merge",
+    "q10_rollup",
+    "q20_percentiles",
+    "q21_shipping_priority_topk",
+    "q26_grouping_sets",
+    "q27_pivot",
+    "q28_unpivot",
+    "q30_salted_join_agg",
+    "q31_approx_sketches",
+    "q35_min_per_group_joinback",
+    "q36_notin_count_distinct",
+    "q43_correlated_avg_subquery",
+    "q47_nation_trade_volume",
+    "q48_market_share",
+    "q50_disjunctive_join_predicates",
+    "q54_returned_items_topk",
+    "q56_customer_order_distribution",
+    "q58_dormant_account_cohorts",
+    "q62_deterministic_sample",
+    "q63_stratified_sample",
+    "q64_arg_extrema",
+    "q66_fuzzy_name_blocking",
+    "q69_winsorized_stats",
+    "q91_distributed_global_rank",
+    "q92_distributed_exact_ntile",
+    "sim5_vector_stats",
+    "sim7_neardup_pairs_lsh",
+    # (t10_winnow_fingerprints, t13_canonical_corpus,
+    # t17_passage_chunking, t46_bpe_train_loop and t47_lsh_s_curve,
+    # the freshest-named r10 tail entries, wait one round — displaced
+    # by the r15-born m10 and the reshaped t58)
 ]
 
 
@@ -163,11 +155,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "e25_drift_table": 13,
     "e26_join_fanout_audit": 13,
     "e27_hll_union_rollup": 13,
-    "e28_watermark_late_audit": 9,
-    "e29_ingest_lag_percentiles": 9,
+    "e28_watermark_late_audit": 14,
+    "e29_ingest_lag_percentiles": 14,
     "e2_sliding_window_agg": 11,
-    "e31_point_in_time_features": 9,
-    "e32_stream_stream_attribution": 9,
+    "e31_point_in_time_features": 14,
+    "e32_stream_stream_attribution": 14,
     "e33_rfm_segments": 11,
     "e34_attribution_left_outer": 10,
     "e3_sessionization": 10,
@@ -182,7 +174,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "m3_content_addressed_store": 11,
     "m4_frame_embedding_pool": 13,
     "m5_media_frame_overlap": 13,
-    "m6_media_dedup_clusters": 9,
+    "m6_media_dedup_clusters": 14,
     "m7_wav_decode_features": 10,
     "m8_bmp_decode_features": 11,
     "m9_avi_decode_features": 11,
@@ -198,12 +190,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "p19_partitioned_cow": 13,
     "p1_flatten_roundtrip": 12,
     "p20_streaming_backfill_parity": 13,
-    "p21_wap_publish": 9,
-    "p22_partitioned_schema_evolution": 9,
-    "p23_change_data_feed": 9,
-    "p24_incremental_join_view": 9,
-    "p25_cdf_downstream_sync": 9,
-    "p26_timestamp_asof_read": 9,
+    "p21_wap_publish": 14,
+    "p22_partitioned_schema_evolution": 14,
+    "p23_change_data_feed": 14,
+    "p24_incremental_join_view": 14,
+    "p25_cdf_downstream_sync": 14,
+    "p26_timestamp_asof_read": 14,
     "p27_bloom_point_lookup": 11,
     "p28_bloom_fpr_audit": 11,
     "p29_partition_evolution": 12,
@@ -213,7 +205,9 @@ VALIDATED_ROUND: dict[str, int] = {
     "p32_mor_merge_lifecycle": 12,
     "p33_eq_delete_lifecycle": 12,
     "p34_mor_partitioned_delete": 12,
+    "p35_eq_partitioned_lifecycle": 14,
     "p36_mor_sorted_delete": 13,
+    "p37_evolved_cow_dml": 14,
     "p3_sql_model_over_views": 10,
     "p4_quality_gate_counters": 12,
     "p5_incremental_gold": 10,
@@ -224,7 +218,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q10_rollup": 10,
     "q11_cube": 13,
     "q12_set_ops": 13,
-    "q13_global_topk": 8,
+    "q13_global_topk": 14,
     "q14_string_functions": 13,
     "q15_date_functions": 13,
     "q16_conditional_pivot": 13,
@@ -234,50 +228,50 @@ VALIDATED_ROUND: dict[str, int] = {
     "q1_pricing_summary": 13,
     "q20_percentiles": 10,
     "q21_shipping_priority_topk": 10,
-    "q22_above_customer_average": 8,
-    "q23_regexp_extract": 9,
-    "q24_monthly_rollup": 9,
-    "q25_nation_supplier_balance": 9,
+    "q22_above_customer_average": 14,
+    "q23_regexp_extract": 14,
+    "q24_monthly_rollup": 14,
+    "q25_nation_supplier_balance": 14,
     "q26_grouping_sets": 10,
     "q27_pivot": 10,
     "q28_unpivot": 10,
-    "q29_sorted_array_agg": 9,
+    "q29_sorted_array_agg": 14,
     "q2_group_count_distinct": 13,
     "q30_salted_join_agg": 10,
     "q31_approx_sketches": 10,
-    "q32_nested_exists_in": 9,
-    "q33_exists_and_not_exists": 9,
-    "q34_full_outer_join": 9,
+    "q32_nested_exists_in": 14,
+    "q33_exists_and_not_exists": 14,
+    "q34_full_outer_join": 14,
     "q35_min_per_group_joinback": 10,
     "q36_notin_count_distinct": 10,
-    "q37_posexplode_tokens": 9,
-    "q38_date_arithmetic": 9,
-    "q39_range_frame_window": 9,
+    "q37_posexplode_tokens": 14,
+    "q38_date_arithmetic": 14,
+    "q39_range_frame_window": 14,
     "q3_null_and_range_audit": 13,
-    "q40_dense_report_spine": 9,
-    "q41_window_navigation": 9,
-    "q42_histogram_buckets": 9,
+    "q40_dense_report_spine": 14,
+    "q41_window_navigation": 14,
+    "q42_histogram_buckets": 14,
     "q43_correlated_avg_subquery": 10,
-    "q44_math_functions": 9,
-    "q45_null_semantics": 9,
-    "q46_string_advanced": 9,
+    "q44_math_functions": 14,
+    "q45_null_semantics": 14,
+    "q46_string_advanced": 14,
     "q47_nation_trade_volume": 10,
     "q48_market_share": 10,
-    "q49_rank_distribution": 9,
+    "q49_rank_distribution": 14,
     "q4_star_join_revenue": 13,
     "q50_disjunctive_join_predicates": 10,
-    "q51_promo_revenue_share": 9,
-    "q52_top_supplier_view": 9,
-    "q53_late_shipment_priority": 9,
+    "q51_promo_revenue_share": 14,
+    "q52_top_supplier_view": 14,
+    "q53_late_shipment_priority": 14,
     "q54_returned_items_topk": 10,
-    "q55_priority_shipping_classes": 9,
+    "q55_priority_shipping_classes": 14,
     "q56_customer_order_distribution": 10,
-    "q57_large_volume_customers": 9,
+    "q57_large_volume_customers": 14,
     "q58_dormant_account_cohorts": 10,
-    "q59_forecast_revenue": 9,
+    "q59_forecast_revenue": 14,
     "q5_semi_join_exists": 13,
     "q60_product_profit": 11,
-    "q61_local_supplier_volume": 9,
+    "q61_local_supplier_volume": 14,
     "q62_deterministic_sample": 10,
     "q63_stratified_sample": 10,
     "q64_arg_extrema": 10,
@@ -291,6 +285,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "q71_forward_fill": 11,
     "q72_group_ols_slope": 11,
     "q73_lateral_topn": 12,
+    "q74_null_ordering": 14,
     "q75_explode_outer": 13,
     "q76_array_set_algebra": 11,
     "q77_trailing_time_window": 12,
@@ -303,10 +298,10 @@ VALIDATED_ROUND: dict[str, int] = {
     "q83_rolling_percentiles": 12,
     "q84_null_safe_join": 12,
     "q85_rolling_anomaly_bands": 12,
-    "q86_rank_functions": 8,
-    "q87_ordered_listagg": 9,
-    "q88_hierarchy_closure": 9,
-    "q89_table_profile": 9,
+    "q86_rank_functions": 14,
+    "q87_ordered_listagg": 14,
+    "q88_hierarchy_closure": 14,
+    "q89_table_profile": 14,
     "q8_window_rank_topk_per_group": 13,
     "q90_revenue_pareto": 11,
     "q91_distributed_global_rank": 10,
@@ -323,12 +318,12 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim16_versioned_ivf_topk": 13,
     "sim17_neardup_triangles": 13,
     "sim18_ann_recall_table": 13,
-    "sim19_ivf_delete_refresh": 9,
+    "sim19_ivf_delete_refresh": 14,
     "sim1_cosine_topk_bruteforce": 11,
-    "sim20_ivf_append_increment": 9,
-    "sim21_mmr_diversified_topk": 9,
-    "sim22_filtered_ann_topk": 9,
-    "sim23_knn_label_vote": 9,
+    "sim20_ivf_append_increment": 14,
+    "sim21_mmr_diversified_topk": 14,
+    "sim22_filtered_ann_topk": 14,
+    "sim23_knn_label_vote": 14,
     "sim2_cosine_topk_lsh": 11,
     "sim3_embedding_neardup_pairs": 12,
     "sim4_cosine_topk_ivf": 11,

@@ -510,3 +510,131 @@ def test_truncated_media_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="width=-4"):
         decode_bmp_features(neg_bmp).collect()
+
+
+def test_png_roundtrip_decodes_real_compressed_container(spark):
+    """The PNG decode path is REAL and COMPRESSED (r15): bytes written
+    as a genuine PNG (CRC-stamped chunks, DEFLATE-compressed
+    scanlines, filter type cycling 0-4 across rows, RGB for even ids /
+    RGBA for odd) parse back through decode_png_features with features
+    matching a NumPy reference computed directly from the synthesis
+    formula — including the pos_weighted spatial checksum, which a
+    wrong filter inverse or channel-layout slip cannot fake."""
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_png_features,
+        synth_png,
+    )
+
+    ids = spark.createDataFrame([(4,), (17,)], "media_id long")
+    got = {
+        r.media_id: r
+        for r in decode_png_features(synth_png(ids)).collect()
+    }
+    W, H = 30, 20
+    y = np.arange(H, dtype=np.int64)[:, None]
+    x = np.arange(W, dtype=np.int64)[None, :]
+    for mid in (4, 17):
+        r_ = (mid * 7 + y * 13 + x * 5) % 256
+        g = (mid * 11 + y * 3 + x * 17) % 256
+        b = (mid * 23 + y * 19 + x * 29) % 256
+        a = (mid * 5 + y * 7 + x * 11) % 256
+        pos = y * W + x
+        row = got[mid]
+        assert (row.width, row.height) == (W, H)
+        assert row.n_channels == (3 if mid % 2 == 0 else 4)
+        assert row.sum_r == int(r_.sum())
+        assert row.sum_g == int(g.sum())
+        assert row.sum_b == int(b.sum())
+        assert row.sum_a == (int(a.sum()) if mid % 2 else None)
+        assert row.peak == int(max(r_.max(), g.max(), b.max()))
+        assert row.pos_weighted == int((pos * (r_ + 2 * g + 3 * b)).sum())
+    # decode_media routes kind='png' to the real decoder
+    assert decode_media(synth_png(ids), kind="png").count() == 2
+
+
+def test_png_container_is_genuine_and_every_filter_used(spark):
+    """The synthesized bytes are a spec-valid PNG: signature, parseable
+    CRC-correct chunk sequence IHDR->IDAT->IEND, IHDR fields as
+    declared, and the inflated scanlines use ALL FIVE filter types —
+    so each of Sub/Up/Average/Paeth is load-bearing for the m10 hash,
+    not dead code behind an all-zeros encoder."""
+    import struct
+    import zlib
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        synth_png,
+    )
+
+    ids = spark.createDataFrame([(7,)], "media_id long")
+    blob = bytes(synth_png(ids).collect()[0].content)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, types, idat = 8, [], b""
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        assert zlib.crc32(typ + data) & 0xFFFFFFFF == crc
+        types.append(typ)
+        if typ == b"IHDR":
+            assert struct.unpack(">IIBBBBB", data) == (30, 20, 8, 6, 0, 0, 0)
+        if typ == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    assert types == [b"IHDR", b"IDAT", b"IEND"]
+    plain = zlib.decompress(idat)
+    stride = 1 + 30 * 4  # filter byte + RGBA row
+    assert len(plain) == 20 * stride
+    filters = {plain[r * stride] for r in range(20)}
+    assert filters == {0, 1, 2, 3, 4}
+
+
+def test_png_decode_rejects_exotic_shapes_and_skips_null(spark):
+    """CRC corruption, non-PNG magic, and unsupported IHDR shapes all
+    raise CodecsUnavailableError loudly; null content yields null
+    features (the decode-skip contract)."""
+    import pytest
+
+    from end_to_end_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png,
+    )
+
+    # null content skips
+    df = spark.createDataFrame([(1, None)], "media_id long, content binary")
+    row = decode_png_features(df).collect()[0]
+    assert row.media_id == 1 and row.width is None and row.sum_r is None
+
+    # non-PNG magic (JPEG SOI) fails loudly
+    jpeg = spark.createDataFrame(
+        [(2, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 16))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="non-PNG content"):
+        decode_png_features(jpeg).collect()
+
+    # flip one IDAT payload byte -> CRC check trips
+    blob = bytearray(
+        bytes(
+            synth_png(
+                spark.createDataFrame([(3,)], "media_id long")
+            ).collect()[0].content
+        )
+    )
+    import struct as _struct
+
+    pos = 8
+    while True:
+        (ln,) = _struct.unpack_from(">I", bytes(blob), pos)
+        if blob[pos + 4 : pos + 8] == b"IDAT":
+            blob[pos + 8] ^= 0xFF
+            break
+        pos += 12 + ln
+    corrupt = spark.createDataFrame(
+        [(3, blob)], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_png_features(corrupt).collect()
