@@ -521,6 +521,11 @@ RESHAPED_ROUND: dict[str, int] = {
     # global_rank path (r13 verdict ask #7) — pre-r14 timings
     # describe the unpartitioned-window plan
     "q74": 14,
+    # r15: t58 reshaped (r14 verdict ask #3) — window-ranked prefixes
+    # replace the per-doc sort_array(collect_list), the positional
+    # filter tightened to PPJoin's accumulated group form, and verify
+    # re-joins narrow postings instead of carrying token arrays
+    "t58": 15,
 }
 
 

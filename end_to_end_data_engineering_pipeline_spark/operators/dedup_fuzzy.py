@@ -835,9 +835,27 @@ def prefix_filter_jaccard_pairs(
     is one exact-int double division. Returns (a_id, b_id, inter,
     uni, jac) with a_id < b_id.
 
-    Shuffles: token df agg, per-doc sort+collect, the prefix-posting
-    self-join, the intersection count. Each is keyed and bounded; no
-    all-pairs stage exists in the plan at any scale.
+    r15 reshape (r14 verdict ask #3): no row anywhere in the plan
+    carries a document's token ARRAY. Prefix positions come from a
+    per-doc row_number window over the (tok_df, tok) rarity order
+    instead of a sort_array(collect_list) — narrow rows through every
+    shuffle. The per-token positional filter is then TIGHTENED to
+    PPJoin's accumulated form by grouping candidate rows per pair:
+    shared prefix tokens appear in the same global order in both
+    docs, so the maxima of their positions are attained by the SAME
+    token t*, every common token outside the shared-prefix set is
+    globally greater than t*, and overlap <= c + min(na-1-ia,
+    nb-1-jb) (c = shared-prefix count, ia/jb = max shared positions)
+    — strictly stronger than any single-token bound, killing
+    candidates the per-token filter admits. Verification re-joins the
+    narrow (id, tok) postings on the candidate ids and counts
+    matches, so verify cost is O(candidate tokens), and row width
+    stays O(1) at 100-TB document sizes instead of O(doc tokens).
+
+    Shuffles: token df agg, the per-doc rank window, the
+    prefix-posting self-join + pair groupBy, the verify postings
+    re-join + count. Each is keyed and bounded; no all-pairs stage
+    exists in the plan at any scale.
 
     ``shingle_k > 1`` switches the set elements from words to
     distinct k-word shingles (:func:`word_shingles` — the t6/t7
@@ -868,86 +886,32 @@ def prefix_filter_jaccard_pairs(
                 )
             ).alias("elems"),
         )
-    # cached: the posting list feeds two shuffling consumers (df
-    # counts, the per-doc ordered collect) and shingling is
-    # regex-heavy CPU — same rule as ngram_jaccard_pairs' cache
-    toks = base.select("id", F.explode("elems").alias("tok")).cache()
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-    per_doc = (
-        toks.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("tok_df", "tok"))).alias(
-                "ord"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .withColumn(
-            "p",
-            F.expr(
-                f"n - ((n * {tau_num} + {tau_den - 1}) DIV {tau_den}) + 1"
-            ),
-        )
-        # the rarity-ordered element array rides along so the verify
-        # stage is a ROW-WISE array_intersect over the (small)
-        # candidate set, never a postings re-join
-        .withColumn("toks_arr", F.expr("transform(ord, x -> x.tok)"))
+    # cached: the posting list feeds FOUR shuffling consumers (df
+    # counts, the rank window, both sides of the verify re-join) and
+    # shingling is regex-heavy CPU — same rule as
+    # ngram_jaccard_pairs' cache. explode_OUTER because the non-outer
+    # explode triggers Catalyst's InferFiltersFromGenerate, which
+    # re-evaluates the whole shingling chain interpreted inside a
+    # pushed-down Filter (15x at sf1.0); get_spark excludes that rule
+    # session-wide, but this operator must stay fast on sessions it
+    # did not build (the driver's correctness gate). Elements are
+    # never null (concat_ws/filter upstream), so the isNotNull guard
+    # only drops the empty-array marker rows outer-explode adds.
+    toks = (
+        base.select("id", F.explode_outer("elems").alias("tok"))
+        .where(F.col("tok").isNotNull())
         .cache()
     )
-    prefix = per_doc.select(
-        "id",
-        F.col("n"),
-        F.posexplode(F.expr("slice(ord, 1, CAST(p AS INT))")).alias(
-            "pos", "pt"
-        ),
-    ).select("id", "n", "pos", F.col("pt.tok").alias("tok"))
-    # candidate generation: shared prefix token + the PPJoin LENGTH
-    # filter (J >= tau forces tau*|a| <= |b| <= |a|/tau) + the PPJoin
-    # POSITIONAL filter. The positional bound is sound because both
-    # documents' arrays sort by the SAME global order, so a pair's
-    # common tokens split around any shared token t into those
-    # ordered before t (at most min(pos_a, pos_b)) and t-plus-later
-    # (at most min(n_a - pos_a, n_b - pos_b)); J >= tau needs
-    # overlap >= ceil(tau/(1+tau) * (n_a+n_b)), and every shared
-    # token of a truly-similar pair satisfies the bound, so the
-    # filter never drops a real pair. All three prune BEFORE the
-    # distinct, so the dedup shuffle carries only plausible pairs.
-    o_req = F.expr(
-        f"((pa.n + pb.n) * {tau_num} + {tau_num + tau_den - 1}) "
-        f"DIV {tau_num + tau_den}"
-    )
-    ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
-        F.col("pa.n") - F.col("pa.pos"), F.col("pb.n") - F.col("pb.pos")
-    )
-    cand = (
-        prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.id") < F.col("pb.id"))
-            & (F.col("pa.n") * tau_num <= F.col("pb.n") * tau_den)
-            & (F.col("pb.n") * tau_num <= F.col("pa.n") * tau_den)
-            & (ubound >= o_req),
-        )
-        .select(F.col("pa.id").alias("a_id"), F.col("pb.id").alias("b_id"))
-        .distinct()
-    )
-    pa = per_doc.select(
-        F.col("id").alias("a_id"),
-        F.col("toks_arr").alias("a_toks"),
-        F.col("n").alias("na"),
-    )
-    pb = per_doc.select(
-        F.col("id").alias("b_id"),
-        F.col("toks_arr").alias("b_toks"),
-        F.col("n").alias("nb"),
-    )
+    cand = _prefix_jaccard_candidates(toks, tau_num, tau_den)
+    # verify by RE-JOINING the narrow (id, tok) postings on candidate
+    # ids and counting matches — no token array is ever materialized,
+    # so candidate-row width is O(1) regardless of document size
     return (
-        cand.join(pa, "a_id")
-        .join(pb, "b_id")
-        .withColumn(
-            "inter", F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
-        )
+        cand.select("a_id", "b_id", "na", "nb")
+        .join(toks.select(F.col("id").alias("a_id"), "tok"), "a_id")
+        .join(toks.select(F.col("id").alias("b_id"), "tok"), ["b_id", "tok"])
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .where(F.col("inter") * tau_den >= F.col("uni") * tau_num)
         .select(
@@ -959,3 +923,101 @@ def prefix_filter_jaccard_pairs(
             .alias("jac"),
         )
     )
+
+
+def _prefix_jaccard_candidates(
+    toks: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    accumulated: bool = True,
+) -> DataFrame:
+    """Candidate stage of :func:`prefix_filter_jaccard_pairs` over a
+    narrow ``(id, tok)`` posting frame (elements already distinct per
+    id): returns ``(a_id, b_id, na, nb)`` pairs surviving the prefix +
+    length + positional filters. ``accumulated=False`` keeps only the
+    per-token positional filter (the r14 shape) — an observability
+    knob so tests can pin how many candidates the accumulated (group)
+    filter kills on a skewed corpus; production callers always use
+    the default."""
+    from pyspark.sql import Window
+
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    # rarity rank per doc via a PARTITIONED window (one shuffle by id,
+    # narrow rows) — replaces the r14 sort_array(collect_list) whose
+    # O(doc-tokens) arrays rode through every downstream shuffle
+    w_ord = Window.partitionBy("id").orderBy("tok_df", "tok")
+    w_doc = Window.partitionBy("id")
+    ranked = toks.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        (F.row_number().over(w_ord) - 1).alias("pos"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+    # keep only the p = n - ceil(tau*n) + 1 rarest tokens (0-indexed:
+    # pos < p) — the prefix postings
+    prefix = ranked.where(
+        F.col("pos")
+        < F.expr(f"n - ((n * {tau_num} + {tau_den - 1}) DIV {tau_den}) + 1")
+    )
+    # candidate generation: shared prefix token + the PPJoin LENGTH
+    # filter (J >= tau forces tau*|a| <= |b| <= |a|/tau) + the PPJoin
+    # POSITIONAL filter, applied twice: per token inside the join (so
+    # implausible rows die before the pair shuffle), then in its
+    # strictly-stronger ACCUMULATED form per pair after the groupBy.
+    # The per-token bound is sound because both documents' token
+    # streams sort by the SAME global order, so a pair's common
+    # tokens split around any shared token t into those ordered
+    # before t (at most min(pos_a, pos_b)) and t-plus-later (at most
+    # min(n_a - pos_a, n_b - pos_b)); a truly-similar pair satisfies
+    # it at EVERY shared token, so per-token filtering drops no real
+    # pair and the groupBy's c = the pair's true shared-prefix count.
+    o_req = F.expr(
+        f"((pa.n + pb.n) * {tau_num} + {tau_num + tau_den - 1}) "
+        f"DIV {tau_num + tau_den}"
+    )
+    ubound = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
+        F.col("pa.n") - F.col("pa.pos"), F.col("pb.n") - F.col("pb.pos")
+    )
+    # accumulated positional filter (PPJoin, group form): the shared
+    # prefix tokens appear in the same global order in both docs, so
+    # max(pa.pos) and max(pb.pos) are attained by the same token t*;
+    # every common token OUTSIDE the shared-prefix set is globally
+    # greater than t* (it sits in a suffix, and suffixes start after
+    # t* in the rarity order), hence occupies positions > ia in a and
+    # > jb in b — so overlap <= c + min(na-1-ia, nb-1-jb).
+    acc_req = F.expr(
+        f"((na + nb) * {tau_num} + {tau_num + tau_den - 1}) "
+        f"DIV {tau_num + tau_den}"
+    )
+    grouped = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            & (F.col("pa.n") * tau_num <= F.col("pb.n") * tau_den)
+            & (F.col("pb.n") * tau_num <= F.col("pa.n") * tau_den)
+            & (ubound >= o_req),
+        )
+        .groupBy(
+            F.col("pa.id").alias("a_id"),
+            F.col("pb.id").alias("b_id"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa.pos").alias("ia"),
+            F.max("pb.pos").alias("jb"),
+        )
+    )
+    if not accumulated:
+        return grouped.select("a_id", "b_id", "na", "nb")
+    return grouped.where(
+        F.col("c")
+        + F.least(
+            F.col("na") - 1 - F.col("ia"),
+            F.col("nb") - 1 - F.col("jb"),
+        )
+        >= acc_req
+    ).select("a_id", "b_id", "na", "nb")

@@ -47,6 +47,23 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND e IS
+        # NOT NULL` under every non-outer explode and pushes it
+        # through project chains toward the scan; when e is an
+        # expensive HOF chain (shingling: regex tokenize + transform/
+        # concat_ws/array_distinct) the WHOLE chain is re-evaluated —
+        # interpreted, once per input row — inside the Filter, i.e.
+        # the most expensive stage of the text pipeline runs twice
+        # and the second copy gets no codegen. Measured 15x on the
+        # t58 shingle explode at sf1.0 (60s -> 4s, r15). Empty/null
+        # arrays are vanishingly rare in every workload here, so the
+        # rule's explode-skip benefit never pays for that; excluding
+        # it is strictly the 100-TB-correct default for this engine.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -669,3 +669,23 @@ def test_unpartitioned_windows_are_annotated_bounded():
         "unpartitioned windows without a bounded-window annotation "
         f"(use bounded_rank_topk or global_rank): {offenders}"
     )
+
+
+def test_no_inferred_filter_reevaluates_shingle_chain(spark, sf_dir):
+    """Catalyst's InferFiltersFromGenerate synthesizes `size(e) > 0`
+    under a non-outer explode and pushes it through project chains —
+    re-evaluating the WHOLE generator expression (regex tokenize +
+    shingle transform) interpreted, per input row, inside a Filter:
+    measured 15x on the t58 postings stage at sf1.0 (r15). Pins the
+    two defenses: the engine session excludes the rule, and no Filter
+    node in the t58 plan carries the shingle chain (concat_ws) —
+    shingling must appear only in Project/Generate, where it runs
+    once."""
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in (excluded or "")
+
+    plan = _plan(spark, sf_dir, "t58_prefix_filter_jaccard")
+    for block in plan.split("\n\n"):
+        first = block.strip().splitlines()[0] if block.strip() else ""
+        if ") Filter" in first:
+            assert "concat_ws" not in block, block[:400]

@@ -1202,3 +1202,53 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, (k, tn, td)
+
+
+def test_prefix_filter_accumulated_positional_filter_prunes(spark):
+    """The r15 accumulated (group-form) positional filter is
+    load-bearing: on a templated corpus whose documents share most of
+    their vocabulary (the skew shape where prefix postings collide),
+    it admits STRICTLY fewer candidate pairs than the r14 per-token
+    positional filter alone — while the verified output stays exactly
+    the brute-force Jaccard answer, i.e. the pruning is free."""
+    from itertools import combinations
+
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        _prefix_jaccard_candidates,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 24 templated docs: a large shared template + 3 doc-unique words
+    # + one of 4 topic words — high vocabulary overlap, few true
+    # near-dups at tau=3/5
+    template = "alpha beta gamma delta epsilon zeta eta theta"
+    topics = ["mars", "venus", "pluto", "titan"]
+    texts = [
+        (
+            i,
+            f"{template} {topics[i % 4]} u{i}a u{i}b u{i}c",
+        )
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    toks = df.selectExpr(
+        "doc_id AS id",
+        "explode(array_distinct(split(lower(text), ' '))) AS tok",
+    ).cache()
+    n_pertoken = _prefix_jaccard_candidates(
+        toks, 3, 5, accumulated=False
+    ).count()
+    n_acc = _prefix_jaccard_candidates(toks, 3, 5).count()
+    assert n_acc < n_pertoken, (n_acc, n_pertoken)
+
+    # completeness is untouched: output == brute force
+    want = set()
+    for (a, ta), (b, tb) in combinations(texts, 2):
+        sa, sb = set(ta.split()), set(tb.split())
+        if len(sa & sb) * 5 >= len(sa | sb) * 3:
+            want.add((a, b, len(sa & sb), len(sa | sb)))
+    got = {
+        (r.a_id, r.b_id, r.inter, r.uni)
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 3, 5).collect()
+    }
+    assert got == want
