@@ -35,8 +35,15 @@ def synth_manifest(version: int, files: list[str]) -> dict:
         "part_col": "day",
         "part_type": "string",
         # per-file metadata is STABLE per file name (as in the real
-        # engine — a committed file's partition value never changes)
-        "partitions": {f: f"2024-{int(f[1:8]) % 365:03d}" for f in files},
+        # engine — a committed file's partition value never changes).
+        # Values are DAY-CLUSTERED in file order (~300 files/day, days
+        # sequential) — the layout every commit-ordered ingest
+        # produces, and what makes segment pruning headers sharp: a
+        # 10k-entry segment spans ~34 days, under
+        # SEG_SUMMARY_MAX_VALUES, so its pv header is recorded.
+        "partitions": {
+            f: f"2024-{int(f[1:8]) // 300 % 365:03d}" for f in files
+        },
     }
 
 
@@ -91,6 +98,31 @@ def run(segmented: bool) -> dict:
         del_b.append(b)
     out["delete_avg"] = (sum(del_t) / len(del_t), sum(del_b) // len(del_b))
     out["total_meta_bytes"] = tree_bytes(sn._vers_dir(path))
+    if segmented:
+        # read side (r14 verdict ask #1): resolve the final version
+        # (a) in full and (b) pruned to one partition day, cold cache
+        raw = sn._raw_manifest(path, v)
+        n_segs = len(raw["files_segments"])
+        sn._SEG_CACHE.clear()
+        t0 = time.perf_counter()
+        full = sn._manifest(path, v)
+        t_full = time.perf_counter() - t0
+        sn._SEG_CACHE.clear()
+        t0 = time.perf_counter()
+        pruned, total = sn._resolve_pruned(path, v, wanted={"2024-100"})
+        t_pruned = time.perf_counter() - t0
+        assert total == len(full["files"])
+        want = {
+            f for f in full["files"]
+            if full["partitions"][f] == "2024-100"
+        }
+        assert want <= set(pruned["files"])
+        out["read_full"] = (t_full, len(full["files"]))
+        out["read_pruned"] = (
+            t_pruned,
+            len(pruned["files"]),
+            n_segs,
+        )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -100,6 +132,14 @@ def fmt(r: dict) -> None:
         t, b = r[k]
         print(f"  {k:12s}: {t*1000:8.1f} ms  {b/1e6:8.2f} MB written")
     print(f"  {'total disk':12s}: {r['total_meta_bytes']/1e6:19.2f} MB (56 versions)")
+    if "read_full" in r:
+        t, n = r["read_full"]
+        print(f"  {'read full':12s}: {t*1000:8.1f} ms  {n} file entries")
+        t, n, segs = r["read_pruned"]
+        print(
+            f"  {'read 1-day':12s}: {t*1000:8.1f} ms  {n} file entries "
+            f"materialized (of {segs} segments, cold cache)"
+        )
 
 
 if __name__ == "__main__":

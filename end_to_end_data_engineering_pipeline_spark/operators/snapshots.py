@@ -169,6 +169,45 @@ def _write_segment(path: str, entries: list) -> str:
     return name
 
 
+# Per-segment header cap: a pruning summary stores the segment's
+# distinct partition values only while the set stays small — a
+# segment spanning >64 values is effectively unprunable by value
+# anyway, and an uncapped list would re-grow the manifest toward
+# O(files).
+SEG_SUMMARY_MAX_VALUES = 64
+
+
+def _seg_summary(entries: list, has_specs: bool) -> dict:
+    """Pruning header for one segment, computed from its entry list
+    (r14 verdict ask #1): file count, distinct partition values
+    (single-spec manifests only — under evolved specs a value means
+    nothing without its spec), stat [lo, hi] envelope (omitted when
+    any member's stats are unknown, so unknown stays conservatively
+    live), and the UNION of member bloom bitmaps (same-length bitmaps
+    only). Read paths drop whole segments whose header cannot match
+    before loading a single per-file entry — point/range/partition
+    reads stop materializing the full O(table-files) manifest."""
+    import base64
+
+    s: dict = {"c": len(entries)}
+    if not has_specs and entries and all("p" in e for _, e in entries):
+        vals = sorted({e["p"] for _, e in entries})
+        if len(vals) <= SEG_SUMMARY_MAX_VALUES:
+            s["pv"] = vals
+    if entries and all(e.get("t") is not None for _, e in entries):
+        s["lo"] = min(e["t"][0] for _, e in entries)
+        s["hi"] = max(e["t"][1] for _, e in entries)
+    if entries and all(e.get("b") is not None for _, e in entries):
+        bms = [base64.b64decode(e["b"]) for _, e in entries]
+        if len({len(b) for b in bms}) == 1:
+            union = bytearray(len(bms[0]))
+            for bm in bms:
+                for i, byte in enumerate(bm):
+                    union[i] |= byte
+            s["bb"] = base64.b64encode(bytes(union)).decode("ascii")
+    return s
+
+
 def _load_segment(path: str, name: str) -> list:
     key = os.path.join(_segments_dir(path), name)
     hit = _SEG_CACHE.get(key)
@@ -199,15 +238,18 @@ def _serialize_manifest(path: str, manifest: dict) -> dict:
     files = manifest.get("files")
     if files is None or len(files) < SEGMENT_MIN_FILES:
         return manifest
+    has_specs = "specs" in manifest
     new_set = set(files)
     kept_segs: list[str] = []
     covered: set[str] = set()
+    seg_meta: dict[str, dict] = {}
     prev_v = current_version(path)
     if prev_v is not None:
         try:
             prev_raw = _raw_manifest(path, prev_v)
         except OSError:
             prev_raw = {}
+        prev_meta = prev_raw.get("seg_meta", {})
         for segname in prev_raw.get("files_segments", []):
             entries = _load_segment(path, segname)
             if all(
@@ -216,15 +258,25 @@ def _serialize_manifest(path: str, manifest: dict) -> dict:
             ):
                 kept_segs.append(segname)
                 covered.update(f for f, _ in entries)
+                # content-addressed name == identical entries, so the
+                # previous summary carries verbatim; recompute only
+                # for pre-summary manifests, and drop pv if the table
+                # evolved to multi-spec since (a value without its
+                # spec prunes nothing soundly)
+                hdr = prev_meta.get(segname) or _seg_summary(
+                    entries, has_specs
+                )
+                if has_specs and "pv" in hdr:
+                    hdr = {k: v for k, v in hdr.items() if k != "pv"}
+                seg_meta[segname] = hdr
     residual = [f for f in files if f not in covered]
     out_segs = list(kept_segs)
     for i in range(0, len(residual), SEGMENT_TARGET):
         chunk = residual[i : i + SEGMENT_TARGET]
-        out_segs.append(
-            _write_segment(
-                path, [[f, _seg_entry(manifest, f)] for f in chunk]
-            )
-        )
+        entries = [[f, _seg_entry(manifest, f)] for f in chunk]
+        name = _write_segment(path, entries)
+        out_segs.append(name)
+        seg_meta[name] = _seg_summary(entries, has_specs)
     ser = {
         k: v
         for k, v in manifest.items()
@@ -235,12 +287,14 @@ def _serialize_manifest(path: str, manifest: dict) -> dict:
             k: v for k, v in manifest["bloom"].items() if k != "files"
         }
     ser["files_segments"] = out_segs
+    ser["seg_meta"] = seg_meta
     return ser
 
 
 def _manifest(path: str, version: int) -> dict:
     m = _raw_manifest(path, version)
     segs = m.pop("files_segments", None)
+    m.pop("seg_meta", None)  # pruning headers; full resolve ignores
     if segs is None:
         return m
     files: list[str] = []
@@ -261,6 +315,104 @@ def _manifest(path: str, version: int) -> dict:
     if "bloom" in m:
         m["bloom"] = {**m["bloom"], "files": bloomf}
     return m
+
+
+def _resolve_version(path: str, version: int | None) -> int:
+    """Default-to-latest version resolution with the same loud
+    contract as :func:`snapshot_manifest`."""
+    vs = list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    return v
+
+
+def _resolve_pruned(
+    path: str,
+    version: int,
+    wanted: set | None = None,
+    lo_k=None,
+    hi_k=None,
+    bloom_positions: list | None = None,
+) -> tuple[dict, int]:
+    """Resolve a manifest loading ONLY the segments whose pruning
+    header (:func:`_seg_summary`) can match the request — the
+    read-side half of segment manifests (r14 verdict ask #1): a
+    point/range/partition-value read on a 200k-file table loads a
+    handful of admitted segments instead of materializing the full
+    file map. Returns ``(manifest, total_live_files)``; the manifest
+    is the usual resolved dict but its ``files`` cover only admitted
+    segments (a strict subset when headers prune). Admission is
+    conservative: a segment with no header, or a header missing the
+    relevant key (unknown stats, >SEG_SUMMARY_MAX_VALUES partition
+    fan-out, mixed bitmap widths), always loads. When nothing is
+    admitted but the table has files, the first segment loads anyway
+    so callers keep a schema-probe file — the zero-rows contract
+    stays identical to the full resolve. Plain (sub-threshold)
+    manifests fall back to :func:`_manifest` with
+    ``total = len(files)``."""
+    import base64
+
+    raw = _raw_manifest(path, version)
+    segs = raw.get("files_segments")
+    if segs is None:
+        m = _manifest(path, version)
+        return m, len(m.get("files", ()))
+    meta = raw.get("seg_meta", {})
+
+    def _admit(h: dict | None) -> bool:
+        if h is None:
+            return True
+        if wanted is not None and "pv" in h and not (
+            set(h["pv"]) & wanted
+        ):
+            return False
+        if (
+            lo_k is not None
+            and "lo" in h
+            and (h["hi"] < lo_k or h["lo"] > hi_k)
+        ):
+            return False
+        if bloom_positions is not None and "bb" in h:
+            bits = base64.b64decode(h["bb"])
+            if not all(
+                bits[p >> 3] & (1 << (p & 7)) for p in bloom_positions
+            ):
+                return False
+        return True
+
+    admitted = [s for s in segs if _admit(meta.get(s))]
+    total = sum(
+        meta[s]["c"] if s in meta else len(_load_segment(path, s))
+        for s in segs
+    )
+    if not admitted and total:
+        admitted = segs[:1]  # schema probe; file-level pruning drops it
+    m = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("files_segments", "seg_meta")
+    }
+    files: list[str] = []
+    maps: dict[str, dict] = {mk: {} for mk, _ in _SEG_MAPS}
+    bloomf: dict[str, str] = {}
+    for segname in admitted:
+        for f, e in _load_segment(path, segname):
+            files.append(f)
+            for mk, sk in _SEG_MAPS:
+                if sk in e:
+                    maps[mk][f] = e[sk]
+            if "b" in e:
+                bloomf[f] = e["b"]
+    m["files"] = files
+    for mk, _ in _SEG_MAPS:
+        if maps[mk]:
+            m[mk] = maps[mk]
+    if "bloom" in m:
+        m["bloom"] = {**m["bloom"], "files": bloomf}
+    return m, total
 
 
 def _hive_part_str(v) -> str:
@@ -2495,10 +2647,24 @@ def snapshot_read_partitioned(
     the exact residual filter keeps the result content-identical to
     filtering the logical table — both prune paths are pytest-pinned
     via inputFiles. ``col`` is optional on single-spec manifests
-    (validated against the committed spec when given)."""
+    (validated against the committed spec when given).
+
+    On a segmented manifest (>SEGMENT_MIN_FILES) a value-pruned read
+    resolves only the segments whose header carries a requested value
+    (:func:`_resolve_pruned`) — manifest materialization cost tracks
+    the probe's share of segments, not table size; evolved-spec
+    manifests publish no value headers, so they conservatively
+    resolve in full and prune at file level as before."""
     from pyspark.sql import functions as F
 
-    m = snapshot_manifest(path, version)
+    seg_wanted = (
+        None
+        if values is None
+        else {_hive_part_str(v) for v in values}
+    )
+    m, _total = _resolve_pruned(
+        path, _resolve_version(path, version), wanted=seg_wanted
+    )
     if "specs" in m:
         if values is not None and col is None:
             raise ValueError(
@@ -2794,20 +2960,29 @@ def snapshot_read_range(
     (null-stats files stay conservatively live), then applies the
     exact BETWEEN residual — so results equal a full-scan filter
     while IO tracks the window's share of files. Bounds take the
-    stats column's own type (number or naive datetime)."""
-    m = snapshot_manifest(path, version)
+    stats column's own type (number or naive datetime).
+
+    On a segmented manifest the window first prunes whole SEGMENTS by
+    their header [lo, hi] envelope (:func:`_resolve_pruned`), so the
+    manifest-materialization cost of a narrow window on a 200k-file
+    table is a handful of segment reads, not the full file map;
+    segments containing any unknown-stats file publish no envelope
+    and stay conservatively live."""
+    import datetime as _dt
+
+    lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+    m, _total = _resolve_pruned(
+        path, _resolve_version(path, version), lo_k=lo_k, hi_k=hi_k
+    )
     if "stats_col" not in m:
         raise ValueError(
             f"version {m['version']} under {path} was not committed "
             "with snapshot_write_sorted"
         )
-    import datetime as _dt
-
     if isinstance(lo, _dt.datetime) or isinstance(hi, _dt.datetime):
         _assert_utc_for_ts_stats(
             spark, None, m["stats_col"], "snapshot_read_range"
         )
-    lo_k, hi_k = _stat_key(lo), _stat_key(hi)
     stats = m["stats"]
     live = [
         f
@@ -3865,15 +4040,33 @@ def bloom_prune_files(
     equality probe against the manifest's bloom column. The probe's k
     positions come from the SAME Spark expression that built the
     bitmaps (one metadata-sized local job — no file is opened), so
-    engine-side hash parity is guaranteed by construction."""
+    engine-side hash parity is guaranteed by construction.
+
+    On a segmented manifest the probe first tests each segment's
+    UNION bitmap from its pruning header: a segment none of whose
+    members can contain the value is skipped without loading a single
+    per-file entry, so probe cost is O(segments + admitted files),
+    not O(table files)."""
+    positions, admitted, total, _m = _bloom_probe(
+        spark, path, value, version
+    )
+    return positions, admitted, total
+
+
+def _bloom_probe(
+    spark: SparkSession, path: str, value, version: int | None
+) -> tuple[list[int], list[str], int, dict]:
+    """Shared implementation of :func:`bloom_prune_files` /
+    :func:`snapshot_read_point`: probe positions, admitted files,
+    total live files, and the (segment-pruned) manifest the admission
+    was computed against."""
     import base64
 
     from pyspark.sql import functions as F
 
-    vs = list_versions(path)
-    v = vs[-1] if version is None else version
-    m = _manifest(path, v)
-    b = m.get("bloom")
+    v = _resolve_version(path, version)
+    raw = _raw_manifest(path, v)
+    b = raw.get("bloom")
     if b is None:
         raise ValueError(f"{path} v{v} carries no bloom metadata")
     # hash as the BUILT column type; try_cast (not cast) so an
@@ -3908,16 +4101,18 @@ def bloom_prune_files(
             "pass a probe of the built column's type"
         )
     positions = [probe[f"p{seed}"] for seed in range(b["k"])]
+    m, total = _resolve_pruned(path, v, bloom_positions=positions)
+    bf = m["bloom"].get("files", {})
     admitted = []
     for f in m["files"]:
-        enc = b["files"].get(f)
+        enc = bf.get(f)
         if enc is None:
             admitted.append(f)  # no bitmap recorded: conservatively live
             continue
         bits = base64.b64decode(enc)
         if all(bits[p >> 3] & (1 << (p & 7)) for p in positions):
             admitted.append(f)
-    return positions, admitted, len(m["files"])
+    return positions, admitted, total, m
 
 
 # Driver-side budget for bloom-pruning a MoR position scan: the probe
@@ -4009,14 +4204,14 @@ def snapshot_read_point(
     runs — correctness never depends on the index). At 100 TB this is
     the needle-in-haystack path: a manifest scan plus a handful of
     file reads instead of a full table scan, on a column the layout
-    was never organized around."""
+    was never organized around. Segment pruning headers make the
+    manifest side of that true as well: the probe tests each
+    segment's union bitmap and materializes only admitted segments'
+    file entries (:func:`_resolve_pruned`)."""
     from pyspark.sql import functions as F
 
-    vs = list_versions(path)
-    v = vs[-1] if version is None else version
-    m = _manifest(path, v)
+    _, admitted, _total, m = _bloom_probe(spark, path, value, version)
     col = m["bloom"]["col"]
-    _, admitted, _ = bloom_prune_files(spark, path, value, v)
     if not admitted:
         base = _empty_from_manifest(spark, m)
         if base is None:

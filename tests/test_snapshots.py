@@ -4048,3 +4048,135 @@ class TestSegmentManifests:
         sn.snapshot_write(spark, path, df)
         raw = sn._raw_manifest(path, 0)
         assert "files" in raw and "files_segments" not in raw
+
+
+class TestSegmentPruningHeaders:
+    """Read-side segment pruning (r14 verdict ask #1): serialized
+    manifests carry per-segment headers (file count, distinct
+    partition values, stat [lo,hi] envelope, union bloom bitmap) and
+    point/range/partition-pruned reads load only admitted segments —
+    never the full O(table-files) map. Each test instruments
+    _load_segment and asserts the pruned read opened a STRICT subset
+    of the version's segment files with results identical to the
+    unpruned answer."""
+
+    def _lower(self, monkeypatch):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+
+        monkeypatch.setattr(snapshots, "SEGMENT_MIN_FILES", 4)
+        monkeypatch.setattr(snapshots, "SEGMENT_TARGET", 2)
+        return snapshots
+
+    def _trace_loads(self, monkeypatch, sn):
+        loaded: list[str] = []
+        real = sn._load_segment
+
+        def spy(path, name):
+            loaded.append(name)
+            return real(path, name)
+
+        monkeypatch.setattr(sn, "_load_segment", spy)
+        return loaded
+
+    def test_partition_value_read_opens_segment_subset(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "p")
+        df = spark.createDataFrame(
+            [(i, i % 8) for i in range(64)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, df, "cell")
+        segs = sn._raw_manifest(path, 0)["files_segments"]
+        meta = sn._raw_manifest(path, 0)["seg_meta"]
+        assert len(segs) >= 3 and set(meta) == set(segs)
+        assert all("pv" in meta[s] and "c" in meta[s] for s in segs)
+        sn._SEG_CACHE.clear()
+        loaded = self._trace_loads(monkeypatch, sn)
+        got = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_partitioned(
+                spark, path, values=[3]
+            ).collect()
+        }
+        assert got == {(i, 3) for i in range(64) if i % 8 == 3}
+        assert set(loaded) and set(loaded) < set(segs), (loaded, segs)
+
+    def test_range_read_opens_segment_subset(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "s")
+        df = spark.range(0, 64).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("t")
+        )
+        sn.snapshot_write_sorted(spark, path, df, "t", n_files=8)
+        raw = sn._raw_manifest(path, 0)
+        segs = raw["files_segments"]
+        assert len(segs) >= 3
+        assert all(
+            "lo" in raw["seg_meta"][s] and "hi" in raw["seg_meta"][s]
+            for s in segs
+        )
+        sn._SEG_CACHE.clear()
+        loaded = self._trace_loads(monkeypatch, sn)
+        got = sorted(
+            r.t for r in sn.snapshot_read_range(spark, path, 100, 150).collect()
+        )
+        assert got == [100, 110, 120, 130, 140, 150]
+        assert set(loaded) and set(loaded) < set(segs), (loaded, segs)
+
+    def test_point_read_opens_segment_subset(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "b")
+        # cluster values by file so segment union bitmaps are sparse
+        df = spark.range(0, 64).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+        ).repartitionByRange(8, "k")
+        sn.snapshot_write_bloom(spark, path, df, "k")
+        raw = sn._raw_manifest(path, 0)
+        segs = raw["files_segments"]
+        assert len(segs) >= 3
+        assert all("bb" in raw["seg_meta"][s] for s in segs)
+        sn._SEG_CACHE.clear()
+        loaded = self._trace_loads(monkeypatch, sn)
+        got = [r.v for r in sn.snapshot_read_point(spark, path, 37).collect()]
+        assert got == [37 % 13]
+        assert set(loaded) and set(loaded) < set(segs), (loaded, segs)
+
+    def test_unpruned_read_still_resolves_everything(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """values=None takes the full resolve — headers must never
+        shrink an unpruned read."""
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "p")
+        df = spark.createDataFrame(
+            [(i, i % 8) for i in range(64)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, df, "cell")
+        got = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_partitioned(spark, path).collect()
+        }
+        assert got == {(i, i % 8) for i in range(64)}
+
+    def test_nothing_admitted_serves_schema_probe(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A probe no segment can match still serves the committed
+        schema with zero rows (the full-resolve contract), via the
+        probe-segment guarantee."""
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "p")
+        df = spark.createDataFrame(
+            [(i, i % 8) for i in range(64)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, df, "cell")
+        out = sn.snapshot_read_partitioned(spark, path, values=[99])
+        assert out.count() == 0
+        assert set(out.columns) == {"k", "cell"}
