@@ -4180,3 +4180,105 @@ class TestSegmentPruningHeaders:
         out = sn.snapshot_read_partitioned(spark, path, values=[99])
         assert out.count() == 0
         assert set(out.columns) == {"k", "cell"}
+
+
+class TestSegmentCrashAndRetention:
+    """r14 verdict ask #6: segment files under crash injection and
+    long-history retention — a segment written by a commit that died
+    before its manifest link landed is invisible and reclaimed only
+    past the retention window; tag-retained and restored versions pin
+    their segments through vacuum."""
+
+    def _lower(self, monkeypatch):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+
+        monkeypatch.setattr(snapshots, "SEGMENT_MIN_FILES", 4)
+        monkeypatch.setattr(snapshots, "SEGMENT_TARGET", 3)
+        return snapshots
+
+    def test_crashed_commit_segment_invisible_then_reclaimed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash injection: a segment lands in _versions/segments/
+        but the manifest that would reference it never does (the
+        commit died between _write_segment and the v{N}.json link).
+        Readers never see it; a vacuum INSIDE the retention window
+        must keep it (the commit could still be in flight); a vacuum
+        past the window reclaims exactly it."""
+        import os as _os
+
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        df = spark.range(0, 60).select(F.col("id").alias("k")).repartition(6)
+        sn.snapshot_write(spark, path, df)
+        live_segs = set(sn._raw_manifest(path, 0)["files_segments"])
+        # the crashed commit's segment: written directly, never linked
+        orphan = sn._write_segment(
+            path, [["zz-crashed-00000.parquet", {}]]
+        )
+        assert orphan not in live_segs
+        assert sn.snapshot_read(spark, path).count() == 60
+        # within the retention window: kept (commit may be in flight)
+        sn.vacuum(path, keep_last=1, retention_seconds=86400.0)
+        assert _os.path.exists(
+            _os.path.join(sn._segments_dir(path), orphan)
+        )
+        # past the window: reclaimed, live segments untouched
+        sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        left = set(_os.listdir(sn._segments_dir(path)))
+        assert orphan not in left
+        assert left == live_segs
+        assert sn.snapshot_read(spark, path).count() == 60
+
+    def test_tagged_version_pins_segments_until_tag_deleted(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os as _os
+
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        a = spark.range(0, 40).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, a)
+        segs0 = set(sn._raw_manifest(path, 0)["files_segments"])
+        sn.snapshot_tag(path, "release", 0)
+        b = spark.range(100, 140).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, b, mode="overwrite")
+        segs1 = set(sn._raw_manifest(path, 1)["files_segments"])
+        # keep_last=1 would drop v0, but the tag pins it — and its
+        # segments must survive with it
+        sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        left = set(_os.listdir(sn._segments_dir(path)))
+        assert segs0 <= left and segs1 <= left
+        assert sn.snapshot_read_tag(spark, path, "release").count() == 40
+        # releasing the tag releases the segments on the next sweep
+        sn.snapshot_delete_tag(path, "release")
+        sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        left = set(_os.listdir(sn._segments_dir(path)))
+        assert left == segs1
+        assert sn.snapshot_read(spark, path).count() == 40
+
+    def test_restore_pins_restored_segments_through_vacuum(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os as _os
+
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        a = spark.range(0, 40).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, a)
+        b = spark.range(100, 140).select(F.col("id").alias("k")).repartition(5)
+        sn.snapshot_write(spark, path, b, mode="overwrite")
+        v2 = sn.snapshot_restore(path, 0)
+        # the restored manifest references v0's files; vacuum keeping
+        # only the restore must keep those segments/files alive
+        sn.vacuum(path, keep_last=1, retention_seconds=0.0)
+        assert sn.list_versions(path) == [v2]
+        assert {r.k for r in sn.snapshot_read(spark, path).collect()} == set(
+            range(0, 40)
+        )
+        # v1's exclusive segments are gone
+        live_segs = set(sn._raw_manifest(path, v2)["files_segments"])
+        left = set(_os.listdir(sn._segments_dir(path)))
+        assert left == live_segs
