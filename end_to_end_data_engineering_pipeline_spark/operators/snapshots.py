@@ -4118,12 +4118,31 @@ def _bloom_probe(
 # Driver-side budget for bloom-pruning a MoR position scan: the probe
 # work is |candidate files| x |distinct keys| bitmap tests (bounded
 # big-int ANDs after decode), so the key-set size must be capped —
-# past the cap the full scan's semi-join is the cheaper plan anyway
-# (a large key set admits most files and the probe pass is pure
-# overhead). 256 keys x 200k files x 1 KB bitmaps ≈ a few seconds of
-# driver work at the 100 TB design point; the dial trades that
-# against the scan it avoids.
+# 256 keys x 200k files x 1 KB bitmaps ≈ a few seconds of driver work
+# at the 100 TB design point; the dial trades that against the scan
+# it avoids.
 BLOOM_DML_MAX_KEYS = 256
+
+# Past the driver budget the test moves EXECUTOR-SIDE (r14 verdict
+# ask #4, measured in docs/probes/bloom_dml_exec_probe.py): bitmaps
+# become a metadata DataFrame, the key probe positions broadcast via
+# closure, and each file's test is one vectorized numpy gather over
+# (n_keys, k) byte indices inside mapInPandas — 2.4s for 100k files x
+# 10k keys where the driver loop extrapolates to 290s (122x). The cap
+# below bounds the positions collect (~k ints per key) and the
+# closure size.
+BLOOM_DML_EXEC_MAX_KEYS = 100_000
+
+# Saturation guard for the executor tier: with a large key set the
+# UNION of per-key admissions can approach all-files (P[any key
+# matches] -> 1 as fill x keys grows — the probe's 15%-fill scenario
+# admits 100% at 10k keys), and then the prune job is pure overhead
+# stacked on the full scan it failed to avoid. A driver-side sample
+# of files estimates the admission rate first; above this fraction
+# the prune declines and the position scan — the correct plan for a
+# key set that touches most files — runs undelayed.
+BLOOM_DML_SATURATION = 0.5
+_BLOOM_DML_SAMPLE = 64
 
 
 def _bloom_dml_prune(
@@ -4142,11 +4161,20 @@ def _bloom_dml_prune(
 
     One metadata-sized Spark job computes every key's k probe
     positions (the SAME xxhash64 expression that built the bitmaps —
-    hash parity by construction); the bitmap tests run driver-side
-    over the manifest, no file is opened. Pruning is skipped —
-    returning ``cand`` unchanged — when the key column's type differs
-    from the built type (a cast could silently change the hash) or
-    the key set exceeds the budget."""
+    hash parity by construction). Up to :data:`BLOOM_DML_MAX_KEYS`
+    the bitmap tests run driver-side over the manifest (no job, no
+    file opened); between that and :data:`BLOOM_DML_EXEC_MAX_KEYS`
+    they run EXECUTOR-SIDE as a metadata-DataFrame mapInPandas job —
+    vectorized numpy gathers over the broadcast position table, 122x
+    the driver loop at the 100k-file x 10k-key layout
+    (docs/probes/bloom_dml_exec_probe.py) — gated by a driver-side
+    saturation sample: when most sampled files admit, the union of
+    per-key admissions has converged to all-files and the full scan
+    is the correct plan, so the prune declines instead of stacking a
+    job on top of it. Pruning is always skipped — returning ``cand``
+    unchanged — when the key column's type differs from the built
+    type (a cast could silently change the hash) or the key set
+    exceeds the executor budget."""
     b = m.get("bloom")
     if not b or b["col"] not in keys or not cand:
         return cand
@@ -4169,27 +4197,81 @@ def _bloom_dml_prune(
                 for seed in range(b["k"])
             ]
         )
-        .limit(BLOOM_DML_MAX_KEYS + 1)
+        .limit(BLOOM_DML_EXEC_MAX_KEYS + 1)
         .collect()
     )
-    if len(rows) > BLOOM_DML_MAX_KEYS:
+    if len(rows) > BLOOM_DML_EXEC_MAX_KEYS:
         return cand
-    masks = []
-    for r in rows:
-        v = 0
-        for seed in range(b["k"]):
-            v |= 1 << r[f"p{seed}"]
-        masks.append(v)
-    out = []
-    for f in cand:
-        enc = b["files"].get(f)
+    if len(rows) <= BLOOM_DML_MAX_KEYS:
+        masks = []
+        for r in rows:
+            v = 0
+            for seed in range(b["k"]):
+                v |= 1 << r[f"p{seed}"]
+            masks.append(v)
+        out = []
+        for f in cand:
+            enc = b["files"].get(f)
+            if enc is None:
+                out.append(f)  # no bitmap recorded: conservatively live
+                continue
+            bm = int.from_bytes(base64.b64decode(enc), "little")
+            if any(bm & mk == mk for mk in masks):
+                out.append(f)
+        return out
+    return _bloom_dml_prune_exec(spark, b, rows, cand)
+
+
+def _bloom_dml_prune_exec(
+    spark: SparkSession, b: dict, rows: list, cand: list[str]
+) -> list[str]:
+    """Executor-side tier of :func:`_bloom_dml_prune`: per-file test =
+    one vectorized (n_keys, k) byte gather against the file's decoded
+    bitmap, distributed over the candidate files. A driver-side
+    sample first estimates the admission rate — a saturated index
+    (union of admissions ~ all files) declines so the full scan runs
+    without the overhead of a job that prunes nothing."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    k = b["k"]
+    pos = np.array(
+        [[r[f"p{s}"] for s in range(k)] for r in rows], dtype=np.int64
+    )
+    byte_idx = pos >> 3
+    bit_mask = (1 << (pos & 7)).astype(np.uint8)
+
+    def _admits(enc: str | None) -> bool:
         if enc is None:
-            out.append(f)  # no bitmap recorded: conservatively live
-            continue
-        bm = int.from_bytes(base64.b64decode(enc), "little")
-        if any(bm & mk == mk for mk in masks):
-            out.append(f)
-    return out
+            return True  # no bitmap recorded: conservatively live
+        bits = np.frombuffer(base64.b64decode(enc), dtype=np.uint8)
+        return bool(
+            ((bits[byte_idx] & bit_mask) == bit_mask).all(axis=1).any()
+        )
+
+    step = max(1, len(cand) // _BLOOM_DML_SAMPLE)
+    sample = cand[::step][:_BLOOM_DML_SAMPLE]
+    hits = sum(1 for f in sample if _admits(b["files"].get(f)))
+    if hits > BLOOM_DML_SATURATION * len(sample):
+        return cand  # saturated: the scan is the correct plan
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for f, enc in zip(pdf["f"], pdf["enc"]):
+                if _admits(enc):
+                    out.append(f)
+            yield pd.DataFrame({"f": out})
+
+    meta = spark.createDataFrame(
+        [(f, b["files"].get(f)) for f in cand], "f string, enc string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    admitted = {
+        r.f for r in meta.mapInPandas(op, schema="f string").collect()
+    }
+    return [f for f in cand if f in admitted]
 
 
 def snapshot_read_point(

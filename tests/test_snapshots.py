@@ -4282,3 +4282,88 @@ class TestSegmentCrashAndRetention:
         live_segs = set(sn._raw_manifest(path, v2)["files_segments"])
         left = set(_os.listdir(sn._segments_dir(path)))
         assert left == live_segs
+
+
+class TestBloomDmlExecTier:
+    """r14 verdict ask #4 (measured in
+    docs/probes/bloom_dml_exec_probe.py): past BLOOM_DML_MAX_KEYS the
+    bitmap test runs executor-side instead of declining — vectorized
+    per-file gathers over a broadcast position table — gated by a
+    saturation sample so a key set that would admit everything falls
+    straight through to the scan."""
+
+    def _selective_table(self, spark, tmp_path):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        path = str(tmp_path / "t")
+        df = (
+            spark.range(0, 4000)
+            .selectExpr("id AS k", "id % 7 AS v")
+            .repartitionByRange(40, "k")
+        )
+        sn.snapshot_write_bloom(spark, path, df, "k")
+        return sn, path
+
+    def test_exec_tier_prunes_and_delete_stays_exact(
+        self, spark, tmp_path
+    ):
+        sn, path = self._selective_table(spark, tmp_path)
+        m = sn._manifest(path, 0)
+        # 300 distinct keys: past the 256 driver budget, well under
+        # the exec budget, clustered in ~3 of 40 files
+        keys = spark.range(1000, 1300).selectExpr("id AS k")
+        pruned = sn._bloom_dml_prune(
+            spark, m, keys, ["k"], list(m["files"])
+        )
+        truly = {
+            f
+            for f in m["files"]
+            if int(m["stats"][f][0]) <= 1299 and int(m["stats"][f][1]) >= 1000
+        } if "stats" in m else None
+        assert set(pruned) < set(m["files"]), "exec tier did not prune"
+        if truly is not None:
+            assert truly <= set(pruned)
+        # end-to-end: the MoR delete through the exec tier is exact
+        v1 = sn.snapshot_delete_mor(spark, path, keys, ["k"])
+        got = {r.k for r in sn.snapshot_read(spark, path, v1).collect()}
+        assert got == set(range(0, 1000)) | set(range(1300, 4000))
+
+    def test_saturated_index_declines(self, spark, tmp_path, monkeypatch):
+        """When the sampled admission rate exceeds the saturation
+        threshold the prune returns cand unchanged — no job runs."""
+        import base64 as _b64
+
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        full = _b64.b64encode(b"\xff" * 1024).decode("ascii")
+        m = {
+            "bloom": {
+                "col": "k",
+                "type": "bigint",
+                "m": 8192,
+                "k": 3,
+                "files": {f"f{i}": full for i in range(40)},
+            }
+        }
+        keys = spark.range(0, 300).selectExpr("id AS k")
+        called = []
+        real = sn.SparkSession  # anchor to assert no createDataFrame job
+
+        def no_job(*a, **kw):  # pragma: no cover - would fail the test
+            called.append(1)
+            raise AssertionError("prune job ran on a saturated index")
+
+        monkeypatch.setattr(
+            spark, "createDataFrame", no_job
+        )
+        cand = [f"f{i}" for i in range(40)]
+        try:
+            out = sn._bloom_dml_prune(spark, m, keys, ["k"], cand)
+        finally:
+            monkeypatch.undo()
+        assert out == cand and not called
+        _ = real
