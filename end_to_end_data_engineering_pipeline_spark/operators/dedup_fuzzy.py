@@ -693,9 +693,15 @@ def contamination_hits(
     """
     from ..catalog import fan_out
 
+    # explode_OUTER + isNotNull: a plain explode here triggers
+    # InferFiltersFromGenerate, whose pushed-down size()>0 filter
+    # re-runs the whole shingling chain interpreted per benchmark row
+    # (the t58 hazard, r15; shingles are never null so outer only
+    # adds droppable marker rows)
     bench_grams = (
         shingled_docs(benchmark, id_col, text_col, k)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
+        .where(F.col("g").isNotNull())
         .distinct()
     )
     toks = fan_out(
@@ -892,11 +898,11 @@ def prefix_filter_jaccard_pairs(
     # ngram_jaccard_pairs' cache. explode_OUTER because the non-outer
     # explode triggers Catalyst's InferFiltersFromGenerate, which
     # re-evaluates the whole shingling chain interpreted inside a
-    # pushed-down Filter (15x at sf1.0); get_spark excludes that rule
-    # session-wide, but this operator must stay fast on sessions it
-    # did not build (the driver's correctness gate). Elements are
-    # never null (concat_ws/filter upstream), so the isNotNull guard
-    # only drops the empty-array marker rows outer-explode adds.
+    # pushed-down Filter (measured 15x at sf1.0, r15 — the rule only
+    # fires on non-outer generates; test_plans.py pins the whole
+    # registry against the hazard). Elements are never null
+    # (concat_ws/filter upstream), so the isNotNull guard only drops
+    # the empty-array marker rows outer-explode adds.
     toks = (
         base.select("id", F.explode_outer("elems").alias("tok"))
         .where(F.col("tok").isNotNull())

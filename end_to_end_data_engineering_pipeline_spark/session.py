@@ -47,24 +47,19 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND e IS
-        # NOT NULL` under every non-outer explode and pushes it
-        # through project chains toward the scan; when e is an
-        # expensive HOF chain (shingling: regex tokenize + transform/
-        # concat_ws/array_distinct) the WHOLE chain is re-evaluated —
-        # interpreted, once per input row — inside the Filter, i.e.
-        # the most expensive stage of the text pipeline runs twice
-        # and the second copy gets no codegen. Measured 15x on the
-        # t58 shingle explode at sf1.0 (60s -> 4s, r15). Empty/null
-        # arrays are vanishingly rare in every workload here, so the
-        # rule's explode-skip benefit never pays for that; excluding
-        # it is strictly the 100-TB-correct default for this engine.
-        .config(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer."
-            "InferFiltersFromGenerate",
-        )
     )
+    # NOTE (r15): Catalyst's InferFiltersFromGenerate synthesizes
+    # `size(e) > 0` under a non-outer explode and pushdown substitutes
+    # the FULL generator chain into an interpreted per-row Filter —
+    # measured 15x on the t58 shingle explode at sf1.0 (60s -> 4s).
+    # A session-wide excludedRules fix was measured (r15 bench A/B)
+    # to REGRESS other keys (t7 +0.6s, t23 +0.7s: the inferred
+    # filters genuinely help some plans), so the defense is SURGICAL
+    # instead: explode_outer + isNotNull at expensive-generator sites
+    # (the rule only fires on non-outer generates), pinned by
+    # tests/test_plans.py::test_no_inferred_filter_reevaluates_expensive_chain
+    # across the whole registry. Keep new explode sites cheap-input
+    # or outer.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

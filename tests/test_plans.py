@@ -671,21 +671,31 @@ def test_unpartitioned_windows_are_annotated_bounded():
     )
 
 
-def test_no_inferred_filter_reevaluates_shingle_chain(spark, sf_dir):
+def test_no_inferred_filter_reevaluates_expensive_chain(spark, sf_dir):
     """Catalyst's InferFiltersFromGenerate synthesizes `size(e) > 0`
     under a non-outer explode and pushes it through project chains —
-    re-evaluating the WHOLE generator expression (regex tokenize +
-    shingle transform) interpreted, per input row, inside a Filter:
-    measured 15x on the t58 postings stage at sf1.0 (r15). Pins the
-    two defenses: the engine session excludes the rule, and no Filter
-    node in the t58 plan carries the shingle chain (concat_ws) —
-    shingling must appear only in Project/Generate, where it runs
-    once."""
-    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
-    assert "InferFiltersFromGenerate" in (excluded or "")
-
-    plan = _plan(spark, sf_dir, "t58_prefix_filter_jaccard")
-    for block in plan.split("\n\n"):
-        first = block.strip().splitlines()[0] if block.strip() else ""
-        if ") Filter" in first:
-            assert "concat_ws" not in block, block[:400]
+    re-evaluating the WHOLE generator expression interpreted, per
+    input row, inside a Filter: measured 15x on the t58 shingle
+    postings at sf1.0 (r15). A session-wide excludedRules fix was
+    measured to regress OTHER keys (the inferred filters genuinely
+    help some plans), so the defense is surgical — explode_outer at
+    expensive-generator sites — and this test scans EVERY registered
+    query's physical plan for the hazard signature: a Filter whose
+    condition contains an interpreted higher-order lambda
+    (`lambdafunction`) over a regex/hash/concat chain. Cheap
+    deliberate HOF predicates (p18's CASE-array quality gate) carry
+    none of those markers and pass."""
+    expensive = ("regexp_replace", "md5(", "xxhash64(", "concat_ws(")
+    offenders = []
+    for name in sorted(QUERIES):
+        plan = _plan(spark, sf_dir, name)
+        for block in plan.split("\n\n"):
+            first = block.strip().splitlines()[0] if block.strip() else ""
+            if (
+                ") Filter" in first
+                and "lambdafunction" in block
+                and any(m in block for m in expensive)
+            ):
+                offenders.append(name)
+                break
+    assert offenders == [], offenders
