@@ -229,6 +229,10 @@ HEADLINE: list[str] = [
     # CRC-checked chunk walk, DEFLATE inflate, all-five-filter
     # unfilter, RGB+RGBA layouts
     "m10_png_decode_features",
+    # Iceberg-style branches (r15): isolated audit commit line +
+    # count-audited fast-forward publish; baseline seed is
+    # fixture_phase, the operator cost is three writes + pointer ops
+    "p38_branch_lifecycle",
 ]
 
 

@@ -1743,6 +1743,252 @@ def snapshot_read_tag(
     return snapshot_read(spark, path, version=v)
 
 
+# ---------------------------------------------------------------------------
+# branches (r15): Iceberg-style named branches — the multi-commit
+# generalization of WAP tags. A branch is its own commit line under
+# _versions/branches/<name>/ (local numbering, same link-or-EEXIST
+# claim), sharing the table's data/ directory; MAIN version
+# resolution is untouched, so branch commits are invisible to every
+# default reader by construction. Publication is FAST-FORWARD only:
+# the branch head's manifest content claims the next main version,
+# and the claim refuses if main advanced past the branch base —
+# divergence needs an explicit rebase (re-branch from current), never
+# a silent merge. Branch manifests are plain (audit lines are short;
+# their O(files) metadata is bounded by branch lifetime), but the
+# fast-forward publish routes through _serialize_manifest, so the
+# MAIN line keeps its segment economics.
+# ---------------------------------------------------------------------------
+
+
+def _branches_dir(path: str) -> str:
+    return os.path.join(_vers_dir(path), "branches")
+
+
+def _branch_dir(path: str, name: str) -> str:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(f"invalid branch name {name!r}")
+    return os.path.join(_branches_dir(path), name)
+
+
+def _branch_versions(path: str, name: str) -> list[int]:
+    d = _branch_dir(path, name)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no branch {name!r} under {path}")
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _branch_base(path: str, name: str) -> int:
+    with open(os.path.join(_branch_dir(path, name), "BASE.json")) as fh:
+        return int(json.load(fh)["base_version"])
+
+
+def _branch_head_manifest(path: str, name: str) -> dict:
+    """The branch's current table state: its newest local manifest,
+    or the main BASE manifest when the branch has no commits yet."""
+    vs = _branch_versions(path, name)
+    if not vs:
+        return _manifest(path, _branch_base(path, name))
+    with open(
+        os.path.join(_branch_dir(path, name), f"v{vs[-1]}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def snapshot_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create branch ``name`` at main ``version`` (default current);
+    returns the base version. Creation is one atomic mkdir — a racing
+    duplicate create loses with FileExistsError, surfaced as
+    ValueError."""
+    v = _resolve_version(path, version)
+    os.makedirs(_branches_dir(path), exist_ok=True)
+    d = _branch_dir(path, name)
+    try:
+        os.mkdir(d)
+    except FileExistsError:
+        raise ValueError(f"branch {name!r} already exists") from None
+    tmp = os.path.join(d, f".BASE.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"base_version": v, "created_at": time.time()}, fh)
+    os.replace(tmp, os.path.join(d, "BASE.json"))
+    return v
+
+
+def snapshot_branches(path: str) -> dict[str, dict]:
+    """{name: {base, head, commits}} for every branch; ``head`` is
+    the branch-local version (None before the first branch commit)."""
+    bd = _branches_dir(path)
+    if not os.path.isdir(bd):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(bd)):
+        if not os.path.isdir(os.path.join(bd, name)):
+            continue
+        vs = _branch_versions(path, name)
+        out[name] = {
+            "base": _branch_base(path, name),
+            "head": vs[-1] if vs else None,
+            "commits": len(vs),
+        }
+    return out
+
+
+def snapshot_write_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    df: DataFrame,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to branch ``name``; returns the BRANCH-LOCAL
+    version number. Same three-step crash-safe protocol as
+    :func:`snapshot_write` (stage → move into the shared data/ →
+    link-or-EEXIST claim, here inside the branch dir, retried on a
+    lost race). Plain-manifest tables only: a branch of a
+    partitioned / range-clustered / bloom-indexed table refuses
+    loudly rather than publish a manifest that silently downgrades
+    pruned reads (same contract as plain appends onto those
+    flavors)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _branch_versions(path, name)  # existence check before staging
+    names = _stage_files(spark, path, df)
+    while True:
+        head = _branch_head_manifest(path, name)
+        if any(
+            k in head for k in ("part_col", "specs", "stats_col", "bloom")
+        ):
+            raise ValueError(
+                "branch commits support plain manifests only: this "
+                "table carries partition/stats/bloom metadata a plain "
+                "branch append would silently drop — branch after "
+                "compacting to plain, or keep audit lines on plain "
+                "silver tables"
+            )
+        vs = _branch_versions(path, name)
+        bl_version = (vs[-1] + 1) if vs else 0
+        live = list(head["files"]) if mode == "append" else []
+        manifest = {
+            "version": bl_version,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": live + names,
+            "branch": name,
+            "base_version": _branch_base(path, name),
+        }
+        if mode == "append":
+            # merge-on-read vectors carried from the head exactly as
+            # plain appends carry them (snapshot_write): dropping the
+            # lists would resurrect deleted rows on the branch; the
+            # appended files take this commit's sequence so prior
+            # equality tombstones never mask them
+            if head.get("deletes"):
+                manifest["deletes"] = head["deletes"]
+            if head.get("eq_deletes"):
+                manifest["eq_deletes"] = head["eq_deletes"]
+            if head.get("file_seq") is not None:
+                seq = 1 + max(
+                    [int(s) for s in head["file_seq"].values()] or [0]
+                )
+                manifest["file_seq"] = {
+                    **head["file_seq"],
+                    **{n: seq for n in names},
+                }
+        if head.get("schema") is not None:
+            manifest["schema"] = _evolved_schema_json(head["schema"], df)
+        d = _branch_dir(path, name)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(d, f".v{bl_version}.json.{token}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(d, f"v{bl_version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the branch-local race; retry on new head
+        os.unlink(tmp)
+        return bl_version
+
+
+def snapshot_read_branch(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read the branch head (or a branch-local ``version``) — the
+    audit side of the branch workflow. Before the first branch
+    commit this is exactly the base main version."""
+    if version is None:
+        m = _branch_head_manifest(path, name)
+    else:
+        vs = _branch_versions(path, name)
+        if version not in vs:
+            raise FileNotFoundError(
+                f"branch {name!r} has versions {vs}, not {version}"
+            )
+        with open(
+            os.path.join(_branch_dir(path, name), f"v{version}.json")
+        ) as fh:
+            m = json.load(fh)
+    files = m["files"]
+    if not files:
+        empty = _empty_from_manifest(spark, m)
+        if empty is not None:
+            return empty
+        raise ValueError(f"branch {name!r} head is empty — no schema")
+    # merge-on-read vectors carried from the base stay in force on
+    # the branch (pass-through when the manifest has none)
+    return _apply_deletes(spark, path, m, files)
+
+
+def snapshot_fast_forward(path: str, name: str) -> int:
+    """Publish branch ``name``'s head as the next MAIN version (one
+    metadata claim — no data moves; the branch's files are already in
+    data/). Iceberg's fast-forward contract: requires main's current
+    version to still BE the branch base — if main advanced, raises
+    SnapshotConflict (re-branch from current and re-apply; a silent
+    merge of diverged lines is never correct). The published manifest
+    routes through the segment serializer, so main keeps its
+    carry-by-reference commit economics."""
+    vs = _branch_versions(path, name)
+    if not vs:
+        raise ValueError(
+            f"branch {name!r} has no commits — nothing to fast-forward"
+        )
+    base = _branch_base(path, name)
+    cur = current_version(path)
+    if cur != base:
+        raise SnapshotConflict(
+            f"main is at v{cur} but branch {name!r} forked at "
+            f"v{base}: fast-forward requires an unchanged base — "
+            "re-branch from current and re-apply the audit line"
+        )
+    head = _branch_head_manifest(path, name)
+    new_v = base + 1
+    manifest = {
+        **{k: v for k, v in head.items() if k not in ("branch", "base_version")},
+        "version": new_v,
+        "committed_at": time.time(),
+        "extra": {
+            **head.get("extra", {}),
+            "fast_forward_from": f"{name}@v{vs[-1]}",
+        },
+    }
+    return _claim(path, new_v, manifest, "fast_forward")
+
+
+def snapshot_branch_delete(path: str, name: str) -> None:
+    """Drop the branch and its local manifests; data files the branch
+    alone referenced become unreferenced and are reclaimed by the
+    next :func:`vacuum` past the retention window."""
+    d = _branch_dir(path, name)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no branch {name!r} under {path}")
+    shutil.rmtree(d)
+
+
 def vacuum(
     path: str, keep_last: int = 1, retention_seconds: float = 86400.0
 ) -> list[str]:
@@ -1777,6 +2023,19 @@ def vacuum(
     # build): they survive vacuum regardless of age, like Iceberg's
     # tag-retained snapshots; delete the tag to release them
     tagged = {v for v in snapshot_tags(path).values() if v in vs}
+    # branch BASE versions are pinned like tags: a branch's head
+    # before its first commit IS the base manifest, and every branch
+    # append carries the base's files — dropping the base would
+    # orphan the audit line mid-flight
+    bd0 = _branches_dir(path)
+    if os.path.isdir(bd0):
+        for bname in os.listdir(bd0):
+            try:
+                b = _branch_base(path, bname)
+            except (FileNotFoundError, NotADirectoryError, OSError):
+                continue
+            if b in vs:
+                tagged.add(b)
     keep = sorted(set(vs[-keep_last:]) | tagged)
     drop = [v for v in vs if v not in keep]
     live: set[str] = set()
@@ -1790,6 +2049,20 @@ def vacuum(
         live.update(mm.get("deletes") or [])
         for ent in mm.get("eq_deletes") or []:
             live.update(ent["files"])
+    # branch manifests reference shared data files too: an unmerged
+    # audit line's commits stay readable until the branch is DELETED
+    # (snapshot_branch_delete releases them to the next sweep)
+    bd = _branches_dir(path)
+    if os.path.isdir(bd):
+        for bname in os.listdir(bd):
+            try:
+                for bv in _branch_versions(path, bname):
+                    with open(
+                        os.path.join(_branch_dir(path, bname), f"v{bv}.json")
+                    ) as fh:
+                        live.update(json.load(fh)["files"])
+            except (FileNotFoundError, NotADirectoryError):
+                continue
     deleted = []
     d = _data_dir(path)
     if os.path.isdir(d):

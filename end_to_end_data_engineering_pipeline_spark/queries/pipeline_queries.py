@@ -3269,3 +3269,103 @@ def p37_evolved_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p38_branch_lifecycle",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             user_id,
+             CASE WHEN value >= 70 THEN LEAST(value, 80.0)
+                  ELSE value END AS value
+      FROM events),
+    staged AS (SELECT COUNT(*) AS n FROM events WHERE value < 40)
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value,
+           CAST((SELECT n FROM staged) AS BIGINT) AS n_main_staged
+    FROM ev GROUP BY d
+    """,
+)
+def p38_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style BRANCHES (operators/snapshots.py:snapshot_branch
+    family — r15): the multi-commit generalization of p21's WAP tags.
+    The on-time events (value < 40) commit to MAIN as the baseline;
+    an 'audit' branch then takes TWO commits — the 40-70 late batch
+    verbatim, the >=70 batch clamped at 80 — on its own commit line
+    under _versions/branches/, invisible to main readers by
+    construction (no ref redirection needed: main version resolution
+    never sees branch manifests). The audit compares the branch head
+    count against the expected total and only then FAST-FORWARDS:
+    one metadata claim republishes the branch head as the next main
+    version, refused if main had advanced past the branch base. A
+    second 'shadow' branch then commits garbage and is never merged.
+
+    The value-hash oracle pins the whole contract: the daily
+    aggregate must equal base + both audited commits (with the clamp)
+    and nothing from the shadow branch, and the ``n_main_staged``
+    column — main's row count read WHILE the audit line was
+    unmerged — must equal exactly the baseline subset, or isolation
+    leaked. At 100 TB every step is a manifest/pointer operation
+    except the three data writes themselves."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_branch,
+        snapshot_fast_forward,
+        snapshot_read,
+        snapshot_read_branch,
+        snapshot_write,
+        snapshot_write_branch,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p38_branch_")
+    store = tmp + "/silver"
+    try:
+        with fixture_phase():  # the on-time baseline is the fixture
+            snapshot_write(spark, store, ev.where(F.col("value") < 40))
+        snapshot_branch(store, "audit")
+        snapshot_write_branch(
+            spark,
+            store,
+            "audit",
+            ev.where((F.col("value") >= 40) & (F.col("value") < 70)),
+        )
+        snapshot_write_branch(
+            spark,
+            store,
+            "audit",
+            ev.where(F.col("value") >= 70).withColumn(
+                "value", F.least(F.col("value"), F.lit(80.0))
+            ),
+        )
+        # main must still serve ONLY the baseline while the audit
+        # line is unmerged — pinned into the output as a column
+        n_main_staged = snapshot_read(spark, store).count()
+        # audit: the branch head must carry every event exactly once
+        if snapshot_read_branch(spark, store, "audit").count() == ev.count():
+            snapshot_fast_forward(store, "audit")
+        # an unaudited shadow branch must never leak into main reads
+        snapshot_branch(store, "shadow")
+        snapshot_write_branch(spark, store, "shadow", ev.limit(5))
+        out = snapshot_read(spark, store).groupBy("d").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+            F.lit(n_main_staged).cast("long").alias("n_main_staged"),
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

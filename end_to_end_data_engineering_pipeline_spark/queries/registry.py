@@ -65,6 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # stalest r10 band in name order. Min registry freshness after a
 # green r15 = r10 (the displaced r10 tail leads the r16 prefix).
 _PRIORITY: list[str] = [
+    # --- never driver-validated: the r15-born p38 (Iceberg-style
+    # branches — isolated commit lines + audited fast-forward
+    # publish, the multi-commit generalization of p21's WAP tags) ---
+    "p38_branch_lifecycle",
     # --- never driver-validated: the r15-born m10 (pure-stdlib PNG
     # decode behind the m8 feature shape — r14 verdict ask #5) ---
     "m10_png_decode_features",
@@ -122,11 +126,11 @@ _PRIORITY: list[str] = [
     "q91_distributed_global_rank",
     "q92_distributed_exact_ntile",
     "sim5_vector_stats",
-    "sim7_neardup_pairs_lsh",
-    # (t10_winnow_fingerprints, t13_canonical_corpus,
-    # t17_passage_chunking, t46_bpe_train_loop and t47_lsh_s_curve,
-    # the freshest-named r10 tail entries, wait one round — displaced
-    # by the r15-born m10 and the reshaped t58)
+    # (sim7_neardup_pairs_lsh, t10_winnow_fingerprints,
+    # t13_canonical_corpus, t17_passage_chunking, t46_bpe_train_loop
+    # and t47_lsh_s_curve, the freshest-named r10 tail entries, wait
+    # one round — displaced by the r15-born p38/m10 and the reshaped
+    # t58)
 ]
 
 

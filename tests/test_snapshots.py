@@ -4367,3 +4367,154 @@ class TestBloomDmlExecTier:
             monkeypatch.undo()
         assert out == cand and not called
         _ = real
+
+
+class TestSnapshotBranches:
+    """r15: Iceberg-style branches — an isolated commit line under
+    _versions/branches/<name>/ sharing the table's data/, invisible
+    to main readers by construction, published only by fast-forward
+    (which refuses a diverged base)."""
+
+    def _sn(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        return sn
+
+    def test_branch_lifecycle_and_main_isolation(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        base = sn.snapshot_branch(t, "audit")
+        assert base == 0
+        # no commits yet: branch head == base
+        assert {(r.k, r.v) for r in sn.snapshot_read_branch(spark, t, "audit").collect()} == {(1, "a")}
+        b0 = sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        b1 = sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+        )
+        assert (b0, b1) == (0, 1)
+        # branch sees base + both commits; MAIN is untouched
+        got = {(r.k, r.v) for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+        assert sn.current_version(t) == 0
+        assert {(r.k, r.v) for r in sn.snapshot_read(spark, t).collect()} == {(1, "a")}
+        # branch-local time travel
+        at0 = {(r.k, r.v) for r in sn.snapshot_read_branch(spark, t, "audit", version=0).collect()}
+        assert at0 == {(1, "a"), (2, "b")}
+        assert sn.snapshot_branches(t) == {
+            "audit": {"base": 0, "head": 1, "commits": 2}
+        }
+        # fast-forward publishes the head as main v1 (metadata-only)
+        v1 = sn.snapshot_fast_forward(t, "audit")
+        assert v1 == 1 and sn.current_version(t) == 1
+        assert {(r.k, r.v) for r in sn.snapshot_read(spark, t).collect()} == got
+
+    def test_fast_forward_refuses_diverged_base(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        # main advances past the base: fast-forward must refuse
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        with _pytest.raises(sn.SnapshotConflict, match="forked at"):
+            sn.snapshot_fast_forward(t, "audit")
+        # main's content is exactly its own line
+        assert {r.k for r in sn.snapshot_read(spark, t).collect()} == {1, 9}
+
+    def test_branch_delete_releases_files_and_base_is_pinned(
+        self, spark, tmp_path
+    ):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        branch_files = set(
+            sn._branch_head_manifest(t, "audit")["files"]
+        ) - set(sn._manifest(t, 0)["files"])
+        # main advances twice; keep_last=1 would drop v0, but v0 is a
+        # branch BASE — pinned like a tag, and the branch's own files
+        # survive the sweep
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string"),
+            mode="overwrite",
+        )
+        deleted = sn.vacuum(t, keep_last=1, retention_seconds=0.0)
+        assert sn.list_versions(t)[0] == 0  # base retained
+        assert not (branch_files & set(deleted))
+        assert {r.k for r in sn.snapshot_read_branch(spark, t, "audit").collect()} == {1, 2}
+        # deleting the branch releases base + branch files on the
+        # next sweep
+        sn.snapshot_branch_delete(t, "audit")
+        deleted2 = sn.vacuum(t, keep_last=1, retention_seconds=0.0)
+        assert branch_files <= set(deleted2)
+        assert sn.list_versions(t) == [1]
+        with _raises_filenotfound():
+            sn.snapshot_read_branch(spark, t, "audit")
+
+    def test_branch_carries_mor_vectors(self, spark, tmp_path):
+        """Branching a table with live MoR delete vectors must keep
+        the tombstones in force on the branch — an append that
+        dropped the vector list would resurrect deleted rows."""
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(6)], "k long, v string"
+            ),
+        )
+        keys = spark.createDataFrame([(2,), (4,)], "k long")
+        sn.snapshot_delete_mor(spark, t, keys, ["k"])
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(10, "x")], "k long, v string"),
+        )
+        got = {r.k for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {0, 1, 3, 5, 10}
+
+    def test_branch_refuses_indexed_flavors(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 0), (2, 1)], "k long, cell int"
+        )
+        sn.snapshot_write_partitioned(spark, t, df, "cell")
+        sn.snapshot_branch(t, "audit")
+        with _pytest.raises(ValueError, match="plain manifests only"):
+            sn.snapshot_write_branch(
+                spark, t, "audit",
+                spark.createDataFrame([(3, 2)], "k long, cell int"),
+            )
+
+
+def _raises_filenotfound():
+    import pytest as _pytest
+
+    return _pytest.raises(FileNotFoundError)
