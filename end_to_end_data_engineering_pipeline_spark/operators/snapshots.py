@@ -1979,6 +1979,115 @@ def snapshot_fast_forward(path: str, name: str) -> int:
     return _claim(path, new_v, manifest, "fast_forward")
 
 
+def snapshot_branch_rebase(path: str, name: str) -> int:
+    """Squash-rebase an APPEND-ONLY branch onto main's current
+    version — the actionable follow-up to a refused fast-forward:
+    the branch's added files graft onto the new base's live set as
+    ONE collapsed branch commit (pure metadata; file names are
+    unique so appends never conflict), BASE.json repoints to
+    current, and the pre-rebase local history is dropped (squash
+    semantics — its manifests referenced the old base's files, which
+    the old base no longer pins after the repoint). Returns the new
+    base version. Refuses if any branch commit was an overwrite:
+    an overwrite line's intent ("replace the table as of MY base")
+    cannot be replayed onto a different base without re-reading
+    data — re-branch and re-apply instead. MoR vectors and schema
+    come from the NEW base, with the branch's added columns merged,
+    so current tombstones stay in force and neither line's columns
+    are dropped."""
+    vs = _branch_versions(path, name)
+    base_old = _branch_base(path, name)
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if cur == base_old:
+        return base_old  # nothing to rebase onto
+    d = _branch_dir(path, name)
+    added: list[str] = []
+    head_schema: dict | None = None
+    if vs:
+        base_files = set(_manifest(path, base_old)["files"])
+        head = _branch_head_manifest(path, name)
+        head_schema = head.get("schema")
+        for bv in vs:
+            with open(os.path.join(d, f"v{bv}.json")) as fh:
+                if json.load(fh)["mode"] != "append":
+                    raise SnapshotConflict(
+                        f"branch {name!r} contains an overwrite commit: "
+                        "its intent cannot replay onto a moved base — "
+                        "re-branch from current and re-apply"
+                    )
+        added = [f for f in head["files"] if f not in base_files]
+    new_base = _manifest(path, cur)
+    if any(
+        k in new_base for k in ("part_col", "specs", "stats_col", "bloom")
+    ):
+        raise ValueError(
+            "main evolved to an indexed/partitioned flavor since the "
+            "branch forked; branch commits support plain manifests only"
+        )
+    if not added:
+        # nothing to graft: repoint the base, drop stale locals
+        tmp = os.path.join(d, f".BASE.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"base_version": cur, "created_at": time.time()}, fh)
+        os.replace(tmp, os.path.join(d, "BASE.json"))
+        for bv in vs:
+            os.remove(os.path.join(d, f"v{bv}.json"))
+        return cur
+    # crash-safe order: (1) the collapsed manifest lands at a FRESH
+    # local version — the added files are referenced by some on-disk
+    # branch manifest at every instant; (2) BASE repoints; (3) the
+    # stale locals drop. A crash between steps leaves a converging
+    # state: the head is already the collapsed manifest, and a re-run
+    # recomputes the same graft.
+    nv = vs[-1] + 1
+    manifest = {
+        "version": nv,
+        "mode": "append",
+        "committed_at": time.time(),
+        "files": list(new_base["files"]) + added,
+        "branch": name,
+        "base_version": cur,
+    }
+    if new_base.get("deletes"):
+        manifest["deletes"] = new_base["deletes"]
+    if new_base.get("eq_deletes"):
+        manifest["eq_deletes"] = new_base["eq_deletes"]
+    if new_base.get("file_seq") is not None:
+        seq = 1 + max(
+            [int(s) for s in new_base["file_seq"].values()] or [0]
+        )
+        manifest["file_seq"] = {
+            **new_base["file_seq"], **{n: seq for n in added}
+        }
+    if new_base.get("schema") is not None and head_schema is not None:
+        # union of both lines' columns: graft the branch's added
+        # fields onto the new base's schema (captured BEFORE the
+        # squash dropped the old local manifests)
+        merged = dict(new_base["schema"])
+        have = {f["name"] for f in merged["fields"]}
+        for f in head_schema.get("fields", []):
+            if f["name"] not in have:
+                merged["fields"] = [*merged["fields"], f]
+        manifest["schema"] = merged
+    elif new_base.get("schema") is not None:
+        manifest["schema"] = new_base["schema"]
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(d, f".v{nv}.json.{token}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.link(tmp, os.path.join(d, f"v{nv}.json"))
+    os.unlink(tmp)
+    tmp = os.path.join(d, f".BASE.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"base_version": cur, "created_at": time.time()}, fh)
+    os.replace(tmp, os.path.join(d, "BASE.json"))
+    for bv in vs:
+        os.remove(os.path.join(d, f"v{bv}.json"))
+    return cur
+
+
 def snapshot_branch_delete(path: str, name: str) -> None:
     """Drop the branch and its local manifests; data files the branch
     alone referenced become unreferenced and are reclaimed by the

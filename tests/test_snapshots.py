@@ -4518,3 +4518,78 @@ def _raises_filenotfound():
     import pytest as _pytest
 
     return _pytest.raises(FileNotFoundError)
+
+
+class TestBranchRebase:
+    """r15: squash-rebase makes fast-forward's divergence refusal
+    actionable — an append-only branch grafts its added files onto
+    the moved base as one collapsed metadata-only commit."""
+
+    def _sn(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        return sn
+
+    def test_rebase_then_fast_forward(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        # main advances: ff refuses, rebase grafts, ff succeeds
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        with _pytest.raises(sn.SnapshotConflict):
+            sn.snapshot_fast_forward(t, "audit")
+        new_base = sn.snapshot_branch_rebase(t, "audit")
+        assert new_base == 1
+        got = {(r.k, r.v) for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {(1, "a"), (2, "b"), (9, "z")}
+        v2 = sn.snapshot_fast_forward(t, "audit")
+        assert v2 == 2
+        assert {(r.k, r.v) for r in sn.snapshot_read(spark, t).collect()} == got
+
+    def test_rebase_refuses_overwrite_line(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "rewrite")
+        sn.snapshot_write_branch(
+            spark, t, "rewrite",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            mode="overwrite",
+        )
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        with _pytest.raises(sn.SnapshotConflict, match="overwrite"):
+            sn.snapshot_branch_rebase(t, "rewrite")
+
+    def test_rebase_no_commits_repoints_only(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "idle")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        assert sn.snapshot_branch_rebase(t, "idle") == 1
+        got = {r.k for r in sn.snapshot_read_branch(spark, t, "idle").collect()}
+        assert got == {1, 9}
+        assert sn.snapshot_branches(t)["idle"]["base"] == 1
