@@ -57,80 +57,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-15 rotation: the r14 gate went 50/50 green (ledger bumped to
-# 14 below), so no never-driver-validated queries remain at the start
-# of the round. The prefix leads with this round's newborns/reshapes
-# as they land (never-validated-first invariant), then the four r9
-# holdovers displaced from the r14 prefix (t41/t43/t44/t45), then the
-# stalest r10 band in name order. Min registry freshness after a
-# green r15 = r10 (the displaced r10 tail leads the r16 prefix).
+# Round-16 rotation: the r15 gate went 50/50 green (ledger bumped to
+# 15 below; the r15-born p38/m10/t58 enter the ledger at 15). The r16
+# prefix leads with this round's newborns as they land
+# (never-validated-first invariant), then the six r10 holdovers
+# displaced from the r15 prefix (sim7/t10/t13/t17/t46/t47), then the
+# stalest r11 band in name order (44 of 50 fit; the name-ordered tail
+# t42/t48/t49/t50/t7/t9 waits for r17). Min registry freshness after
+# a green r16 = r11.
 _PRIORITY: list[str] = [
-    # --- never driver-validated: the r15-born p38 (Iceberg-style
-    # branches — isolated commit lines + audited fast-forward
-    # publish, the multi-commit generalization of p21's WAP tags) ---
-    "p38_branch_lifecycle",
-    # --- never driver-validated: the r15-born m10 (pure-stdlib PNG
-    # decode behind the m8 feature shape — r14 verdict ask #5) ---
-    "m10_png_decode_features",
-    # --- never driver-validated (reshape rule): t58 gained the
-    # PPJoin-style suffix filter and dropped the toks_arr carry in
-    # r15 (r14 verdict ask #3) — the r14 credit described the
-    # unfiltered carry-everything plan, so the driver re-validates ---
-    "t58_prefix_filter_jaccard",
-    # --- r9-validated: the four displaced from the r14 prefix ---
-    "t41_stopword_quality_flags",
-    "t43_bigram_novelty_score",
-    "t44_lsh_candidate_audit",
-    "t45_minhash_estimator_calibration",
-    # --- r10-validated: the stale band, name order ---
-    "e10_session_window_native",
-    "e11_funnel",
-    "e12_weekly_cohort_retention",
-    "e13_inter_event_gaps",
-    "e14_transition_matrix",
-    "e15_cdc_latest_state",
-    "e16_scd2_history",
-    "e18_linear_interpolation",
-    "e34_attribution_left_outer",
-    "e3_sessionization",
-    "e8_asof_join",
-    "m1_multimodal_features",
-    "m2_frame_sample_offsets",
-    "m7_wav_decode_features",
-    "p3_sql_model_over_views",
-    "p5_incremental_gold",
-    "p6_compaction_roundtrip",
-    "p7_schema_evolution_merge",
-    "q10_rollup",
-    "q20_percentiles",
-    "q21_shipping_priority_topk",
-    "q26_grouping_sets",
-    "q27_pivot",
-    "q28_unpivot",
-    "q30_salted_join_agg",
-    "q31_approx_sketches",
-    "q35_min_per_group_joinback",
-    "q36_notin_count_distinct",
-    "q43_correlated_avg_subquery",
-    "q47_nation_trade_volume",
-    "q48_market_share",
-    "q50_disjunctive_join_predicates",
-    "q54_returned_items_topk",
-    "q56_customer_order_distribution",
-    "q58_dormant_account_cohorts",
-    "q62_deterministic_sample",
-    "q63_stratified_sample",
-    "q64_arg_extrema",
-    "q66_fuzzy_name_blocking",
-    "q69_winsorized_stats",
-    "q91_distributed_global_rank",
-    "q92_distributed_exact_ntile",
-    "sim5_vector_stats",
-    # (sim7_neardup_pairs_lsh, t10_winnow_fingerprints,
-    # t13_canonical_corpus, t17_passage_chunking, t46_bpe_train_loop
-    # and t47_lsh_s_curve, the freshest-named r10 tail entries, wait
-    # one round — displaced by the r15-born p38/m10 and the reshaped
-    # t58)
+    # --- r10-validated: the six displaced from the r15 prefix ---
+    "sim7_neardup_pairs_lsh",
+    "t10_winnow_fingerprints",
+    "t13_canonical_corpus",
+    "t17_passage_chunking",
+    "t46_bpe_train_loop",
+    "t47_lsh_s_curve",
+    # --- r11-validated: the stale band, name order ---
+    "e17_scd2_incremental",
+    "e19_attribution",
+    "e1_tumbling_window_agg",
+    "e21_scd2_asof",
+    "e2_sliding_window_agg",
+    "e33_rfm_segments",
+    "e4_json_extraction",
+    "e5_keyed_dedup_keep_first",
+    "e6_value_counts",
+    "e7_latest_event_per_user",
+    "e9_range_join",
+    "m3_content_addressed_store",
+    "m8_bmp_decode_features",
+    "m9_avi_decode_features",
+    "p10_incremental_agg",
+    "p11_snapshot_diff",
+    "p27_bloom_point_lookup",
+    "p28_bloom_fpr_audit",
+    "q60_product_profit",
+    "q65_exact_moments",
+    "q70_multiset_ops",
+    "q71_forward_fill",
+    "q72_group_ols_slope",
+    "q76_array_set_algebra",
+    "q90_revenue_pareto",
+    "q93_corrupt_record_routing",
+    "sim11_sq8_topk",
+    "sim1_cosine_topk_bruteforce",
+    "sim2_cosine_topk_lsh",
+    "sim4_cosine_topk_ivf",
+    "sim6_label_separation",
+    "sim8_pq_adc_topk",
+    "sim9_ivfpq_topk",
+    "t11_winnow_overlap_pairs",
+    "t12_neardup_clusters",
+    "t14_curation_filter",
+    "t15_distinctive_terms",
+    "t16_sequence_packing",
+    "t19_decontamination",
+    "t1_text_stats",
+    "t20_token_budget_mix",
+    "t21_pii_redaction",
+    "t28_chunk_dedup_corpus",
+    "t3_exact_dedup",
+    # (t42_bpe_merge_step, t48_bpe_encode_corpus,
+    # t49_inverted_index_search, t50_persisted_postings_search,
+    # t7_minhash_lsh_neardup and t9_simhash_neardup — the
+    # name-ordered r11 tail — wait one round, displaced by the
+    # r16-born p39 and the six r10 holdovers)
 ]
 
 
@@ -141,15 +133,15 @@ _PRIORITY: list[str] = [
 # NEVER been driver-validated; the rotation policy above sends
 # them (then the stalest entries) through the 50-slot prefix.
 VALIDATED_ROUND: dict[str, int] = {
-    "e10_session_window_native": 10,
-    "e11_funnel": 10,
-    "e12_weekly_cohort_retention": 10,
-    "e13_inter_event_gaps": 10,
-    "e14_transition_matrix": 10,
-    "e15_cdc_latest_state": 10,
-    "e16_scd2_history": 10,
+    "e10_session_window_native": 15,
+    "e11_funnel": 15,
+    "e12_weekly_cohort_retention": 15,
+    "e13_inter_event_gaps": 15,
+    "e14_transition_matrix": 15,
+    "e15_cdc_latest_state": 15,
+    "e16_scd2_history": 15,
     "e17_scd2_incremental": 11,
-    "e18_linear_interpolation": 10,
+    "e18_linear_interpolation": 15,
     "e19_attribution": 11,
     "e1_tumbling_window_agg": 11,
     "e21_scd2_asof": 11,
@@ -165,21 +157,22 @@ VALIDATED_ROUND: dict[str, int] = {
     "e31_point_in_time_features": 14,
     "e32_stream_stream_attribution": 14,
     "e33_rfm_segments": 11,
-    "e34_attribution_left_outer": 10,
-    "e3_sessionization": 10,
+    "e34_attribution_left_outer": 15,
+    "e3_sessionization": 15,
     "e4_json_extraction": 11,
     "e5_keyed_dedup_keep_first": 11,
     "e6_value_counts": 11,
     "e7_latest_event_per_user": 11,
-    "e8_asof_join": 10,
+    "e8_asof_join": 15,
     "e9_range_join": 11,
-    "m1_multimodal_features": 10,
-    "m2_frame_sample_offsets": 10,
+    "m10_png_decode_features": 15,
+    "m1_multimodal_features": 15,
+    "m2_frame_sample_offsets": 15,
     "m3_content_addressed_store": 11,
     "m4_frame_embedding_pool": 13,
     "m5_media_frame_overlap": 13,
     "m6_media_dedup_clusters": 14,
-    "m7_wav_decode_features": 10,
+    "m7_wav_decode_features": 15,
     "m8_bmp_decode_features": 11,
     "m9_avi_decode_features": 11,
     "p10_incremental_agg": 11,
@@ -212,14 +205,15 @@ VALIDATED_ROUND: dict[str, int] = {
     "p35_eq_partitioned_lifecycle": 14,
     "p36_mor_sorted_delete": 13,
     "p37_evolved_cow_dml": 14,
-    "p3_sql_model_over_views": 10,
+    "p38_branch_lifecycle": 15,
+    "p3_sql_model_over_views": 15,
     "p4_quality_gate_counters": 12,
-    "p5_incremental_gold": 10,
-    "p6_compaction_roundtrip": 10,
-    "p7_schema_evolution_merge": 10,
+    "p5_incremental_gold": 15,
+    "p6_compaction_roundtrip": 15,
+    "p7_schema_evolution_merge": 15,
     "p8_retention_sweep": 12,
     "p9_time_travel": 12,
-    "q10_rollup": 10,
+    "q10_rollup": 15,
     "q11_cube": 13,
     "q12_set_ops": 13,
     "q13_global_topk": 14,
@@ -230,24 +224,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "q18_having_group_filter": 13,
     "q19_duplicate_audit": 13,
     "q1_pricing_summary": 13,
-    "q20_percentiles": 10,
-    "q21_shipping_priority_topk": 10,
+    "q20_percentiles": 15,
+    "q21_shipping_priority_topk": 15,
     "q22_above_customer_average": 14,
     "q23_regexp_extract": 14,
     "q24_monthly_rollup": 14,
     "q25_nation_supplier_balance": 14,
-    "q26_grouping_sets": 10,
-    "q27_pivot": 10,
-    "q28_unpivot": 10,
+    "q26_grouping_sets": 15,
+    "q27_pivot": 15,
+    "q28_unpivot": 15,
     "q29_sorted_array_agg": 14,
     "q2_group_count_distinct": 13,
-    "q30_salted_join_agg": 10,
-    "q31_approx_sketches": 10,
+    "q30_salted_join_agg": 15,
+    "q31_approx_sketches": 15,
     "q32_nested_exists_in": 14,
     "q33_exists_and_not_exists": 14,
     "q34_full_outer_join": 14,
-    "q35_min_per_group_joinback": 10,
-    "q36_notin_count_distinct": 10,
+    "q35_min_per_group_joinback": 15,
+    "q36_notin_count_distinct": 15,
     "q37_posexplode_tokens": 14,
     "q38_date_arithmetic": 14,
     "q39_range_frame_window": 14,
@@ -255,35 +249,35 @@ VALIDATED_ROUND: dict[str, int] = {
     "q40_dense_report_spine": 14,
     "q41_window_navigation": 14,
     "q42_histogram_buckets": 14,
-    "q43_correlated_avg_subquery": 10,
+    "q43_correlated_avg_subquery": 15,
     "q44_math_functions": 14,
     "q45_null_semantics": 14,
     "q46_string_advanced": 14,
-    "q47_nation_trade_volume": 10,
-    "q48_market_share": 10,
+    "q47_nation_trade_volume": 15,
+    "q48_market_share": 15,
     "q49_rank_distribution": 14,
     "q4_star_join_revenue": 13,
-    "q50_disjunctive_join_predicates": 10,
+    "q50_disjunctive_join_predicates": 15,
     "q51_promo_revenue_share": 14,
     "q52_top_supplier_view": 14,
     "q53_late_shipment_priority": 14,
-    "q54_returned_items_topk": 10,
+    "q54_returned_items_topk": 15,
     "q55_priority_shipping_classes": 14,
-    "q56_customer_order_distribution": 10,
+    "q56_customer_order_distribution": 15,
     "q57_large_volume_customers": 14,
-    "q58_dormant_account_cohorts": 10,
+    "q58_dormant_account_cohorts": 15,
     "q59_forecast_revenue": 14,
     "q5_semi_join_exists": 13,
     "q60_product_profit": 11,
     "q61_local_supplier_volume": 14,
-    "q62_deterministic_sample": 10,
-    "q63_stratified_sample": 10,
-    "q64_arg_extrema": 10,
+    "q62_deterministic_sample": 15,
+    "q63_stratified_sample": 15,
+    "q64_arg_extrema": 15,
     "q65_exact_moments": 11,
-    "q66_fuzzy_name_blocking": 10,
+    "q66_fuzzy_name_blocking": 15,
     "q67_map_roundtrip": 13,
     "q68_conditional_distinct": 13,
-    "q69_winsorized_stats": 10,
+    "q69_winsorized_stats": 15,
     "q6_anti_join_not_exists": 13,
     "q70_multiset_ops": 11,
     "q71_forward_fill": 11,
@@ -308,8 +302,8 @@ VALIDATED_ROUND: dict[str, int] = {
     "q89_table_profile": 14,
     "q8_window_rank_topk_per_group": 13,
     "q90_revenue_pareto": 11,
-    "q91_distributed_global_rank": 10,
-    "q92_distributed_exact_ntile": 10,
+    "q91_distributed_global_rank": 15,
+    "q92_distributed_exact_ntile": 15,
     "q93_corrupt_record_routing": 11,
     "q94_pagerank_supply_graph": 12,
     "q9_window_lag_running_sum": 13,
@@ -331,7 +325,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim2_cosine_topk_lsh": 11,
     "sim3_embedding_neardup_pairs": 12,
     "sim4_cosine_topk_ivf": 11,
-    "sim5_vector_stats": 10,
+    "sim5_vector_stats": 15,
     "sim6_label_separation": 11,
     "sim7_neardup_pairs_lsh": 10,
     "sim8_pq_adc_topk": 11,
@@ -368,11 +362,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "t38_quality_scorer": 13,
     "t3_exact_dedup": 11,
     "t40_k_anonymity_audit": 13,
-    "t41_stopword_quality_flags": 9,
+    "t41_stopword_quality_flags": 15,
     "t42_bpe_merge_step": 11,
-    "t43_bigram_novelty_score": 9,
-    "t44_lsh_candidate_audit": 9,
-    "t45_minhash_estimator_calibration": 9,
+    "t43_bigram_novelty_score": 15,
+    "t44_lsh_candidate_audit": 15,
+    "t45_minhash_estimator_calibration": 15,
     "t46_bpe_train_loop": 10,
     "t47_lsh_s_curve": 10,
     "t48_bpe_encode_corpus": 11,
@@ -386,6 +380,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "t55_bm25_incremental_index": 12,
     "t56_incremented_disjunctive_search": 12,
     "t57_incremented_phrase_search": 12,
+    "t58_prefix_filter_jaccard": 15,
     "t5_simhash": 12,
     "t6_ngram_jaccard_pairs": 12,
     "t7_minhash_lsh_neardup": 11,
