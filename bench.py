@@ -233,6 +233,10 @@ HEADLINE: list[str] = [
     # count-audited fast-forward publish; baseline seed is
     # fixture_phase, the operator cost is three writes + pointer ops
     "p38_branch_lifecycle",
+    # branch cherry-pick onto diverged main (r16): one reviewed
+    # audit commit grafts as a single metadata claim after the
+    # refused fast-forward; three data writes + pointer ops
+    "p39_branch_cherrypick",
 ]
 
 

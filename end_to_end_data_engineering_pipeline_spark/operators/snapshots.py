@@ -38,6 +38,7 @@ import os
 import shutil
 import time
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1800,20 +1801,32 @@ def _branch_head_manifest(path: str, name: str) -> dict:
 
 def snapshot_branch(path: str, name: str, version: int | None = None) -> int:
     """Create branch ``name`` at main ``version`` (default current);
-    returns the base version. Creation is one atomic mkdir — a racing
-    duplicate create loses with FileExistsError, surfaced as
-    ValueError."""
+    returns the base version. The BASE.json link is the creation
+    commit point — a racing duplicate create loses with
+    FileExistsError, surfaced as ValueError. A dir whose BASE.json
+    never landed (crash between mkdir and the link) is NOT a branch:
+    listings skip it and a re-create adopts it, so the crash window
+    can never poison the name."""
     v = _resolve_version(path, version)
     os.makedirs(_branches_dir(path), exist_ok=True)
     d = _branch_dir(path, name)
+    base = os.path.join(d, "BASE.json")
     try:
         os.mkdir(d)
     except FileExistsError:
-        raise ValueError(f"branch {name!r} already exists") from None
+        if os.path.exists(base):
+            raise ValueError(f"branch {name!r} already exists") from None
+        # crashed creation left a BASE-less dir: adopt it (the link
+        # claim below still makes exactly one racing creator win)
     tmp = os.path.join(d, f".BASE.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump({"base_version": v, "created_at": time.time()}, fh)
-    os.replace(tmp, os.path.join(d, "BASE.json"))
+    try:
+        os.link(tmp, base)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(f"branch {name!r} already exists") from None
+    os.unlink(tmp)
     return v
 
 
@@ -1827,9 +1840,13 @@ def snapshot_branches(path: str) -> dict[str, dict]:
     for name in sorted(os.listdir(bd)):
         if not os.path.isdir(os.path.join(bd, name)):
             continue
+        try:
+            base = _branch_base(path, name)
+        except FileNotFoundError:
+            continue  # crashed creation (no BASE.json): not a branch
         vs = _branch_versions(path, name)
         out[name] = {
-            "base": _branch_base(path, name),
+            "base": base,
             "head": vs[-1] if vs else None,
             "commits": len(vs),
         }
@@ -1897,7 +1914,12 @@ def snapshot_write_branch(
                     **head["file_seq"],
                     **{n: seq for n in names},
                 }
-        if head.get("schema") is not None:
+        if mode == "append" and head.get("schema") is not None:
+            # append onto an evolved head keeps the union schema so
+            # reads keep null-filling old files; OVERWRITE records no
+            # schema key — df's own schema governs, exactly like main
+            # snapshot_write overwrite (a fast-forwarded overwrite
+            # must not resurrect columns the branch meant to drop)
             manifest["schema"] = _evolved_schema_json(head["schema"], df)
         d = _branch_dir(path, name)
         token = uuid.uuid4().hex[:12]
@@ -2077,7 +2099,17 @@ def snapshot_branch_rebase(path: str, name: str) -> int:
     tmp = os.path.join(d, f".v{nv}.json.{token}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.link(tmp, os.path.join(d, f"v{nv}.json"))
+    try:
+        os.link(tmp, os.path.join(d, f"v{nv}.json"))
+    except FileExistsError:
+        # a concurrent snapshot_write_branch claimed v{nv}: the graft
+        # was computed against a stale head — surface the conflict
+        # like every other claim site instead of dying mid-protocol
+        os.unlink(tmp)
+        raise SnapshotConflict(
+            f"branch {name!r} advanced during rebase — rerun to graft "
+            "onto its new head"
+        ) from None
     os.unlink(tmp)
     tmp = os.path.join(d, f".BASE.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
@@ -2086,6 +2118,119 @@ def snapshot_branch_rebase(path: str, name: str) -> int:
     for bv in vs:
         os.remove(os.path.join(d, f"v{bv}.json"))
     return cur
+
+
+def snapshot_cherrypick(
+    path: str, name: str, branch_version: int
+) -> int:
+    """Re-apply ONE branch commit onto main's CURRENT version as a
+    new main commit — Iceberg's ``cherrypick_snapshot``, the
+    single-commit complement to :func:`snapshot_branch_rebase`: where
+    rebase moves the whole branch line, cherry-pick publishes exactly
+    one audit-line commit even though main has moved past the branch
+    base. Returns the new MAIN version.
+
+    The commit's delta is its files minus its branch-local
+    predecessor's (the base manifest for the first local commit) —
+    pure metadata, since branch appends always carry their
+    predecessor by reference and file names are globally unique.
+    Refuses loudly when the replay could be wrong:
+
+    - the commit was an OVERWRITE (its intent — "replace the table as
+      of MY base" — cannot replay onto a different base without
+      re-reading data);
+    - CONFLICTING FILE SETS: any delta file is already live on main
+      (the commit was fast-forwarded or cherry-picked before — a
+      second apply would double-count rows);
+    - main evolved to an indexed/partitioned flavor (plain manifests
+      only, the branch-line contract).
+
+    Main's MoR vectors and tombstones stay in force; the delta files
+    take a fresh file sequence so existing equality tombstones never
+    mask the re-applied rows (the Iceberg re-insert rule), and the
+    published schema is the union of main's and the commit's so
+    neither line's columns drop. One link-or-EEXIST claim through the
+    segment serializer — a lost race surfaces SnapshotConflict, never
+    a silent merge."""
+    vs = _branch_versions(path, name)
+    if branch_version not in vs:
+        raise FileNotFoundError(
+            f"branch {name!r} has versions {vs}, not {branch_version}"
+        )
+    d = _branch_dir(path, name)
+    with open(os.path.join(d, f"v{branch_version}.json")) as fh:
+        bm = json.load(fh)
+    if bm["mode"] != "append":
+        raise SnapshotConflict(
+            f"branch {name!r} v{branch_version} is an overwrite commit: "
+            "its intent cannot replay onto a moved base — re-branch "
+            "from current and re-apply"
+        )
+    idx = vs.index(branch_version)
+    if idx == 0:
+        pred_files = set(_manifest(path, _branch_base(path, name))["files"])
+    else:
+        with open(os.path.join(d, f"v{vs[idx - 1]}.json")) as fh:
+            pred_files = set(json.load(fh)["files"])
+    delta = [f for f in bm["files"] if f not in pred_files]
+    if not delta:
+        raise ValueError(
+            f"branch {name!r} v{branch_version} added no files — "
+            "nothing to cherry-pick"
+        )
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    main = _manifest(path, cur)
+    if any(
+        k in main for k in ("part_col", "specs", "stats_col", "bloom")
+    ):
+        raise ValueError(
+            "main evolved to an indexed/partitioned flavor since the "
+            "branch forked; branch commits support plain manifests only"
+        )
+    overlap = sorted(set(delta) & set(main["files"]))
+    if overlap:
+        raise SnapshotConflict(
+            f"conflicting file sets: {len(overlap)} of the commit's "
+            f"files are already live on main v{cur} (fast-forwarded "
+            "or cherry-picked before) — a second apply would "
+            "double-count rows"
+        )
+    new_v = cur + 1
+    manifest = {
+        "version": new_v,
+        "mode": "append",
+        "committed_at": time.time(),
+        "files": list(main["files"]) + delta,
+        "extra": {
+            **main.get("extra", {}),
+            "cherrypick_from": f"{name}@v{branch_version}",
+        },
+    }
+    if main.get("deletes"):
+        manifest["deletes"] = main["deletes"]
+    if main.get("eq_deletes"):
+        manifest["eq_deletes"] = main["eq_deletes"]
+    if main.get("file_seq") is not None:
+        seq = 1 + max(
+            [int(s) for s in main["file_seq"].values()] or [0]
+        )
+        manifest["file_seq"] = {
+            **main["file_seq"], **{n: seq for n in delta}
+        }
+    bs, ms = bm.get("schema"), main.get("schema")
+    if ms is not None and bs is not None:
+        merged = dict(ms)
+        have = {f["name"] for f in merged["fields"]}
+        merged["fields"] = [
+            *merged["fields"],
+            *[f for f in bs.get("fields", []) if f["name"] not in have],
+        ]
+        manifest["schema"] = merged
+    elif ms is not None or bs is not None:
+        manifest["schema"] = ms if ms is not None else bs
+    return _claim(path, new_v, manifest, "cherrypick")
 
 
 def snapshot_branch_delete(path: str, name: str) -> None:
@@ -2140,8 +2285,15 @@ def vacuum(
     if os.path.isdir(bd0):
         for bname in os.listdir(bd0):
             try:
-                b = _branch_base(path, bname)
+                b = int(_branch_base(path, bname))
             except (FileNotFoundError, NotADirectoryError, OSError):
+                continue  # crashed creation (no BASE.json): not a branch
+            except (ValueError, KeyError, TypeError):
+                # corrupt BASE.json: the base version is unknowable, so
+                # pin EVERY version rather than risk dropping it —
+                # vacuum stays runnable (orphan sweeps still run) but
+                # never destroys what a damaged branch might reference
+                tagged.update(vs)
                 continue
             if b in vs:
                 tagged.add(b)
@@ -2161,6 +2313,7 @@ def vacuum(
     # branch manifests reference shared data files too: an unmerged
     # audit line's commits stay readable until the branch is DELETED
     # (snapshot_branch_delete releases them to the next sweep)
+    data_sweep_ok = True
     bd = _branches_dir(path)
     if os.path.isdir(bd):
         for bname in os.listdir(bd):
@@ -2172,9 +2325,15 @@ def vacuum(
                         live.update(json.load(fh)["files"])
             except (FileNotFoundError, NotADirectoryError):
                 continue
+            except (ValueError, KeyError, TypeError):
+                # corrupt branch commit manifest: its file references
+                # are unknowable — abort DATA deletion this sweep (the
+                # version/segment/orphan sweeps below are still safe:
+                # branch manifests are plain, never segment-backed)
+                data_sweep_ok = False
     deleted = []
     d = _data_dir(path)
-    if os.path.isdir(d):
+    if data_sweep_ok and os.path.isdir(d):
         for f in sorted(os.listdir(d)):
             p = os.path.join(d, f)
             if f not in live and os.path.getmtime(p) <= cutoff:
@@ -4527,6 +4686,18 @@ BLOOM_DML_SATURATION = 0.5
 _BLOOM_DML_SAMPLE = 64
 
 
+def _dml_sample(cand: list[str]) -> list[str]:
+    """Hash-ordered saturation sample: file names cluster by commit
+    token and admission clusters with them, so a stride sample
+    (``cand[::step]``) can alias with a periodic admission pattern or
+    land inside one commit's run and skew the estimate; ordering by a
+    content hash of the NAME makes the draw uniform regardless of how
+    admission clusters in commit order."""
+    return sorted(cand, key=lambda f: zlib.crc32(f.encode()))[
+        :_BLOOM_DML_SAMPLE
+    ]
+
+
 def _bloom_dml_prune(
     spark: SparkSession, m: dict, match: DataFrame, keys: list[str], cand: list[str]
 ) -> list[str]:
@@ -4633,26 +4804,32 @@ def _bloom_dml_prune_exec(
             ((bits[byte_idx] & bit_mask) == bit_mask).all(axis=1).any()
         )
 
-    step = max(1, len(cand) // _BLOOM_DML_SAMPLE)
-    sample = cand[::step][:_BLOOM_DML_SAMPLE]
+    sample = _dml_sample(cand)
     hits = sum(1 for f in sample if _admits(b["files"].get(f)))
     if hits > BLOOM_DML_SATURATION * len(sample):
         return cand  # saturated: the scan is the correct plan
 
+    # ship the bitmap table ONCE per executor as a broadcast instead
+    # of materializing |cand| x bitmap-size bytes through a driver
+    # createDataFrame list (~300 MB at 200k files x 1.4 KB); the
+    # metadata frame then carries file NAMES only (a few MB)
+    bitmaps = spark.sparkContext.broadcast(b["files"])
+
     def op(batches):
+        enc_of = bitmaps.value
         for pdf in batches:
-            out = []
-            for f, enc in zip(pdf["f"], pdf["enc"]):
-                if _admits(enc):
-                    out.append(f)
+            out = [f for f in pdf["f"] if _admits(enc_of.get(f))]
             yield pd.DataFrame({"f": out})
 
     meta = spark.createDataFrame(
-        [(f, b["files"].get(f)) for f in cand], "f string, enc string"
+        [(f,) for f in cand], "f string"
     ).repartition(spark.sparkContext.defaultParallelism)
-    admitted = {
-        r.f for r in meta.mapInPandas(op, schema="f string").collect()
-    }
+    try:
+        admitted = {
+            r.f for r in meta.mapInPandas(op, schema="f string").collect()
+        }
+    finally:
+        bitmaps.unpersist()
     return [f for f in cand if f in admitted]
 
 

@@ -3369,3 +3369,119 @@ def p38_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "p39_branch_cherrypick",
+    oracle="""
+    WITH ev AS (
+      SELECT STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             user_id,
+             CASE WHEN value >= 70 THEN LEAST(value, 80.0)
+                  ELSE value END AS value
+      FROM events
+      WHERE value < 40 OR value >= 55),
+    before AS (
+      SELECT COUNT(*) AS n FROM events WHERE value < 40 OR value >= 70)
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 4) AS DOUBLE)
+             AS total_value,
+           CAST((SELECT n FROM before) AS BIGINT) AS n_main_before,
+           CAST(1 AS BIGINT) AS ff_refused
+    FROM ev GROUP BY d
+    """,
+)
+def p39_branch_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch CHERRY-PICK onto diverged main (operators/snapshots.py:
+    snapshot_cherrypick — r16, Iceberg's cherrypick_snapshot): where
+    p38's fast-forward publishes a whole branch line onto an
+    unmoved base, cherry-pick re-applies ONE audit commit after main
+    has moved on — the reviewed-subset publication workflow.
+
+    Lifecycle under oracle: main commits the on-time baseline
+    (value < 40); an 'audit' branch takes two commits — the 40-55
+    band, then the 55-70 band; meanwhile MAIN ADVANCES with the >=70
+    batch clamped at 80, so the branch base is diverged and
+    fast-forward must refuse (pinned into ``ff_refused``). Only the
+    SECOND audit commit (55-70) survives review and is
+    cherry-picked: its file delta (vs its branch-local predecessor)
+    grafts onto main's current live set as one metadata claim. The
+    daily aggregate over main then equals everything EXCEPT the
+    rejected 40-55 band — and ``n_main_before``, main's row count
+    taken after divergence but before the pick, pins that the pick
+    (not the branch line) delivered the 55-70 rows. A second pick of
+    the same commit must refuse (conflicting file sets) or the hash
+    would double-count. At 100 TB every step after the three data
+    writes is a manifest/pointer operation."""
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        SnapshotConflict,
+        snapshot_branch,
+        snapshot_cherrypick,
+        snapshot_fast_forward,
+        snapshot_read,
+        snapshot_write,
+        snapshot_write_branch,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="p39_cherry_")
+    store = tmp + "/silver"
+    try:
+        with fixture_phase():  # the on-time baseline is the fixture
+            snapshot_write(spark, store, ev.where(F.col("value") < 40))
+        snapshot_branch(store, "audit")
+        snapshot_write_branch(
+            spark,
+            store,
+            "audit",
+            ev.where((F.col("value") >= 40) & (F.col("value") < 55)),
+        )
+        snapshot_write_branch(
+            spark,
+            store,
+            "audit",
+            ev.where((F.col("value") >= 55) & (F.col("value") < 70)),
+        )
+        # main advances past the branch base: the clamped >=70 batch
+        snapshot_write(
+            spark,
+            store,
+            ev.where(F.col("value") >= 70).withColumn(
+                "value", F.least(F.col("value"), F.lit(80.0))
+            ),
+        )
+        n_main_before = snapshot_read(spark, store).count()
+        ff_refused = 0
+        try:
+            snapshot_fast_forward(store, "audit")
+        except SnapshotConflict:
+            ff_refused = 1  # diverged base: publish must go via pick
+        # only the reviewed 55-70 commit (branch-local v1) publishes
+        snapshot_cherrypick(store, "audit", 1)
+        try:
+            snapshot_cherrypick(store, "audit", 1)
+            ff_refused = 0  # double-apply must never succeed
+        except SnapshotConflict:
+            pass
+        out = snapshot_read(spark, store).groupBy("d").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(27,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+            F.lit(n_main_before).cast("long").alias("n_main_before"),
+            F.lit(ff_refused).cast("long").alias("ff_refused"),
+        )
+        out = pin_result(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -66,6 +66,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # t42/t48/t49/t50/t7/t9 waits for r17). Min registry freshness after
 # a green r16 = r11.
 _PRIORITY: list[str] = [
+    # --- never driver-validated: the r16-born p39 (branch
+    # cherry-pick — publish ONE audit commit onto diverged main,
+    # Iceberg's cherrypick_snapshot; r15 verdict ask #2) ---
+    "p39_branch_cherrypick",
     # --- r10-validated: the six displaced from the r15 prefix ---
     "sim7_neardup_pairs_lsh",
     "t10_winnow_fingerprints",
@@ -117,8 +121,7 @@ _PRIORITY: list[str] = [
     "t20_token_budget_mix",
     "t21_pii_redaction",
     "t28_chunk_dedup_corpus",
-    "t3_exact_dedup",
-    # (t42_bpe_merge_step, t48_bpe_encode_corpus,
+    # (t3_exact_dedup, t42_bpe_merge_step, t48_bpe_encode_corpus,
     # t49_inverted_index_search, t50_persisted_postings_search,
     # t7_minhash_lsh_neardup and t9_simhash_neardup — the
     # name-ordered r11 tail — wait one round, displaced by the

@@ -4593,3 +4593,340 @@ class TestBranchRebase:
         got = {r.k for r in sn.snapshot_read_branch(spark, t, "idle").collect()}
         assert got == {1, 9}
         assert sn.snapshot_branches(t)["idle"]["base"] == 1
+
+
+class TestBranchCrashSafety:
+    """r15 advice: the branch line must stay crash-safe-at-every-step
+    like the rest of the module — creation's mkdir/BASE window, the
+    rebase claim race, overwrite schema semantics, and vacuum's
+    tolerance of corrupt branch metadata."""
+
+    def _sn(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        return sn
+
+    def test_crashed_creation_invisible_and_recreatable(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        # simulate a crash between mkdir and the BASE.json link
+        _os.makedirs(_os.path.join(sn._branches_dir(t), "audit"))
+        # the half-created dir is NOT a branch: listings skip it...
+        assert sn.snapshot_branches(t) == {}
+        # ...and the name is not poisoned — re-create adopts the dir
+        assert sn.snapshot_branch(t, "audit") == 0
+        assert sn.snapshot_branches(t) == {
+            "audit": {"base": 0, "head": None, "commits": 0}
+        }
+        # a real duplicate still loses
+        with _pytest.raises(ValueError, match="already exists"):
+            sn.snapshot_branch(t, "audit")
+
+    def test_overwrite_branch_drops_schema_key(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        # evolve main so its manifest records a union schema (k, v, w)
+        sn.snapshot_merge(
+            spark, t,
+            spark.createDataFrame(
+                [(2, "b", 7.0)], "k long, v string, w double"
+            ),
+            keys=["k"],
+        )
+        sn.snapshot_branch(t, "rw")
+        # a branch APPEND keeps carrying the evolved union schema...
+        sn.snapshot_write_branch(
+            spark, t, "rw",
+            spark.createDataFrame([(4, "d")], "k long, v string"),
+        )
+        assert "w" in {
+            f["name"]
+            for f in sn._branch_head_manifest(t, "rw")["schema"]["fields"]
+        }
+        # ...but an OVERWRITE replaces the table: df's own schema
+        # governs, the evolved union must NOT persist (main
+        # snapshot_write overwrite semantics)
+        sn.snapshot_write_branch(
+            spark, t, "rw",
+            spark.createDataFrame([(3,)], "k long"),
+            mode="overwrite",
+        )
+        head = sn._branch_head_manifest(t, "rw")
+        assert "schema" not in head
+        v = sn.snapshot_fast_forward(t, "rw")
+        df = sn.snapshot_read(spark, t, version=v)
+        assert df.columns == ["k"]
+        assert {r.k for r in df.collect()} == {3}
+
+    def test_rebase_claim_race_raises_conflict(self, spark, tmp_path):
+        import os as _os
+
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        # a concurrent snapshot_write_branch wins the v1 claim in the
+        # window between the rebase's version read and its link: drop
+        # the winner's manifest just before the rebase's own link call
+        d = sn._branch_dir(t, "audit")
+        real_link = _os.link
+
+        def racing_link(src, dst, **kw):
+            if dst.endswith("v1.json") and not _os.path.exists(dst):
+                with open(dst, "w") as fh:
+                    fh.write("{}")
+            return real_link(src, dst, **kw)
+
+        monkeypatch = _pytest.MonkeyPatch()
+        try:
+            monkeypatch.setattr(sn.os, "link", racing_link)
+            with _pytest.raises(
+                sn.SnapshotConflict, match="advanced during"
+            ):
+                sn.snapshot_branch_rebase(t, "audit")
+        finally:
+            monkeypatch.undo()
+        # no dot-temp manifest leaked
+        assert [n for n in _os.listdir(d) if n.startswith(".v")] == []
+
+    def test_vacuum_survives_corrupt_base_json(self, spark, tmp_path):
+        import os as _os
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        for k in (1, 2, 3):
+            sn.snapshot_write(
+                spark, t,
+                spark.createDataFrame([(k, "x")], "k long, v string"),
+            )
+        sn.snapshot_branch(t, "aud", version=0)
+        with open(
+            _os.path.join(sn._branch_dir(t, "aud"), "BASE.json"), "w"
+        ) as fh:
+            fh.write("not json{{{")
+        # runnable, and conservative: unknowable base pins EVERYTHING
+        sn.vacuum(t, keep_last=1, retention_seconds=0.0)
+        assert sn.list_versions(t) == [0, 1, 2]
+        assert {r.k for r in sn.snapshot_read(spark, t, version=0).collect()} == {1}
+
+    def test_vacuum_survives_corrupt_branch_manifest(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "aud")
+        sn.snapshot_write_branch(
+            spark, t, "aud",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        n_data = len(_os.listdir(sn._data_dir(t)))
+        with open(
+            _os.path.join(sn._branch_dir(t, "aud"), "v0.json"), "w"
+        ) as fh:
+            fh.write("}corrupt")
+        # runnable, but DATA deletion aborts: the corrupt manifest's
+        # file references are unknowable, so no data file may sweep
+        deleted = sn.vacuum(t, keep_last=1, retention_seconds=0.0)
+        assert deleted == []
+        assert len(_os.listdir(sn._data_dir(t))) == n_data
+
+
+class TestDmlSaturationSample:
+    """r15 verdict ask #6: the saturation estimate must not alias
+    with admission patterns that cluster in commit (name) order."""
+
+    def test_hash_order_defeats_periodic_admission(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        # 6400 files; the old stride sample (step=100) would pick
+        # exactly the i%100==0 names — if those are the only admitting
+        # files, it estimated 100% admission on a 1%-selective index
+        cand = [f"part-{i:06d}.parquet" for i in range(6400)]
+        sample = sn._dml_sample(cand)
+        assert len(sample) == sn._BLOOM_DML_SAMPLE
+        assert sample == sn._dml_sample(list(reversed(cand)))  # order-free
+        periodic_hits = sum(
+            1 for f in sample if int(f[5:11]) % 100 == 0
+        )
+        # expected ~0.64 of 64 under a uniform draw; 12 = p<<1e-9
+        assert periodic_hits <= 12
+
+
+class TestBranchCherrypick:
+    """r16: Iceberg's cherrypick_snapshot — publish ONE branch commit
+    onto moved main; the single-commit complement to rebase."""
+
+    def _sn(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        return sn
+
+    def _diverged(self, spark, tmp_path):
+        """main v0 (1,a) → branch 'audit' with two appends (2,b) then
+        (3,c) → main advances to v1 with (9,z)."""
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        for row in [(2, "b"), (3, "c")]:
+            sn.snapshot_write_branch(
+                spark, t, "audit",
+                spark.createDataFrame([row], "k long, v string"),
+            )
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        return sn, t
+
+    def test_single_commit_applies_onto_moved_main(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn, t = self._diverged(spark, tmp_path)
+        with _pytest.raises(sn.SnapshotConflict):
+            sn.snapshot_fast_forward(t, "audit")  # diverged: refused
+        # pick ONLY the second audit commit (branch-local v1 = (3,c))
+        v = sn.snapshot_cherrypick(t, "audit", 1)
+        assert v == 2
+        got = {(r.k, r.v) for r in sn.snapshot_read(spark, t).collect()}
+        assert got == {(1, "a"), (9, "z"), (3, "c")}  # not (2,b)
+        m = sn._manifest(t, 2)
+        assert m["extra"]["cherrypick_from"] == "audit@v1"
+        # the branch line itself is untouched
+        assert sn.snapshot_branches(t)["audit"]["commits"] == 2
+
+    def test_first_commit_delta_is_vs_base(self, spark, tmp_path):
+        sn, t = self._diverged(spark, tmp_path)
+        sn.snapshot_cherrypick(t, "audit", 0)
+        got = {(r.k, r.v) for r in sn.snapshot_read(spark, t).collect()}
+        assert got == {(1, "a"), (9, "z"), (2, "b")}
+
+    def test_double_pick_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn, t = self._diverged(spark, tmp_path)
+        sn.snapshot_cherrypick(t, "audit", 1)
+        with _pytest.raises(sn.SnapshotConflict, match="conflicting file"):
+            sn.snapshot_cherrypick(t, "audit", 1)
+
+    def test_fast_forwarded_commit_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+        )
+        sn.snapshot_fast_forward(t, "audit")
+        # the commit's files are live on main now: a pick double-counts
+        with _pytest.raises(sn.SnapshotConflict, match="conflicting file"):
+            sn.snapshot_cherrypick(t, "audit", 0)
+
+    def test_overwrite_commit_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        sn.snapshot_branch(t, "rw")
+        sn.snapshot_write_branch(
+            spark, t, "rw",
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            mode="overwrite",
+        )
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        with _pytest.raises(sn.SnapshotConflict, match="overwrite"):
+            sn.snapshot_cherrypick(t, "rw", 0)
+
+    def test_unknown_version_and_empty_delta(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn, t = self._diverged(spark, tmp_path)
+        with _pytest.raises(FileNotFoundError):
+            sn.snapshot_cherrypick(t, "audit", 7)
+
+    def test_vacuum_and_tag_interaction(self, spark, tmp_path):
+        import os as _os
+
+        sn, t = self._diverged(spark, tmp_path)
+        picked_delta = set(
+            sn._branch_head_manifest(t, "audit")["files"]
+        ) - set(
+            json.loads(
+                open(
+                    _os.path.join(sn._branch_dir(t, "audit"), "v0.json")
+                ).read()
+            )["files"]
+        )
+        unpicked_delta = set(
+            json.loads(
+                open(
+                    _os.path.join(sn._branch_dir(t, "audit"), "v0.json")
+                ).read()
+            )["files"]
+        ) - set(sn._manifest(t, 0)["files"])
+        v = sn.snapshot_cherrypick(t, "audit", 1)
+        sn.snapshot_tag(t, "picked", v)
+        # branch gone: its unpicked files release; the picked delta is
+        # referenced by MAIN now (and pinned by the tag regardless of
+        # later overwrites), so vacuum must never reclaim it
+        sn.snapshot_branch_delete(t, "audit")
+        sn.snapshot_write(
+            spark, t,
+            spark.createDataFrame([(0, "o")], "k long, v string"),
+            mode="overwrite",
+        )
+        sn.vacuum(t, keep_last=1, retention_seconds=0.0)
+        left = set(_os.listdir(sn._data_dir(t)))
+        assert picked_delta <= left
+        assert not (unpicked_delta & left)
+        # the tagged cherry-picked version still reads exactly
+        got = {(r.k, r.v) for r in sn.snapshot_read(spark, t, version=v).collect()}
+        assert got == {(1, "a"), (9, "z"), (3, "c")}
