@@ -142,8 +142,93 @@ def fmt(r: dict) -> None:
         )
 
 
+def run_evolved() -> None:
+    """Evolved-spec + wide-fanout read rows (r15 verdict ask #1):
+    100k files where the first 60k landed under spec 0 (day-clustered,
+    ~34 days per 10k-entry segment → exact per-spec ``pvs`` headers)
+    and the next 40k under an evolved spec 1 (region, clustered at
+    100 files/region → a segment spans ~100 regions >
+    SEG_SUMMARY_MAX_VALUES, the fan-out that pre-r16 dropped value
+    headers entirely — now the bounded partition bloom ``pb``).
+    Measures a cold-cache full resolve vs a day-targeted and a
+    region-targeted pruned resolve; either targeted read still
+    materializes the OTHER spec's segments in full (their files are
+    file-level-admitted by construction), so the win is bounded by
+    the targeted spec's share."""
+    tmp = tempfile.mkdtemp(prefix="seg_probe_ev_")
+    path = os.path.join(tmp, "t")
+    os.makedirs(sn._vers_dir(path), exist_ok=True)
+    sn._SEG_CACHE.clear()
+    old = [f"f{i:07d}.parquet" for i in range(60_000)]
+    new = [f"g{i:07d}.parquet" for i in range(40_000)]
+    m = {
+        "version": 0,
+        "mode": "append",
+        "committed_at": 0.0,
+        "files": old + new,
+        "specs": [
+            {"col": "day", "type": "string"},
+            {"col": "region", "type": "string"},
+        ],
+        "default_spec": 1,
+        "file_specs": {**{f: 0 for f in old}, **{f: 1 for f in new}},
+        "partitions": {
+            **{f: f"2024-{int(f[1:8]) // 300 % 365:03d}" for f in old},
+            **{f: f"r{int(f[1:8]) // 100 % 400:03d}" for f in new},
+        },
+    }
+    t0 = time.perf_counter()
+    ser = sn._serialize_manifest(path, m)
+    with open(
+        os.path.join(sn._vers_dir(path), "v0.json"), "w"
+    ) as fh:
+        json.dump(ser, fh)
+    t_ser = time.perf_counter() - t0
+    meta = ser["seg_meta"]
+    n_pvs = sum(1 for h in meta.values() if "pvs" in h)
+    n_pb = sum(1 for h in meta.values() if "pb" in h)
+    print(
+        f"  {'serialize':12s}: {t_ser*1000:8.1f} ms  "
+        f"{len(ser['files_segments'])} segments "
+        f"({n_pvs} pvs headers, {n_pb} pb headers)"
+    )
+    sn._SEG_CACHE.clear()
+    t0 = time.perf_counter()
+    full = sn._manifest(path, 0)
+    t_full = time.perf_counter() - t0
+    print(
+        f"  {'read full':12s}: {t_full*1000:8.1f} ms  "
+        f"{len(full['files'])} file entries"
+    )
+    for col, val in (("day", "2024-100"), ("region", "r017")):
+        sn._SEG_CACHE.clear()
+        t0 = time.perf_counter()
+        pruned, total = sn._resolve_pruned(
+            path, 0, wanted={val}, part_col=col
+        )
+        dt = time.perf_counter() - t0
+        want = {
+            f
+            for f in full["files"]
+            if full["partitions"][f] == val
+            and full["specs"][full["file_specs"][f]]["col"] == col
+        }
+        assert want <= set(pruned["files"]) and total == 100_000
+        print(
+            f"  {'1-' + col:12s}: {dt*1000:8.1f} ms  "
+            f"{len(pruned['files'])} file entries materialized "
+            f"(cold cache)"
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     print("legacy inline manifests (100k files, 56 commits):")
     fmt(run(segmented=False))
     print("segment manifests:")
     fmt(run(segmented=True))
+    print(
+        "evolved-spec manifest (60k day-clustered spec 0 + 40k "
+        "region-clustered spec 1, 100 regions/segment > cap):"
+    )
+    run_evolved()

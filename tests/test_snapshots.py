@@ -4930,3 +4930,148 @@ class TestBranchCherrypick:
         # the tagged cherry-picked version still reads exactly
         got = {(r.k, r.v) for r in sn.snapshot_read(spark, t, version=v).collect()}
         assert got == {(1, "a"), (9, "z"), (3, "c")}
+
+
+class TestSegmentHeadersEvolvedAndWideFanout:
+    """r15 verdict ask #1: segment pruning headers must cover the
+    long-lived-table shapes that previously fell back to full
+    materialization — evolved partition specs (per-spec value lists /
+    ``ss`` membership) and >SEG_SUMMARY_MAX_VALUES fan-out (bounded
+    partition bloom)."""
+
+    def _lower(self, monkeypatch):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots,
+        )
+
+        monkeypatch.setattr(snapshots, "SEGMENT_MIN_FILES", 4)
+        monkeypatch.setattr(snapshots, "SEGMENT_TARGET", 2)
+        return snapshots
+
+    def _trace_loads(self, monkeypatch, sn):
+        loaded: list[str] = []
+        real = sn._load_segment
+
+        def spy(path, name):
+            loaded.append(name)
+            return real(path, name)
+
+        monkeypatch.setattr(sn, "_load_segment", spy)
+        return loaded
+
+    def _evolved(self, spark, sn, path):
+        """spec 0 = cell (8 values x 2 files), spec 1 = tag (4
+        values), all above the (patched) segment threshold."""
+        a = spark.createDataFrame(
+            [(i, i % 8, f"t{i % 4}", i * 10) for i in range(16)],
+            "id long, cell int, tag string, v long",
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, a, "cell")
+        b = spark.createDataFrame(
+            [(100 + i, i % 8, f"t{i % 4}", i) for i in range(8)],
+            "id long, cell int, tag string, v long",
+        ).repartition(F.col("tag"))
+        sn.snapshot_write_partitioned(
+            spark, path, b, "tag", mode="append", evolve=True
+        )
+
+    def test_evolved_spec_read_opens_segment_subset(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        self._evolved(spark, sn, path)
+        raw = sn._raw_manifest(path, 1)
+        segs = raw["files_segments"]
+        meta = raw["seg_meta"]
+        assert len(segs) >= 3
+        # every header is new-format: spec membership + per-spec values
+        assert all("ss" in meta[s] for s in segs)
+        assert all("pvs" in meta[s] or "pb" in meta[s] for s in segs)
+        assert all("pv" not in meta[s] for s in segs)
+        sn._SEG_CACHE.clear()
+        loaded = self._trace_loads(monkeypatch, sn)
+        got = {
+            (r.id, r.cell)
+            for r in sn.snapshot_read_partitioned(
+                spark, path, values=[3], col="cell"
+            ).collect()
+        }
+        assert got == {(i, 3) for i in range(16) if i % 8 == 3} | {
+            (100 + i, 3) for i in range(8) if i % 8 == 3
+        }
+        assert set(loaded) and set(loaded) < set(segs), (loaded, segs)
+
+    def test_evolved_other_spec_segments_stay_admitted(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A col-targeted read must still resolve every segment that
+        holds OTHER specs' files — those files are admitted in full
+        at file level, so dropping their segment would lose rows."""
+        sn = self._lower(monkeypatch)
+        path = str(tmp_path / "t")
+        self._evolved(spark, sn, path)
+        got = {
+            (r.id, r.tag)
+            for r in sn.snapshot_read_partitioned(
+                spark, path, values=["t1"], col="tag"
+            ).collect()
+        }
+        # spec-0 files (cell-partitioned) contribute their t1 rows via
+        # the residual filter; spec-1 files prune by manifest value
+        assert got == {(i, "t1") for i in range(16) if i % 4 == 1} | {
+            (100 + i, "t1") for i in range(8) if i % 4 == 1
+        }
+
+    def test_widefanout_prunes_via_partition_bloom(
+        self, spark, tmp_path, monkeypatch
+    ):
+        sn = self._lower(monkeypatch)
+        monkeypatch.setattr(sn, "SEGMENT_TARGET", 4)
+        monkeypatch.setattr(sn, "SEG_SUMMARY_MAX_VALUES", 2)
+        path = str(tmp_path / "w")
+        df = spark.createDataFrame(
+            [(i, i % 16) for i in range(64)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, path, df, "cell")
+        raw = sn._raw_manifest(path, 0)
+        segs = raw["files_segments"]
+        meta = raw["seg_meta"]
+        assert len(segs) >= 3
+        # 4 files x 1 value each = 4 distinct values > cap 2: bloom
+        assert any("pb" in meta[s] for s in segs)
+        assert all("pv" not in meta[s] or len(meta[s]["pv"]) <= 2 for s in segs)
+        sn._SEG_CACHE.clear()
+        loaded = self._trace_loads(monkeypatch, sn)
+        got = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_partitioned(
+                spark, path, values=[5]
+            ).collect()
+        }
+        assert got == {(i, 5) for i in range(64) if i % 16 == 5}
+        assert set(loaded) and set(loaded) < set(segs), (loaded, segs)
+
+    def test_evolved_widefanout_bloom_is_spec_qualified(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past the cap on an evolved table the bloom keys are
+        sid|value — a value present under the OTHER spec only must
+        not admit a target-spec segment through the bloom."""
+        sn = self._lower(monkeypatch)
+        monkeypatch.setattr(sn, "SEGMENT_TARGET", 4)
+        monkeypatch.setattr(sn, "SEG_SUMMARY_MAX_VALUES", 2)
+        path = str(tmp_path / "t")
+        self._evolved(spark, sn, path)
+        raw = sn._raw_manifest(path, 1)
+        meta = raw["seg_meta"]
+        assert any("pb" in h for h in meta.values())
+        got = {
+            (r.id, r.cell)
+            for r in sn.snapshot_read_partitioned(
+                spark, path, values=[6], col="cell"
+            ).collect()
+        }
+        assert got == {(i, 6) for i in range(16) if i % 8 == 6} | {
+            (100 + i, 6) for i in range(8) if i % 8 == 6
+        }
