@@ -218,7 +218,126 @@ def part2(spark) -> None:
     print(f"  speedup                          : {t_stock / t_exec:5.2f}x")
 
 
+def exec_side_chunked(
+    spark, encs: list[str], pos: np.ndarray, chunk: int = 8192
+) -> tuple[float, int]:
+    """Early-exit variant: probe keys in blocks — a file that admits
+    (the saturated case) exits on its first matching block instead of
+    gathering all n_keys x k positions; only REJECTED files pay the
+    full key count."""
+    import pandas as pd
+
+    byte_idx = (pos >> 3).astype(np.int64)
+    bit_mask = (1 << (pos & 7)).astype(np.uint8)
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for f, enc in zip(pdf["f"], pdf["enc"]):
+                if enc is None:
+                    out.append(f)
+                    continue
+                bits = np.frombuffer(
+                    base64.b64decode(enc), dtype=np.uint8
+                )
+                for i in range(0, len(byte_idx), chunk):
+                    bi = byte_idx[i : i + chunk]
+                    bmk = bit_mask[i : i + chunk]
+                    if ((bits[bi] & bmk) == bmk).all(axis=1).any():
+                        out.append(f)
+                        break
+            yield pd.DataFrame({"f": out})
+
+    t0 = time.perf_counter()
+    df = spark.createDataFrame(
+        [(f"f{i:06d}",) for i in range(len(encs))], "f string"
+    ).repartition(32)
+    bc = spark.sparkContext.broadcast(
+        {f"f{i:06d}": e for i, e in enumerate(encs)}
+    )
+
+    def op2(batches):
+        enc_of = bc.value
+        for pdf in batches:
+            pdf = pdf.assign(enc=[enc_of.get(f) for f in pdf["f"]])
+            yield from op([pdf])
+
+    got = df.mapInPandas(op2, schema="f string").count()
+    dt = time.perf_counter() - t0
+    bc.unpersist()
+    return dt, got
+
+
+def part3(spark) -> None:
+    """r15 verdict ask #4: the >100k-key regime at the 100k-file
+    layout. What gates a million-key prune: (a) fetching 1M key
+    probe positions to the driver, (b) the per-file test cost, and
+    (c) union-FPR saturation — at m=8192/k=3, per-key FPR=fill^3 and
+    P[file admits] ~ 1-(1-fill^3)^n_keys, so 1M keys saturate any
+    file past ~13 values (fill 0.5%): the math, not the engine,
+    decides when decline-to-scan is the only correct plan."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n_keys = 1_000_000
+    print(f"== part 3: million-key regime (100k files x {n_keys} keys) ==")
+
+    # (a) positions fetch: row-collect vs Arrow toPandas
+    keys_df = spark.range(0, n_keys).select(F.col("id").alias("__v"))
+    sel = keys_df.select(
+        *[
+            F.pmod(F.xxhash64(F.col("__v"), F.lit(s)), F.lit(M_BITS)).alias(
+                f"p{s}"
+            )
+            for s in range(K)
+        ]
+    )
+    t0 = time.perf_counter()
+    pdf = sel.toPandas()
+    t_pandas = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = sel.limit(200_000).collect()  # row-collect subsample
+    t_collect = (time.perf_counter() - t0) * (n_keys / 200_000)
+    print(
+        f"  positions fetch: toPandas {t_pandas:5.1f}s (Arrow, 1M keys) "
+        f"vs row-collect ~{t_collect:5.1f}s (extrapolated from 200k)"
+    )
+    pos = pdf.to_numpy(dtype=np.int64)
+
+    # (b) selective layout: 13 vals/file (fill 0.48% -> per-key FPR
+    # 1.1e-7, expected ~1.1% false admission at 1M keys) — the ONLY
+    # per-file density where million-key pruning can still be
+    # selective at m=8192
+    encs = synth_bitmaps(100_000, vals_per_file=13, rng=rng)
+    t_sel, adm = exec_side_chunked(spark, encs, pos)
+    print(
+        f"  selective (13 vals/file): {t_sel:6.1f}s, admitted "
+        f"{adm}/100000 ({100 * adm / 100_000:.1f}%)"
+    )
+
+    # (c) saturated layout: 400 vals/file — early-exit means the job
+    # is CHEAP exactly when it prunes nothing
+    encs = synth_bitmaps(100_000, vals_per_file=400, rng=rng)
+    t_sat, adm = exec_side_chunked(spark, encs, pos)
+    print(
+        f"  saturated (400 vals/file): {t_sat:6.1f}s, admitted "
+        f"{adm}/100000 (early-exit on first matching block)"
+    )
+
+    # (d) the analytic union-FPR curve at m=8192/k=3, 1M keys
+    print("  analytic P[admit] at 1M keys:", end="")
+    for vals in (5, 13, 25, 50):
+        fill = 1 - np.exp(-vals * K / M_BITS)
+        p = 1 - (1 - fill**K) ** n_keys
+        print(f"  {vals}v/f={p:.3f}", end="")
+    print()
+
+
 if __name__ == "__main__":
     spark = get_spark(master="local[32]", shuffle_partitions=32)
-    part1(spark)
-    part2(spark)
+    if "--part3" in sys.argv:
+        part3(spark)
+    else:
+        part1(spark)
+        part2(spark)
+        part3(spark)

@@ -4789,12 +4789,19 @@ BLOOM_DML_MAX_KEYS = 256
 # Past the driver budget the test moves EXECUTOR-SIDE (r14 verdict
 # ask #4, measured in docs/probes/bloom_dml_exec_probe.py): bitmaps
 # become a metadata DataFrame, the key probe positions broadcast via
-# closure, and each file's test is one vectorized numpy gather over
-# (n_keys, k) byte indices inside mapInPandas — 2.4s for 100k files x
-# 10k keys where the driver loop extrapolates to 290s (122x). The cap
-# below bounds the positions collect (~k ints per key) and the
-# closure size.
-BLOOM_DML_EXEC_MAX_KEYS = 100_000
+# closure, and each file's test is a chunked vectorized numpy gather
+# over (n_keys, k) byte indices inside mapInPandas — 2.4s for 100k
+# files x 10k keys where the driver loop extrapolates to 290s (122x).
+# Ceiling set from part 3 of the probe (r15 verdict ask #4, the
+# million-key regime): at 1M keys the Arrow positions fetch is ~2s,
+# the broadcast position table 24 MB, and the job 37s on a selective
+# layout (10.2% admitted — a 10x file-read reduction at the design
+# point) while early-exit keeps the saturated case at ~3s before the
+# sample gate declines it. Past 1M keys union-FPR math makes
+# admission ~1 for any per-file density above ~13 values at m=8192
+# (P[admit] = 1-(1-fill^k)^n_keys), so larger key sets decline to
+# the scan not for cost but because pruning cannot be selective.
+BLOOM_DML_EXEC_MAX_KEYS = 1_000_000
 
 # Saturation guard for the executor tier: with a large key set the
 # UNION of per-key admissions can approach all-files (P[any key
@@ -4860,7 +4867,10 @@ def _bloom_dml_prune(
 
     from pyspark.sql import functions as F
 
-    rows = (
+    # Arrow toPandas, not row-collect: at the 1M-key ceiling the
+    # Row-object path costs ~4.5s vs ~2.0s batched
+    # (docs/probes/bloom_dml_exec_probe.py part 3)
+    pos_pdf = (
         match.select(F.col(col).alias("__v"))
         .where(F.col("__v").isNotNull())  # NULL never equi-joins
         .distinct()
@@ -4873,16 +4883,16 @@ def _bloom_dml_prune(
             ]
         )
         .limit(BLOOM_DML_EXEC_MAX_KEYS + 1)
-        .collect()
+        .toPandas()
     )
-    if len(rows) > BLOOM_DML_EXEC_MAX_KEYS:
+    if len(pos_pdf) > BLOOM_DML_EXEC_MAX_KEYS:
         return cand
-    if len(rows) <= BLOOM_DML_MAX_KEYS:
+    if len(pos_pdf) <= BLOOM_DML_MAX_KEYS:
         masks = []
-        for r in rows:
+        for r in pos_pdf.itertuples(index=False):
             v = 0
             for seed in range(b["k"]):
-                v |= 1 << r[f"p{seed}"]
+                v |= 1 << int(getattr(r, f"p{seed}"))
             masks.append(v)
         out = []
         for f in cand:
@@ -4894,37 +4904,49 @@ def _bloom_dml_prune(
             if any(bm & mk == mk for mk in masks):
                 out.append(f)
         return out
-    return _bloom_dml_prune_exec(spark, b, rows, cand)
+    import numpy as np
+
+    return _bloom_dml_prune_exec(
+        spark, b, pos_pdf.to_numpy(dtype=np.int64), cand
+    )
+
+
+# Early-exit block size for the executor bitmap test: a file that
+# admits exits on its first matching key block, so saturated files
+# (the ones pruning can't help) cost one block instead of the full
+# key count — part 3 of the probe measures 2.8s vs 37.3s at 100k
+# files x 1M keys between the all-admit and the selective layout.
+_BLOOM_DML_CHUNK = 8192
 
 
 def _bloom_dml_prune_exec(
-    spark: SparkSession, b: dict, rows: list, cand: list[str]
+    spark: SparkSession, b: dict, pos, cand: list[str]
 ) -> list[str]:
     """Executor-side tier of :func:`_bloom_dml_prune`: per-file test =
-    one vectorized (n_keys, k) byte gather against the file's decoded
-    bitmap, distributed over the candidate files. A driver-side
-    sample first estimates the admission rate — a saturated index
-    (union of admissions ~ all files) declines so the full scan runs
-    without the overhead of a job that prunes nothing."""
+    chunked vectorized byte gathers against the file's decoded bitmap
+    (early exit on the first admitting key block), distributed over
+    the candidate files. A driver-side sample first estimates the
+    admission rate — a saturated index (union of admissions ~ all
+    files) declines so the full scan runs without the overhead of a
+    job that prunes nothing."""
     import base64
 
     import numpy as np
     import pandas as pd
 
-    k = b["k"]
-    pos = np.array(
-        [[r[f"p{s}"] for s in range(k)] for r in rows], dtype=np.int64
-    )
-    byte_idx = pos >> 3
+    byte_idx = (pos >> 3).astype(np.int64)
     bit_mask = (1 << (pos & 7)).astype(np.uint8)
 
     def _admits(enc: str | None) -> bool:
         if enc is None:
             return True  # no bitmap recorded: conservatively live
         bits = np.frombuffer(base64.b64decode(enc), dtype=np.uint8)
-        return bool(
-            ((bits[byte_idx] & bit_mask) == bit_mask).all(axis=1).any()
-        )
+        for i in range(0, len(byte_idx), _BLOOM_DML_CHUNK):
+            bi = byte_idx[i : i + _BLOOM_DML_CHUNK]
+            bmk = bit_mask[i : i + _BLOOM_DML_CHUNK]
+            if ((bits[bi] & bmk) == bmk).all(axis=1).any():
+                return True
+        return False
 
     sample = _dml_sample(cand)
     hits = sum(1 for f in sample if _admits(b["files"].get(f)))

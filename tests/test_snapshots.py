@@ -5075,3 +5075,41 @@ class TestSegmentHeadersEvolvedAndWideFanout:
         assert got == {(i, 6) for i in range(16) if i % 8 == 6} | {
             (100 + i, 6) for i in range(8) if i % 8 == 6
         }
+
+
+def test_bloom_dml_chunked_early_exit_exact(spark, monkeypatch):
+    """The chunked early-exit executor test must admit a file whose
+    only matching key sits in the LAST block, and reject a file with
+    no matching key — block boundaries change cost, never the
+    answer."""
+    import base64
+
+    import numpy as np
+
+    from end_to_end_data_engineering_pipeline_spark.operators import (
+        snapshots as sn,
+    )
+
+    monkeypatch.setattr(sn, "_BLOOM_DML_CHUNK", 4)  # force many blocks
+    # 2 of 3 candidates admit, which would trip the saturation
+    # decline — disable the gate; this test pins the job's answer
+    monkeypatch.setattr(sn, "BLOOM_DML_SATURATION", 1.1)
+    m_bits = 256
+    k = 2
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, m_bits, size=(23, k)).astype(np.int64)
+    # file A's bitmap contains exactly the LAST key's positions
+    bits = bytearray(m_bits >> 3)
+    for p in pos[-1]:
+        bits[p >> 3] |= 1 << (p & 7)
+    enc_hit = base64.b64encode(bytes(bits)).decode("ascii")
+    enc_miss = base64.b64encode(bytes(m_bits >> 3)).decode("ascii")
+    b = {
+        "col": "k",
+        "type": "bigint",
+        "m": m_bits,
+        "k": k,
+        "files": {"a": enc_hit, "b": enc_miss, "c": None},
+    }
+    out = sn._bloom_dml_prune_exec(spark, b, pos, ["a", "b", "c"])
+    assert out == ["a", "c"]  # hit admits; None conservatively lives
