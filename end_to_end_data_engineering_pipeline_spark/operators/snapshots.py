@@ -1980,26 +1980,55 @@ def snapshot_write_branch(
     version number. Same three-step crash-safe protocol as
     :func:`snapshot_write` (stage → move into the shared data/ →
     link-or-EEXIST claim, here inside the branch dir, retried on a
-    lost race). Plain-manifest tables only: a branch of a
-    partitioned / range-clustered / bloom-indexed table refuses
-    loudly rather than publish a manifest that silently downgrades
-    pruned reads (same contract as plain appends onto those
-    flavors)."""
+    lost race).
+
+    Plain AND single-spec PARTITIONED heads are supported (r16): on
+    a partitioned head an append stages ``partitionBy`` under the
+    committed spec and the branch manifest carries the merged
+    file→value map, so branch reads keep manifest pruning and
+    fast-forward republishes the full partition metadata; an
+    OVERWRITE replaces the table as plain (exactly main
+    ``snapshot_write`` overwrite semantics — keep the spec by
+    re-branching and appending). Evolved-spec / range-clustered /
+    bloom-indexed heads still refuse loudly rather than publish a
+    manifest that silently downgrades pruned reads."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     _branch_versions(path, name)  # existence check before staging
-    names = _stage_files(spark, path, df)
+    head0 = _branch_head_manifest(path, name)
+    if any(k in head0 for k in ("specs", "stats_col", "bloom")):
+        raise ValueError(
+            "branch commits support plain and single-spec partitioned "
+            "manifests only: this table carries evolved-spec/stats/"
+            "bloom metadata a branch commit would silently drop — "
+            "branch after compacting, or keep audit lines on plain "
+            "silver tables"
+        )
+    staged_part = (
+        head0.get("part_col") if mode == "append" else None
+    )
+    if staged_part is not None:
+        names, parts = _stage_partitioned(spark, path, df, staged_part)
+    else:
+        names = _stage_files(spark, path, df)
+        parts = {}
     while True:
         head = _branch_head_manifest(path, name)
         if any(
-            k in head for k in ("part_col", "specs", "stats_col", "bloom")
+            k in head for k in ("specs", "stats_col", "bloom")
         ):
             raise ValueError(
-                "branch commits support plain manifests only: this "
-                "table carries partition/stats/bloom metadata a plain "
-                "branch append would silently drop — branch after "
-                "compacting to plain, or keep audit lines on plain "
-                "silver tables"
+                "branch commits support plain and single-spec "
+                "partitioned manifests only"
+            )
+        if mode == "append" and head.get("part_col") != staged_part:
+            # a racing branch overwrite changed the head's layout
+            # between staging and claim: the staged files were built
+            # for the other layout — surface it instead of
+            # publishing a half-matched manifest
+            raise SnapshotConflict(
+                f"branch {name!r} changed partition layout during "
+                "commit — rerun"
             )
         vs = _branch_versions(path, name)
         bl_version = (vs[-1] + 1) if vs else 0
@@ -2012,6 +2041,16 @@ def snapshot_write_branch(
             "branch": name,
             "base_version": _branch_base(path, name),
         }
+        if staged_part is not None:
+            # partitioned head: carry the spec and the merged
+            # file->value map so branch reads keep manifest pruning
+            # and fast-forward republishes full partition metadata
+            manifest["part_col"] = head["part_col"]
+            manifest["part_type"] = head["part_type"]
+            manifest["partitions"] = {
+                **head.get("partitions", {}),
+                **parts,
+            }
         if mode == "append":
             # merge-on-read vectors carried from the head exactly as
             # plain appends carry them (snapshot_write): dropping the
@@ -2053,11 +2092,21 @@ def snapshot_write_branch(
 
 
 def snapshot_read_branch(
-    spark: SparkSession, path: str, name: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    values: list | None = None,
+    col: str | None = None,
 ) -> DataFrame:
     """Read the branch head (or a branch-local ``version``) — the
     audit side of the branch workflow. Before the first branch
-    commit this is exactly the base main version."""
+    commit this is exactly the base main version. Partitioned
+    manifests (a partitioned base, with or without branch commits)
+    route through the partition-attach reader — the partition column
+    lives in the manifest, not the data files, so a plain scan would
+    silently null-fill it — and accept the same ``values``/``col``
+    manifest pruning as :func:`snapshot_read_partitioned` (r16)."""
     if version is None:
         m = _branch_head_manifest(path, name)
     else:
@@ -2070,6 +2119,13 @@ def snapshot_read_branch(
             os.path.join(_branch_dir(path, name), f"v{version}.json")
         ) as fh:
             m = json.load(fh)
+    if "part_col" in m or "specs" in m:
+        return _read_partitioned_manifest(spark, path, m, values, col)
+    if values is not None or col is not None:
+        raise ValueError(
+            f"branch {name!r} head is not partitioned: values=/col= "
+            "pruning does not apply"
+        )
     files = m["files"]
     if not files:
         empty = _empty_from_manifest(spark, m)
@@ -2157,12 +2213,21 @@ def snapshot_branch_rebase(path: str, name: str) -> int:
                     )
         added = [f for f in head["files"] if f not in base_files]
     new_base = _manifest(path, cur)
-    if any(
-        k in new_base for k in ("part_col", "specs", "stats_col", "bloom")
-    ):
+    if any(k in new_base for k in ("specs", "stats_col", "bloom")):
         raise ValueError(
-            "main evolved to an indexed/partitioned flavor since the "
-            "branch forked; branch commits support plain manifests only"
+            "main evolved to an evolved-spec/stats/bloom flavor since "
+            "the branch forked; branch grafts support plain and "
+            "single-spec partitioned manifests only"
+        )
+    if added and new_base.get("part_col") != head.get("part_col"):
+        # the added files were staged for the OTHER layout: plain
+        # files lack a manifest value, partitioned files physically
+        # lack the column — either graft would corrupt reads
+        raise SnapshotConflict(
+            f"branch {name!r} partition layout "
+            f"({head.get('part_col')!r}) does not match main's "
+            f"current ({new_base.get('part_col')!r}) — re-branch "
+            "from current and re-apply"
         )
     if not added:
         # nothing to graft: repoint the base, drop stale locals
@@ -2188,6 +2253,16 @@ def snapshot_branch_rebase(path: str, name: str) -> int:
         "branch": name,
         "base_version": cur,
     }
+    if new_base.get("part_col") is not None:
+        # matching single-spec layouts (guarded above): the graft
+        # keeps manifest pruning — base map plus the branch's values
+        # for its added files
+        manifest["part_col"] = new_base["part_col"]
+        manifest["part_type"] = new_base["part_type"]
+        manifest["partitions"] = {
+            **new_base.get("partitions", {}),
+            **{f: head["partitions"][f] for f in added},
+        }
     if new_base.get("deletes"):
         manifest["deletes"] = new_base["deletes"]
     if new_base.get("eq_deletes"):
@@ -2258,8 +2333,11 @@ def snapshot_cherrypick(
     - CONFLICTING FILE SETS: any delta file is already live on main
       (the commit was fast-forwarded or cherry-picked before — a
       second apply would double-count rows);
-    - main evolved to an indexed/partitioned flavor (plain manifests
-      only, the branch-line contract).
+    - main evolved to an evolved-spec/stats/bloom flavor, or main's
+      single-spec partition layout differs from the commit's (the
+      files were physically staged for the other layout — r16:
+      MATCHING single-spec partitioned lines apply with the merged
+      file→value map).
 
     Main's MoR vectors and tombstones stay in force; the delta files
     take a fresh file sequence so existing equality tombstones never
@@ -2298,12 +2376,21 @@ def snapshot_cherrypick(
     if cur is None:
         raise FileNotFoundError(f"no committed versions under {path}")
     main = _manifest(path, cur)
-    if any(
-        k in main for k in ("part_col", "specs", "stats_col", "bloom")
-    ):
+    if any(k in main for k in ("specs", "stats_col", "bloom")):
         raise ValueError(
-            "main evolved to an indexed/partitioned flavor since the "
-            "branch forked; branch commits support plain manifests only"
+            "main evolved to an evolved-spec/stats/bloom flavor since "
+            "the branch forked; cherry-pick supports plain and "
+            "single-spec partitioned manifests only"
+        )
+    if main.get("part_col") != bm.get("part_col"):
+        # the commit's files were staged for the OTHER layout: plain
+        # files lack a manifest value, partitioned files physically
+        # lack the column — either apply would corrupt reads
+        raise SnapshotConflict(
+            f"branch {name!r} v{branch_version} partition layout "
+            f"({bm.get('part_col')!r}) does not match main's current "
+            f"({main.get('part_col')!r}) — re-branch from current and "
+            "re-apply"
         )
     overlap = sorted(set(delta) & set(main["files"]))
     if overlap:
@@ -2324,6 +2411,15 @@ def snapshot_cherrypick(
             "cherrypick_from": f"{name}@v{branch_version}",
         },
     }
+    if main.get("part_col") is not None:
+        # matching single-spec layouts (guarded above): carry the
+        # spec, main's map plus the commit's values for its delta
+        manifest["part_col"] = main["part_col"]
+        manifest["part_type"] = main["part_type"]
+        manifest["partitions"] = {
+            **main.get("partitions", {}),
+            **{f: bm["partitions"][f] for f in delta},
+        }
     if main.get("deletes"):
         manifest["deletes"] = main["deletes"]
     if main.get("eq_deletes"):
@@ -3328,6 +3424,24 @@ def snapshot_read_partitioned(
         wanted=seg_wanted,
         part_col=col,
     )
+    return _read_partitioned_manifest(spark, path, m, values, col)
+
+
+def _read_partitioned_manifest(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    values: list | None = None,
+    col: str | None = None,
+) -> DataFrame:
+    """Partition-pruned read over an already-resolved manifest —
+    the body of :func:`snapshot_read_partitioned`, factored so
+    branch heads (whose manifests live outside the main version
+    line) route through the same partition-attach + merge-on-read
+    machinery instead of a plain scan that would silently drop
+    the manifest-attached partition column (r16)."""
+    from pyspark.sql import functions as F
+
     if "specs" in m:
         if values is not None and col is None:
             raise ValueError(

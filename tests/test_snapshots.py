@@ -4498,18 +4498,29 @@ class TestSnapshotBranches:
         assert got == {0, 1, 3, 5, 10}
 
     def test_branch_refuses_indexed_flavors(self, spark, tmp_path):
+        """r16: single-spec partitioned heads commit (see
+        TestPartitionedBranches); range-clustered and bloom-indexed
+        heads still refuse."""
         import pytest as _pytest
 
         sn = self._sn()
         t = str(tmp_path / "t")
         df = spark.createDataFrame(
             [(1, 0), (2, 1)], "k long, cell int"
-        )
-        sn.snapshot_write_partitioned(spark, t, df, "cell")
+        ).repartitionByRange(2, "k")
+        sn.snapshot_write_sorted(spark, t, df, "k", n_files=2)
         sn.snapshot_branch(t, "audit")
-        with _pytest.raises(ValueError, match="plain manifests only"):
+        with _pytest.raises(ValueError, match="partitioned manifests only"):
             sn.snapshot_write_branch(
                 spark, t, "audit",
+                spark.createDataFrame([(3, 2)], "k long, cell int"),
+            )
+        t2 = str(tmp_path / "b")
+        sn.snapshot_write_bloom(spark, t2, df, "k")
+        sn.snapshot_branch(t2, "audit")
+        with _pytest.raises(ValueError, match="partitioned manifests only"):
+            sn.snapshot_write_branch(
+                spark, t2, "audit",
                 spark.createDataFrame([(3, 2)], "k long, cell int"),
             )
 
@@ -5113,3 +5124,173 @@ def test_bloom_dml_chunked_early_exit_exact(spark, monkeypatch):
     }
     out = sn._bloom_dml_prune_exec(spark, b, pos, ["a", "b", "c"])
     assert out == ["a", "c"]  # hit admits; None conservatively lives
+
+
+class TestPartitionedBranches:
+    """r16: branch commit lines on single-spec PARTITIONED tables —
+    appends stage partitionBy under the committed spec, branch
+    manifests carry the merged file->value map, reads keep manifest
+    pruning, and fast-forward / rebase / cherry-pick republish full
+    partition metadata (mismatched layouts refuse)."""
+
+    def _sn(self):
+        from end_to_end_data_engineering_pipeline_spark.operators import (
+            snapshots as sn,
+        )
+
+        return sn
+
+    def _seed(self, spark, sn, t):
+        df = spark.createDataFrame(
+            [(i, i % 4) for i in range(8)], "k long, cell int"
+        ).repartition(F.col("cell"))
+        sn.snapshot_write_partitioned(spark, t, df, "cell")
+
+    def test_partitioned_branch_lifecycle(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        self._seed(spark, sn, t)
+        sn.snapshot_branch(t, "audit")
+        # a fresh branch of a partitioned table reads WITH the
+        # partition column attached (pre-r16 this null-filled/dropped)
+        got = {(r.k, r.cell) for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {(i, i % 4) for i in range(8)}
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(100, 1), (101, 5)], "k long, cell int"),
+        )
+        m = sn._branch_head_manifest(t, "audit")
+        assert m["part_col"] == "cell"
+        assert set(m["partitions"]) == set(m["files"])
+        # branch read: full and value-pruned
+        got = {(r.k, r.cell) for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {(i, i % 4) for i in range(8)} | {(100, 1), (101, 5)}
+        pruned = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_branch(
+                spark, t, "audit", values=[1]
+            ).collect()
+        }
+        assert pruned == {(1, 1), (5, 1), (100, 1)}
+        # main untouched; fast-forward republishes partition metadata
+        assert sn.current_version(t) == 0
+        v1 = sn.snapshot_fast_forward(t, "audit")
+        mm = sn._manifest(t, v1)
+        assert mm["part_col"] == "cell" and set(mm["partitions"]) == set(mm["files"])
+        after = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_partitioned(spark, t, values=[5]).collect()
+        }
+        assert after == {(101, 5)}
+
+    def test_partitioned_branch_overwrite_goes_plain(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        self._seed(spark, sn, t)
+        sn.snapshot_branch(t, "rw")
+        sn.snapshot_write_branch(
+            spark, t, "rw",
+            spark.createDataFrame([(7, 7)], "k long, cell int"),
+            mode="overwrite",
+        )
+        m = sn._branch_head_manifest(t, "rw")
+        assert "part_col" not in m  # main overwrite semantics: plain
+        got = {(r.k, r.cell) for r in sn.snapshot_read_branch(spark, t, "rw").collect()}
+        assert got == {(7, 7)}
+
+    def test_partitioned_rebase_grafts_with_values(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        self._seed(spark, sn, t)
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(100, 2)], "k long, cell int"),
+        )
+        # main advances under the same spec: rebase grafts
+        sn.snapshot_write_partitioned(
+            spark, t,
+            spark.createDataFrame([(200, 3)], "k long, cell int"),
+            "cell", mode="append",
+        )
+        assert sn.snapshot_branch_rebase(t, "audit") == 1
+        m = sn._branch_head_manifest(t, "audit")
+        assert m["part_col"] == "cell"
+        assert set(m["partitions"]) == set(m["files"])
+        got = {(r.k, r.cell) for r in sn.snapshot_read_branch(spark, t, "audit").collect()}
+        assert got == {(i, i % 4) for i in range(8)} | {(100, 2), (200, 3)}
+        v = sn.snapshot_fast_forward(t, "audit")
+        pruned = {
+            (r.k, r.cell)
+            for r in sn.snapshot_read_partitioned(spark, t, values=[2], version=v).collect()
+        }
+        assert pruned == {(2, 2), (6, 2), (100, 2)}
+
+    def test_partitioned_cherrypick_carries_values(self, spark, tmp_path):
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        self._seed(spark, sn, t)
+        sn.snapshot_branch(t, "audit")
+        for row in [(100, 0), (101, 1)]:
+            sn.snapshot_write_branch(
+                spark, t, "audit",
+                spark.createDataFrame([row], "k long, cell int"),
+            )
+        sn.snapshot_write_partitioned(
+            spark, t,
+            spark.createDataFrame([(200, 3)], "k long, cell int"),
+            "cell", mode="append",
+        )
+        v = sn.snapshot_cherrypick(t, "audit", 1)  # only (101, 1)
+        m = sn._manifest(t, v)
+        assert m["part_col"] == "cell" and set(m["partitions"]) == set(m["files"])
+        got = {(r.k, r.cell) for r in sn.snapshot_read_partitioned(spark, t).collect()}
+        assert got == {(i, i % 4) for i in range(8)} | {(200, 3), (101, 1)}
+
+    def test_layout_mismatch_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        # plain table, plain branch commit; main then becomes
+        # partitioned via overwrite: graft/apply must refuse
+        sn.snapshot_write(
+            spark, t, spark.createDataFrame([(1, 0)], "k long, cell int")
+        )
+        sn.snapshot_branch(t, "audit")
+        sn.snapshot_write_branch(
+            spark, t, "audit",
+            spark.createDataFrame([(2, 1)], "k long, cell int"),
+        )
+        sn.snapshot_write_partitioned(
+            spark, t,
+            spark.createDataFrame([(9, 2)], "k long, cell int"),
+            "cell",
+        )
+        with _pytest.raises(sn.SnapshotConflict, match="layout"):
+            sn.snapshot_branch_rebase(t, "audit")
+        with _pytest.raises(sn.SnapshotConflict, match="layout"):
+            sn.snapshot_cherrypick(t, "audit", 0)
+
+    def test_evolved_spec_head_still_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        sn = self._sn()
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 0, "x")], "k long, cell int, tag string"
+        )
+        sn.snapshot_write_partitioned(spark, t, df, "cell")
+        sn.snapshot_write_partitioned(
+            spark, t, df, "tag", mode="append", evolve=True
+        )
+        sn.snapshot_branch(t, "audit")
+        with _pytest.raises(ValueError, match="partitioned manifests only"):
+            sn.snapshot_write_branch(spark, t, "audit", df)
+        # but the no-commit branch READ of an evolved table works,
+        # with both spec columns attached
+        rows = [
+            (r.k, r.cell, r.tag)
+            for r in sn.snapshot_read_branch(spark, t, "audit").collect()
+        ]
+        assert sorted(rows) == [(1, 0, "x"), (1, 0, "x")]
