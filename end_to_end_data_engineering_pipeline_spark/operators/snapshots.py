@@ -811,8 +811,9 @@ def _read_live(spark: SparkSession, path: str, m: dict) -> DataFrame:
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     if "part_col" in m:
         return _attach_partition_col(spark, path, m, m["files"])
-    full = [os.path.join(_data_dir(path), f) for f in m["files"]]
-    return _reader(spark, m).parquet(*full).withColumn("__file", base)
+    return _parquet_rel(spark, m, path, m["files"]).withColumn(
+        "__file", base
+    )
 
 
 def _dv_frame(
@@ -828,9 +829,7 @@ def _dv_frame(
     dvs = m.get("deletes") or []
     if not dvs:
         return None
-    dv = spark.read.parquet(
-        *[os.path.join(_data_dir(path), f) for f in dvs]
-    )
+    dv = _parquet_rel(spark, {}, path, dvs)
     if files is not None:
         dv = dv.where(F.col("__dv_file").isin(list(files)))
     return dv
@@ -899,9 +898,7 @@ def _apply_deletes(
     the backlog between OPTIMIZE runs."""
     from pyspark.sql import functions as F
 
-    base = _reader(spark, m).parquet(
-        *[os.path.join(_data_dir(path), f) for f in files]
-    )
+    base = _parquet_rel(spark, m, path, files)
     dv = _dv_frame(spark, path, m, files)
     eq = m.get("eq_deletes") or []
     if dv is None and not eq:
@@ -949,17 +946,28 @@ def _mask_eq(
     if not eq:
         return df
     fseq = m.get("file_seq", {})
-    seq_map = spark.createDataFrame(
-        [(f, int(fseq.get(f, 0))) for f in files],
-        f"{file_col} string, __seq long",
-    )
-    out = df.join(F.broadcast(seq_map), file_col)
+    if len(files) <= MAP_LITERAL_MAX_ENTRIES:
+        # literal-map attach of the per-file commit sequence — no
+        # mapping frame, no broadcast build, no join (same gate and
+        # rationale as _attach_partition_col)
+        smap = _file_map_expr(
+            [(f, int(fseq.get(f, 0))) for f in files]
+        )
+        out = df.withColumn(
+            "__seq", smap[F.col(file_col)].cast("long")
+        )
+    else:
+        seq_map = spark.createDataFrame(
+            [(f, int(fseq.get(f, 0))) for f in files],
+            f"{file_col} string, __seq long",
+        )
+        out = df.join(F.broadcast(seq_map), file_col)
     for ent in eq:
         if not ent["files"]:
             continue
-        ed = spark.read.parquet(
-            *[os.path.join(_data_dir(path), f) for f in ent["files"]]
-        ).select(*[F.col(k).alias(f"__eq_{k}") for k in ent["keys"]])
+        ed = _parquet_rel(spark, {}, path, ent["files"]).select(
+            *[F.col(k).alias(f"__eq_{k}") for k in ent["keys"]]
+        )
         cond = F.col("__seq") < F.lit(int(ent["seq"]))
         for k in ent["keys"]:
             cond = cond & (F.col(k) == F.col(f"__eq_{k}"))
@@ -1048,6 +1056,75 @@ def _reader(spark: SparkSession, m: dict, drop: tuple = ()):
     return spark.read.schema(s)
 
 
+# File-keyed manifest metadata (partition value, commit sequence) is
+# attached to scan rows as a LITERAL MAP lookup while the read's file
+# subset stays under this many entries, and as a broadcast hash join
+# past it. The map form removes a createDataFrame + broadcast-build
+# job + join per read — measured r16: each probe read of a DML
+# lifecycle key paid 2 such builds (~40 ms driver + one Spark job +
+# one join each), and the 6-probe keys pay it 12x — while the join
+# form stays the scalable shape for wide reads (a 100k-file map
+# literal would bloat the plan tree and the driver's analysis time;
+# guide §5 "very large query plans are driver-side work").
+MAP_LITERAL_MAX_ENTRIES = 1024
+
+
+def _sql_str(s: str) -> str:
+    """A SQL single-quoted string literal (backslash + quote escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _file_map_expr(pairs: list[tuple[str, object]]):
+    """Literal ``map(...)`` over (file basename, value) pairs — the
+    under-threshold attach form; caller indexes it with the file tag
+    column. Built as ONE ``F.expr`` string rather than
+    ``create_map(*[F.lit(..)]*2N)``: each ``F.lit`` is a py4j
+    round-trip, so the expression-string form costs one call instead
+    of 2N (measured ~2 ms vs ~150 ms at N=50)."""
+    from pyspark.sql import functions as F
+
+    items = []
+    for k, v in pairs:
+        if isinstance(v, int):
+            items.append(f"{_sql_str(k)},{int(v)}L")
+        else:
+            items.append(f"{_sql_str(k)},{_sql_str(v)}")
+    return F.expr(f"map({','.join(items)})")
+
+
+def _parquet_rel(
+    spark: SparkSession, m: dict, path: str, files: list[str],
+    drop: tuple = (),
+) -> DataFrame:
+    """Parquet relation over manifest-listed ``files`` with the
+    manifest schema applied (:func:`_reader`), memoized per session on
+    (schema, drop, exact file paths). This reuses the *unexecuted*
+    DataFrame plan object — creating a path-based relation costs
+    ~90-250 ms of driver/py4j/listing work (measured r16) and a DML
+    lifecycle read path builds the same relation several times (two
+    probe versions sharing a file set, the same eq-tombstone entry
+    applied under 3+ probes). Execution always re-reads the parquet
+    bytes; no rows or results are cached. Staged file names are
+    uuid-unique and never rewritten in place, so a (paths, schema) key
+    can never alias different content. Bounded: cleared past 512
+    entries (plans are small; tempdir tables would otherwise pile up
+    keys across a long session)."""
+    skey = json.dumps(m["schema"], sort_keys=True) if "schema" in m else None
+    paths = tuple(os.path.join(_data_dir(path), f) for f in files)
+    key = (skey, tuple(drop), paths)
+    cache = getattr(spark, "_snap_rel_cache", None)
+    if cache is None:
+        cache = {}
+        spark._snap_rel_cache = cache
+    df = cache.get(key)
+    if df is None:
+        df = _reader(spark, m, drop=drop).parquet(*paths)
+        if len(cache) >= 512:
+            cache.clear()
+        cache[key] = df
+    return df
+
+
 def _attach_partition_col(
     spark: SparkSession,
     path: str,
@@ -1077,9 +1154,7 @@ def _attach_partition_col(
     part_col = col if col is not None else m["part_col"]
     part_type = ctype if ctype is not None else m["part_type"]
     parts = m["partitions"]
-    base = _reader(spark, m, drop=(part_col,)).parquet(
-        *[os.path.join(_data_dir(path), f) for f in files]
-    )
+    base = _parquet_rel(spark, m, path, files, drop=(part_col,))
     if with_pos:
         # physical row ordinal for merge-on-read position deletes —
         # must be selected AT the scan (callers drop it with __file)
@@ -1089,6 +1164,13 @@ def _attach_partition_col(
     base = base.withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+    if len(files) <= MAP_LITERAL_MAX_ENTRIES:
+        # literal-map attach: no mapping frame, no broadcast build,
+        # no join — the value is a constant-folded lookup per row
+        pmap = _file_map_expr([(f, parts[f]) for f in files])
+        return base.withColumn(
+            part_col, pmap[F.col("__file")].cast(part_type)
+        )
     mapping = spark.createDataFrame(
         [(f, parts[f]) for f in files], "__file string, __praw string"
     )

@@ -47,6 +47,19 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Manifest-listed reads pass explicit file paths; above this
+        # many paths Spark launches a DISTRIBUTED listing job per
+        # relation (default threshold 32). Measured r16: a 60-path
+        # relation costs 228 ms with the listing job vs 91 ms listed
+        # driver-side — and the DML lifecycle keys build 6-12 such
+        # relations per run. On local/HDFS-class filesystems serial
+        # stats are cheap; for object stores (S3-class, ~10-30 ms per
+        # stat) lower SPARK_GRAFT_LIST_THRESHOLD back toward 32 so
+        # wide reads list in parallel (OPTIMIZATION_r16.md §I/O).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "1024"),
+        )
     )
     # NOTE (r15): Catalyst's InferFiltersFromGenerate synthesizes
     # `size(e) > 0` under a non-outer explode and pushdown substitutes
