@@ -1784,57 +1784,81 @@ def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # the reversed half lives in a DISJOINT key space (parts offset by
     # 1e9), so the union needs no second distinct pass
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()  # referenced by every superstep — materialize once, not
-    # once per unrolled iteration (Catalyst shares exchanges, not
-    # whole distinct subplans)
-    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("dst"))
+        .cache()
+    )
+    # cached once, referenced by every superstep (Catalyst shares
+    # exchanges, not whole distinct subplans) — and cached HASH-
+    # PARTITIONED ON dst: every superstep's contribution groupBy("dst")
+    # then reuses the cached partitioning instead of re-shuffling the
+    # full edge set (guide §2.4 "two operations keyed the same way can
+    # share one exchange"); r16 plan audit: 3 per-superstep Exchanges
+    # of 1.2M rows -> 0 (one repartition paid once at cache fill).
+    # This is GraphX's edge-partitioning strategy expressed in SQL.
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).cache()
+    # every node appears as a src (both edge directions are recorded),
+    # so deg's key set IS the node set — serving nodes from the cached
+    # deg aggregate removes the r15 shape's separate distinct pass
+    # over the 1.2M edge rows (guide §1.2: fewer full passes)
+    nodes = deg.select(F.col("src").alias("node"))
     try:
         return _q94_supersteps(spark, edges, nodes, deg)
     finally:
         # the top-20 result is pinned driver-local inside, so the
         # cached superstep inputs can release their executor storage
-        # here instead of leaking three cached plans per run until
-        # session end (r12 advice #5)
-        for c in (edges, nodes, deg):
+        # here instead of leaking cached plans per run until session
+        # end (r12 advice #5)
+        for c in (edges, deg):
             c.unpersist()
 
 
 def _q94_supersteps(
     spark: SparkSession, edges: DataFrame, nodes: DataFrame, deg: DataFrame
 ) -> DataFrame:
-    meta = nodes.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
-    ).select(
-        "n_nodes",
-        F.expr(f"(15 * {_Q94_SCALE}) div (100 * n_nodes)").alias("tel"),
+    # n_nodes/tel are 1-row metadata-scale scalars; resolving them on
+    # the driver (same collect budget as the pin_result below) keeps
+    # the unrolled lineage from re-nesting the meta aggregate under
+    # every superstep (r16 plan audit: 8 repeated meta HashAggregate
+    # subtrees before this)
+    n_nodes = int(
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
     )
-    r = nodes.crossJoin(F.broadcast(meta)).select(
-        "node", F.expr(f"{_Q94_SCALE} div n_nodes").alias("pr")
-    )
+    tel = (15 * _Q94_SCALE) // (100 * n_nodes)
+    r = nodes.select("node", F.lit(_Q94_SCALE // n_nodes).alias("pr"))
     for _ in range(3):
-        contribs = (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+        # join rank and degree on the NODE-sized side first (two |V|
+        # frames), so the 1.2M edge rows pass through ONE broadcast
+        # join instead of two (guide §3.1/§2.3 — r15's shape joined
+        # edges⋈r then (edges⋈r)⋈deg, paying the second probe over
+        # every edge row); the per-src transfer is also computed once
+        # per NODE here instead of once per EDGE row
+        rd = (
+            r.join(deg, r["node"] == deg["src"])
             .select(
-                "dst", F.expr("(85 * pr) div (100 * deg)").alias("c")
+                "src", F.expr("(85 * pr) div (100 * deg)").alias("c")
             )
+        )
+        contribs = (
+            edges.join(rd, "src")
+            .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        r = (
-            nodes.crossJoin(F.broadcast(meta))
-            .join(contribs, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                (F.col("tel") + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("pr"),
-            )
+        # both edge directions are recorded, so every node has an
+        # incoming edge and contribs lands EXACTLY one row per node —
+        # r15's left-join of contribs back onto the node set (plus
+        # COALESCE for never-hit nulls) was a no-op re-keying; serving
+        # the new rank vector straight from the aggregate removes one
+        # node-sized join per superstep (guide §2.4)
+        r = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(tel) + F.col("s")).cast("long").alias("pr"),
         )
     from ..operators.partitioning import bounded_rank_topk
 
