@@ -732,6 +732,21 @@ def _parquet_num_rows(fpath: str) -> int:
     return pq.ParquetFile(fpath).metadata.num_rows
 
 
+def _distribute(df: DataFrame, col: str) -> DataFrame:
+    """Hash-distribute a COMMIT-INTERNAL rewrite onto its partition
+    column before ``partitionBy`` staging — Iceberg's
+    ``write.distribution-mode=hash`` (guide §6): one staged file per
+    partition value instead of (input partitions x values), and the
+    write parallelizes across values instead of serializing in one
+    AQE-coalesced task (r16 profile: p19's CoW rewrite wrote 25
+    partition files from ONE task, 0.8 s of the key's wall). Applied
+    only at rewrite/compact sites — the public write paths keep the
+    caller's distribution."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(F.col(col))
+
+
 def _stage_partitioned(
     spark: SparkSession, path: str, df: DataFrame, part_col: str
 ) -> tuple[list[str], dict[str, str]]:
@@ -1366,7 +1381,7 @@ def _cow_commit_mixed_spec(
             rewrite = rewrite.withColumn(dcol, F.lit(None).cast(dtype))
         try:
             new_names, new_parts = _stage_partitioned(
-                spark, path, rewrite, dcol
+                spark, path, _distribute(rewrite, dcol), dcol
             )
         except ValueError as e:
             raise ValueError(
@@ -1598,7 +1613,7 @@ def _cow_commit(
     if rewrite is not None:
         if part_col:
             new_names, new_parts = _stage_partitioned(
-                spark, path, rewrite, part_col
+                spark, path, _distribute(rewrite, part_col), part_col
             )
         else:
             new_names = _stage_files(spark, path, rewrite)
@@ -3028,7 +3043,9 @@ def snapshot_compact(
             full = _read_evolved_files(spark, path, m, m["files"])
         if full is None:
             return base_version  # zero files: nothing to migrate
-        names, parts = _stage_partitioned(spark, path, full, spec["col"])
+        names, parts = _stage_partitioned(
+            spark, path, _distribute(full, spec["col"]), spec["col"]
+        )
         manifest = {
             "version": base_version + 1,
             "mode": "compact",
@@ -3077,7 +3094,7 @@ def snapshot_compact(
             purged = _mask_eq(spark, path, m, purged, affected, "__file")
             purged = purged.drop("__file", "__pos")
             new_names, new_parts = _stage_partitioned(
-                spark, path, purged, m["part_col"]
+                spark, path, _distribute(purged, m["part_col"]), m["part_col"]
             )
         elif affected:
             sizes = {
