@@ -51,7 +51,13 @@ def connected_components(
     every round and stop at the exact fixpoint."""
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the union below references the pair set TWICE; without the
+    #   checkpoint an expensive upstream (minhash/LSH rescoring in
+    #   t12/t13/t34, frame overlap in m6) re-evaluates per branch
+    #   (r16 interleaved A/B on the t12 shape, min-of-3: 3.3s ->
+    #   2.4s). Narrow (id, id) rows, same storage class as the edges
+    #   checkpoint one line down.
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -185,15 +191,20 @@ def triangle_count(
     explode-to-3 count — all narrow (node, node) rows.
     """
     # the edge list fans out into THREE consumers (degree table, wedge
-    # self-join, closure semi-join). Deliberately NOT cached: the
-    # branches share the expensive upstream (e.g. sim17's LSH
-    # rescoring) through ReusedExchange, and an explicit .cache() was
-    # MEASURED SLOWER (~1.3x at sf0.1) — the InMemoryRelation barrier
-    # blocks exchange reuse and whole-stage codegen across it
+    # self-join, closure semi-join), so an expensive upstream (sim17's
+    # LSH rescoring) would otherwise re-evaluate per consumer. Eager
+    # localCheckpoint materializes the NARROW pair rows once and
+    # truncates the lineage — measured r16 at sf0.1: 7.3s -> 3.1s for
+    # sim17. (.cache() re-measured SLOWER, 8.3s: the InMemoryRelation
+    # barrier blocks exchange reuse and whole-stage codegen, the same
+    # result as the r13 measurement that left this uncached; the
+    # checkpointed RDD has neither problem and gives the planner exact
+    # sizes, so the wedge joins broadcast.) Pair rows are (long, long)
+    # — executor-storage-bounded at any scale that can compute them.
     e = pairs.select(
         F.col(src_col).alias("u").cast("long"),
         F.col(dst_col).alias("v").cast("long"),
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))

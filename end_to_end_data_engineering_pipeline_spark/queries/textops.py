@@ -2381,7 +2381,11 @@ def m6_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
-    ov = frame_overlap_pairs(media)
+    # the overlap pair table fans out into THREE consumers (cluster
+    # edges + both sides of the size union); eager checkpoint
+    # materializes the narrow pair rows once instead of re-running
+    # the frame-hash overlap join per consumer (r16, guide §1.2)
+    ov = frame_overlap_pairs(media).localCheckpoint(eager=True)
     pairs = ov.where(F.col("frame_jaccard") >= 0.3).select("lo", "hi")
     cl = connected_components(pairs, src_col="lo", dst_col="hi").select(
         F.col("node").alias("media_id"), "cluster_id"

@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions to the ADVISORY BYTE SIZE,
+        # not to defaultParallelism: the parallelismFirst=true default
+        # stops coalescing at the core count, so a KB-sized shuffle
+        # still runs 32 reduce tasks here and `cores` tasks on any
+        # cluster — the guide's §2.2 "fewer, larger reduce partitions"
+        # is exactly this switch. Measured r16 (alternating-session
+        # A/B, per-key minima over 3 rounds x 2 reps, 14 heaviest
+        # keys): total 67.8s -> 66.1s, no key regressed beyond noise.
+        # SPARK_GRAFT_PARALLELISM_FIRST=true restores the default.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
