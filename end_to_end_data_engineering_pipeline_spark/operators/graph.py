@@ -25,6 +25,16 @@ Scale design:
   optimization long before the data is big;
 - convergence needs one count per round (the changed-label count);
   at 100 TB amortize it by checking every k rounds instead.
+
+Durability tradeoff (r16 advice): ``localCheckpoint`` stores blocks
+executor-local with NO lineage fallback — an executor loss (or
+dynamic-allocation decommission) fails the job instead of recomputing.
+That is the right trade for these narrow (id, id) pair sets on a
+static-executor batch cluster and on the local harness; on clusters
+with preemption/decommissioning, set a checkpoint dir
+(``sc.setCheckpointDir``) and swap the ``localCheckpoint`` calls for
+reliable ``checkpoint()`` — same semantics, +one HDFS write per round
+(docs/SCALE.md §checkpoint-durability).
 """
 
 from __future__ import annotations

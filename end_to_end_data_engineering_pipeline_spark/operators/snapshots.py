@@ -1098,6 +1098,15 @@ def _file_map_expr(pairs: list[tuple[str, object]]):
     of 2N (measured ~2 ms vs ~150 ms at N=50)."""
     from pyspark.sql import functions as F
 
+    # A duplicate basename in a manifest is corrupt input (staging
+    # mints uuid-unique names); the broadcast-join branch would
+    # silently duplicate rows on it while map() would throw
+    # DUPLICATED_MAP_KEY at runtime — fail both branches' shared
+    # precondition loudly instead (r16 advice).
+    if len({k for k, _ in pairs}) != len(pairs):
+        raise ValueError(
+            "corrupt manifest: duplicate file basenames in read set"
+        )
     items = []
     for k, v in pairs:
         if isinstance(v, int):
@@ -1121,22 +1130,30 @@ def _parquet_rel(
     applied under 3+ probes). Execution always re-reads the parquet
     bytes; no rows or results are cached. Staged file names are
     uuid-unique and never rewritten in place, so a (paths, schema) key
-    can never alias different content. Bounded: cleared past 512
-    entries (plans are small; tempdir tables would otherwise pile up
-    keys across a long session)."""
+    can never alias different content (the staging sites —
+    ``_stage_files``/``_stage_partitioned`` — mint uuid4 basenames and
+    never rewrite a staged file; that name-uniqueness invariant is
+    what this memo's correctness rests on). Bounded: LRU-evicted past
+    512 entries (plans are small; tempdir tables would otherwise pile
+    up keys across a long session; r16 advice — wholesale clear()
+    evicted hot keys with cold ones)."""
+    from collections import OrderedDict
+
     skey = json.dumps(m["schema"], sort_keys=True) if "schema" in m else None
     paths = tuple(os.path.join(_data_dir(path), f) for f in files)
     key = (skey, tuple(drop), paths)
     cache = getattr(spark, "_snap_rel_cache", None)
     if cache is None:
-        cache = {}
+        cache = OrderedDict()
         spark._snap_rel_cache = cache
     df = cache.get(key)
     if df is None:
         df = _reader(spark, m, drop=drop).parquet(*paths)
-        if len(cache) >= 512:
-            cache.clear()
+        while len(cache) >= 512:
+            cache.popitem(last=False)
         cache[key] = df
+    else:
+        cache.move_to_end(key)
     return df
 
 

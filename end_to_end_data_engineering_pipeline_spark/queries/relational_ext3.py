@@ -1799,9 +1799,18 @@ def q94_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share one exchange"); r16 plan audit: 3 per-superstep Exchanges
     # of 1.2M rows -> 0 (one repartition paid once at cache fill).
     # This is GraphX's edge-partitioning strategy expressed in SQL.
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).cache()
+    # degree via groupBy("dst"), NOT groupBy("src"): the edge set is
+    # symmetric (both directions recorded), so in-degree == out-degree
+    # per node — and edges are cached hash-partitioned ON dst, so this
+    # aggregate reuses the cached partitioning with ZERO shuffle where
+    # the src grouping re-shuffled all 1.2M rows (guide §2.4; r17 plan
+    # audit: the deg subtree's Exchange disappears)
+    deg = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("dst").alias("src"), "deg")
+        .cache()
+    )
     # every node appears as a src (both edge directions are recorded),
     # so deg's key set IS the node set — serving nodes from the cached
     # deg aggregate removes the r15 shape's separate distinct pass
@@ -1844,8 +1853,13 @@ def _q94_supersteps(
                 "src", F.expr("(85 * pr) div (100 * deg)").alias("c")
             )
         )
+        # explicit broadcast: rd is provably |V|-sized (one row per
+        # node), but past autoBroadcastJoinThreshold the planner would
+        # silently fall back to re-shuffling the cached edge set (r16
+        # advice) — the hint makes the no-edge-shuffle property
+        # unconditional
         contribs = (
-            edges.join(rd, "src")
+            edges.join(F.broadcast(rd), "src")
             .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

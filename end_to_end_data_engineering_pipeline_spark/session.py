@@ -37,18 +37,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions to the ADVISORY BYTE SIZE,
-        # not to defaultParallelism: the parallelismFirst=true default
-        # stops coalescing at the core count, so a KB-sized shuffle
-        # still runs 32 reduce tasks here and `cores` tasks on any
-        # cluster — the guide's §2.2 "fewer, larger reduce partitions"
-        # is exactly this switch. Measured r16 (alternating-session
-        # A/B, per-key minima over 3 rounds x 2 reps, 14 heaviest
-        # keys): total 67.8s -> 66.1s, no key regressed beyond noise.
-        # SPARK_GRAFT_PARALLELISM_FIRST=true restores the default.
+        # KEEP the parallelismFirst=true default: r16 shipped `false`
+        # (coalesce post-shuffle partitions to the advisory byte size)
+        # off a 14-key A/B, and the driver's full bench showed 121/131
+        # keys regressed (geomean 0.72) with the 8-core run BEATING the
+        # 32-core run — at bench SF nearly every shuffle is far below
+        # the 64 MB advisory size, so every reduce stage coalesced to
+        # ~1 partition and all downstream work serialized (r16 VERDICT
+        # item 1; re-confirmed r17 with a full-132-key alternating A/B,
+        # see OPTIMIZATION_r17.md). At 100 TB production scale the §2.2
+        # "fewer, larger reduce partitions" goal is met by the advisory
+        # size itself (shuffles there are GBs, so parallelismFirst
+        # rarely binds); set SPARK_GRAFT_PARALLELISM_FIRST=false only
+        # with a cluster-measured advisory size (docs/SCALE.md).
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
