@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 import zlib
@@ -544,26 +545,47 @@ def _hive_part_str(v) -> str:
     return str(v)
 
 
+_MICROS_LOCK = threading.RLock()
+_MICROS_DEPTH: dict[int, int] = {}  # id(spark) -> nesting depth
+_MICROS_PREV: dict[int, str | None] = {}
+
+
 def _micros_ts(spark: SparkSession):
     """Conf scope pinning spark.sql.parquet.outputTimestampType to
     TIMESTAMP_MICROS for a staging write (shared by _stage_files and
     _stage_partitioned so both manifest flavors encode timestamps
     identically): the INT96 default is deprecated AND footer-stats-
-    free, which would silently lose range pruning on rewrites."""
+    free, which would silently lose range pruning on rewrites.
+
+    REFCOUNTED per session (r17): independent store commits may now
+    overlap from driver threads (guide §2.6 — text.postings_increment
+    / bm25_increment), and session conf is process-global, so a plain
+    set/restore pair would let the first commit's exit unpin the type
+    while a sibling's staging write is still planning. The first
+    entrant records the previous value, the last exit restores it."""
     from contextlib import contextmanager
 
     @contextmanager
     def scope():
         key = "spark.sql.parquet.outputTimestampType"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
+        sid = id(spark)
+        with _MICROS_LOCK:
+            if _MICROS_DEPTH.get(sid, 0) == 0:
+                _MICROS_PREV[sid] = spark.conf.get(key, None)
+                spark.conf.set(key, "TIMESTAMP_MICROS")
+            _MICROS_DEPTH[sid] = _MICROS_DEPTH.get(sid, 0) + 1
         try:
             yield
         finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            with _MICROS_LOCK:
+                _MICROS_DEPTH[sid] -= 1
+                if _MICROS_DEPTH[sid] == 0:
+                    prev = _MICROS_PREV.pop(sid)
+                    del _MICROS_DEPTH[sid]
+                    if prev is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, prev)
 
     return scope()
 

@@ -698,52 +698,101 @@ def bpe_merge_step(wf: DataFrame) -> DataFrame:
         .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
-    top1 = (
-        pairs0.orderBy(F.col("cnt").desc(), "l", "r")
-        .limit(1)
-        .select(F.col("l").alias("mx"), F.col("r").alias("my"))
-    )
-    tagged = seq.crossJoin(F.broadcast(top1))  # 1-row spine
-    wm = Window.partitionBy("word").orderBy("i")
-    matches = tagged.where(
-        (F.col("sym") == F.col("mx")) & (F.col("nxt") == F.col("my"))
-    ).withColumn("grp", F.col("i") - F.row_number().over(wm))
-    runw = Window.partitionBy("word", "grp")
-    kept = (
-        matches.withColumn(
-            "off", F.col("i") - F.min("i").over(runw)
+    # the winning pair is ONE deterministic row — resolve it on the
+    # driver (metadata-scale collect, the q94 n_nodes discipline)
+    # instead of crossJoin-broadcasting a subplan that the final
+    # metrics projection would otherwise re-evaluate a second time
+    # (guide §1.2/§5, r17)
+    top = pairs0.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+    if not top:
+        # no adjacent pair anywhere (empty/degenerate vocabulary):
+        # same empty frame the crossJoin-with-empty-top1 shape produced
+        return pairs0.select(
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            "cnt",
+            F.col("l").alias("merged_left"),
+            F.col("r").alias("merged_right"),
         )
-        .where(F.col("off") % 2 == 0)
-        .select("word", "i")
+    mx, my = top[0]["l"], top[0]["r"]
+    seq1 = _bpe_apply_merge(seq, mx, my).withColumn(
+        "nxt", F.lead("sym").over(wq)
     )
-    k1 = kept.select("word", "i", F.lit(True).alias("m_here"))
-    k2 = kept.select(
-        "word", (F.col("i") + 1).alias("i"), F.lit(True).alias("consumed")
-    )
-    syms = (
-        seq.join(k1, ["word", "i"], "left")
-        .join(k2, ["word", "i"], "left")
-        .where(F.col("consumed").isNull())
-        .select(
-            "word",
-            "freq",
-            "i",
-            F.when(
-                F.col("m_here"), F.concat(F.col("sym"), F.col("nxt"))
-            )
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-    )
-    seq1 = syms.withColumn("nxt", F.lead("sym").over(wq))
     return (
         seq1.where(F.col("nxt").isNotNull())
         .groupBy(F.col("sym").alias("left_sym"), F.col("nxt").alias("right_sym"))
         .agg(F.sum("freq").cast("long").alias("cnt"))
-        .crossJoin(F.broadcast(top1))
-        .withColumnRenamed("mx", "merged_left")
-        .withColumnRenamed("my", "merged_right")
+        .select(
+            "left_sym",
+            "right_sym",
+            "cnt",
+            F.lit(mx).alias("merged_left"),
+            F.lit(my).alias("merged_right"),
+        )
     )
+
+
+def _bpe_apply_merge(seq: DataFrame, mx: str, my: str) -> DataFrame:
+    """Apply ONE merge (mx, my) leftmost-non-overlapping to a DENSE
+    (word, freq, i, sym, nxt, ...) symbol table; returns the post-merge
+    (word, freq, i, sym) rows with positions re-densified. PURE WINDOW
+    ALGEBRA over the single (word) partitioning: the r16 shape
+    re-attached the kept/consumed decisions through two (word, i)
+    self-joins of the symbol table; every decision is in fact a
+    per-row function of windows the frame already supports, so one
+    hash partitioning by word serves the whole chain and both join
+    stages (plus their exchanges under AQE replanning) disappear
+    (guide §2.4; r17 plan audit: t42 9 -> 5 jobs).
+
+    Leftmost-non-overlapping via run parity (bpe_merge_step's
+    docstring): a row is a match START when (sym, nxt) == (mx, my);
+    runs of CONSECUTIVE match positions group by grp = i - rank-
+    among-matches (rank = running sum of the match flag, so non-match
+    rows never join a run; non-matches carry a null grp and are
+    parked in their own per-word null group, never read); within a
+    run every other start (run offset parity 0) merges; the row AFTER
+    a merged start is consumed — positions are dense, so "after" is
+    exactly the lag-1 row in i order. Merged starts are never
+    adjacent (within a run kept offsets differ by 2; across runs a
+    gap separates them), so a consumed row is never itself a merged
+    start."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("word").orderBy("i")
+    run = Window.partitionBy("word", "__grp")
+    tagged = (
+        seq.withColumn(
+            "__m",
+            ((F.col("sym") == mx) & (F.col("nxt") == my)).cast("int"),
+        )
+        .withColumn(
+            "__rk",
+            F.sum("__m").over(
+                wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__grp", F.when(F.col("__m") == 1, F.col("i") - F.col("__rk"))
+        )
+    )
+    decided = tagged.withColumn(
+        "__mh",
+        (F.col("__m") == 1)
+        & ((F.col("i") - F.min("i").over(run)) % 2 == 0),
+    ).withColumn(
+        "__cons", F.coalesce(F.lag("__mh").over(wq), F.lit(False))
+    )
+    merged = decided.where(~F.col("__cons")).select(
+        "word",
+        "freq",
+        "i",
+        F.when(F.col("__mh"), F.concat(F.col("sym"), F.col("nxt")))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    # re-densify positions so downstream adjacency/run arithmetic
+    # (i+1 consumption, consecutive-i runs) stays valid
+    return merged.withColumn("i", F.row_number().over(wq))
 
 
 def bigram_novelty(
@@ -858,10 +907,16 @@ def _bpe_iterate(wf: DataFrame, rounds: int = 3):
     (:func:`bpe_word_freq` folded the corpus once, before this);
     rounds chain through an eager localCheckpoint each (the
     connected-components lineage discipline), so training V merges is
-    V bounded-size jobs, never V-deep lazy plans. The sequential
+    V bounded-size jobs, never V-deep lazy plans. Per round the
+    winning pair (one deterministic row) and the post-merge token
+    checksum (one aggregate) resolve on the driver — metadata-scale
+    collects, the q94 n_nodes discipline — and the merge applies as
+    pure single-partitioning window algebra
+    (:func:`_bpe_apply_merge`), so a round is exactly: pair-count
+    shuffle, top-1, merge+checkpoint, checksum. The sequential
     'apply left to right' rule stays the run-parity window rewrite —
-    no Python in the loop, and a generated multi-round SQL oracle
-    reproduces the whole loop bit-for-bit (t46).
+    no per-row Python anywhere, and a generated multi-round SQL
+    oracle reproduces the whole loop bit-for-bit (t46).
 
     Returns ``(metrics, final_seq)``: the per-round merge table AND
     the post-merge per-word symbol table (word, freq, i, sym, nxt) —
@@ -878,75 +933,46 @@ def _bpe_iterate(wf: DataFrame, rounds: int = 3):
     )
     wq = Window.partitionBy("word").orderBy("i")
     seq = chars.withColumn("nxt", F.lead("sym").over(wq))
-    out = None
+    spark = wf.sparkSession
+    recs: list[tuple] = []
     for r in range(1, rounds + 1):
         pairs = (
             seq.where(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        top1 = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .select(
-                F.col("l").alias("mx"),
-                F.col("r").alias("my"),
-                F.col("cnt").alias("pair_cnt"),
-            )
+        # the winning pair is ONE deterministic row — resolve it on
+        # the driver (metadata-scale, the q94 n_nodes discipline).
+        # The r16 shape crossJoin-broadcast a top1 SUBPLAN whose
+        # TakeOrdered ran TWICE per round: once inside the eager
+        # checkpoint, once again when the final action re-evaluated
+        # the (lazy) metrics projection (guide §1.2: don't compute
+        # things twice; r17 profile: t46 27 -> 15 jobs).
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        if not top:
+            # degenerate vocabulary with no adjacent pair left: every
+            # remaining round merges nothing and contributes no
+            # metrics row (exactly the crossJoin-with-empty-top1
+            # behavior) — stop iterating
+            break
+        mx, my, pair_cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        seq = (
+            _bpe_apply_merge(seq, mx, my)
+            .withColumn("nxt", F.lead("sym").over(wq))
+            .localCheckpoint(eager=True)
         )
-        tagged = seq.crossJoin(F.broadcast(top1))  # 1-row spine
-        matches = tagged.where(
-            (F.col("sym") == F.col("mx")) & (F.col("nxt") == F.col("my"))
-        ).withColumn("grp", F.col("i") - F.row_number().over(wq))
-        runw = Window.partitionBy("word", "grp")
-        kept = (
-            matches.withColumn("off", F.col("i") - F.min("i").over(runw))
-            .where(F.col("off") % 2 == 0)
-            .select("word", "i")
-        )
-        k1 = kept.select("word", "i", F.lit(True).alias("m_here"))
-        k2 = kept.select(
-            "word", (F.col("i") + 1).alias("i"), F.lit(True).alias("consumed")
-        )
-        merged = (
-            seq.join(k1, ["word", "i"], "left")
-            .join(k2, ["word", "i"], "left")
-            .where(F.col("consumed").isNull())
-            .select(
-                "word",
-                "freq",
-                "i",
-                F.when(
-                    F.col("m_here"), F.concat(F.col("sym"), F.col("nxt"))
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-        )
-        # re-densify positions so round r+1's adjacency/run arithmetic
-        # (i+1 consumption, consecutive-i runs) stays valid
-        resyms = merged.withColumn(
-            "i", F.row_number().over(Window.partitionBy("word").orderBy("i"))
-        )
-        seq = resyms.withColumn(
-            "nxt", F.lead("sym").over(wq)
-        ).localCheckpoint(eager=True)
-        metrics = (
-            top1.crossJoin(
-                seq.agg(
-                    F.sum("freq").cast("long").alias("n_tokens_after")
-                )
-            )
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("mx").alias("merged_left"),
-                F.col("my").alias("merged_right"),
-                F.col("pair_cnt"),
-                "n_tokens_after",
-            )
-        )
-        out = metrics if out is None else out.unionByName(metrics)
-    return out, seq
+        n_after = seq.agg(
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("long")
+        ).collect()[0][0]
+        recs.append((r, mx, my, pair_cnt, int(n_after)))
+    metrics = spark.createDataFrame(
+        recs,
+        schema=(
+            "round long, merged_left string, merged_right string, "
+            "pair_cnt long, n_tokens_after long"
+        ),
+    )
+    return metrics, seq
 
 
 def tokenize_tf(docs: DataFrame) -> DataFrame:
@@ -959,6 +985,35 @@ def tokenize_tf(docs: DataFrame) -> DataFrame:
     return toks.groupBy("w", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+
+
+def _overlap_commits(*thunks) -> None:
+    """Run independent single-store commit thunks as OVERLAPPING
+    driver threads (guide §2.6: Spark happily runs several jobs at
+    once inside one application; actions are only sequential because
+    the driver calls them sequentially). The multi-store index
+    increments commit 3 stores with no cross-store dependency, and
+    each commit is a chain of small jobs plus driver-side staging /
+    manifest work — overlapped, one store's driver phase back-fills
+    the cores another store's job left idle (r17 A/B: t51's timed
+    operator 1.23s -> 0.96s min-of-5 at sf0.1).
+
+    ``inheritable_thread_target`` carries the caller thread's
+    JVM-local properties (job description / group) into the pool so
+    per-key profiling attribution survives. Exceptions re-raise in
+    the caller (first failure wins); sibling commits may have already
+    landed — exactly the crash-consistency surface the stores'
+    ``increment_id`` stamp protocol already covers (a retry probes
+    per-store stamps, sequential or not)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    wrapped = [inheritable_thread_target(t) for t in thunks]
+    with ThreadPoolExecutor(max_workers=len(wrapped)) as pool:
+        futures = [pool.submit(w) for w in wrapped]
+        for f in futures:
+            f.result()
 
 
 def _increment_applied(store_path: str, increment_id: str | None) -> bool:
@@ -1026,42 +1081,55 @@ def postings_increment(
         else None
     )
     incr_tf = tokenize_tf(incr_docs)
-    if not _increment_applied(store + "/postings", increment_id):
-        snapshot_write(
-            spark, store + "/postings", incr_tf, mode="append",
-            extra_update=stamp,
-        )
-    if not _increment_applied(store + "/dfreq", increment_id):
-        incr_df = incr_tf.groupBy("w").agg(
-            F.count(F.lit(1)).cast("long").alias("df_inc")
-        )
-        old = snapshot_read(spark, store + "/dfreq")
-        upd = (
-            incr_df.join(old, "w", "left")
-            .select(
-                "w",
-                (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
-                .cast("long")
-                .alias("df"),
+
+    def _postings() -> None:
+        if not _increment_applied(store + "/postings", increment_id):
+            snapshot_write(
+                spark, store + "/postings", incr_tf, mode="append",
+                extra_update=stamp,
             )
-        )
-        snapshot_merge(
-            spark, store + "/dfreq", upd, ["w"],
-            broadcast_updates=broadcast, extra_update=stamp,
-        )
-    if not _increment_applied(store + "/meta", increment_id):
-        snapshot_write(
-            spark,
-            store + "/meta",
-            n_docs_total.select(
-                F.col(n_docs_total.columns[0]).cast("long").alias("n_docs"),
-                # keep any extra meta columns the caller maintains (the
-                # streaming sink's last-applied-epoch idempotency marker)
-                *[F.col(c) for c in n_docs_total.columns[1:]],
-            ),
-            mode="overwrite",
-            extra_update=stamp,
-        )
+
+    def _dfreq() -> None:
+        if not _increment_applied(store + "/dfreq", increment_id):
+            incr_df = incr_tf.groupBy("w").agg(
+                F.count(F.lit(1)).cast("long").alias("df_inc")
+            )
+            old = snapshot_read(spark, store + "/dfreq")
+            upd = (
+                incr_df.join(old, "w", "left")
+                .select(
+                    "w",
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+                    .cast("long")
+                    .alias("df"),
+                )
+            )
+            snapshot_merge(
+                spark, store + "/dfreq", upd, ["w"],
+                broadcast_updates=broadcast, extra_update=stamp,
+            )
+
+    def _meta() -> None:
+        if not _increment_applied(store + "/meta", increment_id):
+            snapshot_write(
+                spark,
+                store + "/meta",
+                n_docs_total.select(
+                    F.col(n_docs_total.columns[0]).cast("long").alias(
+                        "n_docs"
+                    ),
+                    # keep any extra meta columns the caller maintains
+                    # (the streaming sink's last-applied-epoch
+                    # idempotency marker)
+                    *[F.col(c) for c in n_docs_total.columns[1:]],
+                ),
+                mode="overwrite",
+                extra_update=stamp,
+            )
+
+    # the three stores are independent (no commit reads another
+    # store's post-increment state) — overlap them (guide §2.6)
+    _overlap_commits(_postings, _dfreq, _meta)
 
 
 def bm25_increment(
@@ -1109,45 +1177,57 @@ def bm25_increment(
     dl = incr_tf.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl")
     )
-    if not _increment_applied(store + "/postings", increment_id):
-        snapshot_write(
-            spark, store + "/postings", incr_tf.join(dl, "doc_id"),
-            mode="append", extra_update=stamp,
-        )
-    if not _increment_applied(store + "/dfreq", increment_id):
-        incr_df = incr_tf.groupBy("w").agg(
-            F.count(F.lit(1)).cast("long").alias("df_inc")
-        )
-        old = snapshot_read(spark, store + "/dfreq")
-        upd = incr_df.join(old, "w", "left").select(
-            "w",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
-            .cast("long")
-            .alias("df"),
-        )
-        snapshot_merge(
-            spark, store + "/dfreq", upd, ["w"],
-            broadcast_updates=broadcast, extra_update=stamp,
-        )
-    if not _increment_applied(store + "/meta", increment_id):
-        inc_meta = incr_docs.agg(
-            F.count(F.lit(1)).cast("long").alias("dn")
-        ).crossJoin(
-            dl.agg(
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dtl")
+
+    def _postings() -> None:
+        if not _increment_applied(store + "/postings", increment_id):
+            snapshot_write(
+                spark, store + "/postings", incr_tf.join(dl, "doc_id"),
+                mode="append", extra_update=stamp,
             )
-        )
-        new_meta = (
-            snapshot_read(spark, store + "/meta")
-            .crossJoin(F.broadcast(inc_meta))
-            .select(
-                (F.col("n_docs") + F.col("dn")).cast("long").alias(
-                    "n_docs"
-                ),
-                (F.col("tl") + F.col("dtl")).cast("long").alias("tl"),
+
+    def _dfreq() -> None:
+        if not _increment_applied(store + "/dfreq", increment_id):
+            incr_df = incr_tf.groupBy("w").agg(
+                F.count(F.lit(1)).cast("long").alias("df_inc")
             )
-        )
-        snapshot_write(
-            spark, store + "/meta", new_meta, mode="overwrite",
-            extra_update=stamp,
-        )
+            old = snapshot_read(spark, store + "/dfreq")
+            upd = incr_df.join(old, "w", "left").select(
+                "w",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_inc"))
+                .cast("long")
+                .alias("df"),
+            )
+            snapshot_merge(
+                spark, store + "/dfreq", upd, ["w"],
+                broadcast_updates=broadcast, extra_update=stamp,
+            )
+
+    def _meta() -> None:
+        if not _increment_applied(store + "/meta", increment_id):
+            inc_meta = incr_docs.agg(
+                F.count(F.lit(1)).cast("long").alias("dn")
+            ).crossJoin(
+                dl.agg(
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                        "dtl"
+                    )
+                )
+            )
+            new_meta = (
+                snapshot_read(spark, store + "/meta")
+                .crossJoin(F.broadcast(inc_meta))
+                .select(
+                    (F.col("n_docs") + F.col("dn")).cast("long").alias(
+                        "n_docs"
+                    ),
+                    (F.col("tl") + F.col("dtl")).cast("long").alias("tl"),
+                )
+            )
+            snapshot_write(
+                spark, store + "/meta", new_meta, mode="overwrite",
+                extra_update=stamp,
+            )
+
+    # independent stores (meta reads only PRE-increment state), so the
+    # retry contract is unchanged by overlap — see _overlap_commits
+    _overlap_commits(_postings, _dfreq, _meta)
