@@ -858,10 +858,13 @@ def prefix_filter_jaccard_pairs(
     matches, so verify cost is O(candidate tokens), and row width
     stays O(1) at 100-TB document sizes instead of O(doc tokens).
 
-    Shuffles: token df agg, the per-doc rank window, the
-    prefix-posting self-join + pair groupBy, the verify postings
-    re-join + count. Each is keyed and bounded; no all-pairs stage
-    exists in the plan at any scale.
+    Shuffles: the token-df window (one exchange by tok — r17: was a
+    groupBy + broadcast join-back, unbroadcastable at corpus scale),
+    the per-doc rank window, the prefix-posting self-join + pair
+    groupBy (over a ONCE-materialized prefix set — r17: the plan
+    previously rebuilt the whole rank pipeline under each join side),
+    the verify postings re-join + count. Each is keyed and bounded;
+    no all-pairs stage exists in the plan at any scale.
 
     ``shingle_k > 1`` switches the set elements from words to
     distinct k-word shingles (:func:`word_shingles` — the t6/t7
@@ -947,13 +950,26 @@ def _prefix_jaccard_candidates(
     the default."""
     from pyspark.sql import Window
 
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    # token document-frequency as a WINDOW over the (tok) partitioning
+    # instead of a groupBy + join-back (r17, guide §2.4): the join
+    # shape costs an aggregate exchange, a broadcast build of the
+    # corpus-wide dfreq table, and a probe over every posting row —
+    # and at 100 TB the dfreq table (one row per distinct shingle)
+    # cannot broadcast at all, so the planner would silently fall back
+    # to shuffling the postings TWICE. The window form is one exchange
+    # by tok, period. (Skew note: a hot token's postings land in one
+    # partition; prefix tokens are by construction the RARE ones, and
+    # the count-only window never buffers rows, so this is safe where
+    # a sort-based window over the same key would not be.)
+    w_tok = Window.partitionBy("tok")
     # rarity rank per doc via a PARTITIONED window (one shuffle by id,
     # narrow rows) — replaces the r14 sort_array(collect_list) whose
     # O(doc-tokens) arrays rode through every downstream shuffle
     w_ord = Window.partitionBy("id").orderBy("tok_df", "tok")
     w_doc = Window.partitionBy("id")
-    ranked = toks.join(dfreq, "tok").select(
+    ranked = toks.withColumn(
+        "tok_df", F.count(F.lit(1)).over(w_tok)
+    ).select(
         "id",
         "tok",
         (F.row_number().over(w_ord) - 1).alias("pos"),
@@ -965,6 +981,16 @@ def _prefix_jaccard_candidates(
         F.col("pos")
         < F.expr(f"n - ((n * {tau_num} + {tau_den - 1}) DIV {tau_den}) + 1")
     )
+    # materialize ONCE before the self-join (r17, guide §1.2): both
+    # join sides otherwise rebuild the whole dfreq+rank pipeline —
+    # the plan audit showed the Exchange/Sort/Window/Window subtree
+    # DUPLICATED under the join, i.e. two full passes over the posting
+    # set at any scale. Narrow (id, tok, pos, n) rows, the same
+    # executor-local durability trade as the graph operators' pair
+    # sets (module docstring / docs/SCALE.md §checkpoint-durability).
+    # Interleaved A/B at sf0.1 (min/median of 5): 3.32/3.45 s ->
+    # 2.74/2.74 s for t58 with both changes.
+    prefix = prefix.localCheckpoint(eager=True)
     # candidate generation: shared prefix token + the PPJoin LENGTH
     # filter (J >= tau forces tau*|a| <= |b| <= |a|/tau) + the PPJoin
     # POSITIONAL filter, applied twice: per token inside the join (so

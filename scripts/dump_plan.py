@@ -130,10 +130,48 @@ def _q94_rank(spark, sf_dir):
     return r
 
 
+def _t58_prefix(spark, sf_dir):
+    """t58's pre-checkpoint prefix pipeline (r17: the committed plan
+    truncates at the LogicalRDD, so this probe rebuilds the subtree
+    that the checkpoint materializes — dfreq window + rank windows +
+    prefix filter)."""
+    from pyspark.sql import Window, functions as F
+
+    from end_to_end_data_engineering_pipeline_spark.catalog import load
+    from end_to_end_data_engineering_pipeline_spark.operators.dedup_fuzzy import (
+        shingled_docs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = shingled_docs(docs, "doc_id", "text", 3).select(
+        "id", F.col("sh").alias("elems")
+    )
+    toks = (
+        base.select("id", F.explode_outer("elems").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .cache()
+    )
+    w_tok = Window.partitionBy("tok")
+    w_ord = Window.partitionBy("id").orderBy("tok_df", "tok")
+    w_doc = Window.partitionBy("id")
+    ranked = toks.withColumn(
+        "tok_df", F.count(F.lit(1)).over(w_tok)
+    ).select(
+        "id",
+        "tok",
+        (F.row_number().over(w_ord) - 1).alias("pos"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+    return ranked.where(
+        F.col("pos") < F.expr("n - ((n * 3 + 4) DIV 5) + 1")
+    )
+
+
 PROBES = {
     "t12cc": _t12_cc_input,
     "t46round": _t46_round1_seq,
     "q94rank": _q94_rank,
+    "t58prefix": _t58_prefix,
 }
 
 
