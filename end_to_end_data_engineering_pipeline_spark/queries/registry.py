@@ -57,75 +57,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # different implementation). bench.py's RESHAPED_ROUND is the timing
 # half of the same discontinuity.
 #
-# Round-16 rotation: the r15 gate went 50/50 green (ledger bumped to
-# 15 below; the r15-born p38/m10/t58 enter the ledger at 15). The r16
-# prefix leads with this round's newborns as they land
-# (never-validated-first invariant), then the six r10 holdovers
-# displaced from the r15 prefix (sim7/t10/t13/t17/t46/t47), then the
-# stalest r11 band in name order (44 of 50 fit; the name-ordered tail
-# t42/t48/t49/t50/t7/t9 waits for r17). Min registry freshness after
-# a green r16 = r11.
+# Round-17 rotation: the r16 gate went 50/50 green (ledger bumped to
+# 16 below, p39 enters at 16). The r17 prefix leads with this round's
+# EIGHT reshaped queries (reshape rule: q94, t42/t46/t48, t51/t55/t56,
+# t58 — entries dropped from the ledger so the driver re-validates the
+# new plan shapes), then the r11-validated name-ordered tail displaced
+# from the r16 prefix (t3/t49/t50/t7/t9), then the stalest r12 band in
+# name order (37 of 46 fit). Min registry freshness after a green
+# r17 = r12.
 _PRIORITY: list[str] = [
-    # --- never driver-validated: the r16-born p39 (branch
-    # cherry-pick — publish ONE audit commit onto diverged main,
-    # Iceberg's cherrypick_snapshot; r15 verdict ask #2) ---
-    "p39_branch_cherrypick",
-    # --- r10-validated: the six displaced from the r15 prefix ---
-    "sim7_neardup_pairs_lsh",
-    "t10_winnow_fingerprints",
-    "t13_canonical_corpus",
-    "t17_passage_chunking",
+    # --- reshaped this round (reshape rule: treated as never-
+    # validated so the driver re-validates the new plan shapes):
+    # q94 (r16 Pregel restructure + r17 deg/broadcast residual),
+    # t42/t46/t48 (BPE merge as window algebra, driver top-1),
+    # t51/t55/t56 (overlapped multi-store commits),
+    # t58 (window dfreq + once-materialized prefix set) ---
+    "q94_pagerank_supply_graph",
+    "t42_bpe_merge_step",
     "t46_bpe_train_loop",
-    "t47_lsh_s_curve",
-    # --- r11-validated: the stale band, name order ---
-    "e17_scd2_incremental",
-    "e19_attribution",
-    "e1_tumbling_window_agg",
-    "e21_scd2_asof",
-    "e2_sliding_window_agg",
-    "e33_rfm_segments",
-    "e4_json_extraction",
-    "e5_keyed_dedup_keep_first",
-    "e6_value_counts",
-    "e7_latest_event_per_user",
-    "e9_range_join",
-    "m3_content_addressed_store",
-    "m8_bmp_decode_features",
-    "m9_avi_decode_features",
-    "p10_incremental_agg",
-    "p11_snapshot_diff",
-    "p27_bloom_point_lookup",
-    "p28_bloom_fpr_audit",
-    "q60_product_profit",
-    "q65_exact_moments",
-    "q70_multiset_ops",
-    "q71_forward_fill",
-    "q72_group_ols_slope",
-    "q76_array_set_algebra",
-    "q90_revenue_pareto",
-    "q93_corrupt_record_routing",
-    "sim11_sq8_topk",
-    "sim1_cosine_topk_bruteforce",
-    "sim2_cosine_topk_lsh",
-    "sim4_cosine_topk_ivf",
-    "sim6_label_separation",
-    "sim8_pq_adc_topk",
-    "sim9_ivfpq_topk",
-    "t11_winnow_overlap_pairs",
-    "t12_neardup_clusters",
-    "t14_curation_filter",
-    "t15_distinctive_terms",
-    "t16_sequence_packing",
-    "t19_decontamination",
-    "t1_text_stats",
-    "t20_token_budget_mix",
-    "t21_pii_redaction",
-    "t28_chunk_dedup_corpus",
-    # (t3_exact_dedup, t42_bpe_merge_step, t48_bpe_encode_corpus,
-    # t49_inverted_index_search, t50_persisted_postings_search,
-    # t7_minhash_lsh_neardup and t9_simhash_neardup — the
-    # name-ordered r11 tail — wait one round, displaced by the
-    # r16-born p39 and the six r10 holdovers)
+    "t48_bpe_encode_corpus",
+    "t51_postings_increment",
+    "t55_bm25_incremental_index",
+    "t56_incremented_disjunctive_search",
+    "t58_prefix_filter_jaccard",
+    # --- r11-validated: the name-ordered tail displaced from the
+    # r16 prefix (waited one round as planned) ---
+    "t3_exact_dedup",
+    "t49_inverted_index_search",
+    "t50_persisted_postings_search",
+    "t7_minhash_lsh_neardup",
+    "t9_simhash_neardup",
+    # --- r12-validated: stalest band, name order (37 of 46 fit;
+    # the tail t34/t36/t37/t38/t4/t52/t53/t54/t57/t5/t6/t8 and
+    # friends wait for r18) ---
+    "p13_bucketed_colocated_join",
+    "p1_flatten_roundtrip",
+    "p29_partition_evolution",
+    "p2_dim_date_build",
+    "p30_evolution_cdf_sync",
+    "p31_mor_delete_lifecycle",
+    "p32_mor_merge_lifecycle",
+    "p33_eq_delete_lifecycle",
+    "p34_mor_partitioned_delete",
+    "p4_quality_gate_counters",
+    "p8_retention_sweep",
+    "p9_time_travel",
+    "q73_lateral_topn",
+    "q77_trailing_time_window",
+    "q80_union_by_name",
+    "q81_iqr_outliers",
+    "q82_bloom_semijoin_prefilter",
+    "q83_rolling_percentiles",
+    "q84_null_safe_join",
+    "q85_rolling_anomaly_bands",
+    "sim10_pq_refine_topk",
+    "sim12_knn_graph",
+    "sim13_embedding_clusters",
+    "sim14_ivf_partitioned_topk",
+    "sim3_embedding_neardup_pairs",
+    "t18_repetition_stats",
+    "t22_hashed_embedding",
+    "t23_hashed_embedding_neardup",
+    "t24_canonical_best_quality",
+    "t25_train_val_test_split",
+    "t26_common_token_fraction",
+    "t27_decontaminated_corpus",
+    "t29_cms_heavy_hitters",
+    "t2_lang_id",
+    "t30_pps_weighted_sample",
+    "t31_langid_confusion",
+    "t33_containment_pairs",
 ]
 
 
@@ -143,11 +144,11 @@ VALIDATED_ROUND: dict[str, int] = {
     "e14_transition_matrix": 15,
     "e15_cdc_latest_state": 15,
     "e16_scd2_history": 15,
-    "e17_scd2_incremental": 11,
+    "e17_scd2_incremental": 16,
     "e18_linear_interpolation": 15,
-    "e19_attribution": 11,
-    "e1_tumbling_window_agg": 11,
-    "e21_scd2_asof": 11,
+    "e19_attribution": 16,
+    "e1_tumbling_window_agg": 16,
+    "e21_scd2_asof": 16,
     "e22_skew_audit": 13,
     "e23_hll_distinct_users": 13,
     "e24_session_trigrams": 13,
@@ -156,30 +157,30 @@ VALIDATED_ROUND: dict[str, int] = {
     "e27_hll_union_rollup": 13,
     "e28_watermark_late_audit": 14,
     "e29_ingest_lag_percentiles": 14,
-    "e2_sliding_window_agg": 11,
+    "e2_sliding_window_agg": 16,
     "e31_point_in_time_features": 14,
     "e32_stream_stream_attribution": 14,
-    "e33_rfm_segments": 11,
+    "e33_rfm_segments": 16,
     "e34_attribution_left_outer": 15,
     "e3_sessionization": 15,
-    "e4_json_extraction": 11,
-    "e5_keyed_dedup_keep_first": 11,
-    "e6_value_counts": 11,
-    "e7_latest_event_per_user": 11,
+    "e4_json_extraction": 16,
+    "e5_keyed_dedup_keep_first": 16,
+    "e6_value_counts": 16,
+    "e7_latest_event_per_user": 16,
     "e8_asof_join": 15,
-    "e9_range_join": 11,
+    "e9_range_join": 16,
     "m10_png_decode_features": 15,
     "m1_multimodal_features": 15,
     "m2_frame_sample_offsets": 15,
-    "m3_content_addressed_store": 11,
+    "m3_content_addressed_store": 16,
     "m4_frame_embedding_pool": 13,
     "m5_media_frame_overlap": 13,
     "m6_media_dedup_clusters": 14,
     "m7_wav_decode_features": 15,
-    "m8_bmp_decode_features": 11,
-    "m9_avi_decode_features": 11,
-    "p10_incremental_agg": 11,
-    "p11_snapshot_diff": 11,
+    "m8_bmp_decode_features": 16,
+    "m9_avi_decode_features": 16,
+    "p10_incremental_agg": 16,
+    "p11_snapshot_diff": 16,
     "p12_zorder_roundtrip": 13,
     "p13_bucketed_colocated_join": 12,
     "p14_time_range_pruned_read": 13,
@@ -196,8 +197,8 @@ VALIDATED_ROUND: dict[str, int] = {
     "p24_incremental_join_view": 14,
     "p25_cdf_downstream_sync": 14,
     "p26_timestamp_asof_read": 14,
-    "p27_bloom_point_lookup": 11,
-    "p28_bloom_fpr_audit": 11,
+    "p27_bloom_point_lookup": 16,
+    "p28_bloom_fpr_audit": 16,
     "p29_partition_evolution": 12,
     "p2_dim_date_build": 12,
     "p30_evolution_cdf_sync": 12,
@@ -209,6 +210,7 @@ VALIDATED_ROUND: dict[str, int] = {
     "p36_mor_sorted_delete": 13,
     "p37_evolved_cow_dml": 14,
     "p38_branch_lifecycle": 15,
+    "p39_branch_cherrypick": 16,
     "p3_sql_model_over_views": 15,
     "p4_quality_gate_counters": 12,
     "p5_incremental_gold": 15,
@@ -271,24 +273,24 @@ VALIDATED_ROUND: dict[str, int] = {
     "q58_dormant_account_cohorts": 15,
     "q59_forecast_revenue": 14,
     "q5_semi_join_exists": 13,
-    "q60_product_profit": 11,
+    "q60_product_profit": 16,
     "q61_local_supplier_volume": 14,
     "q62_deterministic_sample": 15,
     "q63_stratified_sample": 15,
     "q64_arg_extrema": 15,
-    "q65_exact_moments": 11,
+    "q65_exact_moments": 16,
     "q66_fuzzy_name_blocking": 15,
     "q67_map_roundtrip": 13,
     "q68_conditional_distinct": 13,
     "q69_winsorized_stats": 15,
     "q6_anti_join_not_exists": 13,
-    "q70_multiset_ops": 11,
-    "q71_forward_fill": 11,
-    "q72_group_ols_slope": 11,
+    "q70_multiset_ops": 16,
+    "q71_forward_fill": 16,
+    "q72_group_ols_slope": 16,
     "q73_lateral_topn": 12,
     "q74_null_ordering": 14,
     "q75_explode_outer": 13,
-    "q76_array_set_algebra": 11,
+    "q76_array_set_algebra": 16,
     "q77_trailing_time_window": 12,
     "q78_string_rewrite": 13,
     "q79_null_conditionals": 13,
@@ -304,14 +306,13 @@ VALIDATED_ROUND: dict[str, int] = {
     "q88_hierarchy_closure": 14,
     "q89_table_profile": 14,
     "q8_window_rank_topk_per_group": 13,
-    "q90_revenue_pareto": 11,
+    "q90_revenue_pareto": 16,
     "q91_distributed_global_rank": 15,
     "q92_distributed_exact_ntile": 15,
-    "q93_corrupt_record_routing": 11,
-    "q94_pagerank_supply_graph": 12,
+    "q93_corrupt_record_routing": 16,
     "q9_window_lag_running_sum": 13,
     "sim10_pq_refine_topk": 12,
-    "sim11_sq8_topk": 11,
+    "sim11_sq8_topk": 16,
     "sim12_knn_graph": 12,
     "sim13_embedding_clusters": 12,
     "sim14_ivf_partitioned_topk": 12,
@@ -320,39 +321,39 @@ VALIDATED_ROUND: dict[str, int] = {
     "sim17_neardup_triangles": 13,
     "sim18_ann_recall_table": 13,
     "sim19_ivf_delete_refresh": 14,
-    "sim1_cosine_topk_bruteforce": 11,
+    "sim1_cosine_topk_bruteforce": 16,
     "sim20_ivf_append_increment": 14,
     "sim21_mmr_diversified_topk": 14,
     "sim22_filtered_ann_topk": 14,
     "sim23_knn_label_vote": 14,
-    "sim2_cosine_topk_lsh": 11,
+    "sim2_cosine_topk_lsh": 16,
     "sim3_embedding_neardup_pairs": 12,
-    "sim4_cosine_topk_ivf": 11,
+    "sim4_cosine_topk_ivf": 16,
     "sim5_vector_stats": 15,
-    "sim6_label_separation": 11,
-    "sim7_neardup_pairs_lsh": 10,
-    "sim8_pq_adc_topk": 11,
-    "sim9_ivfpq_topk": 11,
-    "t10_winnow_fingerprints": 10,
-    "t11_winnow_overlap_pairs": 11,
-    "t12_neardup_clusters": 11,
-    "t13_canonical_corpus": 10,
-    "t14_curation_filter": 11,
-    "t15_distinctive_terms": 11,
-    "t16_sequence_packing": 11,
-    "t17_passage_chunking": 10,
+    "sim6_label_separation": 16,
+    "sim7_neardup_pairs_lsh": 16,
+    "sim8_pq_adc_topk": 16,
+    "sim9_ivfpq_topk": 16,
+    "t10_winnow_fingerprints": 16,
+    "t11_winnow_overlap_pairs": 16,
+    "t12_neardup_clusters": 16,
+    "t13_canonical_corpus": 16,
+    "t14_curation_filter": 16,
+    "t15_distinctive_terms": 16,
+    "t16_sequence_packing": 16,
+    "t17_passage_chunking": 16,
     "t18_repetition_stats": 12,
-    "t19_decontamination": 11,
-    "t1_text_stats": 11,
-    "t20_token_budget_mix": 11,
-    "t21_pii_redaction": 11,
+    "t19_decontamination": 16,
+    "t1_text_stats": 16,
+    "t20_token_budget_mix": 16,
+    "t21_pii_redaction": 16,
     "t22_hashed_embedding": 12,
     "t23_hashed_embedding_neardup": 12,
     "t24_canonical_best_quality": 12,
     "t25_train_val_test_split": 12,
     "t26_common_token_fraction": 12,
     "t27_decontaminated_corpus": 12,
-    "t28_chunk_dedup_corpus": 11,
+    "t28_chunk_dedup_corpus": 16,
     "t29_cms_heavy_hitters": 12,
     "t2_lang_id": 12,
     "t30_pps_weighted_sample": 12,
@@ -366,24 +367,17 @@ VALIDATED_ROUND: dict[str, int] = {
     "t3_exact_dedup": 11,
     "t40_k_anonymity_audit": 13,
     "t41_stopword_quality_flags": 15,
-    "t42_bpe_merge_step": 11,
     "t43_bigram_novelty_score": 15,
     "t44_lsh_candidate_audit": 15,
     "t45_minhash_estimator_calibration": 15,
-    "t46_bpe_train_loop": 10,
-    "t47_lsh_s_curve": 10,
-    "t48_bpe_encode_corpus": 11,
+    "t47_lsh_s_curve": 16,
     "t49_inverted_index_search": 11,
     "t4_minhash_signatures": 12,
     "t50_persisted_postings_search": 11,
-    "t51_postings_increment": 12,
     "t52_disjunctive_search": 12,
     "t53_phrase_search": 12,
     "t54_bm25_search": 12,
-    "t55_bm25_incremental_index": 12,
-    "t56_incremented_disjunctive_search": 12,
     "t57_incremented_phrase_search": 12,
-    "t58_prefix_filter_jaccard": 15,
     "t5_simhash": 12,
     "t6_ngram_jaccard_pairs": 12,
     "t7_minhash_lsh_neardup": 11,
