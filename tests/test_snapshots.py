@@ -5294,3 +5294,31 @@ class TestPartitionedBranches:
             for r in sn.snapshot_read_branch(spark, t, "audit").collect()
         ]
         assert sorted(rows) == [(1, 0, "x"), (1, 0, "x")]
+
+
+def test_micros_ts_scope_refcounts_across_threads(spark):
+    """r17: independent store commits may overlap from driver threads,
+    and _micros_ts pins a PROCESS-GLOBAL session conf — the scope must
+    refcount per session so the first exit can't unpin the timestamp
+    type while a sibling's staging write is still planning, and the
+    LAST exit must restore the pre-entry value."""
+    from end_to_end_data_engineering_pipeline_spark.operators.snapshots import (
+        _micros_ts,
+    )
+
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "INT96")
+        with _micros_ts(spark):
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            with _micros_ts(spark):
+                assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            # inner exit must NOT unpin while the outer scope is live
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

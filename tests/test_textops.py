@@ -1252,3 +1252,47 @@ def test_prefix_filter_accumulated_positional_filter_prunes(spark):
         for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 3, 5).collect()
     }
     assert got == want
+
+
+def test_bpe_train_degenerate_vocab_stops_early(spark):
+    """r17 internals change: the training loop resolves the winning
+    pair with a driver collect and BREAKS when no adjacent pair exists
+    anywhere (all-single-char vocabulary) — the metrics frame must be
+    EMPTY with the full declared schema, exactly what the old
+    crossJoin-with-empty-top1 shape produced for every round."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bpe_train,
+    )
+
+    wf = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "word string, freq long"
+    )
+    got = bpe_train(wf, rounds=3)
+    assert got.columns == [
+        "round", "merged_left", "merged_right", "pair_cnt",
+        "n_tokens_after",
+    ]
+    assert got.count() == 0
+
+
+def test_bpe_train_metrics_match_manual_rounds(spark):
+    """Two rounds on a hand vocabulary: round 1 merges the weighted
+    top pair, round 2 merges the next — pair_cnt and the post-merge
+    token checksum (sum of freq over remaining symbol rows) are the
+    driver-collected values the r17 loop reports."""
+    from end_to_end_data_engineering_pipeline_spark.operators.text import (
+        bpe_train,
+    )
+
+    # 'abab' x2: pairs (a,b) cnt 4, (b,a) cnt 2 -> round 1 merges
+    # (a,b) leftmost-non-overlapping: abab -> [ab, ab] (4 rows x2
+    # freq = n_tokens_after 4); round 2: pairs (ab,ab) cnt 2 ->
+    # merge -> [abab] (n_tokens_after 2)
+    wf = spark.createDataFrame([("abab", 2)], "word string, freq long")
+    got = sorted(
+        tuple(r) for r in bpe_train(wf, rounds=2).collect()
+    )
+    assert got == [
+        (1, "a", "b", 4, 4),
+        (2, "ab", "ab", 2, 2),
+    ]
