@@ -35,8 +35,12 @@ def test_prior_bench_loads_best_of_history():
     best_cur: dict[str, float] = {}
     best_old: dict[str, float] = {}
     files = [
-        (f, int(re.search(r"BENCH_r(\d+)\.json$", f).group(1)))
+        # same non-matching-name guard as bench.py:_prior_bench — the
+        # driver commits sibling artifacts like BENCH_r16_c8.json (the
+        # low-core scaling run) that the round regex must skip
+        (f, int(m.group(1)))
         for f in glob.glob(os.path.join(_here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
     ] + [
         # builder-recorded clean anchor runs are anchor material too
         # (never round-contaminated, never pre-reshape)
